@@ -388,7 +388,7 @@ def topk_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            strftime(ts, '%Y-%m-%d') AS bucket_day,
-           CAST(extract(hour FROM ts) AS INTEGER) AS hour_of_day,
+           extract(hour FROM ts) AS hour_of_day,
            strftime(ts, '%Y-%m-%d %H') AS bucket_hour,
            CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec,
            strftime(date_trunc('day', ts) + INTERVAL 1 DAY,
@@ -405,7 +405,7 @@ def time_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         day_bucket(F.col("ts")).alias("bucket_day"),
-        F.hour("ts").alias("hour_of_day"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
         hour_bucket(F.col("ts")).alias("bucket_hour"),
         F.unix_timestamp("ts").alias("unix_sec"),
         ts_string(next_utc_midnight(F.col("ts"))).alias("expire_at"),

@@ -1,1 +1,865 @@
-"""Placeholder — filled in as coverage widens."""
+"""Declared queries — Part B2-B7: relational closure (SURVEY.md §2B).
+
+Capabilities the reference doesn't implement but the north star mandates:
+full predicate/projection surface, every join shape, the aggregation
+suite (incl. multi-level), window functions, sorts, set ops, CSV scan.
+
+Determinism rules for the value-hash oracle (FIXTURES.md):
+- money/measure sums: CAST to DECIMAL(18,2) *before* SUM (exact in both
+  engines, immune to float association order), CAST the result to DOUBLE
+  for a stable output representation;
+- averages: exact decimal sum divided by count, division done in double
+  (same operands in both engines => same IEEE result);
+- integer outputs normalized to BIGINT in both dialects;
+- every sort/top-k carries a unique tie-breaker.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.timeutil import day_bucket, ts_string
+from ..operators.asof import asof_join, interval_overlap_join
+from ..operators.topk import top_k, top_k_per_group
+from ..sources.csv import read_csv
+from ..sources.tables import load_table
+from .catalog import query
+
+_TS_SQL = "strftime(ts, '%Y-%m-%d %H:%M:%S.%f')"
+
+
+def _dec(col: str, scale: str = "decimal(18,2)"):
+    return F.col(col).cast(scale)
+
+
+# ------------------------------------------------------------------ B1: CSV
+
+
+@query(
+    "scan_csv",
+    oracle="""
+    SELECT event_id, event_type, user_id, value FROM events
+    """,
+    tags=("scan", "partB"),
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: CSV scan with header + explicit schema — events written to
+    CSV and read back (doubles round-trip via shortest-repr)."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), "geetl_spark", sf, "events_csv")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    ev.write.mode("overwrite").option("header", "true").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return read_csv(spark, out, schema)
+
+
+# ----------------------------------------------------- B2: filters/projection
+
+
+@query(
+    "filter_between",
+    oracle="""
+    SELECT event_id, value FROM events
+    WHERE value BETWEEN 50 AND 150
+      AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                 AND TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    tags=("filter", "partB"),
+)
+def filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: BETWEEN on a measure and a timestamp — both pushed down to
+    the parquet scan as range filters."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("value").between(50, 150)
+        & F.col("ts").between(
+            F.lit("2024-01-10 00:00:00").cast("timestamp"),
+            F.lit("2024-01-20 00:00:00").cast("timestamp"),
+        )
+    ).select("event_id", "value")
+
+
+@query(
+    "filter_null_handling",
+    oracle="""
+    SELECT event_id,
+           coalesce(NULLIF(user_id % 10, 3), -1) AS filled,
+           (NULLIF(user_id % 10, 3) IS NULL) AS was_null
+    FROM events
+    """,
+    tags=("filter", "partB"),
+)
+def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2/B8: NULLIF / COALESCE / IS NULL three-valued logic."""
+    ev = load_table(spark, sf_dir, "events")
+    maybe = F.nullif(F.col("user_id") % 10, F.lit(3))
+    return ev.select(
+        "event_id",
+        F.coalesce(maybe, F.lit(-1)).alias("filled"),
+        maybe.isNull().alias("was_null"),
+    )
+
+
+@query(
+    "project_case_when",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS band
+    FROM events
+    """,
+    tags=("project", "partB"),
+)
+def project_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: CASE WHEN banding (when/otherwise)."""
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+    )
+    return ev.select("event_id", band.alias("band"))
+
+
+@query(
+    "project_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem
+    """,
+    tags=("project", "partB"),
+)
+def project_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: column arithmetic + cast. Per-row double expressions with a
+    fixed evaluation order are bit-identical across engines — no
+    rounding needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc.alias("disc_price"),
+        (disc * (1 + F.col("l_tax"))).alias("charge"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+    )
+
+
+# --------------------------------------------------------------- B3: joins
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderstatus
+    """,
+    tags=("join", "partB"),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: inner equi-join orders⋈customer + grouped rollup. Catalyst
+    picks broadcast-hash here (customer is small); at 100 TB with both
+    sides large it becomes sort-merge on the shuffled key — same code."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT p_brand, count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("join", "partB"),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: explicit broadcast-hash join — fact ⋈ broadcast(dim). The
+    dimension ships to every executor once; the 100 TB fact side never
+    shuffles (this is the map-side join you always want for star
+    schemas)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "join_outer_left",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join", "partB"),
+)
+def join_outer_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: left outer join — customers keep a row (n_orders = 0) even
+    with no orders; count(col) skips the null-extended side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_outer_full",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+    SELECT coalesce(p.user_id, s.user_id) AS user_id,
+           (p.user_id IS NOT NULL) AS has_purchase,
+           (s.user_id IS NOT NULL) AS has_signup
+    FROM p FULL OUTER JOIN s ON p.user_id = s.user_id
+    """,
+    tags=("join", "partB"),
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: full outer join of two derived key sets with coalesced key."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    s = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    p = p.withColumnRenamed("user_id", "p_uid")
+    s = s.withColumnRenamed("user_id", "s_uid")
+    return p.join(s, p.p_uid == s.s_uid, "full").select(
+        F.coalesce("p_uid", "s_uid").alias("user_id"),
+        F.col("p_uid").isNotNull().alias("has_purchase"),
+        F.col("s_uid").isNotNull().alias("has_signup"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "partB"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: left semi join — EXISTS without duplicating the left side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "partB"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: left anti join — NOT EXISTS; also the engine's incremental
+    'missing partitions' primitive (A13)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    tags=("join", "partB"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: cross join (tiny dims only — at scale crossJoin is the thing
+    this engine's LSH operators exist to avoid)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_range_theta",
+    oracle="""
+    SELECT event_id, band
+    FROM events
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+                 ('high', 150.0, 1e9)) AS b(band, lo, hi)
+      ON value >= lo AND value < hi
+    """,
+    tags=("join", "partB"),
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: theta (non-equi range) join against a literal band table —
+    broadcast-nested-loop with a 3-row build side, linear in the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    cond = (ev.value >= bands.lo) & (ev.value < bands.hi)
+    return ev.join(F.broadcast(bands), cond).select("event_id", "band")
+
+
+@query(
+    "join_asof",
+    oracle=f"""
+    SELECT e1.event_id, e1.user_id,
+           strftime((SELECT max(e2.ts) FROM events e2
+                     WHERE e2.user_id = e1.user_id
+                       AND e2.event_type = 'error'
+                       AND e2.ts <= e1.ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS prev_error_ts
+    FROM events e1
+    WHERE e1.event_type = 'purchase'
+    """,
+    tags=("join", "partB", "composite"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: as-of join — for each purchase, the most recent earlier error
+    by the same user. Union+window formulation (operators/asof.py): one
+    shuffle + one sort, no range-join pair explosion; the scalable plan
+    at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["ts"],
+        seq="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", ts_string(F.col("asof_ts")).alias("prev_error_ts")
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+    SELECT o_orderkey, q_name
+    FROM orders
+    JOIN (VALUES
+        ('1997H1', TIMESTAMP '1997-01-01 00:00:00', TIMESTAMP '1997-07-01 00:00:00'),
+        ('1998H1', TIMESTAMP '1998-01-01 00:00:00', TIMESTAMP '1998-07-01 00:00:00'),
+        ('1999H2', TIMESTAMP '1999-07-01 00:00:00', TIMESTAMP '2000-01-01 00:00:00'),
+        ('2001H1', TIMESTAMP '2001-01-01 00:00:00', TIMESTAMP '2001-07-01 00:00:00')
+      ) AS q(q_name, qs, qe)
+      ON o_orderdate < qe AND qs < o_orderdate + INTERVAL 30 DAY
+    """,
+    tags=("join", "partB", "composite"),
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: interval-overlap join — order activity windows
+    [o_orderdate, +30d) vs calendar half-years; half-open overlap
+    predicate s1 < e2 AND s2 < e1."""
+    o = load_table(spark, sf_dir, "orders")
+    quarters = spark.createDataFrame(
+        [
+            ("1997H1", _dt.datetime(1997, 1, 1), _dt.datetime(1997, 7, 1)),
+            ("1998H1", _dt.datetime(1998, 1, 1), _dt.datetime(1998, 7, 1)),
+            ("1999H2", _dt.datetime(1999, 7, 1), _dt.datetime(2000, 1, 1)),
+            ("2001H1", _dt.datetime(2001, 1, 1), _dt.datetime(2001, 7, 1)),
+        ],
+        "q_name string, qs timestamp, qe timestamp",
+    )
+    out = interval_overlap_join(
+        o,
+        F.broadcast(quarters),
+        left_start=F.col("o_orderdate"),
+        left_end=F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        right_start=F.col("qs"),
+        right_end=F.col("qe"),
+    )
+    return out.select("o_orderkey", "q_name")
+
+
+# ---------------------------------------------------------- B4: aggregations
+
+
+@query(
+    "agg_multi",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "partB"),
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: TPC-H Q1-style multi-aggregate scan. Decimal-exact sums;
+    average = exact sum / count in double (identical IEEE ops both
+    engines). Partial aggregation absorbs the fan-in before the
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = _dec("l_extendedprice")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS uniq_users, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "partB"),
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: exact distinct count alongside a plain count (two-phase
+    distinct aggregation under the hood)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("uniq_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT event_type, bucket_day, count(*) AS n
+    FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS bucket_day FROM events) t
+    GROUP BY GROUPING SETS ((event_type), (event_type, bucket_day))
+    """,
+    tags=("agg", "partB"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: GROUPING SETS — per-type and per-(type, day) counts in one
+    pass (Expand + single aggregate; one scan instead of two)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "event_type", day_bucket(F.col("ts")).alias("bucket_day")
+    ).createOrReplaceTempView("geetl_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, bucket_day, count(*) AS n
+        FROM geetl_gs_events
+        GROUP BY GROUPING SETS ((event_type), (event_type, bucket_day))
+        """
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "partB"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: CUBE — all four grouping levels in one Expand pass; NULL
+    markers for rolled-up dimensions match ANSI."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot_type",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS bucket_day,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "partB"),
+)
+def agg_pivot_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: pivot — event types to columns, one row per day. Explicit
+    category list so the plan needs no discovery pass (at scale the
+    values-scan would be a full job)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(day_bucket(F.col("ts")).alias("bucket_day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return out
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 5) AS p50,
+           round(quantile_cont(value, 0.9), 5) AS p90
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "partB"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: exact percentile (linear interpolation — same definition as
+    DuckDB quantile_cont); rounded to absorb interpolation ulp drift.
+    The scale path is approx_percentile (see agg_approx_distinct note).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 5).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 5).alias("p90"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tags=("agg", "partB", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: approx_count_distinct (HyperLogLog++) — the 100 TB substitute
+    for exact distinct; rows-only check (approximate by design)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@query(
+    "agg_stats_suite",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS variance,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS c,
+           round(avg(value), 6) AS mean
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "partB"),
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: statistical aggregates (stddev/variance/corr/avg), rounded —
+    merge-order float drift between engines is far below the rounding
+    grain."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("variance"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("c"),
+        F.round(F.avg("value"), 6).alias("mean"),
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT user_id, min(value) AS min_v, max(value) AS max_v,
+           arg_min(event_type, event_id) AS first_type,
+           arg_max(event_type, event_id) AS last_type
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "partB"),
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: min/max + argmin/argmax (min_by/max_by) — deterministic
+    first/last via the unique event_id, replacing order-dependent
+    first()/last()."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT user_id, list_sort(list_distinct(list(event_type))) AS types_seen
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "partB"),
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: collect_set normalized by sort_array — deterministic array
+    output (set order is engine-internal otherwise)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types_seen")
+    )
+
+
+# ------------------------------------------------------------- B5: windows
+
+
+@query(
+    "window_rank_topk_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, cnt, rnk FROM (
+      SELECT event_type, user_id, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id) AS rnk
+      FROM c
+    ) t WHERE rnk <= 3
+    """,
+    tags=("window", "partB"),
+)
+def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: per-group top-k — the distributed generalization of 'one ZSET
+    per hour, ZREVRANGE each' (A15). row_number over hash-partitioned
+    window; skewed groups emit at most k rows."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    out = top_k_per_group(
+        counts,
+        group=["event_type"],
+        order=[F.col("cnt").desc(), F.col("user_id").asc()],
+        k=3,
+        rank_col="rnk",
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("bigint"))
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+    FROM events
+    """,
+    tags=("window", "partB"),
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: lag — per-user delta between consecutive events (unique
+    event_id ordering => deterministic; subtraction of identical doubles
+    is exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum
+    FROM events
+    """,
+    tags=("window", "partB"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: running sum over an unbounded-preceding rows frame —
+    decimal-exact accumulation, double output."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("run_sum"),
+    )
+
+
+@query(
+    "window_sliding_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "partB"),
+)
+def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: sliding rows frame (3-event moving average) — exact decimal
+    sum / frame count, division in double."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(_dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "moving_avg"
+        ),
+    )
+
+
+@query(
+    "window_rank_suite",
+    oracle="""
+    SELECT event_id, user_id,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           lead(event_id) OVER w AS next_event,
+           first_value(event_id) OVER w AS first_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    tags=("window", "partB"),
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: ranking/analytic suite — rank, dense_rank, percent_rank,
+    ntile, lead, first_value over a unique ordering key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+# ----------------------------------------------------- B6: sort / B7: set ops
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    ORDER BY value DESC, event_id ASC LIMIT 100
+    """,
+    tags=("sort", "partB"),
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: multi-key sort + limit — TakeOrderedAndProject (distributed
+    top-k heap), tie-broken on the unique event_id."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return top_k(ev, [F.col("value").desc(), F.col("event_id").asc()], 100)
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT user_id, 'p' AS src FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT user_id, 's' AS src FROM events WHERE event_type = 'signup'
+    """,
+    tags=("setop", "partB"),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: UNION ALL (bag semantics) — the input side of the reference's
+    ZUNIONSTORE (A14)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.lit("p").alias("src")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.lit("s").alias("src")
+    )
+    return p.unionByName(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+    tags=("setop", "partB"),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: INTERSECT (distinct semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    s = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return p.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("setop", "partB"),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: EXCEPT — viewers who never purchased."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("user_id")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return v.subtract(p)
