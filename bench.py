@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Bench harness (driver contract, SURVEY.md §6 / BASELINE.md).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a ``noop``-format write — full
+execution including shuffles, no driver-side collect cost, no result
+materialization skew. One warmup of the smallest query primes the JVM
+and the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship reference pipeline + one representative per
+# operator family (join, window, rollup, dedup, functions, LLM ops).
+HEADLINE = [
+    "agg_hourly_count",
+    "rollup_daily_sum",
+    "topk_contributors",
+    "dedup_event_id",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_asof",
+    "agg_grouping_sets",
+    "window_rank_topk_per_group",
+    "window_running_sum",
+    "fn_higher_order",
+    "fn_json_extract",
+]
+# LLM-pipeline headliners are appended once registered (import-safe).
+OPTIONAL = [
+    "llm_dedup_exact",
+    "llm_text_stats",
+    "llm_knn_bruteforce",
+    "llm_minhash_near_dup",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    from github_event_etl_spark.session import ensure_session_defaults
+    from github_event_etl_spark.plans.catalog import query_map
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("geetl-bench")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .getOrCreate()
+    )
+    ensure_session_defaults(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = query_map()
+    names = [n for n in HEADLINE if n in qmap]
+    names += [n for n in OPTIONAL if n in qmap]
+
+    # Warmup: prime codegen/JIT and the parquet footer cache.
+    _force(qmap[names[0]](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(qmap[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
