@@ -38,12 +38,15 @@ HEADLINE = [
     "fn_higher_order",
     "fn_json_extract",
 ]
-# LLM-pipeline headliners are appended once registered (import-safe).
+# LLM-pipeline + streaming headliners (import-safe: skipped if absent).
 OPTIONAL = [
     "llm_dedup_exact",
     "llm_text_stats",
     "llm_knn_bruteforce",
-    "llm_minhash_near_dup",
+    "llm_dedup_minhash_lsh",
+    "llm_fingerprint",
+    "stream_tumbling_hourly",
+    "stream_dedup_watermark",
 ]
 
 

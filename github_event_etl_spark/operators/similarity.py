@@ -1,0 +1,276 @@
+"""Embedding similarity search (SURVEY.md §2 B11; PAPERS.md similarity
+lines).
+
+Brute-force cosine top-k is the exact baseline; LSH (random
+hyperplanes) and IVF (centroid partitions) are the sub-linear scale
+paths. All similarity math is JVM-side higher-order column expressions
+(`zip_with`/`aggregate`) over `array<float>` cast to double — no Python
+UDF, no per-row JVM↔Python hop.
+
+Scale posture (100 TB / billions of vectors):
+- Brute force: the query set is broadcast (it is small by definition);
+  the corpus is scanned once, map-side scored, and per-query top-k uses
+  a rank-window. The corpus never shuffles; only Q×N scored (qid, nid,
+  sim) rows move, and AQE coalesces those partitions.
+- LSH: each vector maps to one bucket signature (map-side); queries
+  probe only their own bucket — the join key is the signature, so the
+  shuffle is by bucket, never all-pairs.
+- IVF: corpus partitioned by nearest of C centroids (broadcast join
+  against the tiny centroid table); queries scan only `nprobe`
+  centroid partitions. This is the classic inverted-file layout
+  expressed as a partition-pruned equi-join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- cosine math
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left-to-right double fold — the same association
+    order DuckDB's list sum uses, so oracle comparisons agree to the
+    last ulp."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---------------------------------------------------------------- brute force
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    `queries` is broadcast — the physical plan is a
+    BroadcastNestedLoopJoin streaming the corpus once; no corpus
+    shuffle. Per-query ranking is a window over the Q×N scored rows
+    with a deterministic (sim DESC, nid ASC) tie-break.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
+        "qid", "nid", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "nid", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+# ------------------------------------------------------------------ LSH (RHP)
+
+
+def _hyperplane(seed: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane: component d's sign is a bit of
+    md5(seed|d). Pure Python, no RNG state — reproducible everywhere."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"rhp|{seed}|{d}".encode()).digest()
+        out.append(1 if h[0] & 1 else -1)
+    return out
+
+
+def rhp_tables(
+    vec: Column, dim: int, num_tables: int, planes_per_table: int
+) -> Column:
+    """Multi-table random-hyperplane LSH: `num_tables` independent
+    signatures of `planes_per_table` sign bits each, as an array of
+    (table, sig) structs. Two vectors are candidates if ANY table's
+    signature matches — the table count trades candidate volume for
+    recall exactly like MinHash banding. The planes are literal arrays —
+    constant-folded by Catalyst; this whole thing is one map-side
+    projection."""
+    tables = []
+    for t in range(num_tables):
+        bits = []
+        for p in range(planes_per_table):
+            plane = F.array(
+                *[F.lit(float(s)) for s in _hyperplane(t * 1000 + p, dim)]
+            )
+            bits.append(
+                F.when(dot(vec, plane) > 0, F.lit("1")).otherwise(F.lit("0"))
+            )
+        tables.append(
+            F.struct(F.lit(t).alias("table"), F.concat(*bits).alias("sig"))
+        )
+    return F.array(*tables)
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_tables: int = 12,
+    planes_per_table: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing at least one
+    LSH table bucket with the query. The (table, sig) equi-join replaces
+    the all-pairs scan; candidates are deduped before scoring so each
+    pair is scored once. At N vectors, 2^p buckets per table keeps each
+    join partition ~N/2^p; raise p as N grows, raise the table count to
+    buy recall back."""
+    def sig(df, idc, vc):
+        return df.select(
+            F.col(idc), F.col(vc),
+            F.explode(
+                rhp_tables(F.col(vc), dim, num_tables, planes_per_table)
+            ).alias("ts"),
+        ).select(idc, vc, "ts.table", "ts.sig")
+
+    q = sig(queries, id_col, vec_col).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"), "table", "sig"
+    )
+    c = sig(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("c_vec"), "table", "sig"
+    )
+    cand = (
+        c.join(F.broadcast(q), on=["table", "sig"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "q_vec", "nid", "c_vec")
+        .dropDuplicates(["qid", "nid"])
+    )
+    scored = cand.select(
+        "qid", "nid", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "nid", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+# ---------------------------------------------------------------------- IVF
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build an inverted-file index: pick `num_centroids` deterministic
+    seed vectors (every ⌈N/C⌉-th by id — a fixed, reproducible choice),
+    broadcast them, and assign every corpus vector to its nearest
+    centroid. Returns (assigned_corpus, centroids).
+
+    At scale the assigned table is written partitioned by `centroid_id`
+    so a probe reads only nprobe/C of the data (partition pruning)."""
+    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
+    step = max(1, len(ids) // num_centroids)
+    centroid_ids = ids[::step][:num_centroids]
+    centroids = (
+        corpus.filter(F.col(id_col).isin(centroid_ids))
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+    scored = corpus.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("c_vec")).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_csim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+    return assigned, centroids
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids per query, scan only the top-`nprobe`
+    centroid partitions, exact-score within them."""
+    assigned, centroids = ivf_assign(corpus, num_centroids, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
+    qc = q.join(F.broadcast(centroids)).select(
+        "qid", "q_vec", "centroid_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("_csim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("_csim").desc(), F.col("centroid_id"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("qid", "q_vec", "centroid_id")
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("c_vec"), "centroid_id"
+    ).join(F.broadcast(probes), on="centroid_id").filter(F.col("qid") != F.col("nid"))
+    scored = cand.select(
+        "qid", "nid", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "nid", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+# ------------------------------------------------------- exact near-dup pairs
+
+
+def cosine_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — the exact
+    embedding-near-duplicate check. O(N²): correct as an oracle-checked
+    baseline at test scale; the production path at 100 TB is
+    `ann_lsh`/`ann_ivf` bucketing first (same verify expression)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data curation (SURVEY.md §2
+B11): token counting, quality scoring, language ID, and document
+fingerprinting.
+
+All pure JVM-side column expressions (split / higher-order functions /
+regexp) — no Python UDFs — so every one of these is a map-side
+projection that scales embarrassingly: no shuffle at all until a query
+aggregates the per-document results.
+
+The marker/stopword lists live here as Python constants and are
+interpolated into BOTH the Spark expressions and the DuckDB oracle SQL
+(plans/queries_llm.py), keeping the two engines character-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text_dedup import words
+
+# Tokens that vote for each language. Deterministic classification with
+# a fixed preference order for ties (first list wins). Real pipelines
+# swap in per-language frequency tables; the operator shape (vote +
+# argmax over map-side token scans) is what matters at scale.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "on", "for",
+)
+
+PUNCT_CLASS = r"[.,!?;:]"
+# Word-ish token regex shared with the oracle: letter runs, digit runs,
+# or single non-alnum-non-space chars (a BPE-style pre-tokenizer split).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-style pre-tokenizer count via TOKEN_REGEX."""
+    return F.regexp_count(text, F.lit(TOKEN_REGEX))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, f"[^{PUNCT_CLASS[1:-1]}]", ""))
+
+
+def stopword_count(text: Column) -> Column:
+    toks = words(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def mean_word_len(text: Column) -> Column:
+    """Average token length, rounded to 6 (stable small-int ratio)."""
+    toks = words(text)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(total.cast("double") / F.size(toks).cast("double"), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: rewards reasonable length and
+    stopword density, penalizes punctuation soup. The exact formula is
+    arbitrary (as in any curation pipeline); determinism and
+    map-side-only evaluation are the contract.
+
+        0.4·min(len/500, 1) + 0.4·min(4·stop_ratio, 1) + 0.2·(1 − min(10·punct_ratio, 1))
+    """
+    n = F.length(text).cast("double")
+    toks = ws_token_count(text).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    stop_ratio = stopword_count(text).cast("double") / toks
+    stop_score = F.least(F.lit(4.0) * stop_ratio, F.lit(1.0))
+    punct_ratio = punct_count(text).cast("double") / n
+    punct_score = F.lit(1.0) - F.least(F.lit(10.0) * punct_ratio, F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score + F.lit(0.4) * stop_score + F.lit(0.2) * punct_score,
+        6,
+    )
+
+
+def lang_votes(text: Column, lang: str) -> Column:
+    """Number of tokens matching `lang`'s marker list."""
+    toks = words(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over marker votes as a first-match-wins CASE chain (ties
+    broken by LANG_MARKERS order); zero votes everywhere ⇒ 'und'
+    (undetermined, BCP-47)."""
+    votes = {lg: lang_votes(text, lg) for lg in LANG_MARKERS}
+    mx = F.greatest(*votes.values())
+    expr = None
+    for lg in LANG_MARKERS:
+        cond = (votes[lg] > 0) & (votes[lg] == mx)
+        expr = F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
+    return expr.otherwise(F.lit("und"))
+
+
+def bow_fingerprint(text: Column) -> Column:
+    """Bag-of-words document fingerprint: md5 of the sorted distinct
+    lowercase tokens. Word-order-insensitive content identity — catches
+    shuffled near-copies that exact hashing misses. md5 hex keeps it
+    engine-portable for the oracle."""
+    toks = F.array_sort(F.array_distinct(words(F.lower(text))))
+    return F.md5(F.concat_ws(" ", toks))

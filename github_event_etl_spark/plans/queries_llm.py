@@ -1,1 +1,449 @@
-"""Placeholder — filled in as coverage widens."""
+"""Declared queries — Part B11: LLM-data-pipeline operators
+(SURVEY.md §2 B11; north-star mandate in BASELINE.json).
+
+Everything the reference lacks but a 100 TB training-data pipeline
+needs: content dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine), similarity search (brute-force + LSH + IVF), text
+analysis (tokens, quality, language ID, fingerprints), and multimodal
+column plumbing.
+
+Oracle discipline: every hash used on an oracle-checked path is md5 /
+sha256 hex — engine-portable, so even the MinHash-LSH *pipeline* is
+checked value-for-value against DuckDB (the oracle recomputes the same
+signatures/bands in SQL). Only xxhash64-based SimHash and the
+approximate ANN paths are rows-only (their exactness is covered by
+pytest recall/equivalence tests instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_fake_media, extract_features, sample_frames
+from ..operators.similarity import (
+    ann_ivf,
+    ann_lsh,
+    cosine_dup_pairs,
+    knn_bruteforce,
+)
+from ..operators.text_analysis import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    bow_fingerprint,
+    lang_id,
+    mean_word_len,
+    quality_score,
+    regex_token_count,
+    ws_token_count,
+)
+from ..operators.text_dedup import (
+    dedup_exact,
+    jaccard_ngram,
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+    verify_pairs_jaccard,
+)
+from ..sources.tables import load_table
+from .catalog import query
+
+# --------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect), kept in lockstep with the Spark
+# column functions they mirror. md5/sha256 hex and explicit DOUBLE
+# arithmetic make the two engines value-identical.
+
+_TOK = r"string_split_regex(trim(text), '\s+')"
+_TOK_LOWER = r"string_split_regex(trim(lower(text)), '\s+')"
+# word 3-gram shingles of token list w (empty when < 3 words)
+_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w)-1),"
+    " i -> array_to_string(w[i:i+2], ' ')) ELSE [] END"
+)
+
+_NUM_HASHES = 12
+_NUM_BANDS = 4
+_ROWS_PER_BAND = 3
+_JACCARD_THRESHOLD = 0.8
+_COSINE_THRESHOLD = 0.4
+_KNN_QUERIES = 8
+_KNN_K = 10
+
+_DOT = (
+    "list_aggregate(list_transform(range(1, 65), i -> {a}[i]*{b}[i]), 'sum')"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    na = f"sqrt({_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT.format(a=b, b=b)})"
+    return f"({_DOT.format(a=a, b=b)} / ({na} * {nb}))"
+
+
+def _in_list(items) -> str:
+    return ", ".join(f"'{x}'" for x in items)
+
+
+# ------------------------------------------------------------- exact dedup
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS content_hash,
+           min(doc_id) AS rep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group by sha256 of normalized text, keep the
+    min-doc_id representative + copy count. One skew-free shuffle on a
+    uniform 256-bit key; map-side partial agg (operators/text_dedup.py)."""
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------- MinHash + LSH
+
+
+_MINHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM tok
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {_NUM_HASHES}),
+             j -> list_aggregate(list_transform(shingles,
+                      s -> md5(j || '|' || s)), 'min')) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(sig[b.band*{_ROWS_PER_BAND}+1 : b.band*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}], ',')) AS bucket
+  FROM sig, (SELECT unnest(range(0, {_NUM_BANDS})) AS band) b
+),
+cand AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l
+  JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+              AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+sets AS (
+  SELECT doc_id, list_distinct(shingles) AS s FROM sh
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CASE WHEN len(list_distinct(x.s || y.s)) > 0
+               THEN len(list_intersect(x.s, y.s))::DOUBLE
+                    / len(list_distinct(x.s || y.s))::DOUBLE
+               ELSE 0.0 END, 6) AS jaccard
+  FROM cand c
+  JOIN sets x ON c.doc_a = x.doc_id
+  JOIN sets y ON c.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("llm_dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("llm", "dedup"))
+def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup via MinHash-LSH banding + exact Jaccard verification
+    (operators/text_dedup.py). The md5 hash family makes the whole
+    pipeline deterministic and oracle-checkable — DuckDB recomputes the
+    identical signatures, bands, candidates, and verdicts.
+
+    Scale shape: signatures map-side; the only shuffles are the
+    (band, bucket) exchange (n_docs × n_bands rows) and two doc_id
+    equi-joins for verification. No cross join at any size."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs,
+        num_bands=_NUM_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+    )
+    return verify_pairs_jaccard(pairs, docs, _JACCARD_THRESHOLD)
+
+
+@query("llm_dedup_simhash", oracle=None, tags=("llm", "dedup"))
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup via 64-bit SimHash block matching, verified with exact
+    Jaccard. Rows-only driver check (xxhash64 has no DuckDB twin); the
+    pytest suite asserts it recovers the same high-Jaccard pairs as the
+    oracle-checked MinHash path."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_candidate_pairs(docs)
+    return verify_pairs_jaccard(pairs, docs, _JACCARD_THRESHOLD)
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES}) AS s
+      FROM (SELECT doc_id, {_TOK} AS w FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CASE WHEN len(list_distinct(a.s || b.s)) > 0
+                 THEN len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(a.s || b.s))::DOUBLE
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise word-3-gram Jaccard on consecutive doc ids — the exact
+    similarity kernel the LSH paths verify with, exercised standalone."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return a.join(b, F.col("doc_b") == F.col("doc_a") + 1).select(
+        "doc_a",
+        "doc_b",
+        jaccard_ngram(F.col("ta"), F.col("tb")).alias("jaccard"),
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+@query(
+    "llm_dup_cosine_exact",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.v', 'b.v')}, 6) AS sim_r
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND {_cos_sql('a.v', 'b.v')} >= {_COSINE_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def llm_dup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: exact all-pairs cosine ≥ 0.4
+    (the synthetic corpus' planted-neighbor threshold — the nearest
+    non-dup pair sits far below). O(N²) baseline; `llm_ann_lsh` /
+    `llm_ann_ivf` are the sub-linear paths with the same verify math."""
+    return cosine_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), _COSINE_THRESHOLD
+    )
+
+
+# --------------------------------------------------------- similarity search
+
+
+@query(
+    "llm_knn_bruteforce",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_KNN_QUERIES}),
+    s AS (
+      SELECT q.qid, e.vec_id AS nid, {_cos_sql('q.qv', 'e.v')} AS sim
+      FROM q, e WHERE q.qid <> e.vec_id
+    ),
+    r AS (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+      FROM s
+    )
+    SELECT qid, rnk, nid, round(sim, 6) AS sim_r FROM r WHERE rnk <= {_KNN_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 8 vectors as queries. The query
+    side is broadcast; the corpus streams through one
+    BroadcastNestedLoopJoin scan — no corpus shuffle
+    (operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
+    return knn_bruteforce(emb, queries, k=_KNN_K)
+
+
+@query("llm_ann_lsh", oracle=None, tags=("llm", "similarity"))
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH: only
+    candidates sharing a table bucket are scored. Rows-only check;
+    recall vs the brute-force oracle is asserted in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
+    return ann_lsh(emb, queries, dim=64, k=_KNN_K, num_tables=12, planes_per_table=6)
+
+
+@query("llm_ann_ivf", oracle=None, tags=("llm", "similarity"))
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF index: corpus partitioned by nearest
+    of 16 deterministic centroids, queries probe the top-4 centroid
+    partitions. Rows-only; recall asserted in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
+    return ann_ivf(emb, queries, k=_KNN_K, num_centroids=16, nprobe=4)
+
+
+# -------------------------------------------------------------- text analysis
+
+
+@query(
+    "llm_text_stats",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOK} AS w, {_TOK_LOWER} AS wl
+      FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS regex_tokens,
+           round(list_aggregate(list_transform(w, x -> length(x)), 'sum')::DOUBLE
+                 / len(w)::DOUBLE, 6) AS mean_word_len,
+           round(0.4 * least(length(text)::DOUBLE / 500.0, 1.0)
+               + 0.4 * least(4.0 * (len(list_filter(wl, x -> x IN ({_in_list(STOPWORDS)})))::DOUBLE
+                                    / len(w)::DOUBLE), 1.0)
+               + 0.2 * (1.0 - least(10.0 * (length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
+                                            / length(text)::DOUBLE), 1.0)), 6) AS quality
+    FROM t
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation stats: whitespace + regex token counts,
+    mean word length, and the composite quality score — all map-side
+    JVM expressions (operators/text_analysis.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ws_token_count(t).alias("ws_tokens"),
+        regex_token_count(t).cast("long").alias("regex_tokens"),
+        mean_word_len(t).alias("mean_word_len"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    votes = {
+        lg: f"len(list_filter(wl, x -> x IN ({_in_list(markers)})))"
+        for lg, markers in LANG_MARKERS.items()
+    }
+    mx = "greatest(" + ", ".join(f"v_{lg}" for lg in LANG_MARKERS) + ")"
+    whens = "\n".join(
+        f"WHEN v_{lg} > 0 AND v_{lg} = {mx} THEN '{lg}'" for lg in LANG_MARKERS
+    )
+    vote_cols = ", ".join(f"{sql} AS v_{lg}" for lg, sql in votes.items())
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOK_LOWER} AS wl FROM documents
+    ),
+    v AS (SELECT doc_id, lang, {vote_cols} FROM t),
+    p AS (
+      SELECT lang, CASE {whens} ELSE 'und' END AS pred_lang FROM v
+    )
+    SELECT lang, pred_lang, count(*) AS n_docs
+    FROM p GROUP BY lang, pred_lang
+    """
+
+
+@query("llm_langid", oracle=_langid_sql(), tags=("llm", "text"))
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (argmax of per-language stopword votes,
+    deterministic tie order) — reported as the (labeled, predicted)
+    agreement matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle=rf"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_TOK_LOWER})), ' ')) AS fp,
+           min(doc_id) AS rep_doc_id,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "text"),
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words md5 fingerprint groups: order-insensitive content
+    identity (catches token-shuffled copies exact hashing misses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(bow_fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+@query(
+    "llm_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS media_type,
+           length(text)::BIGINT AS byte_len,
+           list_aggregate(list_transform(range(1, least(16, length(text)) + 1),
+               i -> ascii(substr(text, i::INT, 1))), 'sum')::BIGINT AS checksum16,
+           (1 + ascii(substr(text, 1, 1)) % 64)::INT AS width,
+           (1 + ascii(substr(text, 2, 1)) % 64)::INT AS height,
+           (CASE WHEN doc_id % 3 = 2 THEN 1 + ascii(substr(text, 3, 1)) % 30
+                 ELSE 1 END)::INT AS n_frames
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text bytes as a stand-in payload
+    → binary column + typed metadata → Arrow-batched mapInPandas feature
+    extraction (stubbed decode; operators/multimodal.py). The oracle
+    recomputes the features with byte arithmetic (the corpus is ASCII,
+    so char ops == byte ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_fake_media(docs))
+
+
+@query(
+    "llm_multimodal_frames",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT doc_id, text,
+             unnest(range(0, (length(text) + 63) // 64)) AS idx
+      FROM v
+    )
+    SELECT doc_id, idx::INT AS frame_idx,
+           least(64, length(text) - idx * 64)::BIGINT AS frame_len,
+           md5(substr(text, (idx * 64 + 1)::INT, 64)) AS frame_md5
+    FROM f
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: video payloads exploded to fixed-stride
+    byte windows via mapInPandas — the (doc_id, frame_idx, bytes) shape
+    of a real video sampler, verified by md5 per frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_fake_media(docs), every_n_bytes=64)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").cast("long").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )

@@ -1,1 +1,219 @@
-"""Placeholder — filled in as coverage widens."""
+"""Declared queries — Part B9: Structured Streaming (SURVEY.md §2 B9,
+§7 Phase 4).
+
+Each query replays the events table through a file-source stream
+(streaming/replay.py) and runs to a bounded final state with
+Trigger.AvailableNow. Because the replay is bounded, the final state
+equals the batch answer — so these streaming queries get REAL DuckDB
+oracles (the batch-equivalent SQL), not just rows-only checks. That is
+the Structured Streaming correctness argument (prefix-integrity,
+SIGMOD'18 — PAPERS.md) turned into a test.
+
+Reference mapping: tumbling hourly ≙ D3 hourly sorted sets
+(update-contributor-scores.js:28-30,131); streaming dedup ≙ the Lua
+dedup log with its 300 s TTL (insert-events-into-db.lua:36-39);
+foreachBatch sink ≙ the batched pipeline writes (:137-144); checkpoint
+restart ≙ the hour-exists idempotence scan (:195-204).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import ts_string
+from ..sources.tables import load_table
+from ..streaming.replay import (
+    events_replay_dir,
+    read_event_stream,
+    run_bounded,
+    run_foreach_batch_to_parquet,
+)
+from .catalog import query
+
+_TS_FMT_SQL = "'%Y-%m-%d %H:%M:%S.%f'"
+_HOUR_SQL = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle=f"""
+    SELECT {_HOUR_SQL} AS hour_start, user_id, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "partB9"),
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 as a stream: tumbling 1-hour event-time windows × user —
+    the hourly contributor scores, incrementally maintained by the
+    micro-batch engine with watermarked state instead of per-record
+    ZINCRBY."""
+    src = events_replay_dir(spark, sf_dir)
+    ev = read_event_stream(spark, src)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = run_bounded(agg, "complete", "tumbling_hourly")
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "user_id",
+        "cnt",
+    )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle=f"""
+    WITH contrib AS (
+      SELECT {_HOUR_SQL} AS win_start, event_type FROM events
+      UNION ALL
+      SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                      '%Y-%m-%d %H:%M:%S'), event_type FROM events
+    )
+    SELECT win_start, event_type, count(*) AS cnt
+    FROM contrib GROUP BY 1, 2
+    """,
+    tags=("streaming", "partB9"),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2 h length, 1 h slide) counts per event type:
+    each event lands in exactly two windows — the oracle materializes
+    that two-window contribution explicitly."""
+    src = events_replay_dir(spark, sf_dir)
+    ev = read_event_stream(spark, src)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = run_bounded(agg, "complete", "sliding_counts")
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "cnt",
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), {_TS_FMT_SQL}) AS sess_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, {_TS_FMT_SQL}) AS sess_end,
+           count(*) AS cnt
+    FROM s GROUP BY user_id, sess
+    """,
+    tags=("streaming", "partB9"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap —
+    stateful merging session aggregation. The oracle rebuilds sessions
+    with the classic lag/cumsum SQL; Spark's session end is
+    last-event + gap (end-exclusive), mirrored by the >= break."""
+    src = events_replay_dir(spark, sf_dir)
+    ev = read_event_stream(spark, src)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = run_bounded(agg, "complete", "session_windows")
+    return out.select(
+        "user_id",
+        ts_string(F.col("w.start")).alias("sess_start"),
+        ts_string(F.col("w.end")).alias("sess_end"),
+        "cnt",
+    )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="SELECT event_id, event_type FROM events",
+    tags=("streaming", "partB9"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 as a stream: the replay source carries injected duplicates
+    (every 7th event twice); dropDuplicatesWithinWatermark keeps the
+    first arrival per event_id — the Lua GET-then-SET dedup with the
+    300 s TTL as watermark horizon (insert-events-into-db.lua:8-11,39).
+    The oracle is simply the original duplicate-free table."""
+    base = events_replay_dir(spark, sf_dir)
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    dup_dir = os.path.join(tempfile.gettempdir(), "geetl_spark", sf, "stream_src_dup")
+    if not os.path.exists(os.path.join(dup_dir, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        dupes = ev.filter(F.col("event_id") % 7 == 0)
+        ev.unionAll(dupes).repartition(8).write.mode("overwrite").json(dup_dir)
+    ev = read_event_stream(spark, dup_dir)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    return run_bounded(deduped, "append", "dedup_watermark")
+
+
+@query(
+    "stream_foreach_batch_hourly",
+    oracle=f"""
+    SELECT {_HOUR_SQL} AS hour_start, event_type, count(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "partB9"),
+)
+def stream_foreach_batch_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'write to a store' sink: stream → foreachBatch → parquet
+    append (the reference's batched pipeline.exec(),
+    update-contributor-scores.js:137-144), then an hourly rollup over
+    the landed data. The value sum goes through DECIMAL(18,2) — exact,
+    association-order-free — per the repo's determinism rules."""
+    src = events_replay_dir(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="geetl_fb_sink_")
+    ckpt = tempfile.mkdtemp(prefix="geetl_fb_ckpt_")
+    try:
+        ev = read_event_stream(spark, src)
+        run_foreach_batch_to_parquet(ev, out_dir, ckpt)
+        landed = spark.read.parquet(out_dir)
+        return (
+            landed.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "hour_start"
+                ),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

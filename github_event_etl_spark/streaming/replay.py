@@ -1,0 +1,128 @@
+"""File-source replay harness for Structured Streaming queries
+(SURVEY.md §2 B9, §7 Phase 4).
+
+The reference's stream is a Redis Stream fed by polling ingest
+(insert-events.js → insert-events-into-db.lua XADD); the Spark-native
+equivalent is a file (or Kafka) source replayed through the micro-batch
+engine. These helpers materialize the test `events` table as an NDJSON
+drop directory — the same shape a real ingest tier would land — and run
+bounded streams to a deterministic final state with
+Trigger.AvailableNow.
+
+Determinism contract: timestamps travel as epoch-microsecond longs
+(never formatted strings), every query gets a fresh checkpoint dir, and
+bounded replay means the final state equals the batch answer — which is
+exactly what the DuckDB oracles in plans/queries_streaming.py assert.
+
+Scale posture: a file-source directory with thousands of files is the
+100 TB landing pattern (hour-partitioned drops); maxFilesPerTrigger
+bounds per-batch work, watermarks bound state, and checkpointing gives
+exactly-once restarts (the A13 idempotence analog,
+update-contributor-scores.js:195-204).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+
+REPLAY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def events_replay_dir(
+    spark: SparkSession, sf_dir: str, num_files: int = 8, tag: str = "base"
+) -> str:
+    """Materialize the events table as `num_files` NDJSON files under a
+    deterministic scratch dir (idempotent: reused if already written).
+    Files are the replay's micro-batch unit."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        tempfile.gettempdir(), "geetl_spark", sf, f"stream_src_{tag}_{num_files}"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        ev.repartition(num_files).write.mode("overwrite").json(out)
+    return out
+
+
+def read_event_stream(spark: SparkSession, src_dir: str, **options) -> DataFrame:
+    """Open the replay directory as a streaming source and restore the
+    typed event shape (ts back to TimestampType)."""
+    reader = spark.readStream.schema(REPLAY_SCHEMA)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(src_dir).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def run_bounded(
+    stream_df: DataFrame, output_mode: str, query_name: str | None = None
+) -> DataFrame:
+    """Run a bounded stream to completion (AvailableNow) into a memory
+    sink and return the final result as a batch DataFrame. Fresh
+    checkpoint + unique sink table per run — no cross-run state."""
+    name = f"{query_name or 'q'}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="geetl_ckpt_")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark = stream_df.sparkSession
+        return spark.table(name)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def run_foreach_batch_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Run a bounded stream through foreachBatch into an idempotent
+    parquet sink — the 'write aggregates to a store' pattern
+    (reference: pipeline.exec() batches,
+    update-contributor-scores.js:137-144). Batch id + overwrite-by-path
+    keep replays idempotent; the checkpoint makes restarts exactly-once
+    (A13)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,185 @@
+"""Unit + property tests for the LLM-pipeline operators (SURVEY.md §5.2
+items 2/4 applied to B11). The oracle-differential check in
+test_oracle.py covers value-parity; these tests cover semantics the
+oracle can't: ANN recall floors, SimHash locality, stub behavior, and
+idempotence properties."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from github_event_etl_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_media,
+    extract_features,
+    sample_frames,
+)
+from github_event_etl_spark.operators.similarity import (
+    ann_ivf,
+    ann_lsh,
+    cosine,
+    knn_bruteforce,
+)
+from github_event_etl_spark.operators.text_analysis import quality_score
+from github_event_etl_spark.operators.text_dedup import (
+    dedup_exact,
+    minhash_candidate_pairs,
+    simhash64,
+    verify_pairs_jaccard,
+)
+from github_event_etl_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def test_dedup_exact_idempotent_and_doubling(docs):
+    """Running dedup over docs ∪ docs doubles every copy count but
+    keeps the same representatives — the A9-style idempotence property
+    applied to content hashing."""
+    once = {r.content_hash: (r.rep_doc_id, r.n_copies) for r in dedup_exact(docs).collect()}
+    twice = {
+        r.content_hash: (r.rep_doc_id, r.n_copies)
+        for r in dedup_exact(docs.unionAll(docs)).collect()
+    }
+    assert set(once) == set(twice)
+    for h, (rep, n) in once.items():
+        assert twice[h] == (rep, 2 * n)
+
+
+def test_simhash_locality(spark):
+    """Identical text ⇒ identical fingerprint; a one-token edit moves
+    few bits; unrelated text moves many."""
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog again and again"),
+        ("b", "the quick brown fox jumps over the lazy cat again and again"),
+        ("c", "completely different words about spark shuffles and parquet"),
+        ("a2", "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    fp = {r.id: r.fp for r in df.select("id", simhash64(F.col("text")).alias("fp")).collect()}
+
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert fp["a"] == fp["a2"]
+    assert hamming(fp["a"], fp["b"]) <= 16
+    assert hamming(fp["a"], fp["c"]) > 16
+
+
+def test_minhash_catches_all_planted_near_dups(docs):
+    """Every pair with Jaccard ≥ 0.9 must appear among the LSH
+    candidates (4 bands × 3 rows ⇒ miss probability ≈ (1−j³)⁴ < 1e-4
+    at j=0.9; the fixed md5 family makes the outcome deterministic)."""
+    verified = verify_pairs_jaccard(
+        minhash_candidate_pairs(docs), docs, threshold=0.9
+    )
+    got = {(r.doc_a, r.doc_b) for r in verified.collect()}
+    # Exact ground truth: precompute each doc's distinct shingle set
+    # ONCE, then brute-force the pair join over the small arrays.
+    # (Computing the shingle expression inside the pair join would
+    # re-evaluate it 125k times inside one nested-loop task.)
+    from github_event_etl_spark.operators.text_dedup import word_shingles
+
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"))).alias("s")
+    ).repartition(8).cache()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    exact = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias("j"),
+        )
+        .filter(F.col("j") >= 0.9)
+    )
+    want = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    sh.unpersist()
+    assert want == got
+
+
+# -------------------------------------------------------------- similarity
+
+
+def test_ann_recall_floors(emb):
+    qs = emb.filter(F.col("vec_id") < 8)
+    bf = {(r.qid, r.nid) for r in knn_bruteforce(emb, qs, k=10).collect()}
+    lsh = {
+        (r.qid, r.nid)
+        for r in ann_lsh(emb, qs, dim=64, k=10, num_tables=12, planes_per_table=6).collect()
+    }
+    ivf = {
+        (r.qid, r.nid)
+        for r in ann_ivf(emb, qs, k=10, num_centroids=16, nprobe=4).collect()
+    }
+    assert len(bf) == 8 * 10
+    assert len(bf & lsh) / len(bf) >= 0.30
+    assert len(bf & ivf) / len(bf) >= 0.30
+
+
+def test_cosine_self_similarity(emb):
+    sims = (
+        emb.limit(20)
+        .select(F.round(cosine(F.col("embedding"), F.col("embedding")), 9).alias("s"))
+        .collect()
+    )
+    assert all(abs(r.s - 1.0) < 1e-9 for r in sims)
+
+
+# -------------------------------------------------------------- text quality
+
+
+def test_quality_score_bounds(docs):
+    stats = docs.select(quality_score(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image")
+
+
+def test_media_features_deterministic(docs):
+    media = attach_fake_media(docs)
+    a = sorted(map(tuple, extract_features(media).collect()))
+    b = sorted(map(tuple, extract_features(media).collect()))
+    assert a == b
+    row = dict(zip(
+        ["doc_id", "media_type", "byte_len", "checksum16", "width", "height", "n_frames"],
+        a[0],
+    ))
+    assert 1 <= row["width"] <= 64 and 1 <= row["height"] <= 64
+
+
+def test_sample_frames_reassemble(docs):
+    """Concatenating a video's sampled frames in index order must
+    reconstruct the full payload byte-for-byte."""
+    media = attach_fake_media(docs).filter(F.col("media_type") == "video")
+    payloads = {r.doc_id: bytes(r.payload) for r in media.limit(5).collect()}
+    frames = sample_frames(media.limit(5), every_n_bytes=64).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, bytes(r.frame_bytes)))
+    for doc_id, payload in payloads.items():
+        got = b"".join(b for _, b in sorted(by_doc[doc_id]))
+        assert got == payload

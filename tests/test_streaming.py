@@ -1,0 +1,152 @@
+"""Streaming-semantics tests (SURVEY.md §5.2 item 3): late-data
+watermark drops and checkpoint-resume exactly-once. Batch equivalence
+of the bounded streaming queries is covered by the oracle-differential
+suite (their oracles ARE the batch answers)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from github_event_etl_spark.streaming.replay import (
+    REPLAY_SCHEMA,
+    read_event_stream,
+    run_foreach_batch_to_parquet,
+)
+
+US = 1_000_000
+BASE = 1_704_100_000  # 2024-01-01T08:26:40Z, only relative offsets matter
+
+
+def _ts(hour: float) -> int:
+    """Epoch micros at `hour` hours past 2024-01-01T00:00Z."""
+    day0 = 1_704_067_200  # 2024-01-01T00:00:00Z
+    return int((day0 + hour * 3600) * US)
+
+
+def _write_file(path: str, rows: list[dict], mtime: float) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def _event(eid: int, hour: float, user: int = 1) -> dict:
+    return {
+        "event_id": eid,
+        "ts_us": _ts(hour),
+        "user_id": user,
+        "event_type": "purchase",
+        "value": 1.0,
+    }
+
+
+def test_watermark_drops_late_data(spark):
+    """Append-mode windowed count with a 10-minute watermark over three
+    micro-batches (maxFilesPerTrigger=1). Dropping data later than the
+    watermark is only *guaranteed* once the window's state has been
+    evicted (Spark's documented best-effort semantics), so: batch A
+    seeds the windows and advances the watermark, batch B triggers
+    eviction/emission of the closed windows, and batch C's late event —
+    aimed at the evicted 10:00 window — must be filtered, not
+    resurrect the window. (Reference analog: the 300 s dedup TTL
+    horizon, insert-events-into-db.lua:39.)"""
+    src = tempfile.mkdtemp(prefix="geetl_late_src_")
+    ckpt = tempfile.mkdtemp(prefix="geetl_late_ckpt_")
+    try:
+        now = time.time()
+        # batch A: hours 10:05..12:00 → watermark lands at 11:50
+        _write_file(
+            os.path.join(src, "a.json"),
+            [
+                _event(1, 10 + 5 / 60),
+                _event(2, 10 + 15 / 60),
+                _event(3, 10 + 45 / 60),
+                _event(4, 11 + 30 / 60),
+                _event(5, 12.0),
+            ],
+            mtime=now - 180,
+        )
+        # batch B: advances watermark to 12:20; during this batch the
+        # [10:00) and [11:00) windows are evicted and emitted
+        _write_file(
+            os.path.join(src, "b.json"),
+            [_event(6, 12 + 30 / 60)],
+            mtime=now - 120,
+        )
+        # batch C: a LATE event for the evicted 10:00 window → dropped
+        _write_file(
+            os.path.join(src, "c.json"),
+            [_event(7, 10 + 30 / 60), _event(8, 12 + 40 / 60)],
+            mtime=now - 60,
+        )
+
+        ev = read_event_stream(spark, src, maxFilesPerTrigger=1)
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_data_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            (r.hour, r.cnt)
+            for r in spark.table("late_data_test")
+            .select(F.date_format("w.start", "HH:mm").alias("hour"), "cnt")
+            .collect()
+        }
+        # 10:00 window closed with 3 rows (late event 7 dropped — NOT 4
+        # and no resurrected 1-row window); 11:00 closed with 1 row;
+        # the 12:00 window never closes before the stream ends.
+        assert rows == {("10:00", 3), ("11:00", 1)}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_checkpoint_resume_exactly_once(spark):
+    """foreachBatch parquet sink with a persistent checkpoint: a second
+    run over a grown source directory must process ONLY the new file —
+    the A13 incremental idempotence
+    (update-contributor-scores.js:195-204) via streaming checkpoints."""
+    src = tempfile.mkdtemp(prefix="geetl_ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="geetl_ckpt_ck_")
+    sink = os.path.join(tempfile.mkdtemp(prefix="geetl_ckpt_sink_"), "out")
+    try:
+        now = time.time()
+        _write_file(
+            os.path.join(src, "a.json"),
+            [_event(i, 10 + i / 60) for i in range(1, 6)],
+            mtime=now - 120,
+        )
+        ev = read_event_stream(spark, src)
+        run_foreach_batch_to_parquet(ev, sink, ckpt)
+        first = spark.read.parquet(sink).count()
+        assert first == 5
+
+        _write_file(
+            os.path.join(src, "b.json"),
+            [_event(i, 11 + i / 60) for i in range(6, 9)],
+            mtime=now - 60,
+        )
+        ev2 = read_event_stream(spark, src)
+        run_foreach_batch_to_parquet(ev2, sink, ckpt)
+        landed = spark.read.parquet(sink)
+        assert landed.count() == 8  # 5 + 3, no reprocessing of file a
+        ids = sorted(r.event_id for r in landed.select("event_id").collect())
+        assert ids == list(range(1, 9))
+    finally:
+        for d in (src, ckpt, os.path.dirname(sink)):
+            shutil.rmtree(d, ignore_errors=True)
