@@ -29,6 +29,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# ---------------------------------------------------------- expression tools
+
+
+def _let(bound: Column, body) -> Column:
+    """Evaluate `bound` once and feed the result to `body` (classic
+    let-binding via a single-element `transform`). Higher-order
+    functions run interpreted (outside whole-stage codegen), so a
+    sub-expression referenced N times in one projection is EVALUATED N
+    times; this caps any expensive sub-expression at one evaluation per
+    row."""
+    return F.transform(F.array(bound), body)[0]
+
+
 # ------------------------------------------------------------- tokenization
 
 
@@ -41,13 +54,21 @@ def words(text: Column) -> Column:
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Contiguous word k-grams, space-joined. Docs shorter than k words
-    yield an empty array (sequence(1, n-k+1) is empty when n < k)."""
-    w = words(text)
-    n = F.size(w)
-    return F.when(n >= k, F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-    )).otherwise(F.array().cast("array<string>"))
+    yield an empty array (sequence(1, n-k+1) is empty when n < k).
+
+    The token array is let-bound (`_let`, defined below) so the text is
+    split once per row, not once per shingle — interpreted higher-order
+    lambdas re-evaluate captured sub-expressions per element."""
+    return _let(
+        words(text),
+        lambda w: F.when(
+            F.size(w) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 # ------------------------------------------------------------- exact dedup
@@ -79,36 +100,118 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ------------------------------------------------------------- MinHash / LSH
 
 # Deterministic MinHash: permutation j is the md5 hash family member
-# keyed by the literal prefix "<j>|". min over shingles of a uniform
-# 128-bit hash is the classic MinHash order statistic.
+# keyed by the prefix "<j>|". min over shingles of a uniform 128-bit
+# hash is the classic MinHash order statistic.
+#
+# Physical-plan notes (these shaped the implementation):
+# - Higher-order functions run interpreted (outside whole-stage
+#   codegen), so an expression referenced N times in one projection is
+#   EVALUATED N times. The `_let` combinator (transform over a 1-element
+#   array) binds an expensive sub-expression to a lambda variable so it
+#   is computed exactly once per row no matter how many times the body
+#   uses it.
+# - The signature is a single fold over the shingle array that advances
+#   all `num_hashes` lanes per shingle (zip_with + least), instead of
+#   `num_hashes` independent array traversals that would each rebuild
+#   the shingle array.
+
+# Sentinel that is lexicographically greater than any md5 hex digest
+# ('g' > 'f'); folds start from it and it survives only for docs with
+# no shingles, where it is mapped back to NULL (matching min-over-empty
+# semantics in SQL engines).
+_MD5_MAX_SENTINEL = "g" * 32
 
 
 def minhash_signature(text: Column, num_hashes: int = 12, k: int = 3) -> Column:
     """Array of `num_hashes` MinHash values (md5 hex strings) over word
-    k-gram shingles. Pure per-row expression — computed map-side."""
-    sh = word_shingles(text, k)
-    sigs = [
-        F.array_min(F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))))
-        for j in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    k-gram shingles; all-NULL when the doc has no shingles. Pure per-row
+    expression — computed map-side, one pass over the shingles."""
+    lane_ids = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    null_sig = F.array(*[F.lit(None).cast("string")] * num_hashes)
+
+    def fold(shingles: Column) -> Column:
+        return F.aggregate(
+            shingles,
+            F.array_repeat(F.lit(_MD5_MAX_SENTINEL), num_hashes),
+            lambda acc, s: F.zip_with(
+                acc,
+                F.transform(
+                    lane_ids,
+                    lambda j: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
+                ),
+                lambda a, b: F.least(a, b),
+            ),
+        )
+
+    return _let(
+        word_shingles(text, k),
+        lambda sh: F.when(F.size(sh) > 0, fold(sh)).otherwise(null_sig),
+    )
 
 
 def lsh_band_buckets(sig: Column, num_bands: int, rows_per_band: int) -> Column:
     """Array of (band_id, bucket_hash) structs: the signature cut into
     bands, each band hashed to one bucket key. Docs sharing any band
-    bucket are candidate near-duplicates."""
-    bands = []
-    for b in range(num_bands):
-        lo = b * rows_per_band + 1  # slice() is 1-based
-        band = F.slice(sig, lo, rows_per_band)
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", band)).alias("bucket"),
-            )
+    bucket are candidate near-duplicates. `sig` is evaluated once."""
+
+    def bands_of(s: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(",", F.slice(s, b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                )
+                for b in range(num_bands)
+            ]
         )
-    return F.array(*bands)
+
+    return _let(sig, bands_of)
+
+
+def _ordered_pairs(ids: Column, a_name: str = "doc_a", b_name: str = "doc_b") -> Column:
+    """All (a, b) pairs with a before b from a sorted array — the
+    within-bucket candidate expansion. Elements may be scalars or
+    structs (sorted by their first field)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(a.alias(a_name), b.alias(b_name)),
+            ),
+        )
+    )
+
+
+def _bucket_pairs(keyed: DataFrame, key_cols: list) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs from a (key..., doc_id) relation:
+    group by bucket key, sort members, expand in-bucket pairs, distinct.
+
+    One shuffle on the bucket key, then pure map-side expansion — the
+    bucket pipeline upstream is computed ONCE (a self-join formulation
+    would execute it twice). Bucket member lists are near-duplicate
+    cliques — small by construction; a degenerate corpus where a large
+    fraction of docs collide into one bucket is quadratic in that
+    clique under ANY candidate-pair formulation."""
+    return (
+        keyed.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin the rows across all cores. The signature stage is
+    CPU-bound interpreted expression work; a small input (one parquet
+    split) would otherwise pin it to one task. One narrow shuffle of the
+    raw rows is negligible next to the hashing it parallelizes; on a
+    real cluster with many input splits it still only rebalances."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
 
 def minhash_candidate_pairs(
@@ -122,29 +225,21 @@ def minhash_candidate_pairs(
     banding.
 
     Plan shape (the 100 TB path — NO cross join anywhere):
-      map-side: signature + band buckets per doc (expressions only)
-      explode bands → shuffle on (band, bucket)   [n_docs × n_bands rows]
-      self-join within identical buckets → distinct pairs
+      map-side: signature + band buckets per doc (expressions only,
+                one signature evaluation per doc)
+      explode bands → shuffle on (band, bucket)  [n_docs × n_bands rows]
+      collect_list per bucket → in-bucket pair expansion → distinct
     """
     sig = minhash_signature(F.col(text_col), num_bands * rows_per_band, k)
     buckets = (
-        docs.select("doc_id", F.explode(lsh_band_buckets(sig, num_bands, rows_per_band)).alias("bb"))
+        _spread(docs)
+        .select(
+            "doc_id",
+            F.explode(lsh_band_buckets(sig, num_bands, rows_per_band)).alias("bb"),
+        )
         .select("doc_id", "bb.band", "bb.bucket")
     )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col("l.doc_id") < F.col("r.doc_id"),
-            ],
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _bucket_pairs(buckets, ["band", "bucket"])
 
 
 # --------------------------------------------------------- n-gram Jaccard
@@ -154,15 +249,23 @@ def jaccard_ngram(text_a: Column, text_b: Column, k: int = 3) -> Column:
     """Exact Jaccard similarity of the word k-gram *sets* of two texts,
     rounded to 6 decimals (a small-integer ratio — rounding is stable
     across engines). Used to verify LSH candidates."""
-    sa = F.array_distinct(word_shingles(text_a, k))
-    sb = F.array_distinct(word_shingles(text_b, k))
-    inter = F.size(F.array_intersect(sa, sb))
-    union = F.size(F.array_union(sa, sb))
-    return F.round(
-        F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
-            F.lit(0.0)
+    def ratio(sa: Column, sb: Column) -> Column:
+        inter = F.size(F.array_intersect(sa, sb))
+        union = F.size(F.array_union(sa, sb))
+        return F.round(
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        )
+
+    # let-bind each shingle set: referenced twice (intersect + union),
+    # which would otherwise double the interpreted shingle build per pair
+    return _let(
+        F.array_distinct(word_shingles(text_a, k)),
+        lambda sa: _let(
+            F.array_distinct(word_shingles(text_b, k)), lambda sb: ratio(sa, sb)
         ),
-        6,
     )
 
 
@@ -238,17 +341,62 @@ def simhash64(text: Column) -> Column:
     )
 
 
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): the same 64-bit SimHash as `simhash64`, computed
+    relationally so the whole pass stays inside whole-stage codegen:
+
+      explode tokens → xxhash64 (JVM) →
+      groupBy(doc_id) with 64 `sum(CASE WHEN bit b set THEN 1 ELSE -1)`
+      vote aggregates → fold votes into the fingerprint long.
+
+    All of a doc's tokens sit in one partition after explode, so
+    partial aggregation collapses them map-side — the shuffle carries
+    one row per doc, not one per token. This replaces an interpreted
+    per-row array fold that was ~100× slower (higher-order lambdas run
+    outside codegen)."""
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(F.when(h.bitwiseAND(F.lit(w)) != 0, 1).otherwise(-1)).alias(f"v{b}")
+        for b, w in enumerate(_BIT_WEIGHTS)
+    ]
+    fp = F.lit(0).cast("long")
+    for b, w in enumerate(_BIT_WEIGHTS):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(w).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return (
+        _spread(docs)
+        .select("doc_id", F.explode(words(F.col(text_col))).alias("tok"))
+        .groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", fp.alias("fp"))
+    )
+
+
 def simhash_candidate_pairs(
-    docs: DataFrame, text_col: str = "text", num_blocks: int = 4
+    docs: DataFrame,
+    text_col: str = "text",
+    num_blocks: int = 4,
+    hamming_threshold: int = 3,
 ) -> DataFrame:
     """Near-dup candidates by SimHash block matching: split the 64-bit
     fingerprint into `num_blocks` 16-bit blocks; pairs agreeing on any
-    block (≤ num_blocks−1 differing blocks ⇒ Hamming ≤ 48 guaranteed
-    caught; in practice catches Hamming ≤ 3 with 4 blocks) are
-    candidates. Same explode→bucket-join shape as MinHash LSH: no cross
-    join, shuffle is n_docs × num_blocks rows."""
-    fp = simhash64(F.col(text_col))
+    block are candidates (pigeonhole: every pair with Hamming distance
+    < num_blocks shares at least one block — full recall at the
+    threshold), then the cheap Hamming check `bit_count(fp_a ^ fp_b) <=
+    hamming_threshold` discards the block-collision false positives
+    BEFORE any expensive text-level verification. On corpora with a
+    shared vocabulary, block collisions vastly outnumber true near-dups
+    (hundreds of thousands vs hundreds at sf0.1) — the precision filter
+    is what makes the downstream Jaccard verify affordable.
+
+    Same explode→bucket shape as MinHash LSH: no cross join; the
+    shuffle is n_docs × num_blocks rows, and fingerprints ride along in
+    the bucket groups so nothing is recomputed or re-joined."""
     width = 64 // num_blocks
+    fp = F.col("fp")
     blocks = F.array(
         *[
             F.struct(
@@ -260,19 +408,20 @@ def simhash_candidate_pairs(
             for b in range(num_blocks)
         ]
     )
-    keyed = docs.select("doc_id", F.explode(blocks).alias("kb")).select(
-        "doc_id", "kb.block", "kb.val"
+    keyed = (
+        simhash_fingerprints(docs, text_col)
+        .select("doc_id", "fp", F.explode(blocks).alias("kb"))
+        .select("doc_id", "fp", "kb.block", "kb.val")
     )
-    l, r = keyed.alias("l"), keyed.alias("r")
     return (
-        l.join(
-            r,
-            on=[
-                F.col("l.block") == F.col("r.block"),
-                F.col("l.val") == F.col("r.val"),
-                F.col("l.doc_id") < F.col("r.doc_id"),
-            ],
+        keyed.groupBy("block", "val")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+        .select(F.explode(_ordered_pairs(F.col("ms"), "a", "b")).alias("p"))
+        .filter(
+            F.bit_count(F.col("p.a.fp").bitwiseXOR(F.col("p.b.fp")))
+            <= hamming_threshold
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .select(F.col("p.a.doc_id").alias("doc_a"), F.col("p.b.doc_id").alias("doc_b"))
         .distinct()
     )

@@ -172,10 +172,10 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("llm_dedup_simhash", oracle=None, tags=("llm", "dedup"))
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dedup via 64-bit SimHash block matching, verified with exact
-    Jaccard. Rows-only driver check (xxhash64 has no DuckDB twin); the
-    pytest suite asserts it recovers the same high-Jaccard pairs as the
-    oracle-checked MinHash path."""
+    """Near-dedup via 64-bit SimHash block matching (Hamming ≤ 3
+    precision filter), verified with exact Jaccard. Rows-only driver
+    check (xxhash64 has no DuckDB twin); pytest covers fingerprint
+    locality and the relational-vs-per-row fingerprint parity."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = simhash_candidate_pairs(docs)
     return verify_pairs_jaccard(pairs, docs, _JACCARD_THRESHOLD)

@@ -79,6 +79,19 @@ def test_simhash_locality(spark):
     assert hamming(fp["a"], fp["c"]) > 16
 
 
+def test_simhash_fingerprints_match_per_row_column(docs):
+    """The codegen-friendly relational SimHash (explode → 64 vote
+    aggregates) must equal the per-row column fold bit-for-bit."""
+    from github_event_etl_spark.operators.text_dedup import simhash_fingerprints
+
+    rel = {r.doc_id: r.fp for r in simhash_fingerprints(docs).collect()}
+    col = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", simhash64(F.col("text")).alias("fp")).collect()
+    }
+    assert rel == col
+
+
 def test_minhash_catches_all_planted_near_dups(docs):
     """Every pair with Jaccard ≥ 0.9 must appear among the LSH
     candidates (4 bands × 3 rows ⇒ miss probability ≈ (1−j³)⁴ < 1e-4
