@@ -1,0 +1,200 @@
+"""Physical-plan assertions — the scale-posture gate (SURVEY.md §4.2).
+
+Correctness tests (test_oracle.py) prove the queries compute the right
+answer at small SF; these tests prove the PLANS are the ones that
+survive a 100 TB scale-up: filters pushed to the parquet scan, columns
+pruned, small dimensions broadcast, top-k as TakeOrderedAndProject (no
+full sort), partial (map-side) aggregation before every shuffle, and —
+critically — no CartesianProduct hiding inside the near-dedup pipeline.
+
+A plan regression here is a performance bug even while every value-hash
+still matches, so it is asserted like a correctness bug.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from github_event_etl_spark.plans.catalog import query_map
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    return query_map()
+
+
+def plan_of(qmap, spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = qmap[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def tree_of(plan: str) -> str:
+    """The operator-tree header of a formatted explain (each node's
+    detail section below it repeats the node name, so counting node
+    occurrences must look at the tree only)."""
+    return plan.split("\n\n")[0]
+
+
+# ------------------------------------------------------------ scan hygiene
+
+
+def test_filter_pushed_to_parquet_scan(qmap, spark, sf_dir):
+    """The scoring-type filter (update-contributor-scores.js:124 analog)
+    must reach the parquet reader as PushedFilters — at 100 TB this is
+    the difference between scanning the corpus and scanning a slice."""
+    plan = plan_of(qmap, spark, sf_dir, "agg_hourly_count")
+    assert "PushedFilters: [In(event_type," in plan
+
+
+def test_column_pruning_reaches_scan(qmap, spark, sf_dir):
+    """A count-by-(hour, actor) needs 3 of the events table's 6 columns;
+    the scan schema must show exactly that projection (ReadSchema), not
+    the full row."""
+    plan = plan_of(qmap, spark, sf_dir, "agg_hourly_count")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, plan
+    schema = read[0]
+    assert "event_id" not in schema and "props" not in schema and "value" not in schema
+    for col in ("ts", "user_id", "event_type"):
+        assert col in schema
+
+
+def test_whole_stage_codegen_covers_agg_pipeline(qmap, spark, sf_dir):
+    """scan→filter→project→partial-agg must fuse into whole-stage
+    codegen. Under AQE the non-final plan reports no codegen subtrees
+    at explain time (stages fuse as they execute), so plan this one
+    with AQE off — codegen behavior is identical either way."""
+    df = qmap["agg_hourly_count"](spark, sf_dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="codegen")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0 WholeStageCodegen" not in plan
+
+
+# --------------------------------------------------------------- aggregates
+
+
+def test_partial_aggregation_before_shuffle(qmap, spark, sf_dir):
+    """Count-by-key must map-side combine (partial_count) before the
+    exchange — the Spark analog of the reference's batched pipelined
+    ZINCRBYs (update-contributor-scores.js:137-144)."""
+    plan = plan_of(qmap, spark, sf_dir, "agg_hourly_count")
+    assert "partial_count" in plan
+    assert "hashpartitioning(" in plan
+
+
+def test_topk_is_take_ordered_not_full_sort(qmap, spark, sf_dir):
+    """ZREVRANGE 0 9 (README.md:148-150) compiles to
+    TakeOrderedAndProject: each partition keeps its local top-10 and
+    only those ship to the driver — a full distributed sort of per-actor
+    totals would be O(n log n) shuffle at scale for a 10-row answer."""
+    plan = plan_of(qmap, spark, sf_dir, "topk_contributors")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rollup_single_pass_expand(qmap, spark, sf_dir):
+    """The hour+day rollup (ZUNIONSTORE analog) computes both grouping
+    levels in ONE pass over events (Expand operator), not one scan per
+    level."""
+    plan = plan_of(qmap, spark, sf_dir, "agg_grouping_sets")
+    assert "Expand" in plan
+    assert tree_of(plan).count("Scan parquet") == 1
+
+
+# -------------------------------------------------------------------- joins
+
+
+def test_dimension_join_broadcasts(qmap, spark, sf_dir):
+    """fact ⋈ broadcast(dim): the 100 TB lineitem side must not
+    shuffle. BroadcastHashJoin with the build side exchanged via
+    BroadcastExchange, and no hash-partitioned exchange of the fact
+    side before the join."""
+    plan = plan_of(qmap, spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+    join_part = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in join_part
+
+
+def test_equi_join_is_hash_or_merge(qmap, spark, sf_dir):
+    """orders⋈customer must plan as an equi-join (broadcast-hash here
+    where customer is small; sort-merge when both sides are large —
+    same code either way). Never a nested-loop."""
+    plan = plan_of(qmap, spark, sf_dir, "join_inner_equi")
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_avoids_cartesian(qmap, spark, sf_dir):
+    """The as-of composite (range join + row_number, SURVEY.md §4.3.2)
+    must keep an equi component on the key so the planner never falls
+    back to a full cartesian product."""
+    plan = plan_of(qmap, spark, sf_dir, "join_asof")
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------- LLM-pipeline plans
+
+
+def test_minhash_lsh_has_no_cross_join(qmap, spark, sf_dir):
+    """The load-bearing scale property of MinHash-LSH near-dedup: the
+    all-pairs comparison is replaced by band-bucket grouping. Any
+    cartesian/nested-loop node in this plan means the operator silently
+    degenerated to O(n²) — the exact failure LSH exists to prevent."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_has_no_cross_join(qmap, spark, sf_dir):
+    plan = plan_of(qmap, spark, sf_dir, "llm_dedup_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_bruteforce_broadcasts_queries(qmap, spark, sf_dir):
+    """Brute-force top-k is the one INTENTIONAL nested-loop: the tiny
+    query set broadcasts and the corpus streams through exactly once
+    with no corpus shuffle. Assert it is the broadcast variant (corpus
+    stays put) and not a CartesianProduct (which would shuffle both)."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_lsh_is_equi_join_on_signature(qmap, spark, sf_dir):
+    """The ANN path must probe by (table, signature) equality — a hash
+    join — never scan the corpus per query."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_ann_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_scans_corpus_once(qmap, spark, sf_dir):
+    """Exact dedup is one scan + one hash-key shuffle; a second scan of
+    documents would mean the plan re-reads the corpus."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_dedup_exact")
+    assert tree_of(plan).count("Scan parquet") == 1
+
+
+# ------------------------------------------------------------ AQE contract
+
+
+def test_session_defaults_enable_aqe(spark):
+    """The engine relies on AQE for runtime shuffle coalescing and
+    skew-join splitting (SURVEY.md §4.2) — regression-guard the conf."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
