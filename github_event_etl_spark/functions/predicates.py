@@ -51,16 +51,17 @@ _BOT_CONTAINS = (
 def is_bot_login_heuristic(login: Column) -> Column:
     """Batch-path bot heuristic (update-contributor-scores.js:45-68).
 
-    Null/empty login => bot (:46-48). Patterns: the substring list above
-    plus ``endswith('bot')`` and ``startswith('aws')`` (:53-55).
-    Compound boolean expression — Catalyst folds it into one codegen'd
-    predicate; no UDF.
+    Null/empty login => bot (:46 — ``!login`` is true for '' in JS, so
+    the empty string must test as bot too). Patterns: the substring
+    list above plus ``endswith('bot')`` and ``startswith('aws')``
+    (:53-55). Compound boolean expression — Catalyst folds it into one
+    codegen'd predicate; no UDF.
     """
     low = F.lower(login)
     expr = low.endswith("bot") | low.startswith("aws")
     for pat in _BOT_CONTAINS:
         expr = expr | low.contains(pat)
-    return login.isNull() | expr
+    return login.isNull() | (login == F.lit("")) | expr
 
 
 def is_scoring_event(event_type: Column, kinds: tuple[str, ...]) -> Column:

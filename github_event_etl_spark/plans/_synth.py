@@ -66,7 +66,12 @@ def bot_heuristic_sql(login_sql: str) -> str:
     low = f"lower({login_sql})"
     likes = [f"{low} LIKE '%bot'", f"{low} LIKE 'aws%'"]
     likes += [f"{low} LIKE '%{pat}%'" for pat in _BOT_CONTAINS]
-    return "(" + f"({login_sql}) IS NULL OR " + " OR ".join(likes) + ")"
+    return (
+        "("
+        + f"({login_sql}) IS NULL OR ({login_sql}) = '' OR "
+        + " OR ".join(likes)
+        + ")"
+    )
 
 
 BOT_REGEX_SQL = r"'(\[bot\]|-bot$)'"

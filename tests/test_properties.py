@@ -1,0 +1,252 @@
+"""Property-based spot checks (SURVEY.md §5.2 item 4, hypothesis).
+
+Each property batches the whole generated example set through ONE Spark
+job per case — hypothesis drives the data shapes, Spark evaluates them
+vectorized, and a pure-Python model provides the differential answer.
+
+Covered invariants (reference semantics in parentheses):
+- dedup idempotence: dedup∘dedup = dedup, and dedup(x ∪ x) = dedup(x)
+  (A9 — the Lua exists-check makes re-inserting a no-op,
+  insert-events-into-db.lua:8-11).
+- rollup consistency: daily sums equal the sum of hourly scores, and
+  the grand total equals the qualifying-event count (A14 — ZUNIONSTORE
+  summing hourly ZSETs, update-contributor-scores.js:252-263).
+- flatten round-trip: to_json then from_json recovers every field (A8 —
+  cjson.encode flatten, insert-events-into-db.lua:17-23).
+- bot heuristic: the Spark column expression agrees with a direct
+  Python transcription of update-contributor-scores.js:45-68 on
+  arbitrary (including adversarial) logins.
+- jaccard: reflexive at 1.0 for docs with >= k words; symmetric;
+  bounded in [0, 1] (text_dedup verification metric).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SETTINGS = dict(max_examples=12, deadline=None)
+
+
+# --------------------------------------------------------------- strategies
+
+# Logins: plain words, bot-looking strings, unicode, empties and None.
+_login = st.one_of(
+    st.none(),
+    st.text(min_size=0, max_size=24),
+    st.sampled_from(
+        [
+            "dependabot[bot]",
+            "my-bot",
+            "robot",
+            "BOT",
+            "awsuser",
+            "AWS-thing",
+            "copilot-x",
+            "renovate99",
+            "ci-runner",
+            "runner-ci",
+            "release",
+            "deploy_tool",
+            "alice",
+            "bob",
+            "securityteam",
+            "buildkite",
+            "",
+            "b",
+        ]
+    ),
+)
+
+_event = st.fixed_dictionaries(
+    {
+        "event_id": st.integers(min_value=0, max_value=50),
+        "ts_h": st.integers(min_value=0, max_value=72),  # hours from epoch day
+        "user_id": st.integers(min_value=1, max_value=8),
+        "event_type": st.sampled_from(["purchase", "signup", "view", "click"]),
+    }
+)
+
+
+def _events_df(spark, rows):
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc).timestamp()
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=r["event_id"],
+                ts=datetime.fromtimestamp(base + r["ts_h"] * 3600, tz=timezone.utc),
+                user_id=r["user_id"],
+                event_type=r["event_type"],
+            )
+            for r in rows
+        ],
+        schema="event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+# ----------------------------------------------------------- dedup (A9)
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(_event, min_size=1, max_size=40))
+def test_dedup_idempotent_and_union_stable(spark, rows):
+    from github_event_etl_spark.operators.dedup import dedup_by_key
+
+    df = _events_df(spark, rows)
+    once = dedup_by_key(df, ["event_id"])
+    twice = dedup_by_key(once, ["event_id"])
+    doubled = dedup_by_key(df.unionAll(df), ["event_id"])
+
+    want = sorted({r["event_id"] for r in rows})
+    got_once = sorted(r.event_id for r in once.collect())
+    got_twice = sorted(r.event_id for r in twice.collect())
+    got_doubled = sorted(r.event_id for r in doubled.collect())
+    assert got_once == want
+    assert got_twice == want
+    assert got_doubled == want
+
+
+# --------------------------------------------------------- rollup (A14)
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(_event, min_size=1, max_size=60))
+def test_rollup_sums_match_hourly(spark, rows):
+    from github_event_etl_spark.operators.scoring import daily_rollup, hourly_scores
+
+    kinds = ("purchase", "signup")
+    df = _events_df(spark, rows)
+    hourly = hourly_scores(df, kinds=kinds)
+    daily = daily_rollup(hourly)
+
+    # Python model: count qualifying events per (day, user).
+    model: dict[tuple[str, int], int] = {}
+    for r in rows:
+        if r["event_type"] not in kinds:
+            continue
+        day_idx = 1 + r["ts_h"] // 24
+        key = (f"2024-03-{day_idx:02d}", r["user_id"])
+        model[key] = model.get(key, 0) + 1
+
+    got = {
+        (r.bucket_day, r.user_id): r.score
+        for r in daily.collect()
+    }
+    assert got == model
+    # Conservation: the rollup neither drops nor double-counts.
+    assert sum(got.values()) == sum(model.values())
+    hourly_total = sum(r.score for r in hourly.collect())
+    assert hourly_total == sum(model.values())
+
+
+# ----------------------------------------------------- flatten (A8)
+
+_long = st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31))
+_str = st.one_of(st.none(), st.text(max_size=20))
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(_long, _str), min_size=1, max_size=30))
+def test_flatten_roundtrip(spark, rows):
+    """to_json(struct(a, b)) → from_json recovers (a, b) exactly —
+    including None fields and unicode — matching the reference's
+    flatten-then-reparse lifecycle (store cjson.encode'd, query
+    schema-on-read)."""
+    df = spark.createDataFrame(
+        [Row(a=a, b=b) for a, b in rows], schema="a long, b string"
+    )
+    back = df.select(
+        "a",
+        "b",
+        F.from_json(
+            F.to_json(F.struct("a", "b")), "a long, b string"
+        ).alias("r"),
+    ).select("a", "b", "r.a", "r.b")
+    for a, b, ra, rb in back.collect():
+        assert ra == a
+        assert rb == b
+
+
+# ------------------------------------------- bot heuristic differential
+
+
+def _model_is_bot(login) -> bool:
+    """Direct Python transcription of isBotActor
+    (update-contributor-scores.js:45-68)."""
+    if login is None or login == "":
+        return True
+    low = login.lower()
+    if low.endswith("bot") or low.startswith("aws"):
+        return True
+    return any(
+        pat in low
+        for pat in (
+            "[bot]",
+            "-bot",
+            "copilot",
+            "renovate",
+            "greenkeeper",
+            "snyk",
+            "security",
+            "automation",
+            "deploy",
+            "ci-",
+            "-ci",
+            "build",
+            "release",
+        )
+    )
+
+
+@settings(**SETTINGS)
+@given(logins=st.lists(_login, min_size=1, max_size=50))
+def test_bot_heuristic_matches_python_model(spark, logins):
+    from github_event_etl_spark.functions.predicates import is_bot_login_heuristic
+
+    df = spark.createDataFrame(
+        [Row(i=i, login=l) for i, l in enumerate(logins)],
+        schema="i long, login string",
+    )
+    got = {
+        r.i: bool(r.bot)
+        for r in df.select(
+            "i", is_bot_login_heuristic(F.col("login")).alias("bot")
+        ).collect()
+    }
+    for i, login in enumerate(logins):
+        # createDataFrame maps "" through as-is; None stays None.
+        assert got[i] == _model_is_bot(login), (login,)
+
+
+# --------------------------------------------------- jaccard properties
+
+
+_doc = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=3,
+    max_size=12,
+).map(" ".join)
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(st.tuples(_doc, _doc), min_size=1, max_size=20))
+def test_jaccard_reflexive_symmetric_bounded(spark, docs):
+    from github_event_etl_spark.operators.text_dedup import jaccard_ngram
+
+    df = spark.createDataFrame(
+        [Row(a=a, b=b) for a, b in docs], schema="a string, b string"
+    )
+    out = df.select(
+        jaccard_ngram(F.col("a"), F.col("a")).alias("self_sim"),
+        jaccard_ngram(F.col("a"), F.col("b")).alias("ab"),
+        jaccard_ngram(F.col("b"), F.col("a")).alias("ba"),
+    ).collect()
+    for r in out:
+        assert r.self_sim == pytest.approx(1.0)
+        assert r.ab == pytest.approx(r.ba)
+        assert 0.0 <= r.ab <= 1.0
