@@ -1,0 +1,91 @@
+"""Skew mitigation: salted two-phase aggregation (SURVEY.md §2 B4 /
+100 TB posture).
+
+The reference's scoring key is (hour, actor) — fine-grained and
+naturally spread. But real event streams aggregate on coarse hot keys
+too (event_type: a handful of values over billions of rows), where a
+single-shuffle groupBy sends every row of a hot key to one reducer.
+Spark's map-side partial aggregation usually absorbs this for algebraic
+aggregates; when the per-task key-group is still too large (high
+cardinality payloads, collect-style aggs, or extreme single-key skew),
+the classic fix is salting: spread each key over `n_salts` sub-keys,
+aggregate partially per (key, salt), then merge the partials per key.
+
+Both shuffles move only aggregated rows (≤ n_groups × n_salts), never
+the raw data twice; the salt is deterministic (hash of the whole row,
+not rand()) so replays and retries produce identical partitions —
+rand() salts break task-retry determinism and the oracle value-hash.
+
+AQE's skew-join splitting (enabled session-wide, session.py) handles
+the JOIN side of skew; this module handles the AGGREGATE side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def with_salt(df: DataFrame, n_salts: int, from_cols: list[str] | None = None) -> DataFrame:
+    """Add a deterministic salt column in [0, n_salts): xxhash64 over
+    `from_cols` (default: all columns). Deterministic per row content —
+    identical inputs salt identically across retries and replays."""
+    cols = from_cols or df.columns
+    return df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial: dict[str, Column],
+    merge: dict[str, Column],
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation over salted sub-keys.
+
+    `partial` maps output-column name -> aggregate over the raw rows,
+    evaluated per (keys..., salt). `merge` maps final name -> aggregate
+    over those partial columns, evaluated per (keys...). The caller
+    picks a decomposition that is algebraically exact (sum of sums,
+    sum of counts, min of mins, ...).
+
+    Example — skew-safe count + sum + avg + min/max:
+
+        partial = {"c": F.count(F.lit(1)), "s": F.sum("v"),
+                   "mn": F.min("v"), "mx": F.max("v")}
+        merge   = {"n_rows": F.sum("c"), "total": F.sum("s"),
+                   "vmin": F.min("mn"), "vmax": F.max("mx")}
+        salted_agg(df, ["k"], partial, merge)
+        # avg afterwards: total / n_rows
+    """
+    salted = with_salt(df, n_salts)
+    stage1 = salted.groupBy(*keys, SALT_COL).agg(
+        *[expr.alias(name) for name, expr in partial.items()]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[expr.alias(name) for name, expr in merge.items()]
+    )
+
+
+def salted_count_sum(
+    df: DataFrame, keys: list[str], value_col: str, n_salts: int = 32
+) -> DataFrame:
+    """The common case: COUNT(*) + SUM(value) per key, skew-safe.
+    Returns (keys..., n_rows, total)."""
+    return salted_agg(
+        df,
+        keys,
+        partial={
+            "c": F.count(F.lit(1)),
+            "s": F.sum(value_col),
+        },
+        merge={
+            "n_rows": F.sum("c").cast("long"),
+            "total": F.sum("s"),
+        },
+        n_salts=n_salts,
+    )

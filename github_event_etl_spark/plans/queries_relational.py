@@ -863,3 +863,33 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.filter(F.col("event_type") == "view").select("user_id")
     p = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return v.subtract(p)
+
+
+# --------------------------------------------------- B4: skew-safe aggregation
+
+
+@query(
+    "agg_salted_hot_key",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "partB", "skew"),
+)
+def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 / 100 TB posture: aggregation on a HOT key (event_type has a
+    handful of values over the whole table) via deterministic salting —
+    partial agg per (key, salt), merge per key (operators/skew.py).
+    Algebraically exact, so it shares the plain-GROUP-BY oracle; the
+    value sum rides DECIMAL(18,2) per the determinism rules."""
+    from ..operators.skew import salted_count_sum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", _dec("value").alias("value")
+    )
+    out = salted_count_sum(ev, ["event_type"], "value", n_salts=32)
+    return out.select(
+        "event_type", "n_rows", F.col("total").cast("double").alias("total")
+    )

@@ -217,3 +217,63 @@ def stream_foreach_batch_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "stream_stateful_dedup_ttl",
+    oracle="SELECT event_id, value FROM events",
+    tags=("streaming", "partB9", "stateful"),
+)
+def stream_stateful_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 as a CUSTOM stateful operator: first-insert-wins dedup with a
+    processing-time TTL via applyInPandasWithState
+    (streaming/stateful.py) — the faithful analog of the reference's
+    Redis event-log `SET ... EX 300` (insert-events-into-db.lua:36-39),
+    where dropDuplicatesWithinWatermark is the event-time builtin.
+
+    The replay carries every event twice: the original (arrival 0) and
+    a retransmitted copy with a mutated payload (arrival 1, value+100).
+    First-wins must return exactly the originals — which is the oracle.
+    Original and copy carry the same event time, so each duplicate is
+    always inside its key's event-time TTL horizon and the final state
+    equals batch first-wins dedup.
+    """
+    from ..streaming.stateful import dedup_first_wins_ttl
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(
+        tempfile.gettempdir(), "geetl_spark", sf, "stream_src_retx"
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        first = ev.withColumn("arrival", F.lit(0))
+        retx = first.withColumn("value", F.col("value") + 100.0).withColumn(
+            "arrival", F.lit(1)
+        )
+        first.unionByName(retx).repartition(8).write.mode("overwrite").json(src)
+
+    schema = (
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, arrival int"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .select(
+            "event_id",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "arrival",
+        )
+    )
+    deduped = dedup_first_wins_ttl(stream, ttl_seconds=300)
+    out = run_bounded(deduped, "update", "stateful_dedup")
+    return out.select("event_id", "value")

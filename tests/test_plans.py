@@ -198,3 +198,14 @@ def test_session_defaults_enable_aqe(spark):
     skew-join splitting (SURVEY.md §4.2) — regression-guard the conf."""
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_salted_agg_is_two_phase(qmap, spark, sf_dir):
+    """The skew-safe aggregate must show the salted shape: two
+    hash-partitioned exchanges (per-(key,salt) partial, then per-key
+    merge), each preceded by its own partial aggregation — and both
+    moving only aggregated rows, never the raw table twice (one scan)."""
+    plan = plan_of(qmap, spark, sf_dir, "agg_salted_hot_key")
+    assert plan.count("hashpartitioning(") >= 2
+    assert "partial_count" in plan
+    assert tree_of(plan).count("Scan parquet") == 1

@@ -150,3 +150,84 @@ def test_checkpoint_resume_exactly_once(spark):
     finally:
         for d in (src, ckpt, os.path.dirname(sink)):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_dedup_ttl_eviction_and_readmission(spark):
+    """The custom applyInPandasWithState dedup (streaming/stateful.py)
+    must reproduce the full Redis event-log lifecycle
+    (insert-events-into-db.lua:8-11,36-39): first insert wins; a
+    duplicate inside the TTL horizon is a no-op; after the TTL evicts
+    the mark, the same id is admitted afresh. Four micro-batches
+    (maxFilesPerTrigger=1), event-time TTL = 5 min, watermark 10 min:
+
+      A: id=100 @10:00 (arrival 0, v=1.0)  -> emitted (first wins)
+      B: id=100 @10:00 (arrival 1, v=2.0)  -> suppressed (mark lives;
+         watermark is 9:50, timer armed for 10:05)
+      C: clock-only event @11:00           -> watermark passes 10:20,
+         the 10:05 timer fires, id=100's mark is EVICTED
+      D: id=100 @11:10 (arrival 2, v=3.0)  -> re-admitted (fresh mark)
+
+    Final values for id=100 must be exactly {1.0, 3.0} — 2.0 never
+    appears, 3.0 must (re-admission is as load-bearing as suppression:
+    it proves state is evicted, i.e. bounded, not grow-forever)."""
+    from github_event_etl_spark.streaming.stateful import dedup_first_wins_ttl
+
+    src = tempfile.mkdtemp(prefix="geetl_ttl_src_")
+    ckpt = tempfile.mkdtemp(prefix="geetl_ttl_ckpt_")
+
+    def rtx(eid, hour, arrival, value):
+        e = _event(eid, hour)
+        e["arrival"] = arrival
+        e["value"] = value
+        return e
+
+    try:
+        now = time.time()
+        _write_file(os.path.join(src, "a.json"), [rtx(100, 10.0, 0, 1.0)], now - 240)
+        _write_file(
+            os.path.join(src, "b.json"),
+            [rtx(100, 10.0, 1, 2.0), rtx(998, 10.5, 0, 9.0)],
+            now - 180,
+        )
+        _write_file(os.path.join(src, "c.json"), [rtx(997, 11.0, 0, 9.0)], now - 120)
+        _write_file(
+            os.path.join(src, "d.json"), [rtx(100, 11 + 1 / 6, 2, 3.0)], now - 60
+        )
+
+        schema = (
+            "event_id long, ts_us long, user_id long, event_type string, "
+            "value double, arrival int"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .select(
+                "event_id",
+                F.timestamp_micros(F.col("ts_us")).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "arrival",
+            )
+        )
+        deduped = dedup_first_wins_ttl(
+            stream, ttl_seconds=300, watermark_delay="10 minutes"
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("ttl_dedup_test")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.event_id, r.value)
+            for r in spark.table("ttl_dedup_test").select("event_id", "value").collect()
+        )
+        assert got == [(100, 1.0), (100, 3.0), (997, 9.0), (998, 9.0)]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
