@@ -40,6 +40,8 @@ HEADLINE = [
 ]
 # LLM-pipeline + streaming headliners (import-safe: skipped if absent).
 OPTIONAL = [
+    "agg_salted_hot_key",
+    "sql_api_leaderboard",
     "llm_dedup_exact",
     "llm_text_stats",
     "llm_knn_bruteforce",

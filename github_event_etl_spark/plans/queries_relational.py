@@ -893,3 +893,39 @@ def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n_rows", F.col("total").cast("double").alias("total")
     )
+
+
+# ------------------------------------------------------- SQL API surface
+
+
+@query(
+    "sql_api_leaderboard",
+    oracle="""
+    SELECT user_id, COUNT(*) AS score
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY user_id
+    ORDER BY score DESC, user_id
+    LIMIT 10
+    """,
+    tags=("sql", "partB"),
+)
+def sql_api_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §3 entry point (2): the flagship contributor
+    leaderboard as pure `spark.sql` over registered views — same
+    Catalyst plan as the DataFrame build (TakeOrderedAndProject over a
+    partial+final count), proving the SQL and DataFrame surfaces are
+    the one engine."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT user_id, COUNT(*) AS score
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        GROUP BY user_id
+        ORDER BY score DESC, user_id
+        LIMIT 10
+        """
+    )
