@@ -1,0 +1,142 @@
+"""Distributed connected components — duplicate-cluster resolution
+(north-star LLM-pipeline mandate; the step AFTER near-dedup pair
+generation).
+
+MinHash-LSH / SimHash emit duplicate PAIRS (text_dedup.py). A training
+pipeline needs duplicate CLUSTERS: the transitive closure of the pair
+graph, one representative kept per cluster. At 100 TB the pair graph
+has billions of edges, so closure must be a bounded number of
+shuffle-stage iterations over (node, label) tuples — never a
+driver-side union-find and never a frontier-per-hop BFS (diameter can
+be large).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — PAPERS.md
+adjacency), the standard label-propagation scheme that converges in
+O(log n) rounds on real graphs. Each round is exactly one groupBy per
+star step:
+
+  large-star: for each node u, every strictly-larger neighbor re-links
+              to u's current minimum (keeps the graph connected while
+              shrinking big nodes' degree);
+  small-star: every neighbor ≤ u links to the minimum (flattens each
+              tree toward its root).
+
+Convergence when the edge multiset stops changing; the result maps
+every node to the minimum node id of its component — matching the
+"min doc_id is the representative" convention used across the dedup
+operators.
+
+Scale notes: labels are (long, long) pairs — the per-round shuffle
+moves O(E) narrow rows, partitioned by node id (uniform for content
+ids). localCheckpoint() per round truncates the growing lineage (an
+iterative-plan necessity, not an optimization); AQE re-sizes the
+per-round shuffles as components collapse and E shrinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (large=True) or small-star round. `edges` has
+    columns (u, v); returns the rewritten edge set, deduplicated,
+    self-loops dropped."""
+    # Orient each undirected edge both ways for the grouping, keeping
+    # (node, neighbor) so every node sees its full neighborhood.
+    nbrs = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+
+    grouped = nbrs.groupBy("node").agg(
+        F.min(F.least("nbr", "node")).alias("m"),
+        F.collect_set("nbr").alias("nbrs"),
+    )
+    if large:
+        # link every strictly-larger neighbor to m
+        out = grouped.select(
+            "m",
+            F.explode(
+                F.filter("nbrs", lambda x: x > F.col("node"))
+            ).alias("other"),
+        )
+    else:
+        # link node + every neighbor <= node to m
+        out = grouped.select(
+            "m",
+            F.explode(
+                F.array_union(
+                    F.filter("nbrs", lambda x: x <= F.col("node")),
+                    F.array(F.col("node")),
+                )
+            ).alias("other"),
+        )
+    return (
+        out.filter(F.col("m") != F.col("other"))
+        .select(
+            F.least("m", "other").alias("u"), F.greatest("m", "other").alias("v")
+        )
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 12
+) -> DataFrame:
+    """Map every node in the undirected edge list (u, v) to the minimum
+    node id of its connected component. Returns (node, component).
+
+    Runs alternating star rounds until the edge set is a fixed point
+    (all stars: every edge already (min, other)) or `max_rounds` is
+    hit — O(log n) expected; 12 covers graphs far beyond any test SF.
+    Isolated nodes never appear in `edges` and so are their own
+    implicit components (callers union them back if needed).
+    """
+    cur = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nxt = _star_round(cur, large=True)
+        nxt = _star_round(nxt, large=False).localCheckpoint(eager=True)
+        # Fixed point: same edge multiset (both are distinct sets).
+        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    # After convergence every edge is (component_min, member).
+    members = cur.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = cur.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    return members.unionAll(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Resolve near-duplicate pairs into clusters: (doc_id, cluster_id,
+    is_representative). `cluster_id` is the minimum doc_id of the
+    cluster; docs not in any pair are singleton clusters of themselves.
+    """
+    comps = connected_components(
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    )
+    ids = all_ids.select(F.col(id_col).alias("node")).distinct()
+    labeled = ids.join(comps, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce("component", "node").alias("cluster_id"),
+    )
+    return labeled.withColumn(
+        "is_representative", (F.col(id_col) == F.col("cluster_id"))
+    )

@@ -337,14 +337,18 @@ def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("functions", "partB"),
 )
 def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B8 JSON (≙ A8 inverse): get_json_object + from_json over the
-    `props` column (schema-on-read for the reference's flattened payload,
-    insert-events-into-db.lua:17-23). Missing paths null-propagate."""
+    """B8 JSON (≙ A8 inverse): schema-on-read over the `props` column
+    (the reference's flattened payload, insert-events-into-db.lua:17-23).
+    ONE from_json parse feeds every derived column — the identical
+    JsonToStructs subexpressions collapse to a single evaluation
+    (subexpression elimination), where per-path get_json_object would
+    re-parse the document once per path. Missing paths null-propagate
+    through the struct schema."""
     ev = load_table(spark, sf_dir, "events")
-    parsed = F.from_json("props", "k BIGINT")
+    parsed = F.from_json("props", "k BIGINT, missing STRING")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+        parsed.getField("k").alias("k_num"),
         (parsed.getField("k") * 2).alias("k_doubled"),
-        F.get_json_object("props", "$.missing").isNull().alias("missing_null"),
+        parsed.getField("missing").isNull().alias("missing_null"),
     )

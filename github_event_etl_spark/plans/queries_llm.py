@@ -447,3 +447,59 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame_bytes").cast("long").alias("frame_len"),
         F.md5("frame_bytes").alias("frame_md5"),
     )
+
+
+# ------------------------------------------------- duplicate clustering
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, sha256(lower(trim(text))) AS ch FROM documents
+    )
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY ch) AS cluster_id,
+           (doc_id = MIN(doc_id) OVER (PARTITION BY ch)) AS is_representative
+    FROM h
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: pair graph → connected components
+    (alternating large-star/small-star, operators/graph.py) → one
+    representative (min doc_id) per cluster.
+
+    The differential construction makes an iterative graph algorithm
+    fully SQL-checkable: edges are the PATH GRAPH over each
+    exact-duplicate group (consecutive doc_ids sharing a content hash),
+    so the true components are known independently — `GROUP BY hash` —
+    while recovering them from the path edges requires genuine
+    multi-hop transitive closure (a k-doc group is a k-1-edge chain,
+    NOT a clique)."""
+    from ..operators.graph import dedup_clusters
+    from ..operators.text_dedup import normalized_text_hash
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalized_text_hash(F.col("text")).alias("ch")
+    )
+    chains = (
+        docs.groupBy("ch")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.struct(
+                        F.col("ids")[i - 1].alias("doc_a"),
+                        F.col("ids")[i].alias("doc_b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_a", "e.doc_b")
+    )
+    return dedup_clusters(chains, docs.select("doc_id")).select(
+        "doc_id", "cluster_id", "is_representative"
+    )

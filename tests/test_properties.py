@@ -250,3 +250,59 @@ def test_jaccard_reflexive_symmetric_bounded(spark, docs):
         assert r.self_sim == pytest.approx(1.0)
         assert r.ab == pytest.approx(r.ba)
         assert 0.0 <= r.ab <= 1.0
+
+
+# ------------------------------------- connected components differential
+
+
+def _uf_components(edges, nodes):
+    """Reference union-find: node -> min node id of its component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    out = {}
+    for n in nodes:
+        r = find(n)
+        out.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in out.items() for n in members}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """The distributed large-star/small-star closure
+    (operators/graph.py) must agree with a sequential union-find on
+    arbitrary graphs — self-loops, parallel edges, chains, cliques,
+    multiple components."""
+    from github_event_etl_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [Row(u=u, v=v) for u, v in edges], schema="u long, v long"
+    )
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    nodes = sorted({n for e in edges for n in e if e[0] != e[1]} | set(got))
+    want = _uf_components([e for e in edges if e[0] != e[1]], nodes)
+    # Nodes appearing only in self-loops are absent from the distributed
+    # result (no real edges); compare over its domain.
+    assert got == {n: c for n, c in want.items() if n in got}
+    # And the distributed result must cover every non-isolated node.
+    non_isolated = {n for u, v in edges if u != v for n in (u, v)}
+    assert set(got) == non_isolated
