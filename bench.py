@@ -46,6 +46,7 @@ OPTIONAL = [
     "llm_text_stats",
     "llm_knn_bruteforce",
     "llm_dedup_minhash_lsh",
+    "llm_dedup_clusters",
     "llm_fingerprint",
     "stream_tumbling_hourly",
     "stream_dedup_watermark",
