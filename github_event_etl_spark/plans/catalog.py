@@ -64,6 +64,7 @@ def _load_all() -> None:
     from . import queries_functions  # noqa: F401
     from . import queries_llm  # noqa: F401
     from . import queries_streaming  # noqa: F401
+    from . import queries_udf  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -209,3 +209,46 @@ def test_salted_agg_is_two_phase(qmap, spark, sf_dir):
     assert plan.count("hashpartitioning(") >= 2
     assert "partial_count" in plan
     assert tree_of(plan).count("Scan parquet") == 1
+
+
+# ------------------------------------------------- B10 Python-UDF surface
+
+
+def test_pandas_udf_is_arrow_evaluated(qmap, spark, sf_dir):
+    """The vectorized column must evaluate via ArrowEvalPython (Arrow
+    batches); the row-UDF contrast column via BatchEvalPython. If the
+    pandas UDF ever degrades to pickled row execution, the Arrow node
+    disappears — that's a 10-100x regression at scale, so it's a test."""
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "udf_pandas_scalar"))
+    assert "ArrowEvalPython" in tree
+    assert "BatchEvalPython" in tree
+
+
+def test_grouped_udaf_shuffles_once(qmap, spark, sf_dir):
+    """The pandas UDAF plans as one key shuffle feeding an Arrow
+    aggregate — no second exchange, no fallback to row aggregation."""
+    plan = plan_of(qmap, spark, sf_dir, "udaf_grouped_pandas")
+    tree = tree_of(plan)
+    assert "ArrowAggregatePython" in tree or "AggregateInPandas" in tree
+    assert tree.count("Exchange") == 1
+
+
+def test_apply_in_pandas_prunes_and_shuffles_once(qmap, spark, sf_dir):
+    """FlatMapGroupsInPandas with exactly one key exchange, and the
+    scan pruned to the three columns the transform touches — Arrow
+    transfer cost is per-byte, so pruning matters doubly here."""
+    plan = plan_of(qmap, spark, sf_dir, "udf_apply_in_pandas")
+    tree = tree_of(plan)
+    assert "FlatMapGroupsInPandas" in tree
+    assert tree.count("Exchange") == 1
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "doc_id" in read[0] and "text" not in read[0]
+
+
+def test_udtf_is_single_scan_fanout(qmap, spark, sf_dir):
+    """The lateral UDTF join plans as a streaming fan-out over one scan
+    — no join, no exchange: row → rows inside one stage."""
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "udtf_leading_tokens"))
+    assert "BatchEvalPythonUDTF" in tree
+    assert tree.count("Scan parquet") == 1
+    assert "Exchange" not in tree
