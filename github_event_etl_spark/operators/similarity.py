@@ -3,9 +3,13 @@ lines).
 
 Brute-force cosine top-k is the exact baseline; LSH (random
 hyperplanes) and IVF (centroid partitions) are the sub-linear scale
-paths. All similarity math is JVM-side higher-order column expressions
-(`zip_with`/`aggregate`) over `array<float>` cast to double — no Python
-UDF, no per-row JVM↔Python hop.
+paths. Pairwise cosine math is JVM-side higher-order column expressions
+(`zip_with`/`aggregate`) over `array<float>` cast to double — oracle
+bit-parity matters there. The one deliberate exception is the LSH
+signature step (`rhp_signatures`): 72 hyperplane dots per vector as
+column expressions would be interpreted HOFs over a ~10⁴-node literal
+tree, so it is an Arrow-vectorized pandas UDF doing one numpy matmul
+per batch instead (see its docstring).
 
 Scale posture (100 TB / billions of vectors):
 - Brute force: the query set is broadcast (it is small by definition);
@@ -25,8 +29,13 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 # --------------------------------------------------------------- cosine math
 
@@ -101,30 +110,52 @@ def _hyperplane(seed: int, dim: int) -> list[int]:
     return out
 
 
-def rhp_tables(
-    vec: Column, dim: int, num_tables: int, planes_per_table: int
-) -> Column:
-    """Multi-table random-hyperplane LSH: `num_tables` independent
-    signatures of `planes_per_table` sign bits each, as an array of
-    (table, sig) structs. Two vectors are candidates if ANY table's
-    signature matches — the table count trades candidate volume for
-    recall exactly like MinHash banding. The planes are literal arrays —
-    constant-folded by Catalyst; this whole thing is one map-side
-    projection."""
-    tables = []
-    for t in range(num_tables):
-        bits = []
-        for p in range(planes_per_table):
-            plane = F.array(
-                *[F.lit(float(s)) for s in _hyperplane(t * 1000 + p, dim)]
-            )
-            bits.append(
-                F.when(dot(vec, plane) > 0, F.lit("1")).otherwise(F.lit("0"))
-            )
-        tables.append(
-            F.struct(F.lit(t).alias("table"), F.concat(*bits).alias("sig"))
-        )
-    return F.array(*tables)
+def _plane_matrix(dim: int, num_tables: int, planes_per_table: int):
+    """All hyperplanes stacked as one (num_tables·planes_per_table, dim)
+    ±1 matrix, row-ordered (table-major) to match signature bit order."""
+
+    rows = [
+        _hyperplane(t * 1000 + p, dim)
+        for t in range(num_tables)
+        for p in range(planes_per_table)
+    ]
+    return np.asarray(rows, dtype=np.float64)
+
+
+def rhp_signatures(dim: int, num_tables: int, planes_per_table: int):
+    """Multi-table random-hyperplane LSH signatures as a vectorized
+    pandas UDF: vector → array of `num_tables` sign-bit strings (bit p
+    of table t is sign(vec·plane[t,p]), '1' for positive). Two vectors
+    are candidates if ANY table's signature matches — table count
+    trades candidate volume for recall exactly like MinHash banding.
+
+    Why a pandas UDF and not column expressions: the expression form is
+    num_tables×planes_per_table `aggregate(zip_with(...))` dot products
+    per row — higher-order functions run interpreted (no codegen), and
+    the literal-plane tree is ~10⁴ nodes. One numpy matmul per Arrow
+    batch computes all 72 dots for thousands of rows at once; this is
+    the documented builtin-can't-express-it-efficiently exception.
+    The plane matrix is closure-captured, so it ships once per task in
+    the serialized UDF, not per row."""
+    M = _plane_matrix(dim, num_tables, planes_per_table)  # (T*P, dim)
+    weights = 1 << np.arange(planes_per_table - 1, -1, -1)  # MSB = plane 0
+    width = planes_per_table
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna()
+        packed: list[list[str]] = []
+        if mask.any():
+            V = np.asarray(list(vecs[mask]), dtype=np.float64)  # (n, dim)
+            bits = (V @ M.T) > 0  # (n, T*P)
+            codes = bits.reshape(len(V), num_tables, width) @ weights
+            packed = [
+                [format(c, f"0{width}b") for c in row] for row in codes
+            ]
+        it = iter(packed)
+        return pd.Series([next(it) if ok else None for ok in mask])
+
+    return sigs
 
 
 def ann_lsh(
@@ -143,13 +174,14 @@ def ann_lsh(
     pair is scored once. At N vectors, 2^p buckets per table keeps each
     join partition ~N/2^p; raise p as N grows, raise the table count to
     buy recall back."""
+    sig_fn = rhp_signatures(dim, num_tables, planes_per_table)
+
     def sig(df, idc, vc):
         return df.select(
-            F.col(idc), F.col(vc),
-            F.explode(
-                rhp_tables(F.col(vc), dim, num_tables, planes_per_table)
-            ).alias("ts"),
-        ).select(idc, vc, "ts.table", "ts.sig")
+            F.col(idc),
+            F.col(vc),
+            F.posexplode(sig_fn(F.col(vc))).alias("table", "sig"),
+        )
 
     q = sig(queries, id_col, vec_col).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"), "table", "sig"
