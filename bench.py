@@ -48,6 +48,8 @@ OPTIONAL = [
     "llm_dedup_minhash_lsh",
     "llm_dedup_clusters",
     "llm_fingerprint",
+    "udf_pandas_scalar",
+    "udf_apply_in_pandas",
     "stream_tumbling_hourly",
     "stream_dedup_watermark",
 ]
@@ -82,6 +84,22 @@ def main() -> None:
 
     # Warmup: prime codegen/JIT and the parquet footer cache.
     _force(qmap[names[0]](spark, sf_dir))
+
+    # Streaming warmup: materialize the replay source directory (test
+    # harness setup — the streaming analog of the parquet inputs already
+    # existing on disk) and run one bounded stream so micro-batch engine
+    # and state-store initialization don't land inside the first
+    # measured streaming query.
+    if any(n.startswith("stream_") for n in names):
+        from github_event_etl_spark.streaming.replay import (
+            events_replay_dir,
+            read_event_stream,
+            run_bounded,
+        )
+
+        src = events_replay_dir(spark, sf_dir)
+        warm = read_event_stream(spark, src).groupBy("event_type").count()
+        run_bounded(warm, "complete", "bench_warmup")
 
     timings: dict[str, float] = {}
     for name in names:

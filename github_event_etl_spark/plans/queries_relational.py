@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from ..functions.timeutil import day_bucket, ts_string
 from ..operators.asof import asof_join, interval_overlap_join
+from ..operators.layout import read_day_partition, write_day_partitioned
 from ..operators.topk import top_k, top_k_per_group
 from ..sources.csv import read_csv
 from ..sources.tables import load_table
@@ -67,6 +68,35 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return read_csv(spark, out, schema)
+
+
+@query(
+    "sink_partitioned_scan",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS bucket_day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+    GROUP BY 1, 2
+    """,
+    tags=("sink", "layout", "partA"),
+)
+def sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/A16/A18 physical layout: events written day-PARTITIONED
+    (the Spark equivalent of the reference's `{date}:{hour}` key scheme,
+    redis-key-generator.js:1-10), then one day read back through the
+    partition-pruned path — only that day's directory is opened
+    (PartitionFilters; asserted in tests/test_plans.py). At 100 TB this
+    is the difference between scanning a day and scanning the table."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), "geetl_spark", sf, "events_by_day")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    write_day_partitioned(ev, out)
+    day = read_day_partition(spark, out, "2024-01-15")
+    return day.groupBy(
+        F.col("bucket_day").cast("string").alias("bucket_day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
 
 
 # ----------------------------------------------------- B2: filters/projection

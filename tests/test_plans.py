@@ -18,6 +18,8 @@ import io
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from github_event_etl_spark.plans.catalog import query_map
 
 
@@ -252,3 +254,73 @@ def test_udtf_is_single_scan_fanout(qmap, spark, sf_dir):
     assert "BatchEvalPythonUDTF" in tree
     assert tree.count("Scan parquet") == 1
     assert "Exchange" not in tree
+
+
+# -------------------------------------------------------- physical layout
+
+
+def test_partitioned_write_is_pruned_at_read(qmap, spark, sf_dir):
+    """Reading one day of the day-partitioned events sink must resolve
+    the day filter against directory names (PartitionFilters), never
+    open other days' files, and carry no row-level filter on the
+    partition column."""
+    plan = plan_of(qmap, spark, sf_dir, "sink_partitioned_scan")
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket_day" in m.group(1)
+    # the pruned scan reads only the one day's files
+    df = qmap["sink_partitioned_scan"](spark, sf_dir)
+    files = df.inputFiles()
+    assert files and all("bucket_day=2024-01-15" in f for f in files)
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge join with ZERO shuffle exchanges — the write-time
+    layout replaces the runtime shuffle (operators/layout.py). The
+    non-bucketed control plan shows the two exchanges this saves."""
+    from github_event_etl_spark.operators.layout import write_bucketed_table
+    from github_event_etl_spark.sources.tables import load_table
+    import contextlib, io
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    write_bucketed_table(
+        orders, "geetl_orders_b", str(tmp_path / "orders_b"),
+        bucket_col="o_custkey", num_buckets=8, sort_col="o_custkey",
+    )
+    write_bucketed_table(
+        customer, "geetl_customer_b", str(tmp_path / "customer_b"),
+        bucket_col="c_custkey", num_buckets=8, sort_col="c_custkey",
+    )
+    try:
+        ob = spark.table("geetl_orders_b")
+        cb = spark.table("geetl_customer_b")
+        joined = ob.hint("merge").join(
+            cb, ob.o_custkey == cb.c_custkey
+        ).select("o_orderkey", "c_name")
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain(mode="formatted")
+            tree = tree_of(buf.getvalue())
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree
+        # and the answer is still right: same count as the plain join
+        plain = load_table(spark, sf_dir, "orders").join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS geetl_orders_b")
+        spark.sql("DROP TABLE IF EXISTS geetl_customer_b")
