@@ -662,17 +662,22 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_set",
     oracle="""
-    SELECT user_id, list_sort(list_distinct(list(event_type))) AS types_seen
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS types_seen
     FROM events GROUP BY user_id
     """,
     tags=("agg", "partB"),
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B4: collect_set normalized by sort_array — deterministic array
-    output (set order is engine-internal otherwise)."""
+    """B4: collect_set normalized by sort_array, then serialized to a
+    comma-joined string — deterministic AND hashable (the driver's
+    value-hash canonicalizer cannot sort raw array columns; r01 err)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types_seen")
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "types_seen"
+        )
     )
 
 

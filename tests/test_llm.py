@@ -34,12 +34,19 @@ from github_event_etl_spark.sources.tables import load_table
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents").cache()
+    # Unpersist at teardown: a lingering cached documents relation gets
+    # substituted into OTHER tests' plans by the cache manager, hiding
+    # the pruned parquet scan test_plans.py asserts on.
+    df = load_table(spark, sf_dir, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings").cache()
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 # ------------------------------------------------------------------- dedup
