@@ -216,17 +216,26 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
     """Build an inverted-file index: pick `num_centroids` deterministic
-    seed vectors (every ⌈N/C⌉-th by id — a fixed, reproducible choice),
-    broadcast them, and assign every corpus vector to its nearest
-    centroid. Returns (assigned_corpus, centroids).
+    seed vectors DISTRIBUTED-SIDE, broadcast them, and assign every
+    corpus vector to its nearest centroid. Returns
+    (assigned_corpus, centroids).
+
+    Seed selection never collects corpus ids to the driver (at 10⁹
+    vectors that is a driver OOM): a fixed-seed xxhash64 modulus filter
+    keeps ~2C pseudo-randomly spread candidates executor-side, and
+    `orderBy(id).limit(C)` plans as a distributed TakeOrdered — only
+    the C chosen rows ever leave the executors. The only driver-side
+    scalar is `count()`. Deterministic for a given corpus (fixed hash
+    seed, unique-id tie-break).
 
     At scale the assigned table is written partitioned by `centroid_id`
     so a probe reads only nprobe/C of the data (partition pruning)."""
-    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
-    step = max(1, len(ids) // num_centroids)
-    centroid_ids = ids[::step][:num_centroids]
+    n = corpus.count()
+    modulus = max(1, n // (2 * num_centroids))
     centroids = (
-        corpus.filter(F.col(id_col).isin(centroid_ids))
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(modulus)) == 0)
+        .orderBy(id_col)
+        .limit(num_centroids)
         .select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
         )

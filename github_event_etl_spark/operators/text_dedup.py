@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ---------------------------------------------------------- expression tools
 
@@ -185,18 +186,36 @@ def _ordered_pairs(ids: Column, a_name: str = "doc_a", b_name: str = "doc_b") ->
     )
 
 
-def _bucket_pairs(keyed: DataFrame, key_cols: list) -> DataFrame:
+def _bucket_pairs(
+    keyed: DataFrame, key_cols: list, max_bucket_size: int = 10_000
+) -> DataFrame:
     """(doc_a < doc_b) candidate pairs from a (key..., doc_id) relation:
     group by bucket key, sort members, expand in-bucket pairs, distinct.
 
     One shuffle on the bucket key, then pure map-side expansion — the
     bucket pipeline upstream is computed ONCE (a self-join formulation
     would execute it twice). Bucket member lists are near-duplicate
-    cliques — small by construction; a degenerate corpus where a large
-    fraction of docs collide into one bucket is quadratic in that
-    clique under ANY candidate-pair formulation."""
+    cliques — small by construction.
+
+    Degenerate-bucket guard: a pathological corpus (mass-produced
+    boilerplate, empty-ish docs) can collide a large fraction of docs
+    into ONE bucket, whose pair expansion is quadratic under ANY
+    candidate formulation — at 10⁶ members that is 5·10¹¹ pairs from a
+    single task. Buckets larger than `max_bucket_size` are dropped
+    BEFORE their member list is materialized: the size check is a
+    window count over the same partitioning as the groupBy (the
+    planner reuses one exchange), so the giant `collect_list` never
+    builds. Docs in a dropped bucket still pair through their other
+    (band, bucket) keys; true mass-duplicates belong to exact dedup
+    upstream, not the near-dup path."""
+    w = Window.partitionBy(*key_cols)
+    bounded = (
+        keyed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
     return (
-        keyed.groupBy(*key_cols)
+        bounded.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
         .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
@@ -220,6 +239,7 @@ def minhash_candidate_pairs(
     num_bands: int = 4,
     rows_per_band: int = 3,
     k: int = 3,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) via MinHash-LSH
     banding.
@@ -239,7 +259,7 @@ def minhash_candidate_pairs(
         )
         .select("doc_id", "bb.band", "bb.bucket")
     )
-    return _bucket_pairs(buckets, ["band", "bucket"])
+    return _bucket_pairs(buckets, ["band", "bucket"], max_bucket_size)
 
 
 # --------------------------------------------------------- n-gram Jaccard
@@ -380,6 +400,7 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     num_blocks: int = 4,
     hamming_threshold: int = 3,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Near-dup candidates by SimHash block matching: split the 64-bit
     fingerprint into `num_blocks` 16-bit blocks; pairs agreeing on any
@@ -394,7 +415,9 @@ def simhash_candidate_pairs(
 
     Same explode→bucket shape as MinHash LSH: no cross join; the
     shuffle is n_docs × num_blocks rows, and fingerprints ride along in
-    the bucket groups so nothing is recomputed or re-joined."""
+    the bucket groups so nothing is recomputed or re-joined. The same
+    `max_bucket_size` guard as `_bucket_pairs` drops degenerate
+    (block, val) buckets before their member list materializes."""
     width = 64 // num_blocks
     fp = F.col("fp")
     blocks = F.array(
@@ -412,6 +435,12 @@ def simhash_candidate_pairs(
         simhash_fingerprints(docs, text_col)
         .select("doc_id", "fp", F.explode(blocks).alias("kb"))
         .select("doc_id", "fp", "kb.block", "kb.val")
+    )
+    wb = Window.partitionBy("block", "val")
+    keyed = (
+        keyed.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
     )
     return (
         keyed.groupBy("block", "val")

@@ -133,6 +133,41 @@ def test_minhash_catches_all_planted_near_dups(docs):
     assert want == got
 
 
+def test_degenerate_bucket_is_capped(spark):
+    """A planted giant bucket (mass-identical boilerplate) must not go
+    quadratic: with max_bucket_size below the clique size, its pairs
+    are dropped before the member list materializes, while genuine
+    near-dups elsewhere in the corpus still surface. The uncapped
+    control shows the quadratic blow-up the guard prevents."""
+    from github_event_etl_spark.operators.text_dedup import (
+        simhash_candidate_pairs,
+    )
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed")
+              for i in range(120)]
+    near = [
+        (1000, "spark shuffles partition data across executors by key hash order"),
+        (1001, "spark shuffles partition data across executors by key hash rank"),
+    ]
+    df = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(df, max_bucket_size=50).collect()
+    }
+    assert (1000, 1001) in capped
+    assert all(a >= 1000 for a, _ in capped), "giant-clique pairs leaked"
+
+    uncapped = minhash_candidate_pairs(df).count()
+    assert uncapped >= 120 * 119 // 2
+
+    sim_capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(df, max_bucket_size=50).collect()
+    }
+    assert all(a >= 1000 for a, _ in sim_capped), "giant-clique pairs leaked"
+
+
 # -------------------------------------------------------------- similarity
 
 
