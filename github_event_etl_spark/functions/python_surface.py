@@ -48,14 +48,27 @@ def token_count_vec(text: pd.Series) -> pd.Series:
 
     Matches ``len(string_split(text, ' '))`` exactly, including empty
     tokens from consecutive spaces: a string with n single-space
-    delimiters splits into n+1 pieces in both engines.
+    delimiters splits into n+1 pieces in both engines. NULL text stays
+    NULL (SQL null propagation) — a nullable Int64 series, not a
+    fillna-to-0, so the value-hash agrees with the oracle even when the
+    corpus carries NULL rows.
     """
-    return (text.str.count(" ").fillna(-1) + 1).astype("int64")
+    return (text.str.count(" ") + 1).astype("Int64")
+
+
+@pandas_udf(T.StringType())
+def head_token_upper_vec(text: pd.Series) -> pd.Series:
+    """First whitespace token, uppercased — Arrow-vectorized. NULL in,
+    NULL out. Matches ``upper(string_split(text, ' ')[1])``."""
+    return text.str.split(" ").str[0].str.upper()
 
 
 @F.udf(returnType=T.StringType())
 def first_token_upper_row(text):
-    """Row-at-a-time slow-path contrast (see module docstring)."""
+    """Row-at-a-time slow-path contrast (see module docstring). Used
+    ONLY by tests (tests/test_plans.py equivalence + plan contrast) —
+    never in a declared query, so no hot path pays the per-row
+    Python-call tax."""
     if text is None:
         return None
     return text.split(" ")[0].upper()

@@ -20,7 +20,7 @@ from ..functions.python_surface import (
     TOPK_PER_GROUP_SCHEMA,
     LeadingTokens,
     count_agg,
-    first_token_upper_row,
+    head_token_upper_vec,
     sum_squares_agg,
     token_count_vec,
     topk_chars_per_lang,
@@ -40,15 +40,16 @@ from .catalog import query
     tags=("udf", "partB"),
 )
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B10 scalar UDFs: Arrow-vectorized ``@pandas_udf`` token count
-    next to the row-at-a-time ``F.udf`` contrast column. At 100 TB only
-    the former belongs in a hot path — one Arrow batch per ~10k rows vs
-    one Python call per row."""
+    """B10 scalar UDFs: Arrow-vectorized ``@pandas_udf`` columns only —
+    one Arrow batch per ~10k rows, never one Python call per row. The
+    row-at-a-time ``F.udf`` contrast lives in tests/test_plans.py
+    (equivalence + plan-shape contrast), keeping the declared query's
+    plan pure ArrowEvalPython."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count_vec("text").alias("n_tokens"),
-        first_token_upper_row("text").alias("head_token"),
+        head_token_upper_vec("text").alias("head_token"),
     )
 
 

@@ -112,12 +112,20 @@ def run_foreach_batch_to_parquet(
     """Run a bounded stream through foreachBatch into an idempotent
     parquet sink — the 'write aggregates to a store' pattern
     (reference: pipeline.exec() batches,
-    update-contributor-scores.js:137-144). Batch id + overwrite-by-path
-    keep replays idempotent; the checkpoint makes restarts exactly-once
-    (A13)."""
+    update-contributor-scores.js:137-144).
+
+    Idempotence: each batch overwrites its OWN directory
+    `{out_dir}/batch_id={N}`. foreachBatch is at-least-once — a restart
+    after the sink write but before the checkpoint commit re-delivers
+    the batch — so a blind append would duplicate rows; overwrite-by-
+    batch-path makes the redelivery a no-op rewrite, and the checkpoint
+    makes the end state exactly-once (A13). Readers treat batch_id as a
+    partition column (`spark.read.parquet(out_dir)`)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

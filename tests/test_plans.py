@@ -258,13 +258,45 @@ def test_salted_agg_is_two_phase(qmap, spark, sf_dir):
 
 
 def test_pandas_udf_is_arrow_evaluated(qmap, spark, sf_dir):
-    """The vectorized column must evaluate via ArrowEvalPython (Arrow
-    batches); the row-UDF contrast column via BatchEvalPython. If the
-    pandas UDF ever degrades to pickled row execution, the Arrow node
-    disappears — that's a 10-100x regression at scale, so it's a test."""
+    """The declared query must be PURE ArrowEvalPython — no
+    BatchEvalPython (pickled per-row execution) anywhere in its plan.
+    If a pandas UDF ever degrades to row execution, the Arrow node
+    disappears — a 10-100x regression at scale, so it's a test."""
     tree = tree_of(plan_of(qmap, spark, sf_dir, "udf_pandas_scalar"))
     assert "ArrowEvalPython" in tree
-    assert "BatchEvalPython" in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_row_udf_contrast_matches_vectorized(spark, sf_dir):
+    """The documented slow path (row-at-a-time F.udf) computes the same
+    values as the Arrow-vectorized pandas UDF — and really does plan as
+    BatchEvalPython, the node the declared queries must never contain.
+    This test is the contrast's only call site."""
+    from github_event_etl_spark.functions.python_surface import (
+        first_token_upper_row,
+        head_token_upper_vec,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(500)
+    both = docs.select(
+        "doc_id",
+        head_token_upper_vec("text").alias("vec"),
+        first_token_upper_row("text").alias("row"),
+    )
+    tree = tree_of_df(both)
+    assert "BatchEvalPython" in tree and "ArrowEvalPython" in tree
+    assert both.filter(~F.col("vec").eqNullSafe(F.col("row"))).count() == 0
+
+
+def tree_of_df(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return tree_of(buf.getvalue())
 
 
 def test_grouped_udaf_shuffles_once(qmap, spark, sf_dir):
