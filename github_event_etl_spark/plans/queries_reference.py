@@ -312,6 +312,36 @@ def sink_append_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_n_view(ev, "event_id", 1000)
 
 
+@query(
+    "stream_stats_view",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS length,
+           CAST(min(event_id) AS BIGINT) AS first_entry_id,
+           CAST(max(event_id) AS BIGINT) AS last_entry_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_entry_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_entry_ts,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_producers
+    FROM events
+    """,
+    tags=("sink", "partA", "monitoring"),
+)
+def stream_stats_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 monitoring: the stream-metadata view — `XINFO STREAM`
+    (reference README.md:155): length, first/last entry id and time,
+    producer cardinality. One single-pass global aggregate; at scale
+    min/max/count fold map-side so the shuffle carries one row per
+    partition."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("length"),
+        F.min("event_id").alias("first_entry_id"),
+        F.max("event_id").alias("last_entry_id"),
+        ts_string(F.min("ts")).alias("first_entry_ts"),
+        ts_string(F.max("ts")).alias("last_entry_ts"),
+        F.countDistinct("user_id").alias("n_producers"),
+    )
+
+
 # ------------------------------------------------------------- aggregations
 
 

@@ -601,6 +601,31 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_count_if",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+           CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_even_user,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "partB"),
+)
+def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: conditional count — ``count_if`` is the declarative form of
+    the reference's inline score-eligibility filter
+    (update-contributor-scores.js:124-129). Plans as a plain
+    partial+final hash aggregate (the condition folds into the partial
+    buffer map-side); ANSI ``COUNT(*) FILTER`` in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.count_if(F.col("user_id") % 2 == 0).alias("n_even_user"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @query("agg_approx_distinct", oracle=None, tags=("agg", "partB", "approx"))
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4: approx_count_distinct (HyperLogLog++) — the 100 TB substitute

@@ -68,6 +68,76 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_rate_source",
+    oracle="""
+    SELECT CAST(r.range % 10 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(r.range) AS BIGINT) AS total
+    FROM range(0, 5000) r GROUP BY 1
+    """,
+    tags=("streaming", "partB1"),
+)
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 rate streaming source — the Spark-native analog of the
+    reference's synthetic polling ingest loop (insert-events.js:8-34),
+    which fabricates a steady event stream against no upstream.
+
+    Uses ``rate-micro-batch`` (not ``rate``): it emits a fixed
+    `rowsPerBatch` with deterministic monotonically-increasing values
+    per micro-batch regardless of wall clock, so a bounded run is
+    reproducible. The demo consumes exactly the first 5 000 values —
+    two micro-batches (the `value < 5000` filter makes later batches
+    no-ops) — and aggregates
+    them into 10 modulo buckets under complete mode, and stops once the
+    memory sink holds all 5 000 — the oracle is the same aggregate over
+    ``range(0, 5000)``. The source itself is unbounded; boundedness is
+    imposed by the filter + stop condition, which is how any rate-based
+    soak test terminates."""
+    import time
+    import uuid
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 2500)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    n_total = 5000
+    shaped = (
+        stream.filter(F.col("value") < n_total)
+        .groupBy((F.col("value") % 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("value").cast("bigint").alias("total"),
+        )
+    )
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="geetl_rate_ckpt_")
+    q = (
+        shaped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
+            if got == n_total:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError("rate-micro-batch demo never reached 5000 rows")
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+@query(
     "stream_sliding_counts",
     oracle=f"""
     WITH contrib AS (

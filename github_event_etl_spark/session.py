@@ -58,6 +58,17 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # A vanilla session defaults to 200 shuffle partitions — wasteful on
+    # local[32] (and each streaming micro-batch materializes one state
+    # store per partition). Runtime-settable, so pin it here; AQE still
+    # coalesces below this at execution. Safe for the bounded streams:
+    # every declared streaming query uses a fresh checkpoint.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(DEFAULT_SHUFFLE_PARTITIONS)
+        ),
+    )
     # The driver-generated events.parquet stores TIMESTAMP(NANOS), which
     # Spark 4 rejects by default; read as long and let the loader convert
     # (sources.tables.load_table) — data is µs-precision, so exact.
