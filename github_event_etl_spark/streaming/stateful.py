@@ -27,6 +27,18 @@ analog of the Redis event-log's live-key count; eviction is the
 engine's timer handling, not a manual sweep. Python runs only the
 per-group state logic, Arrow-batched; the scan/shuffle stays JVM-side.
 
+Cost model: applyInPandasWithState pays ~1 ms of Python/Arrow framework
+overhead per (key, micro-batch) invocation — data batches AND timer
+firings alike. A bounded replay concentrates every timer into the
+finalization batch (watermark jumps to max event time), so a 10k-key
+replay spends a few seconds there; a long-running stream amortizes the
+same firings across batches. Keys are the unit of parallelism — the
+per-group floor divides across executors, it does not grow with rows
+per group. For high-cardinality dedup WITHOUT custom state payloads,
+``dropDuplicatesWithinWatermark`` (stream_dedup_watermark) is the
+JVM-side fast path — use this operator only when the built-ins can't
+express the state logic.
+
 Arrival order: within one micro-batch the rows of a group are sorted by
 the explicit `arrival` column (0 = original, 1+ = retransmission) then
 by event time — so "first" is well-defined even when the original and a
@@ -38,6 +50,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -78,7 +91,19 @@ def dedup_first_wins_ttl(
         for pdf in batches:
             if seen or len(pdf) == 0:
                 continue
-            first = pdf.sort_values(["arrival", "ts"]).iloc[[0]]
+            # Hot path: this body runs once per distinct key per batch,
+            # so avoid the pandas sort machinery — np.lexsort on the two
+            # tie-break columns is ~5x cheaper on the tiny per-group
+            # frames, and the single-row case skips ordering entirely.
+            if len(pdf) == 1:
+                first = pdf
+            else:
+                idx = int(
+                    np.lexsort(
+                        (pdf["ts"].to_numpy(), pdf["arrival"].to_numpy())
+                    )[0]
+                )
+                first = pdf.iloc[idx : idx + 1]
             first_seen_ms = int(first["ts"].iloc[0].value // 1_000_000)
             seen = True
             yield first
