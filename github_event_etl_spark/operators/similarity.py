@@ -294,6 +294,76 @@ def ann_ivf(
     )
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as the physical layout `ivf_assign`'s
+    docstring promises: the assigned corpus written PARTITIONED BY
+    centroid_id (one directory per inverted list) plus the tiny centroid
+    table beside it. At 100 TB this write is one shuffle-free pass over
+    the corpus (the assignment is a broadcast join + window) and the
+    probe path below never reads more than nprobe/C of it."""
+    assigned, centroids = ivf_assign(corpus, num_centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/assigned"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_ivf_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe against the on-disk index written by `ivf_write_index`.
+
+    The candidate join keys the partition column of the assigned table
+    against the broadcast probe set, so Catalyst inserts a DYNAMIC
+    PARTITION PRUNING subquery: the scan opens only the probed
+    centroids' directories (PartitionFilters: [dynamicpruning#...]) —
+    never the whole index. No centroid id ever reaches the driver; the
+    probe list exists only as a broadcast exchange. Same ranking
+    semantics as `ann_ivf`, so results are identical for the same
+    corpus and parameters (asserted in tests/test_llm.py)."""
+    assigned = spark.read.parquet(f"{path}/assigned")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
+    qc = q.join(F.broadcast(centroids)).select(
+        "qid", "q_vec", "centroid_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("_csim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("_csim").desc(), F.col("centroid_id"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("qid", "q_vec", "centroid_id")
+    )
+    cand = (
+        assigned.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("c_vec"), "centroid_id"
+        )
+        .join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("qid") != F.col("nid"))
+    )
+    scored = cand.select(
+        "qid", "nid", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "nid", F.round("sim", 6).alias("sim_r"))
+    )
+
+
 # ------------------------------------------------------- exact near-dup pairs
 
 

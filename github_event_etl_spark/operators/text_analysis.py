@@ -14,10 +14,11 @@ interpolated into BOTH the Spark expressions and the DuckDB oracle SQL
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from .text_dedup import words
+from .text_dedup import word_shingles, words
 
 # Tokens that vote for each language. Deterministic classification with
 # a fixed preference order for ties (first list wins). Real pipelines
@@ -107,6 +108,51 @@ def lang_id(text: Column) -> Column:
         cond = (votes[lg] > 0) & (votes[lg] == mx)
         expr = F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
     return expr.otherwise(F.lit("und"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): hash every word
+    k-gram, slide a window of `w` consecutive k-gram hashes, keep the
+    minimum of each window; the distinct selected hashes are the doc's
+    fingerprint set. Guarantees every match of length >= w+k-1 tokens
+    shares a fingerprint, while storing ~2/(w+1) of the hashes.
+
+    Relational formulation (all JVM-side, one shuffle on doc_id):
+    posexplode shingles -> md5 -> sliding min over a w-row window
+    frame -> keep full windows (plus the truncated pos-0 window for
+    docs shorter than w k-grams, so every doc with >= 1 shingle gets
+    >= 1 fingerprint) -> distinct -> per-doc sorted-set digest.
+
+    At 100 TB: the explode fan-out is n_tokens rows/doc, the window
+    and both aggregations share one hash partitioning on doc_id, and
+    the output is two narrow columns per doc. Docs with fewer than k
+    words have no shingles and drop out (matching the oracle).
+    """
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col(text_col), k)).alias("pos", "sh"),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    whole = Window.partitionBy("doc_id")
+    picked = (
+        sh.select("doc_id", "pos", F.md5(F.col("sh")).alias("h"))
+        .withColumn("m", F.count(F.lit(1)).over(whole))
+        .withColumn("fp_hash", F.min("h").over(frame))
+        .filter(F.col("pos") <= F.greatest(F.col("m") - w, F.lit(0)))
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    return picked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.md5(F.concat_ws(" ", F.sort_array(F.collect_list("fp_hash")))).alias(
+            "winnow_fp"
+        ),
+    )
 
 
 def bow_fingerprint(text: Column) -> Column:

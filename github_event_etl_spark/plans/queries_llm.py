@@ -17,14 +17,19 @@ pytest recall/equivalence tests instead).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import attach_fake_media, extract_features, sample_frames
 from ..operators.similarity import (
     ann_ivf,
+    ann_ivf_partitioned,
     ann_lsh,
     cosine_dup_pairs,
+    ivf_write_index,
     knn_bruteforce,
 )
 from ..operators.text_analysis import (
@@ -36,6 +41,7 @@ from ..operators.text_analysis import (
     mean_word_len,
     quality_score,
     regex_token_count,
+    winnow_fingerprints,
     ws_token_count,
 )
 from ..operators.text_dedup import (
@@ -290,6 +296,24 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(emb, queries, k=_KNN_K, num_centroids=16, nprobe=4)
 
 
+@query("llm_ann_ivf_partitioned", oracle=None, tags=("llm", "similarity"))
+def llm_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF scale path made physical: the assigned corpus is WRITTEN
+    partitioned by centroid_id (one directory per inverted list) and
+    the probe joins that table against the broadcast probe set, so the
+    scan is dynamic-partition-pruned to the probed centroids only
+    (operators/similarity.py:ann_ivf_partitioned; DPP asserted in
+    tests/test_plans.py). Results are identical to llm_ann_ivf — same
+    centroids, same ranking — which pytest asserts; rows-only here
+    (approximate by design)."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    index = os.path.join(tempfile.gettempdir(), "geetl_spark", sf, "ivf_index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf_write_index(emb, index, num_centroids=16)
+    queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
+    return ann_ivf_partitioned(spark, index, queries, k=_KNN_K, nprobe=4)
+
+
 # -------------------------------------------------------------- text analysis
 
 
@@ -385,6 +409,50 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_WINNOW_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM tok
+),
+flat AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(shingles)+1),
+                i -> {{'pos': i - 1, 'h': md5(shingles[CAST(i AS INT)])}})) AS ph,
+         len(shingles) AS m
+  FROM sh WHERE len(shingles) > 0
+),
+g AS (SELECT doc_id, ph.pos AS pos, ph.h AS h, m FROM flat),
+wmin AS (
+  SELECT doc_id, pos, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp_hash
+  FROM g
+),
+picked AS (
+  SELECT DISTINCT doc_id, fp_hash FROM wmin
+  WHERE pos <= greatest(m - 4, 0)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fps,
+       md5(array_to_string(list_sort(list(fp_hash)), ' ')) AS winnow_fp
+FROM picked GROUP BY doc_id
+"""
+
+
+@query("llm_winnow_fingerprint", oracle=_WINNOW_ORACLE, tags=("llm", "text"))
+def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprinting by winnowing (MOSS, SIGMOD'03):
+    per-doc count + digest of the window-min k-gram hashes — the
+    local-fingerprint complement to the global bag-of-words hash
+    (operators/text_analysis.py:winnow_fingerprints). Window size 4
+    over word 3-gram md5 hashes; the DuckDB oracle recomputes the
+    identical selection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=3, w=4)
 
 
 # ---------------------------------------------------------------- multimodal

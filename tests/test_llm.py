@@ -187,6 +187,25 @@ def test_ann_recall_floors(emb):
     assert len(bf & ivf) / len(bf) >= 0.30
 
 
+def test_ivf_partitioned_index_equals_in_memory(spark, emb, tmp_path):
+    """The on-disk partitioned IVF index (ivf_write_index +
+    ann_ivf_partitioned) must return exactly the in-memory ann_ivf
+    results — same centroids, same ranking — while reading through the
+    dynamic-partition-pruned path."""
+    from github_event_etl_spark.operators.similarity import (
+        ann_ivf_partitioned,
+        ivf_write_index,
+    )
+
+    ivf_write_index(emb, str(tmp_path / "ivf"), num_centroids=16)
+    qs = emb.filter(F.col("vec_id") < 8)
+    disk = sorted(
+        map(tuple, ann_ivf_partitioned(spark, str(tmp_path / "ivf"), qs, k=10, nprobe=4).collect())
+    )
+    mem = sorted(map(tuple, ann_ivf(emb, qs, k=10, nprobe=4, num_centroids=16).collect()))
+    assert disk == mem
+
+
 def test_cosine_self_similarity(emb):
     sims = (
         emb.limit(20)

@@ -333,6 +333,17 @@ def test_udtf_is_single_scan_fanout(qmap, spark, sf_dir):
     assert "Exchange" not in tree
 
 
+def test_ivf_probe_is_dynamic_partition_pruned(qmap, spark, sf_dir):
+    """The on-disk IVF probe must scan ONLY the probed centroid
+    directories: the partitioned scan carries a dynamic-partition-
+    pruning subquery keyed on the broadcast probe set — at a billion
+    vectors this is the difference between reading nprobe/C of the
+    index and reading all of it."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_ann_ivf_partitioned")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruning" in l for l in pf), plan
+
+
 # -------------------------------------------------------- physical layout
 
 
