@@ -120,16 +120,20 @@ def winnow_fingerprints(
     fingerprint set. Guarantees every match of length >= w+k-1 tokens
     shares a fingerprint, while storing ~2/(w+1) of the hashes.
 
-    Relational formulation (all JVM-side, one shuffle on doc_id):
+    Relational formulation (all JVM-side, ONE shuffle on doc_id):
     posexplode shingles -> md5 -> sliding min over a w-row window
     frame -> keep full windows (plus the truncated pos-0 window for
     docs shorter than w k-grams, so every doc with >= 1 shingle gets
-    >= 1 fingerprint) -> distinct -> per-doc sorted-set digest.
+    >= 1 fingerprint) -> per-doc distinct + sorted-set digest.
 
-    At 100 TB: the explode fan-out is n_tokens rows/doc, the window
-    and both aggregations share one hash partitioning on doc_id, and
-    the output is two narrow columns per doc. Docs with fewer than k
-    words have no shingles and drop out (matching the oracle).
+    The window's hash partitioning on doc_id is reused by the final
+    groupBy (no second exchange), and the set-dedup happens INSIDE the
+    aggregation (array_distinct over the collected window mins) rather
+    than as a separate `.distinct()`, which would add a shuffle on
+    (doc_id, fp_hash). Winnowing selects ~2/(w+1) of the hashes, so
+    the collected list is ~n_windows small strings per doc. Docs with
+    fewer than k words have no shingles and drop out (matching the
+    oracle).
     """
     sh = docs.select(
         "doc_id",
@@ -139,19 +143,25 @@ def winnow_fingerprints(
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     )
     whole = Window.partitionBy("doc_id")
+    # Frame window FIRST: its (doc_id, pos) sort satisfies the
+    # unordered count window's doc_id grouping, so the plan carries one
+    # Sort for both Window nodes (the reverse order plans two).
     picked = (
         sh.select("doc_id", "pos", F.md5(F.col("sh")).alias("h"))
-        .withColumn("m", F.count(F.lit(1)).over(whole))
         .withColumn("fp_hash", F.min("h").over(frame))
+        .withColumn("m", F.count(F.lit(1)).over(whole))
         .filter(F.col("pos") <= F.greatest(F.col("m") - w, F.lit(0)))
         .select("doc_id", "fp_hash")
-        .distinct()
     )
-    return picked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fps"),
-        F.md5(F.concat_ws(" ", F.sort_array(F.collect_list("fp_hash")))).alias(
-            "winnow_fp"
-        ),
+    fps = F.array_sort(F.array_distinct(F.collect_list("fp_hash")))
+    return (
+        picked.groupBy("doc_id")
+        .agg(fps.alias("_fps"))
+        .select(
+            "doc_id",
+            F.size("_fps").cast("bigint").alias("n_fps"),
+            F.md5(F.concat_ws(" ", F.col("_fps"))).alias("winnow_fp"),
+        )
     )
 
 

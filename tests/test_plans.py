@@ -333,6 +333,18 @@ def test_udtf_is_single_scan_fanout(qmap, spark, sf_dir):
     assert "Exchange" not in tree
 
 
+def test_winnow_is_single_shuffle_single_sort(qmap, spark, sf_dir):
+    """Winnowing's window-min selection, full-window filter, and
+    per-doc digest must all ride ONE doc_id exchange and ONE sort —
+    the frame window's (doc_id, pos) order feeds the count window and
+    the aggregation reuses the partitioning. A second exchange or sort
+    here doubles the cost of the whole operator at scale."""
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_winnow_fingerprint"))
+    assert tree.count("Exchange") == 1
+    assert tree.count("Sort") == 1
+    assert tree.count("Window") == 2
+
+
 def test_ivf_probe_is_dynamic_partition_pruned(qmap, spark, sf_dir):
     """The on-disk IVF probe must scan ONLY the probed centroid
     directories: the partitioned scan carries a dynamic-partition-
