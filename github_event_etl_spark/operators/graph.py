@@ -102,14 +102,31 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    def _sketch(df: DataFrame) -> tuple[int, int]:
+        """(edge count, order-free checksum) in ONE job: XOR of per-edge
+        xxhash64 over a distinct edge set is a commutative set
+        fingerprint (XOR cancellation needs a repeated edge, impossible
+        in a distinct set; no overflow under ANSI mode, unlike sum).
+        Replaces the count()-then-exceptAll() fixpoint test (up to two
+        extra jobs per round over the full edge set); a false
+        "converged" needs equal counts AND a 64-bit checksum collision
+        between differing sets — negligible next to the max_rounds
+        safety bound."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    prev = _sketch(cur)
     for _ in range(max_rounds):
         nxt = _star_round(cur, large=True)
-        nxt = _star_round(nxt, large=False).localCheckpoint(eager=True)
-        # Fixed point: same edge multiset (both are distinct sets).
-        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
-            cur = nxt
+        cur = _star_round(nxt, large=False).localCheckpoint(eager=True)
+        sk = _sketch(cur)
+        # Fixed point: same edge set (both sides are distinct sets).
+        if sk == prev:
             break
-        cur = nxt
+        prev = sk
     # After convergence every edge is (component_min, member).
     members = cur.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = cur.select(F.col("u").alias("node"), F.col("u").alias("component"))

@@ -364,6 +364,61 @@ def ann_ivf_partitioned(
     )
 
 
+# ----------------------------------------------------- bucketed near-dup pairs
+
+
+def cosine_dup_pairs_lsh(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float,
+    num_tables: int = 12,
+    planes_per_table: int = 8,
+    max_bucket_size: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a < id_b, cosine ≥ threshold)
+    via multi-table RHP-LSH bucketing — the scale path that replaces
+    `cosine_dup_pairs`' O(N²) all-pairs scan.
+
+    Plan shape (mirrors MinHash-LSH text dedup, text_dedup.py):
+      map-side: one Arrow-batched numpy matmul per batch computes all
+                table signatures (`rhp_signatures`)
+      explode tables → ONE shuffle on (table, sig)   [N × num_tables rows]
+      in-bucket pair expansion with the degenerate-bucket cap
+      (`_bucket_pairs`) → distinct candidate pairs
+      verify: join vectors back by id (sort-merge on unique ids) and
+              keep exact cosine ≥ threshold — precision is exact; only
+              recall is probabilistic (tunable via tables × planes).
+
+    The full corpus never self-joins: a degenerate-free bucket holds
+    ~N/2^planes vectors, so candidate volume is sub-quadratic and the
+    cap bounds the pathological case. Raise `planes_per_table` as N
+    grows (buckets shrink), raise `num_tables` to buy recall back —
+    identical tuning law to MinHash banding."""
+    from .text_dedup import _bucket_pairs
+
+    sig_fn = rhp_signatures(dim, num_tables, planes_per_table)
+    keyed = vectors.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sig_fn(F.col(vec_col))).alias("table", "sig"),
+    )
+    cand = _bucket_pairs(keyed, ["table", "sig"], max_bucket_size)
+    a = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            cosine(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
+    )
+
+
 # ------------------------------------------------------- exact near-dup pairs
 
 

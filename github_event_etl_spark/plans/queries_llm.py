@@ -29,6 +29,7 @@ from ..operators.similarity import (
     ann_ivf_partitioned,
     ann_lsh,
     cosine_dup_pairs,
+    cosine_dup_pairs_lsh,
     ivf_write_index,
     knn_bruteforce,
 )
@@ -240,6 +241,80 @@ def llm_dup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     `llm_ann_ivf` are the sub-linear paths with the same verify math."""
     return cosine_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), _COSINE_THRESHOLD
+    )
+
+
+_PLANT_OFFSET = 1_000_000  # planted-duplicate id space, clear of any real vec_id
+_LSH_DUP_THRESHOLD = 0.98
+
+
+def _planted_dup_corpus(emb: DataFrame) -> DataFrame:
+    """The base embeddings plus one planted near-duplicate per vector:
+    component i scaled by 1.05 when (vec_id + i) is even else 0.95
+    (deterministic, index-parity — no RNG, expressible identically in
+    SQL). Every planted pair's cosine is ≥ (0.95+0.1α)/√(0.9025+0.2α)
+    ≥ 0.99875 for any even-index mass fraction α, while the corpus'
+    strongest organic pair sits near 0.5 — a clean planted/organic gap
+    for the 0.98 near-dup threshold."""
+    pert = emb.select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            * F.when((F.col("vec_id") + i) % 2 == 0, F.lit(1.05)).otherwise(
+                F.lit(0.95)
+            ),
+        ).alias("embedding"),
+    )
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionAll(pert)
+
+
+@query(
+    "llm_dup_cosine_lsh",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + {_PLANT_OFFSET} AS vec_id,
+             list_transform(range(1, 65),
+               i -> v[i] * (CASE WHEN (vec_id + i - 1) % 2 = 0
+                            THEN 1.05 ELSE 0.95 END)) AS v
+      FROM base
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.v', 'b.v')}, 6) AS sim_r
+    FROM corpus a, corpus b
+    WHERE a.vec_id < b.vec_id
+      AND {_cos_sql('a.v', 'b.v')} >= {_LSH_DUP_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def llm_dup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection the way it runs at 100 TB: RHP-LSH
+    bucketing (one (table, sig) shuffle, in-bucket pair expansion with
+    the degenerate-bucket cap) followed by exact-cosine verification —
+    never an all-pairs scan (operators/similarity.py:
+    cosine_dup_pairs_lsh). Run over the corpus with one planted
+    index-parity near-duplicate per vector (sim ≥ 0.99875 by
+    construction vs ~0.5 for the strongest organic pair).
+
+    The oracle is the EXACT all-pairs answer on the same derived
+    corpus: with 12 tables × 8 planes a planted pair escapes every
+    table with probability ≈ 1e-11, so LSH recall is 1 on this fixture
+    and the full value-hash applies — the approximate path is held to
+    the exact answer, not a weaker rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs_lsh(
+        _planted_dup_corpus(emb),
+        dim=64,
+        threshold=_LSH_DUP_THRESHOLD,
+        num_tables=12,
+        planes_per_table=8,
     )
 
 

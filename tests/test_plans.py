@@ -208,6 +208,16 @@ def test_simhash_has_no_cross_join(qmap, spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cosine_lsh_dedup_has_no_cross_join(qmap, spark, sf_dir):
+    """Embedding near-dup via RHP-LSH buckets must never degenerate to
+    the all-pairs scan it replaces: candidates come from the
+    (table, sig) equi-join path and verification joins by id — no
+    cartesian/nested-loop node anywhere in the plan."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_dup_cosine_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_knn_bruteforce_broadcasts_queries(qmap, spark, sf_dir):
     """Brute-force top-k is the one INTENTIONAL nested-loop: the tiny
     query set broadcasts and the corpus streams through exactly once
