@@ -486,6 +486,107 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_QUALITY_MIN = 0.5
+
+
+def _curation_sql() -> str:
+    """Oracle for the composite curation pipeline: language-ID and
+    quality gates, exact-dedup representative selection, per-language
+    corpus stats. All-integer output — no float aggregation order to
+    worry about."""
+    votes = {
+        lg: f"len(list_filter(wl, x -> x IN ({_in_list(markers)})))"
+        for lg, markers in LANG_MARKERS.items()
+    }
+    mx = "greatest(" + ", ".join(f"v_{lg}" for lg in LANG_MARKERS) + ")"
+    whens = "\n".join(
+        f"WHEN v_{lg} > 0 AND v_{lg} = {mx} THEN '{lg}'" for lg in LANG_MARKERS
+    )
+    vote_cols = ", ".join(f"{sql} AS v_{lg}" for lg, sql in votes.items())
+    quality = f"""round(0.4 * least(length(text)::DOUBLE / 500.0, 1.0)
+               + 0.4 * least(4.0 * (len(list_filter(wl, x -> x IN ({_in_list(STOPWORDS)})))::DOUBLE
+                                    / len(w)::DOUBLE), 1.0)
+               + 0.2 * (1.0 - least(10.0 * (length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
+                                            / length(text)::DOUBLE), 1.0)), 6)"""
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_TOK} AS w, {_TOK_LOWER} AS wl FROM documents
+    ),
+    v AS (SELECT doc_id, lang, text, w, wl, {vote_cols} FROM t),
+    e AS (
+      SELECT doc_id, lang,
+             CASE {whens} ELSE 'und' END AS pred_lang,
+             {quality} AS quality,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS toks,
+             md5(array_to_string(list_sort(list_distinct(wl)), ' ')) AS fp
+      FROM v
+    ),
+    k AS (
+      SELECT * FROM e
+      WHERE pred_lang <> 'und' AND quality >= {_CURATION_QUALITY_MIN}
+    ),
+    r AS (
+      SELECT lang, toks,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY fp) AS gsz
+      FROM k
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(gsz - 1) AS BIGINT) AS n_dups_removed,
+           CAST(sum(toks) AS BIGINT) AS total_tokens
+    FROM r WHERE rn = 1
+    GROUP BY lang
+    """
+
+
+@query(
+    "llm_corpus_curation",
+    oracle=_curation_sql(),
+    tags=("llm", "text", "pipeline"),
+)
+def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation composite a training-data pipeline
+    actually runs — language gate → quality gate → bag-of-words dedup
+    keep-one (catches the corpus' token-shuffled copies, which exact
+    hashing misses) → per-language corpus accounting — as ONE declared
+    query, proving the operators compose in a single plan.
+
+    Plan shape: every per-doc signal (language votes, quality score,
+    token count, bow fingerprint) is a map-side JVM expression over one
+    documents scan; the ONLY shuffle is the fingerprint exchange, which
+    both window functions (representative rank, duplicate-group size)
+    reuse; the final per-language rollup aggregates a handful of rows.
+    At 100 TB: one pass, one skew-free shuffle on a 128-bit hash.
+    All-integer output keeps the value-hash float-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    e = docs.select(
+        "doc_id",
+        "lang",
+        lang_id(t).alias("pred_lang"),
+        quality_score(t).alias("quality"),
+        regex_token_count(t).cast("long").alias("toks"),
+        bow_fingerprint(t).alias("fp"),
+    ).filter(
+        (F.col("pred_lang") != "und")
+        & (F.col("quality") >= _CURATION_QUALITY_MIN)
+    )
+    by_fp = Window.partitionBy("fp")
+    r = e.withColumn(
+        "rn", F.row_number().over(by_fp.orderBy("doc_id"))
+    ).withColumn("gsz", F.count(F.lit(1)).over(by_fp))
+    return (
+        r.filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("gsz") - 1).alias("n_dups_removed"),
+            F.sum("toks").alias("total_tokens"),
+        )
+    )
+
+
 _WINNOW_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, {_TOK} AS w FROM documents

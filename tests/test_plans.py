@@ -355,6 +355,21 @@ def test_winnow_is_single_shuffle_single_sort(qmap, spark, sf_dir):
     assert tree.count("Window") == 2
 
 
+def test_curation_pipeline_shuffles_twice(qmap, spark, sf_dir):
+    """The curation composite (language gate → quality gate → bow-dedup
+    keep-one → per-language rollup) must compute every per-doc signal
+    map-side over ONE documents scan, with exactly two exchanges: the
+    fingerprint partitioning (shared by the rank and group-size
+    windows, one sort) and the final few-row language rollup. A third
+    exchange means a window or the dedup stopped riding the same
+    partitioning — a full extra pass over the corpus at scale."""
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_corpus_curation"))
+    assert tree.count("Exchange") == 2
+    assert tree.count("Sort") == 1
+    assert tree.count("Window") == 2
+    assert tree.count("Scan parquet") == 1
+
+
 def test_ivf_probe_is_dynamic_partition_pruned(qmap, spark, sf_dir):
     """The on-disk IVF probe must scan ONLY the probed centroid
     directories: the partitioned scan carries a dynamic-partition-
