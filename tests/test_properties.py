@@ -306,3 +306,60 @@ def test_connected_components_match_union_find(spark, edges):
     # And the distributed result must cover every non-isolated node.
     non_isolated = {n for u, v in edges if u != v for n in (u, v)}
     assert set(got) == non_isolated
+
+
+# ------------------------------------- LSH near-dup vs exact differential
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-5, max_value=5), min_size=16, max_size=16
+        ).filter(lambda v: any(x != 0 for x in v)),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_cosine_lsh_dedup_subset_of_exact_and_finds_planted(spark, vecs):
+    """cosine_dup_pairs_lsh on arbitrary corpora with one planted
+    ±2 %-perturbed near-duplicate per vector: every emitted pair must
+    appear in the exact numpy all-pairs answer at the same threshold
+    (precision is exact by construction — the verify step), and every
+    planted pair (cosine ≥ 0.9996 by construction) must be emitted
+    (12 tables × 4 planes ⇒ per-pair miss probability < 1e-10)."""
+    import numpy as np
+
+    from github_event_etl_spark.operators.similarity import cosine_dup_pairs_lsh
+
+    threshold = 0.95
+    base = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    planted = [
+        (i + 1000, [x * (1.02 if (i + j) % 2 == 0 else 0.98) for j, x in enumerate(v)])
+        for i, v in base
+    ]
+    corpus = base + planted
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in corpus],
+        schema="vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_dup_pairs_lsh(
+            df, dim=16, threshold=threshold, num_tables=12, planes_per_table=4
+        ).collect()
+    }
+
+    ids = [i for i, _ in corpus]
+    M = np.asarray([v for _, v in corpus], dtype=np.float64)
+    sims = (M @ M.T) / np.outer(
+        np.linalg.norm(M, axis=1), np.linalg.norm(M, axis=1)
+    )
+    exact = {
+        (min(ids[a], ids[b]), max(ids[a], ids[b]))
+        for a in range(len(ids))
+        for b in range(a + 1, len(ids))
+        if sims[a, b] >= threshold
+    }
+    assert got <= exact
+    assert {(i, i + 1000) for i, _ in base} <= got
