@@ -93,11 +93,14 @@ def main() -> None:
     if any(n.startswith("stream_") for n in names):
         from github_event_etl_spark.streaming.replay import (
             events_replay_dir,
+            events_replay_dir_with_dupes,
             read_event_stream,
             run_bounded,
         )
 
         src = events_replay_dir(spark, sf_dir)
+        if "stream_dedup_watermark" in names:
+            events_replay_dir_with_dupes(spark, sf_dir)
         warm = read_event_stream(spark, src).groupBy("event_type").count()
         run_bounded(warm, "complete", "bench_warmup")
 

@@ -29,6 +29,7 @@ from ..functions.timeutil import ts_string
 from ..sources.tables import load_table
 from ..streaming.replay import (
     events_replay_dir,
+    events_replay_dir_with_dupes,
     read_event_stream,
     run_bounded,
     run_foreach_batch_to_parquet,
@@ -227,19 +228,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     first arrival per event_id — the Lua GET-then-SET dedup with the
     300 s TTL as watermark horizon (insert-events-into-db.lua:8-11,39).
     The oracle is simply the original duplicate-free table."""
-    base = events_replay_dir(spark, sf_dir)
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    dup_dir = os.path.join(tempfile.gettempdir(), "geetl_spark", sf, "stream_src_dup")
-    if not os.path.exists(os.path.join(dup_dir, "_SUCCESS")):
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            F.expr("unix_micros(ts)").alias("ts_us"),
-            "user_id",
-            "event_type",
-            "value",
-        )
-        dupes = ev.filter(F.col("event_id") % 7 == 0)
-        ev.unionAll(dupes).repartition(8).write.mode("overwrite").json(dup_dir)
+    dup_dir = events_replay_dir_with_dupes(spark, sf_dir)
     ev = read_event_stream(spark, dup_dir)
     deduped = (
         ev.withWatermark("ts", "10 minutes")

@@ -67,6 +67,29 @@ def events_replay_dir(
     return out
 
 
+def events_replay_dir_with_dupes(spark: SparkSession, sf_dir: str) -> str:
+    """Replay directory carrying injected duplicates (every 7th event
+    twice) — the input for the streaming-dedup demos. Same idempotent
+    scratch-dir contract as `events_replay_dir`; a separate helper so
+    harness warmup can materialize it OUTSIDE any measured window (it
+    is test-fixture setup, not query work)."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        tempfile.gettempdir(), "geetl_spark", sf, "stream_src_dup"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        dupes = ev.filter(F.col("event_id") % 7 == 0)
+        ev.unionAll(dupes).repartition(8).write.mode("overwrite").json(out)
+    return out
+
+
 def read_event_stream(spark: SparkSession, src_dir: str, **options) -> DataFrame:
     """Open the replay directory as a streaming source and restore the
     typed event shape (ts back to TimestampType)."""
