@@ -587,6 +587,42 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_split_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN hx BETWEEN '0' AND 'b' THEN 'train'
+                WHEN hx IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+    tags=("llm", "sampling"),
+)
+def llm_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket — the
+    standard held-out-split discipline for a training corpus: the split
+    is a pure function of the stable doc id (first hex nibble of
+    md5: 0–b → train 75 %, c–d → val 12.5 %, e–f → test 12.5 %), so it
+    is reproducible across runs, engines, and cluster sizes — no RNG,
+    no seed coordination, no shuffle at all (map-side projection;
+    re-running on new data never reassigns old docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(hx.between("0", "b"), "train")
+        .when(hx.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 _WINNOW_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, {_TOK} AS w FROM documents
