@@ -91,6 +91,51 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def dup_word_fraction(text: Column) -> Column:
+    """Repetition signal (Gopher-style curation rule): 1 − |distinct
+    tokens| / |tokens| over lowercase words. 0 = no repeated word,
+    → 1 as the doc degenerates into repetition. Map-side; the token
+    array is let-bound so the split happens once per row."""
+    from .text_dedup import _let
+
+    return _let(
+        words(F.lower(text)),
+        lambda w: F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(w)).cast("double")
+            / F.size(w).cast("double"),
+            6,
+        ),
+    )
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Fraction of word-2-grams taken by the single most frequent one —
+    the classic boilerplate detector (a doc dominated by one repeated
+    phrase scores high). Null for docs under two words. Quadratic in
+    DISTINCT bigrams per doc, which is bounded by doc length — per-row
+    work, never cross-row."""
+    from .text_dedup import _let
+
+    bg = word_shingles(F.lower(text), k=2)
+    return _let(
+        bg,
+        lambda b: F.when(
+            F.size(b) > 0,
+            F.round(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(b),
+                        lambda x: F.size(F.filter(b, lambda y: y == x)),
+                    )
+                ).cast("double")
+                / F.size(b).cast("double"),
+                6,
+            ),
+        ),
+    )
+
+
 def lang_votes(text: Column, lang: str) -> Column:
     """Number of tokens matching `lang`'s marker list."""
     toks = words(F.lower(text))

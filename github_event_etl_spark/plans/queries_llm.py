@@ -38,10 +38,12 @@ from ..operators.text_analysis import (
     STOPWORDS,
     TOKEN_REGEX,
     bow_fingerprint,
+    dup_word_fraction,
     lang_id,
     mean_word_len,
     quality_score,
     regex_token_count,
+    top_bigram_fraction,
     winnow_fingerprints,
     ws_token_count,
 )
@@ -584,6 +586,71 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("gsz") - 1).alias("n_dups_removed"),
             F.sum("toks").alias("total_tokens"),
         )
+    )
+
+
+_REP_DUP_WORD_MAX = 0.5
+_REP_TOP_BIGRAM_MAX = 0.2
+
+
+@query(
+    "llm_repetition_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK_LOWER} AS wl FROM documents
+    ),
+    s AS (
+      SELECT doc_id, wl,
+             CASE WHEN len(wl) >= 2
+                  THEN list_transform(range(1, len(wl)),
+                                      i -> array_to_string(wl[i:i+1], ' '))
+                  ELSE [] END AS bg
+      FROM t
+    ),
+    f AS (
+      SELECT doc_id,
+             round(1.0 - len(list_distinct(wl))::DOUBLE
+                       / len(wl)::DOUBLE, 6) AS dup_word_frac,
+             CASE WHEN len(bg) > 0 THEN
+               round(list_max(list_transform(list_distinct(bg),
+                       x -> len(list_filter(bg, y -> y = x))))::DOUBLE
+                     / len(bg)::DOUBLE, 6)
+             END AS top_bigram_frac
+      FROM s
+    )
+    SELECT doc_id, dup_word_frac, top_bigram_frac,
+           CAST(CASE WHEN dup_word_frac <= {_REP_DUP_WORD_MAX}
+                      AND top_bigram_frac <= {_REP_TOP_BIGRAM_MAX}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM f
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher-rule family):
+    duplicate-word fraction and top-bigram fraction per doc, and the
+    keep/drop verdict at the standard thresholds. Both signals are
+    map-side higher-order expressions over one lowercase tokenization
+    (let-bound, split once per row) — per-row work only, no shuffle;
+    the filter composes in front of any dedup/curation pipeline
+    (operators/text_analysis.py:dup_word_fraction,
+    top_bigram_fraction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    out = docs.select(
+        "doc_id",
+        dup_word_fraction(t).alias("dup_word_frac"),
+        top_bigram_fraction(t).alias("top_bigram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        F.when(
+            (F.col("dup_word_frac") <= _REP_DUP_WORD_MAX)
+            & (F.col("top_bigram_frac") <= _REP_TOP_BIGRAM_MAX),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
     )
 
 
