@@ -370,6 +370,17 @@ def test_curation_pipeline_shuffles_twice(qmap, spark, sf_dir):
     assert tree.count("Scan parquet") == 1
 
 
+def test_map_side_curation_ops_never_shuffle(qmap, spark, sf_dir):
+    """The per-doc curation signals (hash-bucket splitting, repetition
+    filtering) must stay pure map-side projections — zero exchanges.
+    Any shuffle appearing here means a scalar signal silently became a
+    cross-row computation, turning an embarrassingly-parallel scan into
+    a repartition of the whole corpus."""
+    for name in ("llm_split_sample", "llm_repetition_filter"):
+        tree = tree_of(plan_of(qmap, spark, sf_dir, name))
+        assert tree.count("Exchange") == 0, name
+
+
 def test_ivf_probe_is_dynamic_partition_pruned(qmap, spark, sf_dir):
     """The on-disk IVF probe must scan ONLY the probed centroid
     directories: the partitioned scan carries a dynamic-partition-
