@@ -57,45 +57,65 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# Keys that already have a GREEN row in CORRECTNESS_r01.json. The
-# verification driver walks the registry in insertion order and round 1
-# stopped after the first 50 keys, leaving every fn_*/llm_*/stream_*/
-# udf_* query (plus set_except / agg_salted_hot_key /
-# sql_api_leaderboard) without a hard correctness row. We therefore
-# order the registry unchecked-first each round and rotate this set as
-# rows turn green. agg_collect_set errored in r01 (canonicalizer), so
-# it is deliberately NOT listed — it re-registers early for a recheck.
-_R1_GREEN: frozenset[str] = frozenset(
-    {
-        "scan_events", "scan_archive", "parse_ndjson_corrupt",
-        "filter_bot_regex", "filter_bot_heuristic", "filter_type_isin",
-        "project_nested", "flatten_to_json", "dedup_event_id",
-        "dedup_first_wins", "sink_append_last_n", "agg_hourly_count",
-        "rollup_daily_sum", "topk_contributors", "time_bucketing",
-        "incremental_missing_partitions", "scan_csv",
-        "sink_partitioned_scan", "filter_between", "filter_null_handling",
-        "project_case_when", "project_arithmetic", "join_inner_equi",
-        "join_broadcast", "join_outer_left", "join_outer_full",
-        "join_semi", "join_anti", "join_cross", "join_range_theta",
-        "join_asof", "join_interval", "agg_multi", "agg_distinct_users",
-        "agg_grouping_sets", "agg_cube", "agg_pivot_type",
-        "agg_percentile", "agg_approx_distinct", "agg_stats_suite",
-        "agg_min_max_by", "window_rank_topk_per_group",
-        "window_lag_delta", "window_running_sum", "window_sliding_frame",
-        "window_rank_suite", "sort_multi_key", "set_union_all",
-        "set_intersect",
-    }
-)
+# Queries whose OUTPUT semantics changed since their last green
+# CORRECTNESS row. The artifact-derived staleness ordering below cannot
+# see code changes, so any query edited in a way that alters its result
+# (schema, values, operands) must be listed here for the round in which
+# it changed: it registers ahead of everything else so the driver's
+# 50-key/round cap re-hash-verifies it. Clear entries once the new
+# green row lands in the next CORRECTNESS artifact.
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset()
+
+
+def _rounds_checked_green() -> dict[str, int]:
+    """Latest round in which each query key earned a green driver row.
+
+    Derived from the CORRECTNESS_r*.json artifacts at load time (not a
+    hand-maintained set — a stale manual entry could silently mask a
+    changed query). Green = all three of rows/schema/hash matched, or a
+    declared rows-only check that produced rows without error.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            hash_green = row.get("hash_match") is True
+            rows_only_green = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if hash_green or rows_only_green:
+                latest[key] = max(latest.get(key, 0), rnd)
+    return latest
 
 
 def _load_all() -> None:
     """Import every module that registers queries, then order the
-    registry unchecked-first (idempotent).
+    registry stalest-first (idempotent).
 
     Registration order is significant: the verification driver checks
-    registry keys in insertion order and round 1 recorded rows only for
-    the first 50, so keys without a green CORRECTNESS_r01 row must come
-    first to fit under the cap.
+    registry keys in insertion order and caps each round at 50 keys.
+    Ordering is (1) queries changed this round, (2) queries with no
+    green row in any CORRECTNESS artifact, (3) everything else by
+    ascending last-green round — so the driver always re-verifies the
+    keys whose hard signal is most stale.
     """
     from . import queries_llm  # noqa: F401
     from . import queries_streaming  # noqa: F401
@@ -104,12 +124,18 @@ def _load_all() -> None:
     from . import queries_relational  # noqa: F401
     from . import queries_reference  # noqa: F401
 
-    unchecked = {k: v for k, v in _REGISTRY.items() if k not in _R1_GREEN}
-    checked = {k: v for k, v in _REGISTRY.items() if k in _R1_GREEN}
-    if list(_REGISTRY) != list(unchecked) + list(checked):
+    last_green = _rounds_checked_green()
+
+    def rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:
+        key = item[0]
+        if key in _CHANGED_THIS_ROUND:
+            return (0, 0)
+        return (1, last_green.get(key, 0))
+
+    ordered = dict(sorted(_REGISTRY.items(), key=rank))
+    if list(_REGISTRY) != list(ordered):
         _REGISTRY.clear()
-        _REGISTRY.update(unchecked)
-        _REGISTRY.update(checked)
+        _REGISTRY.update(ordered)
 
 
 def all_specs() -> dict[str, QuerySpec]:
