@@ -28,6 +28,35 @@ def last_n_view(df: DataFrame, order_col: str, n: int) -> DataFrame:
     return df.orderBy(F.col(order_col).desc()).limit(n)
 
 
+def expire_day_partitions(path: str, min_keep_day: str) -> list[str]:
+    """Physically drop expired day partitions from a
+    ``bucket_day=YYYY-MM-DD``-partitioned parquet directory — the engine
+    form of the reference's EXPIREAT-next-midnight aggregate TTL
+    (update-contributor-scores.js:218-220).
+
+    Day keys are fixed-format strings, so the horizon comparison is
+    lexicographic on directory NAMES: a pure metadata operation that
+    never opens a data file, exactly like Redis key expiry. On a
+    cluster the same operation is ``ALTER TABLE .. DROP PARTITION`` /
+    an object-store prefix delete; file count is O(days), independent
+    of data volume, so this costs the same at 100 TB as at 100 MB.
+
+    Returns the dropped partition day keys (sorted), for audit.
+    """
+    import os
+    import shutil
+
+    dropped: list[str] = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("bucket_day="):
+            continue
+        day = entry.split("=", 1)[1]
+        if day < min_keep_day:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(day)
+    return dropped
+
+
 def retain_partitions(df: DataFrame, part_col: Column, min_keep) -> DataFrame:
     """Partition-drop retention as a view: rows whose partition key >=
     horizon. On partitioned parquet this predicate is partition pruning —

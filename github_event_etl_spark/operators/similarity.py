@@ -221,20 +221,20 @@ def ivf_assign(
     (assigned_corpus, centroids).
 
     Seed selection never collects corpus ids to the driver (at 10⁹
-    vectors that is a driver OOM): a fixed-seed xxhash64 modulus filter
-    keeps ~2C pseudo-randomly spread candidates executor-side, and
-    `orderBy(id).limit(C)` plans as a distributed TakeOrdered — only
-    the C chosen rows ever leave the executors. The only driver-side
-    scalar is `count()`. Deterministic for a given corpus (fixed hash
-    seed, unique-id tie-break).
+    vectors that is a driver OOM) and runs NO sizing action at all:
+    rank every row by `xxhash64(id)` (a fixed-seed uniform scramble of
+    the id space) and take the C smallest — `orderBy(hash).limit(C)`
+    plans as a distributed TakeOrdered, a per-partition C-element heap,
+    so only the C chosen rows ever leave the executors and the index
+    build is exactly one pass over the corpus. (The previous form sized
+    a modulus filter with a `count()` — a whole extra corpus scan per
+    build.) Deterministic for a given corpus: fixed hash seed,
+    unique-id tie-break.
 
     At scale the assigned table is written partitioned by `centroid_id`
     so a probe reads only nprobe/C of the data (partition pruning)."""
-    n = corpus.count()
-    modulus = max(1, n // (2 * num_centroids))
     centroids = (
-        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(modulus)) == 0)
-        .orderBy(id_col)
+        corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(num_centroids)
         .select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
@@ -422,16 +422,36 @@ def cosine_dup_pairs_lsh(
 # ------------------------------------------------------- exact near-dup pairs
 
 
+COSINE_EXACT_MAX_ROWS = 100_000
+
+
 def cosine_dup_pairs(
     vectors: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = COSINE_EXACT_MAX_ROWS,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — the exact
     embedding-near-duplicate check. O(N²): correct as an oracle-checked
     baseline at test scale; the production path at 100 TB is
-    `ann_lsh`/`ann_ivf` bucketing first (same verify expression)."""
+    `ann_lsh`/`ann_ivf` bucketing first (same verify expression).
+
+    Because the plan is an unbounded non-equi self-join (BNLJ), it
+    DETONATES quadratically on a large corpus, so it refuses to run
+    above `max_rows` input vectors (default 100k ≈ 5e9 candidate
+    pairs, the sane ceiling for a deliberate baseline run). The size
+    probe is `limit(max_rows + 1).count()` — it scans at most
+    max_rows + 1 rows, never the full table. Pass `max_rows=None`
+    only in a test harness that knows its input is small."""
+    if max_rows is not None:
+        probed = vectors.select(id_col).limit(max_rows + 1).count()
+        if probed > max_rows:
+            raise ValueError(
+                f"cosine_dup_pairs is an O(N^2) exact baseline; input has "
+                f">{max_rows} rows. Use ann_lsh/ann_ivf (sub-quadratic) "
+                f"instead, or raise max_rows deliberately."
+            )
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

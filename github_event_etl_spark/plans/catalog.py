@@ -16,6 +16,7 @@ floats.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -64,16 +65,24 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 # it changed: it registers ahead of everything else so the driver's
 # 50-key/round cap re-hash-verifies it. Clear entries once the new
 # green row lands in the next CORRECTNESS artifact.
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset()
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
+    # round 4: operands changed so the difference is non-empty (the old
+    # all-time viewer-minus-purchaser form hashed vacuously on 0 rows)
+    "set_except",
+})
 
 
+@functools.lru_cache(maxsize=1)
 def _rounds_checked_green() -> dict[str, int]:
     """Latest round in which each query key earned a green driver row.
 
-    Derived from the CORRECTNESS_r*.json artifacts at load time (not a
-    hand-maintained set — a stale manual entry could silently mask a
-    changed query). Green = all three of rows/schema/hash matched, or a
-    declared rows-only check that produced rows without error.
+    Derived from the CORRECTNESS_r*.json artifacts (not a hand-maintained
+    set — a stale manual entry could silently mask a changed query).
+    Green = all three of rows/schema/hash matched, or a declared
+    rows-only check that produced at least one row without error (a
+    0-row rows-only result counts as stale so it gets re-checked).
+    Cached for the process lifetime: artifacts only change between
+    driver rounds, and every catalog access funnels through here.
     """
     import glob
     import json
@@ -93,13 +102,17 @@ def _rounds_checked_green() -> dict[str, int]:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue
         for key, row in rows.items():
             if not isinstance(row, dict):
                 continue
             hash_green = row.get("hash_match") is True
+            spark_rows = row.get("spark_rows")
             rows_only_green = (
                 row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
+                and isinstance(spark_rows, int)
+                and spark_rows > 0
             )
             if hash_green or rows_only_green:
                 latest[key] = max(latest.get(key, 0), rnd)

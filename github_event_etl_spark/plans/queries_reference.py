@@ -8,6 +8,7 @@ pre-registered views.
 
 from __future__ import annotations
 
+import datetime
 import os
 import tempfile
 
@@ -18,7 +19,8 @@ from pyspark.sql import types as T
 from ..functions.predicates import is_bot_login_heuristic, is_bot_login_regex
 from ..functions.timeutil import hour_bucket, day_bucket, ts_string, next_utc_midnight
 from ..operators.dedup import dedup_by_key, dedup_first_by_key
-from ..operators.retention import last_n_view
+from ..operators.layout import write_day_partitioned
+from ..operators.retention import expire_day_partitions, last_n_view
 from ..operators.scoring import daily_rollup, hourly_scores, top_contributors
 from ..sources.ndjson import CORRUPT_COL, read_ndjson, read_ndjson_with_corrupt
 from ..sources.tables import load_table
@@ -310,6 +312,45 @@ def sink_append_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "user_id"
     )
     return last_n_view(ev, "event_id", 1000)
+
+
+@query(
+    "retention_expire_partitions",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS bucket_day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') >=
+          (SELECT strftime(date_trunc('day', max(ts)) - INTERVAL 7 DAY,
+                           '%Y-%m-%d') FROM events)
+    GROUP BY 1
+    """,
+    tags=("sink", "retention", "partA"),
+)
+def retention_expire_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: aggregate TTL as partition-drop retention — the reference
+    expires each day's score keys at the next UTC midnight
+    (update-contributor-scores.js:218-220, EXPIREAT). Engine form:
+    events written day-PARTITIONED (redis-key-generator.js key scheme),
+    then partitions older than a 7-day horizon are physically dropped —
+    a directory-name metadata operation that never reads expired data
+    (operators/retention.py:expire_day_partitions). The surviving table
+    is re-read through the partitioned path and summarized per day.
+
+    The only driver-side scalar is the horizon itself: max(ts) — a
+    column-pruned single-number agg, fine at any scale."""
+    out = _tmpdir("events_retention", sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    write_day_partitioned(ev, out)
+    max_day = ev.agg(F.max(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    horizon = (max_day - datetime.timedelta(days=7)).strftime("%Y-%m-%d")
+    expire_day_partitions(out, horizon)
+    kept = spark.read.parquet(out)
+    return kept.groupBy(F.col("bucket_day").cast("string").alias("bucket_day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("users"),
+    )
 
 
 @query(

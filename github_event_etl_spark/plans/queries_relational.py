@@ -911,18 +911,27 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'view'
+    SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-03'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
     """,
     tags=("setop", "partB"),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B7: EXCEPT — viewers who never purchased."""
+    """B7: EXCEPT — users active in the first two days who had not yet
+    purchased by then. (The previous operands — all-time viewers minus
+    all-time purchasers — were an EMPTY difference on the test corpus:
+    over a full month every user does everything, so the driver's hash
+    check was vacuous. The two-day window keeps both operands and the
+    subtraction non-trivial: ~a third of early-active users survive.)"""
+    cutoff = F.lit("2024-01-03 00:00:00").cast("timestamp")
     ev = load_table(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").select("user_id")
-    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return v.subtract(p)
+    active = ev.filter(F.col("ts") < cutoff).select("user_id")
+    purchased = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("ts") < cutoff)
+    ).select("user_id")
+    return active.subtract(purchased)
 
 
 # --------------------------------------------------- B4: skew-safe aggregation

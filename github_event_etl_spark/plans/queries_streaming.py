@@ -90,11 +90,10 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     two micro-batches (the `value < 5000` filter makes later batches
     no-ops) — and aggregates
     them into 10 modulo buckets under complete mode, and stops once the
-    memory sink holds all 5 000 — the oracle is the same aggregate over
-    ``range(0, 5000)``. The source itself is unbounded; boundedness is
-    imposed by the filter + stop condition, which is how any rate-based
-    soak test terminates."""
-    import time
+    engine's progress telemetry reports both tracked batches committed —
+    the oracle is the same aggregate over ``range(0, 5000)``. The
+    source itself is unbounded; boundedness is imposed by the filter +
+    stop condition, which is how any rate-based soak test terminates."""
     import uuid
 
     stream = (
@@ -124,12 +123,20 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            got = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
-            if got == n_total:
+        # Termination from the engine's own progress telemetry, not
+        # wall-clock polling of the sink: every committed micro-batch
+        # reports numInputRows, and batches 0+1 carry exactly the 5 000
+        # tracked values (2 500 rowsPerBatch), so the complete-mode sink
+        # is final once the reported input total reaches n_total.
+        # awaitTermination(0.2) is the scheduler-side wait; the
+        # iteration cap bounds the loop without time.time(), and no
+        # Spark job runs during the wait (recentProgress is driver
+        # metadata).
+        for _ in range(600):
+            seen = sum(int(p.numInputRows) for p in q.recentProgress)
+            if seen >= n_total:
                 break
-            time.sleep(0.25)
+            q.awaitTermination(0.2)
         else:
             raise TimeoutError("rate-micro-batch demo never reached 5000 rows")
     finally:

@@ -42,6 +42,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -73,4 +74,58 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     # Spark 4 rejects by default; read as long and let the loader convert
     # (sources.tables.load_table) — data is µs-precision, so exact.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Driver parquet timestamps carry no timezone (isAdjustedToUTC=false);
+    # with NTZ inference on, Spark 4 reads them as TIMESTAMP_NTZ, which
+    # strict functions (unix_micros, window) reject. The data is naive UTC
+    # and the session timezone is UTC, so reading as TIMESTAMP is the
+    # identical instant; load_table also normalizes defensively.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _ship_package(spark)
     return spark
+
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    consumer session's working directory.
+
+    cloudpickle serializes module-level functions (pandas UDFs,
+    applyInPandas/mapInPandas callables) BY REFERENCE, so every Python
+    worker must be able to `import github_event_etl_spark`. A consumer
+    that starts its session outside the repo root would otherwise fail
+    with ModuleNotFoundError on the first UDF task. Shipping the
+    package as a zip via addPyFile is the standard Spark mechanism and
+    works identically on a 1000-executor cluster (the zip rides the
+    file server; ~40 kB once per session)."""
+    sid = id(spark)
+    if sid in _SHIPPED_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    py_files = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                py_files.append(os.path.join(root, fn))
+    zpath = os.path.join(tempfile.gettempdir(), "geetl_spark_pkg.zip")
+    newest_src = max(os.path.getmtime(p) for p in py_files)
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest_src:
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in py_files:
+                arc = os.path.join(
+                    "github_event_etl_spark", os.path.relpath(p, pkg_dir)
+                )
+                zf.write(p, arc)
+        os.replace(tmp, zpath)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        # Non-fatal: sessions launched from the repo root (tests, bench,
+        # the verification driver) resolve the package from cwd anyway.
+        pass
+    _SHIPPED_SESSIONS.add(sid)

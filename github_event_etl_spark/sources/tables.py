@@ -134,6 +134,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Defensive NTZ normalization: if this session scanned the footer with
+    # NTZ inference on (e.g. an externally built session that skipped
+    # ensure_session_defaults), rewrite naive-UTC TIMESTAMP_NTZ columns to
+    # TIMESTAMP. Session timezone is pinned UTC, so the cast is the
+    # identity on the underlying micros value — no instant shift.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
