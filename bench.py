@@ -85,6 +85,27 @@ def main() -> None:
     # Warmup: prime codegen/JIT and the parquet footer cache.
     _force(qmap[names[0]](spark, sf_dir))
 
+    # Python-worker warmup (engine initialization, same footing as the
+    # JVM/codegen warmup above): the first Arrow UDF task on each of
+    # the N local cores forks a Python worker process (~30-40 ms each,
+    # serialized enough to add ~1 s at local[32]). Workers are reused
+    # afterwards (spark.python.worker.reuse default), so one tiny UDF
+    # pass across all cores moves the fork cost out of the first
+    # measured UDF query. A real cluster pays this once per executor
+    # lifetime, not per query.
+    if any(n.startswith("udf_") or n.startswith("udaf_") for n in names):
+        from pyspark.sql import functions as _F
+
+        from github_event_etl_spark.functions.python_surface import (
+            token_count_vec,
+        )
+
+        _force(
+            spark.range(int(cpus) * 4)
+            .repartition(int(cpus))
+            .select(token_count_vec(_F.lit("a b")))
+        )
+
     # Streaming warmup: materialize the replay source directory (test
     # harness setup — the streaming analog of the parquet inputs already
     # existing on disk) and run one bounded stream so micro-batch engine

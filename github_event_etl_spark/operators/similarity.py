@@ -222,19 +222,24 @@ def ivf_assign(
 
     Seed selection never collects corpus ids to the driver (at 10⁹
     vectors that is a driver OOM) and runs NO sizing action at all:
-    rank every row by `xxhash64(id)` (a fixed-seed uniform scramble of
+    rank every row by `md5(id)` (a uniform, engine-agnostic scramble of
     the id space) and take the C smallest — `orderBy(hash).limit(C)`
     plans as a distributed TakeOrdered, a per-partition C-element heap,
     so only the C chosen rows ever leave the executors and the index
     build is exactly one pass over the corpus. (The previous form sized
     a modulus filter with a `count()` — a whole extra corpus scan per
-    build.) Deterministic for a given corpus: fixed hash seed,
+    build.) md5 rather than xxhash64 deliberately: DuckDB computes the
+    identical hex ranking, so the whole IVF pipeline — seeding,
+    assignment, probe, ranking — carries a full value oracle
+    (queries_llm.llm_ann_ivf). Deterministic for a given corpus:
     unique-id tie-break.
 
     At scale the assigned table is written partitioned by `centroid_id`
     so a probe reads only nprobe/C of the data (partition pruning)."""
     centroids = (
-        corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        corpus.orderBy(
+            F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+        )
         .limit(num_centroids)
         .select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")

