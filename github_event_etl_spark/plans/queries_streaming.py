@@ -285,6 +285,31 @@ def stream_foreach_batch_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _retx_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Replay dir where every event appears twice: the original
+    (arrival 0) and a retransmitted copy with a mutated payload
+    (arrival 1, value+100). Shared fixture for both stateful-dedup
+    variants; idempotent scratch-dir contract as replay.py."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(
+        tempfile.gettempdir(), "geetl_spark", sf, "stream_src_retx"
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        first = ev.withColumn("arrival", F.lit(0))
+        retx = first.withColumn("value", F.col("value") + 100.0).withColumn(
+            "arrival", F.lit(1)
+        )
+        first.unionByName(retx).repartition(8).write.mode("overwrite").json(src)
+    return src
+
+
 @query(
     "stream_stateful_dedup_ttl",
     oracle="SELECT event_id, value FROM events",
@@ -306,24 +331,7 @@ def stream_stateful_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming.stateful import dedup_first_wins_ttl
 
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    src = os.path.join(
-        tempfile.gettempdir(), "geetl_spark", sf, "stream_src_retx"
-    )
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            F.expr("unix_micros(ts)").alias("ts_us"),
-            "user_id",
-            "event_type",
-            "value",
-        )
-        first = ev.withColumn("arrival", F.lit(0))
-        retx = first.withColumn("value", F.col("value") + 100.0).withColumn(
-            "arrival", F.lit(1)
-        )
-        first.unionByName(retx).repartition(8).write.mode("overwrite").json(src)
-
+    src = _retx_replay_dir(spark, sf_dir)
     schema = (
         "event_id long, ts_us long, user_id long, event_type string, "
         "value double, arrival int"
@@ -342,4 +350,61 @@ def stream_stateful_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = dedup_first_wins_ttl(stream, ttl_seconds=300)
     out = run_bounded(deduped, "update", "stateful_dedup")
+    return out.select("event_id", "value")
+
+
+# NOT a declared query: Spark 4's transformWithStateInPandas requires
+# the `google.protobuf` package for its driver<->state-server protocol
+# (pyspark/sql/streaming/proto/StateMessage_pb2.py), which this
+# container does not ship and cannot install. The operator itself is
+# fully implemented (streaming/stateful.py dedup_first_wins_tws) and
+# covered by a protobuf-gated pytest (tests/test_streaming.py) that
+# runs wherever the dependency exists — the same acknowledged
+# environment-limit treatment as the Kafka source (SURVEY §1.4).
+def stream_stateful_dedup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TTL'd first-wins dedup on Spark 4's
+    ``transformWithStateInPandas`` (streaming/stateful.py
+    dedup_first_wins_tws) — the successor stateful API, same semantics
+    and the same oracle as `stream_stateful_dedup_ttl`: the replay
+    carries every event twice (arrival 1 copies mutate value by +100)
+    and first-wins must return exactly the originals.
+
+    transformWithState requires the RocksDB state-store provider — the
+    100 TB-correct store anyway (off-heap/on-disk state, changelog
+    checkpoints); restored to the prior provider after the bounded run
+    so other streaming queries in the session keep their default."""
+    from ..streaming.stateful import dedup_first_wins_tws
+
+    src = _retx_replay_dir(spark, sf_dir)
+    schema = (
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, arrival int"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .select(
+            "event_id",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "arrival",
+        )
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        deduped = dedup_first_wins_tws(stream, ttl_seconds=300)
+        out = run_bounded(deduped, "update", "stateful_dedup_tws")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
     return out.select("event_id", "value")
