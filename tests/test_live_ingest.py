@@ -1,0 +1,134 @@
+"""Live-connector ingest (SURVEY §2 A1): a REAL network source driven
+end-to-end — an in-process TCP server streams NDJSON events, Spark's
+socket source consumes them live, the shared parse stage types them,
+and the results land in a sink. This is the sandbox's stand-in for the
+reference's polling ingest loop (insert-events.js:8-34); the Kafka
+wrapper shares the identical parse stage, tested in batch below."""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+import time
+
+from pyspark.sql import functions as F
+
+from github_event_etl_spark.sources.live import (
+    parse_event_lines,
+    read_socket_events,
+)
+
+US = 1_000_000
+DAY0 = 1_704_067_200  # 2024-01-01T00:00:00Z
+
+
+def _event(eid, hour, etype="purchase", value=1.5, user=7):
+    return {
+        "event_id": eid,
+        "ts_us": int((DAY0 + hour * 3600) * US),
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+    }
+
+
+def test_parse_event_lines_batch_types_and_error_isolation(spark):
+    """The parse stage shared by socket AND Kafka ingest: typed
+    envelope out, malformed/incomplete lines dropped (A3/A19), ts as
+    proper TimestampType."""
+    lines = spark.createDataFrame(
+        [
+            (json.dumps(_event(1, 0.0)),),
+            (json.dumps(_event(2, 1.5, etype="signup", value=-3.0)),),
+            ("{not json at all",),
+            ('{"event_id": null, "ts_us": 1}',),
+            ("",),
+        ],
+        "value string",
+    )
+    got = parse_event_lines(lines).orderBy("event_id").collect()
+    assert [(r.event_id, r.event_type, r.value) for r in got] == [
+        (1, "purchase", 1.5),
+        (2, "signup", -3.0),
+    ]
+    assert got[0].ts.year == 2024 and got[1].ts.hour == 1
+    assert dict(parse_event_lines(lines).dtypes)["ts"] == "timestamp"
+
+
+class _NdjsonHandler(socketserver.BaseRequestHandler):
+    def handle(self):
+        payload = "".join(
+            json.dumps(e) + "\n" for e in self.server.events  # type: ignore[attr-defined]
+        )
+        try:
+            self.request.sendall(payload.encode())
+            # Keep the connection open so the source keeps polling
+            # until the query is stopped (a closed socket fails the
+            # stream) — the server shuts down with the test.
+            while not self.server.stop_flag.is_set():  # type: ignore[attr-defined]
+                time.sleep(0.05)
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+
+
+def test_socket_source_live_ingest_end_to_end(spark):
+    """Start a local NDJSON server, consume it with the socket source,
+    aggregate live, stop on the engine's own progress telemetry (no
+    sink polling), and check the result equals the batch answer."""
+    events = [
+        _event(i, hour=i % 3, etype="purchase" if i % 2 else "signup")
+        for i in range(40)
+    ]
+    srv = socketserver.ThreadingTCPServer(
+        ("127.0.0.1", 0), _NdjsonHandler, bind_and_activate=True
+    )
+    srv.events = events  # type: ignore[attr-defined]
+    srv.stop_flag = threading.Event()  # type: ignore[attr-defined]
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    import tempfile
+    import uuid
+
+    name = f"live_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="geetl_live_ckpt_")
+    try:
+        stream = read_socket_events(spark, "127.0.0.1", port)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            # countDistinct is unsupported on streams; exact distinct
+            # via collect_set is fine at test size
+            F.size(F.collect_set("event_id")).alias("ids"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        # Stop when the engine reports all 40 lines ingested — the
+        # same progress-telemetry termination as stream_rate_source.
+        for _ in range(600):
+            seen = sum(int(p.numInputRows) for p in q.recentProgress)
+            if seen >= len(events):
+                break
+            q.awaitTermination(0.2)
+        else:
+            raise TimeoutError("socket ingest never delivered all events")
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r.event_type: (r.n, r.ids)
+            for r in spark.table(name).collect()
+        }
+        assert got == {"purchase": (20, 20), "signup": (20, 20)}
+    finally:
+        srv.stop_flag.set()  # type: ignore[attr-defined]
+        srv.shutdown()
+        srv.server_close()
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)

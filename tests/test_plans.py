@@ -200,6 +200,11 @@ def test_minhash_lsh_has_no_cross_join(qmap, spark, sf_dir):
     plan = plan_of(qmap, spark, sf_dir, "llm_dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # Both Python stages (fused signature+banding, fused pair-Jaccard)
+    # must be Arrow-vectorized — a silent fallback to pickled row UDF
+    # execution would show as BatchEvalPython.
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_simhash_has_no_cross_join(qmap, spark, sf_dir):
