@@ -63,8 +63,14 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 # see code changes, so any query edited in a way that alters its result
 # (schema, values, operands) must be listed here for the round in which
 # it changed: it registers ahead of everything else so the driver's
-# 50-key/round cap re-hash-verifies it. Clear entries once the new
-# green row lands in the next CORRECTNESS artifact.
+# 50-key/round cap re-hash-verifies it. Entries SELF-CLEAR: an entry
+# is honored only until the key earns a green row in an artifact NEWER
+# than `_CHANGED_AFTER_ROUND` (the last round whose artifacts predate
+# the change). Once the post-change verification lands, the key
+# rejoins normal staleness ordering — a forgotten entry cannot
+# permanently hog the 50-key budget.
+_CHANGED_AFTER_ROUND = 3  # round-4 edits; r01-r03 artifacts predate them
+
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     # round 4: operands changed so the difference is non-empty (the old
     # all-time viewer-minus-purchaser form hashed vacuously on 0 rows)
@@ -151,7 +157,10 @@ def _load_all() -> None:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         key = item[0]
-        if key in _CHANGED_THIS_ROUND:
+        if (
+            key in _CHANGED_THIS_ROUND
+            and last_green.get(key, 0) <= _CHANGED_AFTER_ROUND
+        ):
             return (0, 0)
         return (1, last_green.get(key, 0))
 
