@@ -82,8 +82,23 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qmap]
     names += [n for n in OPTIONAL if n in qmap]
 
+    # Fault isolation: every warmup/measurement is fenced so one broken
+    # query (or environment drift — round 3 lost the ENTIRE benchmark
+    # to a single timestamp-footer change in the warmup path) degrades
+    # to one missing entry, never an empty BENCH artifact.
+    errors: dict[str, str] = {}
+
+    def _guard(tag, fn):
+        try:
+            fn()
+            return True
+        except Exception as e:  # noqa: BLE001 — record and continue
+            errors[tag] = f"{type(e).__name__}: {e}"[:300]
+            print(f"bench: {tag} failed: {errors[tag]}", file=sys.stderr)
+            return False
+
     # Warmup: prime codegen/JIT and the parquet footer cache.
-    _force(qmap[names[0]](spark, sf_dir))
+    _guard("warmup", lambda: _force(qmap[names[0]](spark, sf_dir)))
 
     # Python-worker warmup (engine initialization, same footing as the
     # JVM/codegen warmup above): the first Arrow UDF task on each of
@@ -94,17 +109,21 @@ def main() -> None:
     # measured UDF query. A real cluster pays this once per executor
     # lifetime, not per query.
     if any(n.startswith("udf_") or n.startswith("udaf_") for n in names):
-        from pyspark.sql import functions as _F
 
-        from github_event_etl_spark.functions.python_surface import (
-            token_count_vec,
-        )
+        def _warm_workers():
+            from pyspark.sql import functions as _F
 
-        _force(
-            spark.range(int(cpus) * 4)
-            .repartition(int(cpus))
-            .select(token_count_vec(_F.lit("a b")))
-        )
+            from github_event_etl_spark.functions.python_surface import (
+                token_count_vec,
+            )
+
+            _force(
+                spark.range(int(cpus) * 4)
+                .repartition(int(cpus))
+                .select(token_count_vec(_F.lit("a b")))
+            )
+
+        _guard("udf_worker_warmup", _warm_workers)
 
     # Streaming warmup: materialize the replay source directory (test
     # harness setup — the streaming analog of the parquet inputs already
@@ -112,24 +131,28 @@ def main() -> None:
     # and state-store initialization don't land inside the first
     # measured streaming query.
     if any(n.startswith("stream_") for n in names):
-        from github_event_etl_spark.streaming.replay import (
-            events_replay_dir,
-            events_replay_dir_with_dupes,
-            read_event_stream,
-            run_bounded,
-        )
 
-        src = events_replay_dir(spark, sf_dir)
-        if "stream_dedup_watermark" in names:
-            events_replay_dir_with_dupes(spark, sf_dir)
-        warm = read_event_stream(spark, src).groupBy("event_type").count()
-        run_bounded(warm, "complete", "bench_warmup")
+        def _warm_streaming():
+            from github_event_etl_spark.streaming.replay import (
+                events_replay_dir,
+                events_replay_dir_with_dupes,
+                read_event_stream,
+                run_bounded,
+            )
+
+            src = events_replay_dir(spark, sf_dir)
+            if "stream_dedup_watermark" in names:
+                events_replay_dir_with_dupes(spark, sf_dir)
+            warm = read_event_stream(spark, src).groupBy("event_type").count()
+            run_bounded(warm, "complete", "bench_warmup")
+
+        _guard("streaming_warmup", _warm_streaming)
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        _force(qmap[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        if _guard(name, lambda: _force(qmap[name](spark, sf_dir))):
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -137,17 +160,16 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -142,6 +142,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    # Footer-drift guard: the test parquet is regenerated out-of-band and
+    # its physical types have drifted before (TIMESTAMP(NANOS) → µs-NTZ).
+    # Where the declared schema (SCHEMAS) differs only by a LOSSLESS cast
+    # (integer widening, float→double, decimal→double), normalize to the
+    # declared type so every downstream plan and oracle sees the stable
+    # engine schema. Genuine shape changes (new/renamed columns) are NOT
+    # silently papered over — they surface in the first query that
+    # references the missing column.
+    want = SCHEMAS.get(name)
+    if want is not None:
+        have = dict(df.dtypes)
+        widen_ok = {
+            ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+            ("smallint", "int"), ("smallint", "bigint"),
+            ("int", "bigint"), ("float", "double"),
+        }
+        for field in want.fields:
+            got = have.get(field.name)
+            wanted = field.dataType.simpleString()
+            if got is None or got == wanted:
+                continue
+            if (got, wanted) in widen_ok or (
+                got.startswith("decimal") and wanted == "double"
+            ):
+                df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
     return df
 
 
