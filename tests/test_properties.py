@@ -363,3 +363,54 @@ def test_cosine_lsh_dedup_subset_of_exact_and_finds_planted(spark, vecs):
     }
     assert got <= exact
     assert {(i, i + 1000) for i, _ in base} <= got
+
+
+# ------------------------------------- Arrow/expression parity (MinHash)
+
+
+# Texts that stress the tokenizer split: unicode (incl. non-ASCII
+# whitespace like \xa0, which Java's \s does NOT match and the Python
+# twin must not either), ASCII control whitespace, and empties.
+_fuzz_text = st.one_of(
+    st.none(),
+    st.text(max_size=80),
+    st.text(
+        alphabet=st.sampled_from(list(" \t\n\x0b\f\r\xa0 abcXYZ0_ü€")),
+        max_size=60,
+    ),
+)
+
+
+@settings(**SETTINGS)
+@given(texts=st.lists(_fuzz_text, min_size=1, max_size=30))
+def test_minhash_bands_udf_expression_parity_fuzz(spark, texts):
+    """The Arrow-fused band UDF must equal the HOF expression twin on
+    ARBITRARY text — the highest-risk divergence is tokenizer
+    semantics (Java regex \\s is ASCII-only; Python \\s is unicode, so
+    the twin pins an explicit ASCII class). One Spark job per example
+    set, both forms in one projection."""
+    from github_event_etl_spark.operators.text_dedup import (
+        jaccard_ngram,
+        jaccard_pairs_vec,
+        lsh_band_buckets,
+        minhash_band_buckets_vec,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [Row(i=i, text=t) for i, t in enumerate(texts)],
+        schema="i long, text string",
+    )
+    expr = lsh_band_buckets(minhash_signature(F.col("text")), 4, 3)
+    vec = minhash_band_buckets_vec(4, 3)(F.col("text"))
+    jac_e = jaccard_ngram(F.col("text"), F.reverse(F.col("text")))
+    jac_v = jaccard_pairs_vec(3)(F.col("text"), F.reverse(F.col("text")))
+    rows = df.select(
+        "i", expr.alias("e"), vec.alias("v"),
+        jac_e.alias("je"), jac_v.alias("jv"),
+    ).collect()
+    for r in rows:
+        assert [tuple(x) for x in r.e] == [tuple(x) for x in r.v], (
+            "bands", r.i, texts[r.i],
+        )
+        assert r.je == r.jv, ("jaccard", r.i, texts[r.i])
