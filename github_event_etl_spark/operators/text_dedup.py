@@ -523,23 +523,52 @@ def simhash64(text: Column) -> Column:
     )
 
 
-def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, fp): the same 64-bit SimHash as `simhash64`, computed
-    relationally so the whole pass stays inside whole-stage codegen:
+def _md5_bit_test(b: int) -> Column:
+    """True when bit `b` (0..63) of the token's 64-bit md5-derived hash
+    is set. The hash is the first 16 hex chars of md5(tok), parsed as
+    two 32-bit halves (hi = chars 1-8, lo = chars 9-16) so neither
+    engine ever left-shifts into the sign bit: bit b < 32 lives in lo,
+    bit b ≥ 32 in hi. DuckDB mirrors this exactly with
+    `('0x'||substr(md5(t),1,8))::BIGINT` — that portability is what
+    buys SimHash a full value oracle."""
+    hx = F.md5(F.col("tok"))
+    half = F.conv(F.substring(hx, 9, 8) if b < 32 else F.substring(hx, 1, 8), 16, 10)
+    return half.cast("long").bitwiseAND(F.lit(1 << (b % 32))) != 0
 
-      explode tokens → xxhash64 (JVM) →
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", hash_family: str = "md5"
+) -> DataFrame:
+    """(doc_id, fp): 64-bit SimHash computed relationally so the whole
+    pass stays inside whole-stage codegen:
+
+      explode tokens → per-token hash bits (JVM) →
       groupBy(doc_id) with 64 `sum(CASE WHEN bit b set THEN 1 ELSE -1)`
       vote aggregates → fold votes into the fingerprint long.
+
+    `hash_family="md5"` (default) derives token bits from md5 hex
+    halves — deterministic and engine-portable, so the driver's DuckDB
+    oracle recomputes identical fingerprints (the same trick that gave
+    MinHash/RHP/IVF full value oracles). `hash_family="xxhash64"` is
+    the faster JVM-native twin (one 64-bit hash vs md5 + two hex
+    parses per token), parity-tested against `simhash64` in pytest;
+    use it when no cross-engine check is needed.
 
     All of a doc's tokens sit in one partition after explode, so
     partial aggregation collapses them map-side — the shuffle carries
     one row per doc, not one per token. This replaces an interpreted
     per-row array fold that was ~100× slower (higher-order lambdas run
     outside codegen)."""
-    h = F.xxhash64("tok")
+    if hash_family == "md5":
+        bit = _md5_bit_test
+    elif hash_family == "xxhash64":
+        h = F.xxhash64("tok")
+        bit = lambda b: h.bitwiseAND(F.lit(_BIT_WEIGHTS[b])) != 0  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     votes = [
-        F.sum(F.when(h.bitwiseAND(F.lit(w)) != 0, 1).otherwise(-1)).alias(f"v{b}")
-        for b, w in enumerate(_BIT_WEIGHTS)
+        F.sum(F.when(bit(b), 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(64)
     ]
     fp = F.lit(0).cast("long")
     for b, w in enumerate(_BIT_WEIGHTS):
@@ -563,6 +592,7 @@ def simhash_candidate_pairs(
     num_blocks: int = 4,
     hamming_threshold: int = 3,
     max_bucket_size: int = 10_000,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Near-dup candidates by SimHash block matching: split the 64-bit
     fingerprint into `num_blocks` 16-bit blocks; pairs agreeing on any
@@ -594,7 +624,7 @@ def simhash_candidate_pairs(
         ]
     )
     keyed = (
-        simhash_fingerprints(docs, text_col)
+        simhash_fingerprints(docs, text_col, hash_family=hash_family)
         .select("doc_id", "fp", F.explode(blocks).alias("kb"))
         .select("doc_id", "fp", "kb.block", "kb.val")
     )

@@ -69,23 +69,22 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 # the change). Once the post-change verification lands, the key
 # rejoins normal staleness ordering — a forgotten entry cannot
 # permanently hog the 50-key budget.
-_CHANGED_AFTER_ROUND = 3  # round-4 edits; r01-r03 artifacts predate them
+_CHANGED_AFTER_ROUND = 4  # round-5 edits; r01-r04 artifacts predate them
 
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # round 4: operands changed so the difference is non-empty (the old
-    # all-time viewer-minus-purchaser form hashed vacuously on 0 rows)
-    "set_except",
-    # round 4: upgraded from rows-only to full value oracles (md5-derived
-    # LSH planes / md5-seeded IVF centroids) — register early so the new
-    # hash checks actually run
-    "llm_ann_lsh",
-    "llm_ann_ivf",
-    "llm_ann_ivf_partitioned",
-    # round 4: MinHash family switched to Kirsch-Mitzenmacher double
-    # hashing (1 md5/shingle) — signatures, buckets, and candidates all
-    # changed; oracle mirrors the new family
-    "llm_dedup_minhash_lsh",
+    # round 5: SimHash token hashes switched from xxhash64 to md5 hex
+    # halves, upgrading llm_dedup_simhash from rows-only to a full
+    # value oracle — fingerprints, blocks, and candidates all changed
+    "llm_dedup_simhash",
 })
+
+# Declared rows-only queries whose correct answer may legitimately be
+# empty. A 0-row result from one of these still earns a green staleness
+# row (it is not suspicious), so it cannot permanently occupy one of
+# the driver's 50 per-round verification slots. Keys NOT listed here
+# keep the strict `spark_rows > 0` rule: an unexpected empty result
+# stays stale and gets re-checked every round until fixed.
+_ROWS_ONLY_EMPTY_OK: frozenset[str] = frozenset()
 
 
 @functools.lru_cache(maxsize=1)
@@ -128,7 +127,7 @@ def _rounds_checked_green() -> dict[str, int]:
             rows_only_green = (
                 row.get("err") == "no_oracle"
                 and isinstance(spark_rows, int)
-                and spark_rows > 0
+                and (spark_rows > 0 or key in _ROWS_ONLY_EMPTY_OK)
             )
             if hash_green or rows_only_green:
                 latest[key] = max(latest.get(key, 0), rnd)

@@ -186,12 +186,81 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs_jaccard(pairs, docs, _JACCARD_THRESHOLD)
 
 
-@query("llm_dedup_simhash", oracle=None, tags=("llm", "dedup"))
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS t FROM documents
+),
+h AS (
+  -- token hash = first 16 hex chars of md5, parsed as two 32-bit
+  -- halves so neither engine left-shifts into the sign bit
+  -- (text_dedup.py _md5_bit_test)
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, b.b AS bit,
+         SUM(CASE WHEN (CASE WHEN b.b < 32 THEN lo >> b.b
+                             ELSE hi >> (b.b - 32) END) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(range(0, 64)) AS b) b
+  GROUP BY 1, 2
+),
+fp AS (
+  -- weights are distinct powers of two, so SUM == bitwise OR; bit 63's
+  -- weight is Long.MIN_VALUE (two's complement), matching Spark's fold
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN
+               CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                    ELSE 1::BIGINT << bit END
+             ELSE 0 END)::BIGINT AS fp
+  FROM votes GROUP BY 1
+),
+blocks AS (
+  -- 4 × 16-bit blocks; arithmetic >> then mask == Spark's
+  -- shiftrightunsigned then mask
+  SELECT doc_id, fp, b.b AS block, (fp >> (b.b * 16)) & 65535 AS val
+  FROM fp, (SELECT unnest(range(0, 4)) AS b) b
+),
+cand AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM blocks l
+  JOIN blocks r ON l.block = r.block AND l.val = r.val
+              AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.fp, r.fp)) <= 3
+  GROUP BY 1, 2
+),
+tokw AS (SELECT doc_id, {_TOK} AS w FROM documents),
+sets AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM tokw),
+ver AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CASE WHEN len(list_distinct(x.s || y.s)) > 0
+               THEN len(list_intersect(x.s, y.s))::DOUBLE
+                    / len(list_distinct(x.s || y.s))::DOUBLE
+               ELSE 0.0 END, 6) AS jaccard
+  FROM cand c
+  JOIN sets x ON c.doc_a = x.doc_id
+  JOIN sets y ON c.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("llm_dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup"))
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup via 64-bit SimHash block matching (Hamming ≤ 3
-    precision filter), verified with exact Jaccard. Rows-only driver
-    check (xxhash64 has no DuckDB twin); pytest covers fingerprint
-    locality and the relational-vs-per-row fingerprint parity."""
+    precision filter), verified with exact Jaccard. The fingerprint's
+    per-token bits come from md5 hex halves (text_dedup.py
+    `_md5_bit_test`), so DuckDB recomputes identical fingerprints,
+    blocks, candidates, and verdicts — a full value oracle, the same
+    trick that upgraded MinHash/RHP/IVF. The xxhash64 twin
+    (`hash_family="xxhash64"`) stays as the faster non-oracle path,
+    parity-tested in pytest.
+
+    Scale shape: explode→16 hex-parse bit tests per token, map-side
+    partial agg (one row per doc crosses the shuffle), one
+    (block, val) exchange, capped degenerate buckets, no cross join."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = simhash_candidate_pairs(docs)
     return verify_pairs_jaccard(pairs, docs, _JACCARD_THRESHOLD)

@@ -88,15 +88,75 @@ def test_simhash_locality(spark):
 
 def test_simhash_fingerprints_match_per_row_column(docs):
     """The codegen-friendly relational SimHash (explode → 64 vote
-    aggregates) must equal the per-row column fold bit-for-bit."""
+    aggregates) must equal the per-row column fold bit-for-bit.
+    `simhash64` is the xxhash64 witness, so compare the xxhash64
+    family."""
     from github_event_etl_spark.operators.text_dedup import simhash_fingerprints
 
-    rel = {r.doc_id: r.fp for r in simhash_fingerprints(docs).collect()}
+    rel = {
+        r.doc_id: r.fp
+        for r in simhash_fingerprints(docs, hash_family="xxhash64").collect()
+    }
     col = {
         r.doc_id: r.fp
         for r in docs.select("doc_id", simhash64(F.col("text")).alias("fp")).collect()
     }
     assert rel == col
+
+
+def test_simhash_md5_family_matches_duckdb(docs):
+    """The default md5 hash family is the oracle-checked path: DuckDB
+    must recompute the identical 64-bit fingerprints from the same md5
+    hex halves (this is the parity the driver's value oracle rests
+    on). Also sanity-check locality survives the hash swap: identical
+    texts collide exactly."""
+    import duckdb
+
+    from github_event_etl_spark.operators.text_dedup import simhash_fingerprints
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    spark_fp = {
+        r.doc_id: r.fp for r in simhash_fingerprints(docs).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck_fp = dict(
+        con.sql(
+            r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS t
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+              FROM tok
+            ),
+            votes AS (
+              SELECT doc_id, b.b AS bit,
+                     SUM(CASE WHEN (CASE WHEN b.b < 32 THEN lo >> b.b
+                                         ELSE hi >> (b.b - 32) END) & 1 = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM h, (SELECT unnest(range(0, 64)) AS b) b
+              GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0 THEN
+                         CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                              ELSE 1::BIGINT << bit END
+                       ELSE 0 END)::BIGINT AS fp
+            FROM votes GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert spark_fp == duck_fp
+    texts = pdf.set_index("doc_id")["text"].to_dict()
+    for a, ta in texts.items():
+        for b, tb in texts.items():
+            if a < b and ta == tb:
+                assert spark_fp[a] == spark_fp[b]
 
 
 def test_minhash_vec_bands_match_expression_form(spark, docs):
