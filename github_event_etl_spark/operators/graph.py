@@ -43,36 +43,41 @@ from pyspark.sql import functions as F
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     """One large-star (large=True) or small-star round. `edges` has
     columns (u, v); returns the rewritten edge set, deduplicated,
-    self-loops dropped."""
-    # Orient each undirected edge both ways for the grouping, keeping
-    # (node, neighbor) so every node sees its full neighborhood.
+    self-loops dropped.
+
+    List-free formulation: a node's neighborhood minimum comes from a
+    plain groupBy-min, then each (node, nbr) row picks up that minimum
+    by an equi-join on node and re-links. No per-node neighbor list is
+    ever materialized, so a viral node (unbounded degree on an
+    arbitrary pair graph — exactly the skew large-star exists to fix)
+    costs a streamed join group, not one aggregation buffer. The price
+    is a second shuffle of the oriented edges (join vs riding the
+    groupBy), which AQE's skew-join splitting handles on hot nodes;
+    the buffer-bound earlier `collect_set` version could OOM before
+    the first round got a chance to shrink the hub.
+    """
+    # Orient each undirected edge both ways, keeping (node, neighbor)
+    # so every node sees its full neighborhood. `edges` is canonical
+    # (u < v, distinct), so the oriented rows are distinct too.
     nbrs = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nbr")
     ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
 
-    grouped = nbrs.groupBy("node").agg(
-        F.min(F.least("nbr", "node")).alias("m"),
-        F.collect_set("nbr").alias("nbrs"),
+    mins = nbrs.groupBy("node").agg(
+        F.min(F.least("nbr", "node")).alias("m")
     )
+    joined = nbrs.join(mins, "node")
     if large:
         # link every strictly-larger neighbor to m
-        out = grouped.select(
-            "m",
-            F.explode(
-                F.filter("nbrs", lambda x: x > F.col("node"))
-            ).alias("other"),
+        out = joined.filter(F.col("nbr") > F.col("node")).select(
+            "m", F.col("nbr").alias("other")
         )
     else:
-        # link node + every neighbor <= node to m
-        out = grouped.select(
-            "m",
-            F.explode(
-                F.array_union(
-                    F.filter("nbrs", lambda x: x <= F.col("node")),
-                    F.array(F.col("node")),
-                )
-            ).alias("other"),
-        )
+        # link node + every neighbor <= node to m; the (m, node)
+        # self-links come straight from `mins` (no extra shuffle)
+        out = joined.filter(F.col("nbr") <= F.col("node")).select(
+            "m", F.col("nbr").alias("other")
+        ).unionAll(mins.select("m", F.col("node").alias("other")))
     return (
         out.filter(F.col("m") != F.col("other"))
         .select(

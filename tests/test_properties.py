@@ -308,6 +308,33 @@ def test_connected_components_match_union_find(spark, edges):
     assert set(got) == non_isolated
 
 
+def test_connected_components_planted_star_hub(spark):
+    """Adversarial skew: a 10⁵-degree hub. The list-free star rounds
+    (groupBy-min + join, no collect_set) must close this in bounded
+    per-task memory — the exact regime where a neighbor-list
+    aggregation buffer would concentrate the whole graph on one node.
+    Hub 0 ↔ {2..100001 even}, plus a disjoint chain; both components
+    must resolve exactly."""
+    from github_event_etl_spark.operators.graph import connected_components
+
+    hub_n = 100_000
+    spokes = spark.range(1, hub_n + 1).select(
+        F.lit(0).cast("long").alias("u"), (F.col("id") * 2).alias("v")
+    )
+    chain = spark.range(0, 50).select(
+        (F.col("id") * 2 + 200_001).alias("u"),
+        (F.col("id") * 2 + 200_003).alias("v"),
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(spokes.unionAll(chain)).collect()
+    }
+    assert len(comp) == hub_n + 1 + 51
+    assert all(comp[2 * i] == 0 for i in range(hub_n + 1))
+    chain_nodes = [2 * i + 200_001 for i in range(51)]
+    assert all(comp[n] == chain_nodes[0] for n in chain_nodes)
+
+
 # ------------------------------------- LSH near-dup vs exact differential
 
 
