@@ -349,7 +349,12 @@ def stream_stateful_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     deduped = dedup_first_wins_ttl(stream, ttl_seconds=300)
-    out = run_bounded(deduped, "update", "stateful_dedup")
+    # shuffle_partitions=None: unlike the JVM-stateful streams (where
+    # fewer partitions just means fewer state-store open/commit cycles),
+    # applyInPandasWithState does per-key work in Python workers —
+    # partition count IS the Arrow-worker parallelism, and pinning it
+    # low serializes the Python stage (measured ~8× slower at 4).
+    out = run_bounded(deduped, "update", "stateful_dedup", shuffle_partitions=None)
     return out.select("event_id", "value")
 
 
@@ -401,7 +406,11 @@ def stream_stateful_dedup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(provider_key, rocksdb)
     try:
         deduped = dedup_first_wins_tws(stream, ttl_seconds=300)
-        out = run_bounded(deduped, "update", "stateful_dedup_tws")
+        # Same as the applyInPandasWithState variant: partition count is
+        # the Python-worker parallelism here, so keep the session value.
+        out = run_bounded(
+            deduped, "update", "stateful_dedup_tws", shuffle_partitions=None
+        )
     finally:
         if prev is None:
             spark.conf.unset(provider_key)

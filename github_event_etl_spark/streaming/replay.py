@@ -106,14 +106,34 @@ def read_event_stream(spark: SparkSession, src_dir: str, **options) -> DataFrame
 
 
 def run_bounded(
-    stream_df: DataFrame, output_mode: str, query_name: str | None = None
+    stream_df: DataFrame,
+    output_mode: str,
+    query_name: str | None = None,
+    shuffle_partitions: int | None = 4,
 ) -> DataFrame:
     """Run a bounded stream to completion (AvailableNow) into a memory
     sink and return the final result as a batch DataFrame. Fresh
-    checkpoint + unique sink table per run — no cross-run state."""
+    checkpoint + unique sink table per run — no cross-run state.
+
+    `shuffle_partitions` pins `spark.sql.shuffle.partitions` for the
+    stream's lifetime (restored after). A stateful stream materializes
+    one state store per shuffle partition per micro-batch, and that
+    store count is LOCKED by the first checkpoint — the session default
+    (32, sized for batch scans) makes every micro-batch pay 32 store
+    open/commit cycles even when the replay is a few MB. 4 keeps the
+    bounded demos' per-batch fixed cost ~8× lower with identical
+    results (the final state is partition-count-invariant). A real
+    deployment sizes this to target-state-volume / executor count —
+    pass None to leave the session value untouched.
+    """
     name = f"{query_name or 'q'}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="geetl_ckpt_")
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None) if shuffle_partitions is not None else None
     try:
+        if shuffle_partitions is not None:
+            spark.conf.set(key, str(shuffle_partitions))
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -123,9 +143,10 @@ def run_bounded(
             .start()
         )
         q.awaitTermination()
-        spark = stream_df.sparkSession
         return spark.table(name)
     finally:
+        if shuffle_partitions is not None and prev is not None:
+            spark.conf.set(key, prev)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
