@@ -42,17 +42,31 @@ def expire_day_partitions(path: str, min_keep_day: str) -> list[str]:
     of data volume, so this costs the same at 100 TB as at 100 MB.
 
     Returns the dropped partition day keys (sorted), for audit.
+
+    Safety rails: `min_keep_day` must be a zero-padded YYYY-MM-DD
+    string (a non-padded horizon would lexicographically drop the
+    wrong partitions), and stray regular FILES with the partition
+    prefix are skipped — otherwise an rmtree mid-sweep would raise
+    after some partitions were already dropped.
     """
     import os
+    import re
     import shutil
 
+    if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", min_keep_day):
+        raise ValueError(
+            f"min_keep_day must be YYYY-MM-DD, got {min_keep_day!r}"
+        )
     dropped: list[str] = []
     for entry in sorted(os.listdir(path)):
         if not entry.startswith("bucket_day="):
             continue
+        full = os.path.join(path, entry)
+        if not os.path.isdir(full):
+            continue
         day = entry.split("=", 1)[1]
         if day < min_keep_day:
-            shutil.rmtree(os.path.join(path, entry))
+            shutil.rmtree(full)
             dropped.append(day)
     return dropped
 

@@ -338,12 +338,18 @@ def retention_expire_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/retention.py:expire_day_partitions). The surviving table
     is re-read through the partitioned path and summarized per day.
 
-    The only driver-side scalar is the horizon itself: max(ts) — a
-    column-pruned single-number agg, fine at any scale."""
+    The horizon (newest day − 7) comes from the partition DIRECTORY
+    NAMES the write just produced — a pure metadata read, zero Spark
+    jobs, zero rows touched. No declared query collects row data."""
     out = _tmpdir("events_retention", sf_dir)
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     write_day_partitioned(ev, out)
-    max_day = ev.agg(F.max(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    days = sorted(
+        e.split("=", 1)[1]
+        for e in os.listdir(out)
+        if e.startswith("bucket_day=") and os.path.isdir(os.path.join(out, e))
+    )
+    max_day = datetime.date.fromisoformat(days[-1])
     horizon = (max_day - datetime.timedelta(days=7)).strftime("%Y-%m-%d")
     expire_day_partitions(out, horizon)
     kept = spark.read.parquet(out)

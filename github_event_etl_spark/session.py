@@ -85,6 +85,7 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
 
 
 _SHIPPED_SESSIONS: set[int] = set()
+_PKG_ZIP: str | None = None
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -102,28 +103,34 @@ def _ship_package(spark: SparkSession) -> None:
     sid = id(spark)
     if sid in _SHIPPED_SESSIONS:
         return
+    global _PKG_ZIP
     import tempfile
     import zipfile
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    py_files = []
-    for root, _dirs, files in os.walk(pkg_dir):
-        for fn in files:
-            if fn.endswith(".py"):
-                py_files.append(os.path.join(root, fn))
-    zpath = os.path.join(tempfile.gettempdir(), "geetl_spark_pkg.zip")
-    newest_src = max(os.path.getmtime(p) for p in py_files)
-    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest_src:
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as zf:
-            for p in py_files:
+    # Build into a per-process private directory (mkdtemp => mode 0700,
+    # unpredictable name), cached for the process lifetime. A fixed
+    # world-writable path would let another user on a shared host
+    # pre-create the file and have THEIR code shipped to every Python
+    # worker; a private fresh build removes both the tampering and the
+    # stale-zip (future-mtime) windows.
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        py_files = []
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    py_files.append(os.path.join(root, fn))
+        zdir = tempfile.mkdtemp(prefix="geetl_spark_pkg_")
+        zpath = os.path.join(zdir, "geetl_spark_pkg.zip")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for p in sorted(py_files):
                 arc = os.path.join(
                     "github_event_etl_spark", os.path.relpath(p, pkg_dir)
                 )
                 zf.write(p, arc)
-        os.replace(tmp, zpath)
+        _PKG_ZIP = zpath
     try:
-        spark.sparkContext.addPyFile(zpath)
+        spark.sparkContext.addPyFile(_PKG_ZIP)
     except Exception:
         # Non-fatal: sessions launched from the repo root (tests, bench,
         # the verification driver) resolve the package from cwd anyway.

@@ -7,6 +7,8 @@ At 100 TB the footer-sample inference pass alone would be a job.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -163,9 +165,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             wanted = field.dataType.simpleString()
             if got is None or got == wanted:
                 continue
-            if (got, wanted) in widen_ok or (
-                got.startswith("decimal") and wanted == "double"
-            ):
+            decimal_ok = False
+            if got.startswith("decimal") and wanted == "double":
+                # Only lossless when every value fits a double's 53-bit
+                # mantissa: gate on precision ≤ 15 significant digits.
+                # A wider decimal is genuine drift — let it surface
+                # downstream rather than silently losing precision.
+                m = re.match(r"decimal\((\d+),", got)
+                decimal_ok = bool(m) and int(m.group(1)) <= 15
+            if (got, wanted) in widen_ok or decimal_ok:
                 df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
     return df
 

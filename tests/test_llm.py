@@ -338,6 +338,38 @@ def test_ivf_partitioned_index_equals_in_memory(spark, emb, tmp_path):
     assert disk == mem
 
 
+def test_rhp_dot_products_clear_sign_margin():
+    """The ANN value oracles rest on sign(V @ M.T) matching DuckDB's
+    sequential-fold dot product bit-for-bit; numpy's blocked/SIMD
+    summation order differs, so a dot product near zero could flip a
+    signature bit between engines and turn the oracle red flakily.
+    Enforce the margin on the actual oracle data (sf0.001 AND the
+    driver's sf0.01), for both declared plane sets — the plain corpus
+    (llm_ann_lsh, 12×6) and the planted-duplicate corpus
+    (llm_dup_cosine_lsh, 12×8). A future data regeneration that lands
+    a boundary case fails HERE as a data issue, not as a confusing
+    oracle mismatch."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from github_event_etl_spark.operators.similarity import _plane_matrix
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        tbl = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+        ids = tbl["vec_id"].to_numpy()
+        V = np.asarray(list(tbl["embedding"]), dtype=np.float64)
+        # planted-duplicate corpus: component i × (1.05 if (vec_id+i)
+        # even else 0.95), mirroring queries_llm._planted_dup_corpus
+        par = (ids[:, None] + np.arange(V.shape[1])[None, :]) % 2 == 0
+        planted = np.vstack([V, V * np.where(par, 1.05, 0.95)])
+        for corpus, tables, planes in ((V, 12, 6), (planted, 12, 8)):
+            M = _plane_matrix(64, tables, planes)
+            margin = np.abs(corpus @ M.T).min()
+            assert margin > 1e-9, (
+                f"{sf}: |dot| = {margin} too close to the sign boundary"
+            )
+
+
 def test_cosine_self_similarity(emb):
     sims = (
         emb.limit(20)
