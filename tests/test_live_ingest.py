@@ -132,3 +132,68 @@ def test_socket_source_live_ingest_end_to_end(spark):
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_kafka_wrapper_contract_without_broker(spark):
+    """Batch-contract test for read_kafka_events (no broker in this
+    container): a mocked DataStreamReader captures the wiring — format,
+    subscribe/bootstrap/offset options — and load() hands back a batch
+    DataFrame with the REAL Kafka source schema (binary key/value +
+    topic/partition/offset/timestamp metadata). The wrapper must cast
+    the binary value and produce correctly-typed, correctly-parsed
+    events through the shared parse stage; a drift in the wrapper's
+    value handling or option wiring surfaces here."""
+    from github_event_etl_spark.sources.live import read_kafka_events
+
+    kafka_rows = [
+        (
+            None,
+            json.dumps(_event(i, i * 0.5)).encode(),
+            "events",
+            0,
+            i,
+        )
+        for i in range(1, 4)
+    ] + [(None, b"{corrupt", "events", 0, 99)]
+    kafka_schema = (
+        "key binary, value binary, topic string, partition int, offset long"
+    )
+
+    captured = {"format": None, "options": {}}
+
+    class FakeReader:
+        def format(self, fmt):
+            captured["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            captured["options"][k] = v
+            return self
+
+        def load(self):
+            return spark.createDataFrame(kafka_rows, kafka_schema)
+
+    class FakeSession:
+        readStream = FakeReader()
+
+    out = read_kafka_events(
+        FakeSession(), "broker-1:9092,broker-2:9092", "events-topic",
+        starting_offsets="latest",
+    )
+    assert captured["format"] == "kafka"
+    assert captured["options"] == {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "subscribe": "events-topic",
+        "startingOffsets": "latest",
+    }
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema] == [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+    ]
+    rows = {r.event_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}  # corrupt line isolated, not fatal
+    assert rows[1].user_id == 7 and rows[1].value == 1.5
+    assert rows[2].ts.isoformat() == "2024-01-01T01:00:00"

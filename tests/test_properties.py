@@ -441,3 +441,41 @@ def test_minhash_bands_udf_expression_parity_fuzz(spark, texts):
             "bands", r.i, texts[r.i],
         )
         assert r.je == r.jv, ("jaccard", r.i, texts[r.i])
+
+
+# --------------------------------------------- approximate-aggregate bounds
+
+
+def test_approx_count_distinct_within_declared_rsd(spark):
+    """agg_approx_distinct is the one declared query with no value
+    oracle BY DESIGN (HLL is approximate). This pins it quantitatively
+    instead: per event_type at the driver's correctness SF, the HLL
+    estimate must sit within 5× the configured rsd (0.02) of the exact
+    count(distinct) — HLL++'s error is ~normal with σ=rsd, so 5σ is a
+    deterministic-in-practice bound (the sketch itself is
+    deterministic for fixed input; the margin covers per-cardinality
+    bias, not run-to-run noise). A broken HLL path now FAILS a test
+    rather than sliding through a rows-only check."""
+    from github_event_etl_spark.plans.catalog import query_map
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.event_type: r.approx_users
+        for r in query_map()["agg_approx_distinct"](spark, sf).collect()
+    }
+    from github_event_etl_spark.sources.tables import load_table
+
+    exact = {
+        r.event_type: r.exact_users
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, n_exact in exact.items():
+        rel_err = abs(approx[etype] - n_exact) / n_exact
+        assert rel_err <= 5 * 0.02, (
+            f"{etype}: HLL {approx[etype]} vs exact {n_exact} "
+            f"(rel err {rel_err:.4f})"
+        )
