@@ -154,6 +154,20 @@ def main() -> None:
         if _guard(name, lambda: _force(qmap[name](spark, sf_dir))):
             timings[name] = round(time.perf_counter() - t0, 3)
 
+    # End-to-end pipeline wall-clock (minhash → clusters → curation in
+    # one composed plan): published as a SEPARATE section so the
+    # headline total stays comparable to prior rounds' baselines.
+    pipelines: dict[str, float] = {}
+
+    def _pipeline_e2e():
+        from github_event_etl_spark.plans.pipelines import dedup_e2e_pipeline
+
+        t0 = time.perf_counter()
+        _force(dedup_e2e_pipeline(spark, sf_dir))
+        pipelines["dedup_e2e"] = round(time.perf_counter() - t0, 3)
+
+    _guard("pipeline_dedup_e2e", _pipeline_e2e)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -167,6 +181,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if pipelines:
+        out["pipelines"] = pipelines
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

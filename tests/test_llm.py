@@ -421,3 +421,20 @@ def test_sample_frames_reassemble(docs):
     for doc_id, payload in payloads.items():
         got = b"".join(b for _, b in sorted(by_doc[doc_id]))
         assert got == payload
+
+
+def test_dedup_e2e_pipeline_accounting(spark, sf_dir):
+    """The composed minhash→clusters→curation pipeline must conserve
+    documents: per language, docs_in = docs_kept + dups_removed +
+    low_quality_removed, totals match the corpus, and at least one
+    duplicate is actually removed (the corpus plants near-dups)."""
+    from github_event_etl_spark.plans.pipelines import dedup_e2e_pipeline
+    from github_event_etl_spark.sources.tables import load_table
+
+    rows = dedup_e2e_pipeline(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.docs_in for r in rows) == n_docs
+    for r in rows:
+        assert r.docs_in == r.docs_kept + r.dups_removed + r.low_quality_removed
+        assert r.tokens_kept >= 0
+    assert sum(r.dups_removed for r in rows) > 0
