@@ -523,19 +523,6 @@ def simhash64(text: Column) -> Column:
     )
 
 
-def _md5_bit_test(b: int) -> Column:
-    """True when bit `b` (0..63) of the token's 64-bit md5-derived hash
-    is set. The hash is the first 16 hex chars of md5(tok), parsed as
-    two 32-bit halves (hi = chars 1-8, lo = chars 9-16) so neither
-    engine ever left-shifts into the sign bit: bit b < 32 lives in lo,
-    bit b ≥ 32 in hi. DuckDB mirrors this exactly with
-    `('0x'||substr(md5(t),1,8))::BIGINT` — that portability is what
-    buys SimHash a full value oracle."""
-    hx = F.md5(F.col("tok"))
-    half = F.conv(F.substring(hx, 9, 8) if b < 32 else F.substring(hx, 1, 8), 16, 10)
-    return half.cast("long").bitwiseAND(F.lit(1 << (b % 32))) != 0
-
-
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", hash_family: str = "md5"
 ) -> DataFrame:
@@ -546,24 +533,47 @@ def simhash_fingerprints(
       groupBy(doc_id) with 64 `sum(CASE WHEN bit b set THEN 1 ELSE -1)`
       vote aggregates → fold votes into the fingerprint long.
 
-    `hash_family="md5"` (default) derives token bits from md5 hex
-    halves — deterministic and engine-portable, so the driver's DuckDB
-    oracle recomputes identical fingerprints (the same trick that gave
-    MinHash/RHP/IVF full value oracles). `hash_family="xxhash64"` is
-    the faster JVM-native twin (one 64-bit hash vs md5 + two hex
-    parses per token), parity-tested against `simhash64` in pytest;
-    use it when no cross-engine check is needed.
+    `hash_family="md5"` (default) derives token bits from the first 16
+    hex chars of md5(tok), parsed as two 32-bit halves (hi = chars
+    1-8, lo = chars 9-16) so neither engine ever left-shifts into the
+    sign bit: bit b < 32 lives in lo, bit b ≥ 32 in hi. DuckDB mirrors
+    this exactly with `('0x'||substr(md5(t),1,8))::BIGINT` — that
+    portability is what buys SimHash a full value oracle (the same
+    trick that gave MinHash/RHP/IVF theirs). The halves are projected
+    ONCE per token before the aggregation, so the 64 vote expressions
+    are plain bit tests on two long columns — one md5 and two hex
+    parses per token by construction, not by codegen subexpression
+    elimination. `hash_family="xxhash64"` is the faster JVM-native
+    twin (one 64-bit hash per token), parity-tested against
+    `simhash64` in pytest; use it when no cross-engine check is
+    needed.
 
     All of a doc's tokens sit in one partition after explode, so
     partial aggregation collapses them map-side — the shuffle carries
     one row per doc, not one per token. This replaces an interpreted
     per-row array fold that was ~100× slower (higher-order lambdas run
     outside codegen)."""
+    exploded = _spread(docs).select(
+        "doc_id", F.explode(words(F.col(text_col))).alias("tok")
+    )
     if hash_family == "md5":
-        bit = _md5_bit_test
+        hx = F.md5(F.col("tok"))
+        hashed = exploded.select(
+            "doc_id",
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("h_hi"),
+            F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("h_lo"),
+        )
+
+        def bit(b: int) -> Column:
+            half = F.col("h_lo") if b < 32 else F.col("h_hi")
+            return half.bitwiseAND(F.lit(1 << (b % 32))) != 0
+
     elif hash_family == "xxhash64":
-        h = F.xxhash64("tok")
-        bit = lambda b: h.bitwiseAND(F.lit(_BIT_WEIGHTS[b])) != 0  # noqa: E731
+        hashed = exploded.select("doc_id", F.xxhash64("tok").alias("h"))
+
+        def bit(b: int) -> Column:
+            return F.col("h").bitwiseAND(F.lit(_BIT_WEIGHTS[b])) != 0
+
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     votes = [
@@ -578,9 +588,7 @@ def simhash_fingerprints(
             )
         )
     return (
-        _spread(docs)
-        .select("doc_id", F.explode(words(F.col(text_col))).alias("tok"))
-        .groupBy("doc_id")
+        hashed.groupBy("doc_id")
         .agg(*votes)
         .select("doc_id", fp.alias("fp"))
     )

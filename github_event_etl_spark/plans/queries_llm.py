@@ -8,11 +8,11 @@ analysis (tokens, quality, language ID, fingerprints), and multimodal
 column plumbing.
 
 Oracle discipline: every hash used on an oracle-checked path is md5 /
-sha256 hex — engine-portable, so even the MinHash-LSH *pipeline* is
-checked value-for-value against DuckDB (the oracle recomputes the same
-signatures/bands in SQL). Only xxhash64-based SimHash and the
-approximate ANN paths are rows-only (their exactness is covered by
-pytest recall/equivalence tests instead).
+sha256 hex — engine-portable, so the MinHash-LSH, SimHash, RHP-LSH,
+and IVF *pipelines* are all checked value-for-value against DuckDB
+(each oracle recomputes the same signatures/fingerprints/buckets in
+SQL). The one rows-only key is the HLL `agg_approx_distinct`
+(approximate by design, pinned by an error-bound pytest instead).
 """
 
 from __future__ import annotations
@@ -193,7 +193,7 @@ WITH tok AS (
 h AS (
   -- token hash = first 16 hex chars of md5, parsed as two 32-bit
   -- halves so neither engine left-shifts into the sign bit
-  -- (text_dedup.py _md5_bit_test)
+  -- (text_dedup.py simhash_fingerprints, md5 family)
   SELECT doc_id,
          ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
          ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
@@ -252,7 +252,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup via 64-bit SimHash block matching (Hamming ≤ 3
     precision filter), verified with exact Jaccard. The fingerprint's
     per-token bits come from md5 hex halves (text_dedup.py
-    `_md5_bit_test`), so DuckDB recomputes identical fingerprints,
+    `simhash_fingerprints` md5 family), so DuckDB recomputes identical
     blocks, candidates, and verdicts — a full value oracle, the same
     trick that upgraded MinHash/RHP/IVF. The xxhash64 twin
     (`hash_family="xxhash64"`) stays as the faster non-oracle path,
