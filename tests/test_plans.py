@@ -213,6 +213,28 @@ def test_simhash_has_no_cross_join(qmap, spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dedup_e2e_pipeline_plan_is_scale_safe(spark, sf_dir):
+    """The composed minhash→clusters→curation pipeline must inherit
+    every stage's scale posture: no cartesian/nested-loop join and no
+    pickled row-at-a-time Python in the final composed plan. (The
+    cluster stage's iterative closure runs eagerly behind checkpoints
+    during construction; its stages — and the Arrow-fused minhash
+    UDFs — are plan-gated by their own tests above.)"""
+    import contextlib as _ctx
+    import io as _io
+
+    from github_event_etl_spark.plans.pipelines import dedup_e2e_pipeline
+
+    df = dedup_e2e_pipeline(spark, sf_dir)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_cosine_lsh_dedup_has_no_cross_join(qmap, spark, sf_dir):
     """Embedding near-dup via RHP-LSH buckets must never degenerate to
     the all-pairs scan it replaces: candidates come from the
