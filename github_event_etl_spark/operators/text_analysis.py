@@ -42,6 +42,41 @@ PUNCT_CLASS = r"[.,!?;:]"
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+# PII patterns, shared verbatim with the oracle SQL. Deliberately the
+# portable subset of Java-regex ∩ RE2 (DuckDB): char classes, bounded
+# repeats, \b word boundaries — no lookarounds, no backrefs. Order
+# matters for redaction: emails first (their local parts can contain
+# digit runs that would otherwise half-match the id pattern), then
+# IPv4, then bare long digit runs. Replacement tokens contain no
+# digits/@ so a later pattern can never re-match an earlier rewrite.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("long_id", r"\b\d{9,}\b", "[ID]"),
+)
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII kind (n_email, n_ipv4, n_long_id),
+    computed on the ORIGINAL text. Map-side regexp_count — JVM regex,
+    no Python."""
+    return [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its class token, in PII_PATTERNS
+    order. A chain of three map-side regexp_replace projections — the
+    standard scrub step of a training-data pipeline, embarrassingly
+    parallel at any scale."""
+    out = text
+    for _kind, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def ws_token_count(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(words(text))

@@ -478,6 +478,52 @@ def verify_pairs_jaccard(
     )
 
 
+# -------------------------------------------------- benchmark decontamination
+
+
+def shingle_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document word-k-gram overlap against a benchmark corpus —
+    the decontamination step of a training pipeline (flag training
+    documents that leak evaluation data). Returns one row per doc:
+    (doc_id, n_shingles, n_overlap).
+
+    Scale shape: the benchmark's distinct shingle set is broadcast
+    (eval suites are thousands of documents — MBs of shingles — even
+    when the corpus is 100 TB), so the overlap check is a map-side
+    broadcast semi join on the exploded corpus shingles; the only
+    shuffle is the per-doc count aggregation, keyed by unique doc_id
+    (skew-free). Docs with fewer than k words have zero shingles and
+    report (0, 0)."""
+    doc_sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+    )
+    bench_sh = bench.select(
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh")
+    ).distinct()
+    totals = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 

@@ -913,6 +913,150 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=3, w=4)
 
 
+# ------------------------------------------------------ privacy / contamination
+
+# Deterministic planted PII: the synthetic corpus contains no real
+# emails/IPs, so every 10th document gets a suffix carrying one of
+# each kind — identical string construction in both engines — and the
+# redactor must scrub exactly that. The other 9/10 exercise the
+# no-match path over real text.
+_PII_SUFFIX_SPARK = lambda: F.when(  # noqa: E731
+    F.col("doc_id") % 10 == 0,
+    F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0.0.7 ref 998877665544"),
+    ),
+).otherwise(F.col("text"))
+
+_PII_SUFFIX_SQL = (
+    "CASE WHEN doc_id % 10 = 0 THEN text || ' contact u' || doc_id ||"
+    " '@example.com ip 10.0.0.7 ref 998877665544' ELSE text END"
+)
+
+
+def _pii_oracle() -> str:
+    from ..operators.text_analysis import PII_PATTERNS
+
+    reps = []
+    counts = []
+    expr = "t"
+    for kind, pat, token in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{kind}"
+        )
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    reps.append(f"{expr} AS clean_text")
+    return f"""
+    WITH p AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS t FROM documents)
+    SELECT doc_id, {', '.join(reps)}, {', '.join(counts)}
+    FROM p
+    """
+
+
+@query("llm_pii_redact", oracle=_pii_oracle(), tags=("llm", "privacy"))
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the privacy pass of a training-data pipeline:
+    emails, IPv4s, and long id-like digit runs replaced by class
+    tokens, plus per-kind match counts on the original text
+    (operators/text_analysis.py PII_PATTERNS — the portable
+    Java-regex ∩ RE2 subset, so DuckDB recomputes the identical
+    rewrite). Three chained regexp_replace projections + three
+    regexp_count — pure map-side, no shuffle, no Python."""
+    from ..operators.text_analysis import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select("doc_id", _PII_SUFFIX_SPARK().alias("t"))
+    t = F.col("t")
+    return planted.select(
+        "doc_id",
+        redact_pii(t).alias("clean_text"),
+        *pii_counts(t),
+    )
+
+
+_CONTAM_TAU = 0.5
+_CONTAM_BENCH_MOD = 97
+
+_CONTAMINATION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM tok
+),
+ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+),
+bench AS (
+  SELECT DISTINCT g FROM ex WHERE doc_id % {_CONTAM_BENCH_MOD} = 0
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY 1),
+hit AS (
+  SELECT e.doc_id, count(*) AS n_overlap
+  FROM ex e JOIN bench b USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(t.n_shingles, 0)::BIGINT AS n_shingles,
+       COALESCE(h.n_overlap, 0)::BIGINT AS n_overlap,
+       CASE WHEN COALESCE(t.n_shingles, 0) > 0
+            THEN round(COALESCE(h.n_overlap, 0)::DOUBLE
+                       / t.n_shingles::DOUBLE, 6)
+            ELSE 0.0 END AS overlap_frac,
+       CAST(CASE WHEN COALESCE(t.n_shingles, 0) > 0
+                  AND COALESCE(h.n_overlap, 0)::DOUBLE
+                      / t.n_shingles::DOUBLE >= {_CONTAM_TAU}
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN hit h ON d.doc_id = h.doc_id
+"""
+
+
+@query(
+    "llm_contamination",
+    oracle=_CONTAMINATION_ORACLE,
+    tags=("llm", "decontamination"),
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document word-3-gram overlap
+    against a held-out evaluation set (here the deterministic
+    doc_id % 97 == 0 subset stands in for the benchmark), with the
+    ≥ τ contamination verdict. The benchmark's distinct shingles are
+    BROADCAST — eval suites stay MBs even against a 100 TB corpus — so
+    the overlap check is a map-side semi join; the only shuffle is the
+    per-doc count on the unique doc_id (operators/text_dedup.py
+    shingle_overlap). Benchmark members flag themselves at overlap 1.0
+    (the self-leak sanity floor, asserted in pytest)."""
+    from ..operators.text_dedup import shingle_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _CONTAM_BENCH_MOD == 0)
+    ov = shingle_overlap(docs, bench)
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.round(
+            F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    contaminated = (
+        (F.col("n_shingles") > 0)
+        & (
+            F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")
+            >= _CONTAM_TAU
+        )
+    ).cast("long")
+    return ov.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        contaminated.alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------------- multimodal
 
 

@@ -438,3 +438,50 @@ def test_dedup_e2e_pipeline_accounting(spark, sf_dir):
         assert r.docs_in == r.docs_kept + r.dups_removed + r.low_quality_removed
         assert r.tokens_kept >= 0
     assert sum(r.dups_removed for r in rows) > 0
+
+
+def test_pii_redaction_scrubs_planted_and_leaves_clean(spark):
+    """Planted emails/IPs/long ids all leave; clean text is untouched;
+    counts match what was planted."""
+    from github_event_etl_spark.operators.text_analysis import (
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "reach me at alice.smith+x@mail.example.org or 192.168.10.20"),
+        (2, "order 123456789012 shipped"),
+        (3, "no personal data in this sentence at all"),
+        (4, "two mails a@b.io c@d.co and ip 8.8.8.8 and id 987654321"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", redact_pii(F.col("text")).alias("clean"),
+            *pii_counts(F.col("text")),
+        ).collect()
+    }
+    assert out[1].clean == "reach me at [EMAIL] or [IP]"
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_long_id) == (1, 1, 0)
+    assert out[2].clean == "order [ID] shipped"
+    assert out[3].clean == rows[2][1]
+    assert out[4].clean == "two mails [EMAIL] [EMAIL] and ip [IP] and id [ID]"
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_long_id) == (2, 1, 1)
+
+
+def test_contamination_flags_benchmark_members_fully(spark, sf_dir):
+    """Every benchmark member must self-report overlap 1.0 (its own
+    shingles are in the benchmark set), and overall some non-member
+    should remain clean — the planted near-dups are the only expected
+    cross-contamination."""
+    from github_event_etl_spark.plans.catalog import query_map
+
+    rows = query_map()["llm_contamination"](spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    members = [r for r in rows if r.doc_id % 97 == 0 and r.n_shingles > 0]
+    assert members, "benchmark subset unexpectedly empty"
+    assert all(r.overlap_frac == 1.0 and r.contaminated == 1 for r in members)
+    clean = [r for r in rows if r.doc_id % 97 != 0 and r.contaminated == 0]
+    assert clean, "every document flagged — broadcast set must be wrong"
+    assert set(by_id) == {r.doc_id for r in rows}
