@@ -53,6 +53,7 @@ from ..operators.text_dedup import (
     minhash_candidate_pairs,
     simhash_candidate_pairs,
     verify_pairs_jaccard,
+    words,
 )
 from ..sources.tables import load_table
 from .catalog import query
@@ -911,6 +912,57 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical selection."""
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, k=3, w=4)
+
+
+_VOCAB_MIN_DF = 3
+_VOCAB_TOP_K = 2000
+
+
+@query(
+    "llm_vocabulary",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_TOK_LOWER}) AS tok FROM documents
+    ),
+    agg AS (
+      SELECT tok,
+             count(DISTINCT doc_id)::BIGINT AS df,
+             count(*)::BIGINT AS tf
+      FROM ex GROUP BY 1
+    )
+    SELECT tok, df, tf FROM agg
+    WHERE df >= {_VOCAB_MIN_DF}
+    ORDER BY df DESC, tf DESC, tok
+    LIMIT {_VOCAB_TOP_K}
+    """,
+    tags=("llm", "text", "vocab"),
+)
+def llm_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build — the precursor to tokenizer training:
+    per-token document frequency and term frequency, a min-df floor,
+    and the top-K by (df, tf, token) with a fully deterministic
+    tie-break (token is unique).
+
+    Scale shape: explode → ONE grouped aggregation on the token. The
+    count(distinct doc_id) plans as a two-phase aggregate over
+    (tok, doc_id), so hot tokens ('the') collapse map-side before the
+    shuffle — the classic wordcount skew never concentrates raw rows;
+    the final top-K is TakeOrderedAndProject (per-partition heaps),
+    never a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("tok")
+    )
+    return (
+        ex.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .filter(F.col("df") >= _VOCAB_MIN_DF)
+        .orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("tok"))
+        .limit(_VOCAB_TOP_K)
+    )
 
 
 # ------------------------------------------------------ privacy / contamination

@@ -491,3 +491,12 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS geetl_orders_b")
         spark.sql("DROP TABLE IF EXISTS geetl_customer_b")
+
+
+def test_vocabulary_topk_is_take_ordered(qmap, spark, sf_dir):
+    """The vocabulary top-K must plan as TakeOrderedAndProject
+    (per-partition heaps over the aggregated token stats), never a
+    global sort of the full vocabulary."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_vocabulary")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan
