@@ -479,3 +479,51 @@ def test_approx_count_distinct_within_declared_rsd(spark):
             f"{etype}: HLL {approx[etype]} vs exact {n_exact} "
             f"(rel err {rel_err:.4f})"
         )
+
+
+# ------------------------------------------------- PII regex cross-engine
+
+
+_pii_fragment = st.sampled_from([
+    "plain words here", "a@b.io", "x.y+z@mail.example.org", "not@an@email",
+    "1.2.3.4", "10.0.0.7", "999.999.999.999", "1.2.3", "123456789",
+    "12345678", "998877665544", "v1.2.3.4000", "a@b", "@", ".", "-",
+    "user.name@sub.domain.co", "tel 123-456-789", "..", "a..b@c.dd",
+])
+
+
+@settings(max_examples=15, deadline=None)
+@given(frags=st.lists(_pii_fragment, min_size=1, max_size=8))
+def test_pii_patterns_agree_across_engines(spark, frags):
+    """The PII value oracle rests on Java regex and DuckDB's RE2
+    tokenizing adversarial near-miss strings identically (emails with
+    double dots, 999.999 IPs, digit runs at the \\d{9,} boundary,
+    version strings). Fuzz the portable-subset claim: redaction output
+    and per-kind counts must match exactly for arbitrary fragment
+    concatenations."""
+    import duckdb
+
+    from github_event_etl_spark.operators.text_analysis import (
+        PII_PATTERNS,
+        pii_counts,
+        redact_pii,
+    )
+
+    text = " ".join(frags)
+    df = spark.createDataFrame([(0, text)], "i long, t string")
+    got = df.select(
+        redact_pii(F.col("t")).alias("clean"), *pii_counts(F.col("t"))
+    ).collect()[0]
+
+    expr = "t"
+    cols = []
+    for kind, pat, token in PII_PATTERNS:
+        cols.append(f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}")
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    con = duckdb.connect()  # keep a reference: a GC'd connection closes
+    want = con.sql(
+        f"SELECT {expr} AS clean, {', '.join(cols)} FROM (SELECT '{text}' AS t)"
+    ).fetchall()[0]
+    con.close()
+    assert got.clean == want[0]
+    assert (got.n_email, got.n_ipv4, got.n_long_id) == want[1:]
