@@ -50,3 +50,34 @@ def test_last_n_view_is_exact_top_n(spark):
     df = spark.range(1000).select(F.col("id").alias("event_id"))
     got = sorted(r.event_id for r in last_n_view(df, "event_id", 10).collect())
     assert got == list(range(990, 1000))
+
+
+def test_expire_rejects_malformed_horizon_and_skips_stray_files(tmp_path):
+    """Safety rails: a non-zero-padded horizon would lexicographically
+    drop the wrong partitions — reject it before any deletion; a stray
+    regular FILE with the partition prefix must be skipped, not crash
+    the sweep mid-drop."""
+    import pytest as _pytest
+
+    from github_event_etl_spark.operators.retention import (
+        expire_day_partitions,
+    )
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "bucket_day=2024-01-01"))
+    os.makedirs(os.path.join(root, "bucket_day=2024-02-01"))
+    # stray FILE carrying the partition prefix
+    with open(os.path.join(root, "bucket_day=2024-01-15"), "w") as f:
+        f.write("not a directory")
+
+    for bad in ("2024-1-5", "24-01-05", "20240105", "yesterday", ""):
+        with _pytest.raises(ValueError):
+            expire_day_partitions(root, bad)
+    # nothing was deleted by the rejected calls
+    assert len(os.listdir(root)) == 3
+
+    dropped = expire_day_partitions(root, "2024-01-20")
+    assert dropped == ["2024-01-01"]
+    # the stray file survives untouched; later partition kept
+    assert os.path.isfile(os.path.join(root, "bucket_day=2024-01-15"))
+    assert os.path.isdir(os.path.join(root, "bucket_day=2024-02-01"))
