@@ -78,6 +78,21 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "llm_dedup_simhash",
 })
 
+# Keys added when the current round's 50-key verification window is
+# already exactly full (changed + never-checked + every stale key):
+# rank them LAST so they don't evict a stale key past the one-round
+# staleness discipline. Round-anchored and self-clearing: the deferral
+# holds only while the newest CORRECTNESS artifact predates
+# `_DEFER_NEW_UNTIL_ROUND`; once that round's artifact lands, these
+# become ordinary never-checked keys and jump to the front of the next
+# round's window.
+_DEFER_NEW_UNTIL_ROUND = 5
+_DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
+    # round 5: added with the window at exactly 50 (1 changed + 3 new
+    # + 46 stale); first verified in round 6
+    "llm_token_shards",
+})
+
 # Declared rows-only queries whose correct answer may legitimately be
 # empty. A 0-row result from one of these still earns a green staleness
 # row (it is not suspicious), so it cannot permanently occupy one of
@@ -85,6 +100,24 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
 # keep the strict `spark_rows > 0` rule: an unexpected empty result
 # stays stale and gets re-checked every round until fixed.
 _ROWS_ONLY_EMPTY_OK: frozenset[str] = frozenset()
+
+
+@functools.lru_cache(maxsize=1)
+def _newest_artifact_round() -> int:
+    """Highest round number among the CORRECTNESS_r*.json artifacts
+    (0 when none exist). Anchors the self-clearing deferral window."""
+    import glob
+    import os
+    import re
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0)
 
 
 @functools.lru_cache(maxsize=1)
@@ -161,6 +194,11 @@ def _load_all() -> None:
             and last_green.get(key, 0) <= _CHANGED_AFTER_ROUND
         ):
             return (0, 0)
+        if (
+            key in _DEFERRED_NEW_KEYS
+            and _newest_artifact_round() < _DEFER_NEW_UNTIL_ROUND
+        ):
+            return (2, 0)
         return (1, last_green.get(key, 0))
 
     ordered = dict(sorted(_REGISTRY.items(), key=rank))
