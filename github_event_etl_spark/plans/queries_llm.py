@@ -187,6 +187,11 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs_jaccard(pairs, docs, _JACCARD_THRESHOLD)
 
 
+# Mirrors simhash_candidate_pairs(max_bucket_size=...) — the oracle
+# must drop the same degenerate (block, val) buckets the Spark side
+# drops, or a capped bucket at a larger SF would silently diverge.
+_SIMHASH_MAX_BUCKET = 10_000
+
 _SIMHASH_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOK}) AS t FROM documents
@@ -223,6 +228,10 @@ blocks AS (
   -- shiftrightunsigned then mask
   SELECT doc_id, fp, b.b AS block, (fp >> (b.b * 16)) & 65535 AS val
   FROM fp, (SELECT unnest(range(0, 4)) AS b) b
+  -- same degenerate-bucket cap as the Spark side (max_bucket_size):
+  -- without it a capped bucket at larger SFs would keep its oracle
+  -- candidates while Spark drops them
+  QUALIFY COUNT(*) OVER (PARTITION BY block, val) <= {_SIMHASH_MAX_BUCKET}
 ),
 cand AS (
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -263,7 +272,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg (one row per doc crosses the shuffle), one
     (block, val) exchange, capped degenerate buckets, no cross join."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_candidate_pairs(docs)
+    pairs = simhash_candidate_pairs(docs, max_bucket_size=_SIMHASH_MAX_BUCKET)
     return verify_pairs_jaccard(pairs, docs, _JACCARD_THRESHOLD)
 
 
@@ -1011,7 +1020,11 @@ def llm_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id",
         "lang",
-        (F.col("doc_id") / _SHARD_BLOCK).cast("long").alias("block"),
+        # Integer `div`, not double-divide-then-cast: truncating integer
+        # division toward zero is exactly DuckDB's integer `//`, so the
+        # two engines stay identical by construction even for doc_ids
+        # beyond 2^53 or negative (double round-trip would not be).
+        F.expr(f"doc_id div {_SHARD_BLOCK}").alias("block"),
         regex_token_count(F.col("text")).cast("long").alias("toks"),
     )
     return t.select(

@@ -145,8 +145,15 @@ def run_bounded(
         q.awaitTermination()
         return spark.table(name)
     finally:
-        if shuffle_partitions is not None and prev is not None:
-            spark.conf.set(key, prev)
+        if shuffle_partitions is not None:
+            # Restore faithfully: a None prev means the key was unset
+            # before we pinned it, so unset it again — re-setting the
+            # pinned value (or skipping restore) would leak the bounded-
+            # replay partition count into the shared session.
+            if prev is not None:
+                spark.conf.set(key, prev)
+            else:
+                spark.conf.unset(key)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 

@@ -499,4 +499,6 @@ def test_vocabulary_topk_is_take_ordered(qmap, spark, sf_dir):
     global sort of the full vocabulary."""
     plan = plan_of(qmap, spark, sf_dir, "llm_vocabulary")
     assert "TakeOrderedAndProject" in plan
-    assert "GlobalSort" not in plan
+    # A full sort would appear as a range-partitioning Exchange feeding
+    # a global Sort ("GlobalSort" is not a real plan node name).
+    assert "Exchange rangepartitioning" not in plan

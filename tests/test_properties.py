@@ -310,7 +310,7 @@ def test_connected_components_match_union_find(spark, edges):
 
 def test_connected_components_planted_star_hub(spark):
     """Adversarial skew: a 10⁵-degree hub. The list-free star rounds
-    (groupBy-min + join, no collect_set) must close this in bounded
+    (spillable window min, no collect_set) must close this in bounded
     per-task memory — the exact regime where a neighbor-list
     aggregation buffer would concentrate the whole graph on one node.
     Hub 0 ↔ {2..100001 even}, plus a disjoint chain; both components
@@ -333,6 +333,44 @@ def test_connected_components_planted_star_hub(spark):
     assert all(comp[2 * i] == 0 for i in range(hub_n + 1))
     chain_nodes = [2 * i + 200_001 for i in range(51)]
     assert all(comp[n] == chain_nodes[0] for n in chain_nodes)
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """The reliable-checkpoint mode (checkpoint_dir= → df.checkpoint()
+    per round, the executor-loss-tolerant cluster configuration) must
+    converge to exactly the same components as the localCheckpoint
+    local-mode fallback, and must actually write checkpoint data to
+    the given directory."""
+    from github_event_etl_spark.operators.graph import connected_components
+
+    # Two chains + a triangle: multi-round convergence, >1 component.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30)]
+        + [(100, 101), (101, 102), (100, 102)],
+        schema="u long, v long",
+    )
+    local = {r.node: r.component for r in connected_components(edges).collect()}
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    try:
+        reliable = {
+            r.node: r.component
+            for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+        }
+    finally:
+        # setCheckpointDir is sticky on the shared context and has no
+        # public unset; clear the Scala-side Option so later tests (and
+        # the auto-detection in connected_components) see local mode.
+        jvm = spark.sparkContext._jvm
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            jvm.scala.Option.apply(None)
+        )
+        assert spark.sparkContext.getCheckpointDir() is None
+    assert reliable == local
+    # The reliable path must have gone through the fault-tolerant dir.
+    import os
+
+    assert any(files for _, _, files in os.walk(ckpt))
 
 
 # ------------------------------------- LSH near-dup vs exact differential
