@@ -148,11 +148,27 @@ def main() -> None:
 
         _guard("streaming_warmup", _warm_streaming)
 
+    # Median of 3 warm repetitions per query. Round-over-round
+    # comparisons on this host were dominated by background-load jitter
+    # (±1.2-1.45× on untouched queries in one round); the median
+    # suppresses one bad rep, and the reported min/max spread lets a
+    # reader separate a real plan regression from noise. Each rep
+    # rebuilds the plan (fresh analysis + codegen) so the measurement
+    # stays comparable to earlier single-shot rounds.
+    REPS = 3
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        t0 = time.perf_counter()
-        if _guard(name, lambda: _force(qmap[name](spark, sf_dir))):
-            timings[name] = round(time.perf_counter() - t0, 3)
+        reps: list[float] = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            if _guard(name, lambda: _force(qmap[name](spark, sf_dir))):
+                reps.append(round(time.perf_counter() - t0, 3))
+            else:
+                break
+        if reps:
+            timings[name] = sorted(reps)[len(reps) // 2]
+            spread[name] = [min(reps), max(reps)]
 
     # End-to-end pipeline wall-clock (minhash → clusters → curation in
     # one composed plan): published as a SEPARATE section so the
@@ -179,6 +195,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "reps": REPS,
         "sf": sf_val,
     }
     if pipelines:

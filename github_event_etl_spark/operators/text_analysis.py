@@ -77,6 +77,40 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+# URL/domain + boilerplate curation gates. The domain regex is the
+# portable Java∩RE2 subset (like PII_PATTERNS); the marker phrases are
+# plain substrings so both engines test them with LIKE/contains.
+URL_DOMAIN_REGEX = r"https?://([A-Za-z0-9.-]+)"
+BLOCKED_DOMAINS: tuple[str, ...] = ("spam.example", "ads.example")
+BOILERPLATE_MARKERS: tuple[str, ...] = (
+    "click here",
+    "all rights reserved",
+    "terms of service",
+    "subscribe",
+)
+
+
+def url_domain(text: Column) -> Column:
+    """Host of the first URL in the text ('' when none) — map-side
+    regexp_extract of the capture group."""
+    return F.regexp_extract(text, URL_DOMAIN_REGEX, 1)
+
+
+def boilerplate_hits(text: Column) -> Column:
+    """How many distinct boilerplate marker phrases appear in the
+    (lowercased) text. A sum of contains() tests — pure map-side; a doc
+    with >= 2 markers reads as chrome/footer, not content."""
+    lowered = F.lower(text)
+    hits = [
+        F.when(lowered.contains(m), F.lit(1)).otherwise(F.lit(0))
+        for m in BOILERPLATE_MARKERS
+    ]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
 def ws_token_count(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(words(text))

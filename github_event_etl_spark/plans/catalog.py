@@ -69,13 +69,13 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 # the change). Once the post-change verification lands, the key
 # rejoins normal staleness ordering — a forgotten entry cannot
 # permanently hog the 50-key budget.
-_CHANGED_AFTER_ROUND = 4  # round-5 edits; r01-r04 artifacts predate them
+_CHANGED_AFTER_ROUND = 5  # round-6 edits; r01-r05 artifacts predate them
 
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # round 5: SimHash token hashes switched from xxhash64 to md5 hex
-    # halves, upgrading llm_dedup_simhash from rows-only to a full
-    # value oracle — fingerprints, blocks, and candidates all changed
-    "llm_dedup_simhash",
+    # round 6: llm_corpus_curation gained URL-domain-blocklist and
+    # boilerplate gates (with planted negatives), changing the
+    # per-language accounting values
+    "llm_corpus_curation",
 })
 
 # Keys added when the current round's 50-key verification window is
@@ -86,6 +86,14 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
 # `_DEFER_NEW_UNTIL_ROUND`; once that round's artifact lands, these
 # become ordinary never-checked keys and jump to the front of the next
 # round's window.
+#
+# New-keys-per-round budget: with R registry keys and the driver's
+# 50-key cap, every key is re-verified each ceil(R/50) rounds. Keep
+# R <= 100 for strict one-round staleness; past that, each (new +
+# changed) key admitted to a round's window displaces one stale key to
+# the round after (staleness 2). Policy: at most ~3 new/changed keys
+# per round, so worst-case staleness stays bounded at two rounds and
+# the displaced keys are always the least-stale ones (ordering below).
 _DEFER_NEW_UNTIL_ROUND = 5
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # round 5: added with the window at exactly 50 (1 changed + 3 new

@@ -35,8 +35,12 @@ from ..operators.similarity import (
 )
 from ..operators.text_analysis import (
     LANG_MARKERS,
+    BLOCKED_DOMAINS,
+    BOILERPLATE_MARKERS,
     STOPWORDS,
     TOKEN_REGEX,
+    URL_DOMAIN_REGEX,
+    boilerplate_hits,
     bow_fingerprint,
     dup_word_fraction,
     lang_id,
@@ -44,6 +48,7 @@ from ..operators.text_analysis import (
     quality_score,
     regex_token_count,
     top_bigram_fraction,
+    url_domain,
     winnow_fingerprints,
     ws_token_count,
 )
@@ -53,6 +58,7 @@ from ..operators.text_dedup import (
     minhash_candidate_pairs,
     simhash_candidate_pairs,
     verify_pairs_jaccard,
+    word_shingles,
     words,
 )
 from ..sources.tables import load_table
@@ -678,13 +684,22 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CURATION_QUALITY_MIN = 0.5
+_CURATION_BOILER_MAX = 1  # >= 2 marker phrases reads as boilerplate
+# Deterministic planted curation negatives (same construction in both
+# engines, like the PII/span fixtures): every doc_id%10==7 doc gains a
+# URL on a blocklisted domain, every doc_id%10==3 doc gains a
+# boilerplate-heavy footer — each new gate provably fires at every SF.
+_CURATION_URL_SUFFIX = " read more at https://spam.example/offer"
+_CURATION_BOILER_SUFFIX = (
+    " click here to subscribe all rights reserved terms of service apply"
+)
 
 
 def _curation_sql() -> str:
-    """Oracle for the composite curation pipeline: language-ID and
-    quality gates, exact-dedup representative selection, per-language
-    corpus stats. All-integer output — no float aggregation order to
-    worry about."""
+    """Oracle for the composite curation pipeline: URL-domain blocklist,
+    boilerplate, language-ID and quality gates, exact-dedup
+    representative selection, per-language corpus stats. All-integer
+    output — no float aggregation order to worry about."""
     votes = {
         lg: f"len(list_filter(wl, x -> x IN ({_in_list(markers)})))"
         for lg, markers in LANG_MARKERS.items()
@@ -699,13 +714,27 @@ def _curation_sql() -> str:
                                     / len(w)::DOUBLE), 1.0)
                + 0.2 * (1.0 - least(10.0 * (length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
                                             / length(text)::DOUBLE), 1.0)), 6)"""
+    boiler = " + ".join(
+        f"CASE WHEN lower(text) LIKE '%{m}%' THEN 1 ELSE 0 END"
+        for m in BOILERPLATE_MARKERS
+    )
+    blocked = _in_list(BLOCKED_DOMAINS)
     return rf"""
-    WITH t AS (
-      SELECT doc_id, lang, text, {_TOK} AS w, {_TOK_LOWER} AS wl FROM documents
+    WITH planted AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 10 = 7 THEN text || '{_CURATION_URL_SUFFIX}'
+                  WHEN doc_id % 10 = 3 THEN text || '{_CURATION_BOILER_SUFFIX}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, lang, text, {_TOK} AS w, {_TOK_LOWER} AS wl FROM planted
     ),
     v AS (SELECT doc_id, lang, text, w, wl, {vote_cols} FROM t),
     e AS (
       SELECT doc_id, lang,
+             regexp_extract(text, '{URL_DOMAIN_REGEX}', 1) AS domain,
+             ({boiler}) AS boiler_hits,
              CASE {whens} ELSE 'und' END AS pred_lang,
              {quality} AS quality,
              len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS toks,
@@ -714,7 +743,9 @@ def _curation_sql() -> str:
     ),
     k AS (
       SELECT * FROM e
-      WHERE pred_lang <> 'und' AND quality >= {_CURATION_QUALITY_MIN}
+      WHERE domain NOT IN ({blocked})
+        AND boiler_hits <= {_CURATION_BOILER_MAX}
+        AND pred_lang <> 'und' AND quality >= {_CURATION_QUALITY_MIN}
     ),
     r AS (
       SELECT lang, toks,
@@ -738,29 +769,49 @@ def _curation_sql() -> str:
 )
 def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-curation composite a training-data pipeline
-    actually runs — language gate → quality gate → bag-of-words dedup
-    keep-one (catches the corpus' token-shuffled copies, which exact
-    hashing misses) → per-language corpus accounting — as ONE declared
-    query, proving the operators compose in a single plan.
+    actually runs — URL-domain blocklist gate → boilerplate gate (>= 2
+    marker phrases reads as chrome, not content) → language gate →
+    quality gate → bag-of-words dedup keep-one (catches the corpus'
+    token-shuffled copies, which exact hashing misses) → per-language
+    corpus accounting — as ONE declared query, proving the operators
+    compose in a single plan. Planted negatives (a blocked-domain URL
+    on every doc_id%10==7 doc, a boilerplate footer on every
+    doc_id%10==3 doc, identical construction in both engines) guarantee
+    each gate fires at every SF.
 
-    Plan shape: every per-doc signal (language votes, quality score,
-    token count, bow fingerprint) is a map-side JVM expression over one
-    documents scan; the ONLY shuffle is the fingerprint exchange, which
-    both window functions (representative rank, duplicate-group size)
-    reuse; the final per-language rollup aggregates a handful of rows.
-    At 100 TB: one pass, one skew-free shuffle on a 128-bit hash.
-    All-integer output keeps the value-hash float-free."""
+    Plan shape: every per-doc signal (domain, boilerplate hits,
+    language votes, quality score, token count, bow fingerprint) is a
+    map-side JVM expression over one documents scan; the ONLY shuffle
+    is the fingerprint exchange, which both window functions
+    (representative rank, duplicate-group size) reuse; the final
+    per-language rollup aggregates a handful of rows. At 100 TB: one
+    pass, one skew-free shuffle on a 128-bit hash. All-integer output
+    keeps the value-hash float-free."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
+    t = (
+        F.when(
+            F.col("doc_id") % 10 == 7,
+            F.concat(F.col("text"), F.lit(_CURATION_URL_SUFFIX)),
+        )
+        .when(
+            F.col("doc_id") % 10 == 3,
+            F.concat(F.col("text"), F.lit(_CURATION_BOILER_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+    )
     e = docs.select(
         "doc_id",
         "lang",
+        url_domain(t).alias("domain"),
+        boilerplate_hits(t).alias("boiler_hits"),
         lang_id(t).alias("pred_lang"),
         quality_score(t).alias("quality"),
         regex_token_count(t).cast("long").alias("toks"),
         bow_fingerprint(t).alias("fp"),
     ).filter(
-        (F.col("pred_lang") != "und")
+        ~F.col("domain").isin(*BLOCKED_DOMAINS)
+        & (F.col("boiler_hits") <= _CURATION_BOILER_MAX)
+        & (F.col("pred_lang") != "und")
         & (F.col("quality") >= _CURATION_QUALITY_MIN)
     )
     by_fp = Window.partitionBy("fp")
@@ -921,6 +972,130 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical selection."""
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, k=3, w=4)
+
+
+# ------------------------------------------------------ substring-level dedup
+
+_SPAN_K = 5            # word 5-grams: tiny-vocab corpora alias 3-grams
+_SPAN_MAX_DF = 10_000  # drop boilerplate grams shared by too many docs
+_SPAN_MIN_GRAMS = 3    # a span must contain >= 3 shared grams
+# Deterministic planted duplicated passage (13 out-of-vocabulary
+# tokens, so its 9 interior 5-grams exist nowhere else): every 20th
+# doc carries it, identically constructed in both engines — the
+# guaranteed-positive fixture for substring-level dedup.
+_SPAN_PASSAGE = (
+    "zephyr quixotic marzipan obelisk furlong nimbus "
+    "gossamer citadel plover ember quarry lattice krill"
+)
+
+_SPAN_SHINGLES = (
+    f"CASE WHEN len(w) >= {_SPAN_K} THEN"
+    f" list_transform(range(1, len(w)-{_SPAN_K - 2}),"
+    f" i -> array_to_string(w[i:i+{_SPAN_K - 1}], ' ')) ELSE [] END"
+)
+
+_SPAN_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 0 THEN text || ' {_SPAN_PASSAGE}'
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (SELECT doc_id, {_TOK} AS w FROM planted),
+sh AS (SELECT doc_id, {_SPAN_SHINGLES} AS shingles FROM tok),
+flat AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(shingles)+1),
+                i -> {{'pos': i - 1, 'h': md5(shingles[CAST(i AS INT)])}})) AS ph
+  FROM sh WHERE len(shingles) > 0
+),
+grams AS (SELECT doc_id, ph.pos AS pos, ph.h AS h FROM flat),
+dfc AS (
+  SELECT h FROM grams
+  GROUP BY h HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SPAN_MAX_DF}
+),
+shared AS (SELECT g.doc_id, g.pos FROM grams g JOIN dfc USING (h)),
+flag AS (
+  -- gap > K between consecutive shared gram positions = coverage hole
+  -- (NULL lag on the first row falls through to 1: new span)
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SPAN_K} THEN 0 ELSE 1 END AS newgrp
+  FROM shared
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                          ) AS g
+  FROM flag
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM grp GROUP BY doc_id, g HAVING COUNT(*) >= {_SPAN_MIN_GRAMS}
+"""
+
+
+@query("llm_span_dedup", oracle=_SPAN_ORACLE, tags=("llm", "dedup"))
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup — the LLM-dedup family doc-level
+    MinHash/SimHash cannot cover: long passages duplicated INSIDE
+    otherwise-distinct documents (license headers, quoted articles,
+    templated sections). Hash every word 5-gram with its position,
+    keep grams shared by 2..max_df distinct docs, and merge each doc's
+    shared positions into maximal fully-covered token spans (island
+    grouping: a gap > K between consecutive shared grams is a coverage
+    hole, so it starts a new span). Output (doc_id, span_start,
+    span_end, n_grams) in token coordinates — the input to a
+    span-removal rewrite.
+
+    Scale shape: one grouped agg on the gram hash (two-phase
+    count-distinct, so hot grams collapse map-side — the df cap also
+    bounds any boilerplate gram's join fan-out), one equi-join back on
+    the hash (no pairwise doc×doc expansion anywhere: membership
+    counting, not pair generation), then one doc_id window whose sort
+    feeds the span groupBy with no further exchange. Every 20th doc
+    carries a deterministic planted passage (same construction in both
+    engines) so the positive path is guaranteed at every SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 20 == 0,
+        F.concat(F.col("text"), F.lit(" " + _SPAN_PASSAGE)),
+    ).otherwise(F.col("text"))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(planted, _SPAN_K)).alias("pos", "sh"),
+    ).select("doc_id", "pos", F.md5("sh").alias("h"))
+    dfc = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _SPAN_MAX_DF))
+        .select("h")
+    )
+    shared = grams.join(dfc, "h").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = (
+        shared.withColumn(
+            "newgrp",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w_ord) <= _SPAN_K, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("g", F.sum("newgrp").over(run))
+        .groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(_SPAN_K - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= _SPAN_MIN_GRAMS)
+    )
+    return spans.select("doc_id", "span_start", "span_end", "n_grams")
 
 
 _VOCAB_MIN_DF = 3

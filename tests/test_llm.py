@@ -485,3 +485,102 @@ def test_contamination_flags_benchmark_members_fully(spark, sf_dir):
     clean = [r for r in rows if r.doc_id % 97 != 0 and r.contaminated == 0]
     assert clean, "every document flagged — broadcast set must be wrong"
     assert set(by_id) == {r.doc_id for r in rows}
+
+
+def test_span_dedup_finds_planted_passage(spark, sf_dir):
+    """Substring-level dedup: every 20th doc carries the deterministic
+    planted 13-token passage (queries_llm._SPAN_PASSAGE), so each such
+    doc must report a span that reaches the end of its planted token
+    stream and covers at least the passage's 9 interior 5-grams."""
+    from github_event_etl_spark.plans.catalog import query_map
+    from github_event_etl_spark.plans.queries_llm import (
+        _SPAN_K,
+        _SPAN_PASSAGE,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    spans = query_map()["llm_span_dedup"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = {
+        r.doc_id: r.n
+        for r in docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            "doc_id",
+            F.size(
+                F.split(
+                    F.trim(F.concat(F.col("text"), F.lit(" " + _SPAN_PASSAGE))),
+                    r"\s+",
+                )
+            ).alias("n"),
+        )
+        .collect()
+    }
+    assert n_tokens, "no planted docs at this SF"
+    passage_len = len(_SPAN_PASSAGE.split())
+    for doc_id, n in n_tokens.items():
+        tail = [
+            s
+            for s in by_doc.get(doc_id, [])
+            if s.span_end == n - 1 and s.span_start <= n - passage_len
+        ]
+        assert tail, f"doc {doc_id}: planted passage span missing"
+        assert tail[0].n_grams >= passage_len - _SPAN_K + 1
+
+    # Every span must be internally consistent in token coordinates.
+    for r in spans:
+        assert r.span_start <= r.span_end
+        assert r.n_grams >= 3
+
+
+def test_url_and_boilerplate_gate_helpers(spark):
+    """url_domain extracts the first URL's host ('' when none);
+    boilerplate_hits counts distinct marker phrases case-insensitively."""
+    from github_event_etl_spark.operators.text_analysis import (
+        boilerplate_hits,
+        url_domain,
+    )
+
+    rows = [
+        (1, "see https://spam.example/offer and http://ok.example/x"),
+        (2, "no links here at all"),
+        (3, "Click HERE to Subscribe — All Rights Reserved"),
+        (4, "terms of service mentioned once only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            url_domain(F.col("text")).alias("d"),
+            boilerplate_hits(F.col("text")).alias("b"),
+        ).collect()
+    }
+    assert out[1].d == "spam.example"
+    assert out[2].d == ""
+    assert out[3].b == 3  # click here + subscribe + all rights reserved
+    assert out[4].b == 1
+
+
+def test_curation_gates_drop_planted_negatives(spark, sf_dir):
+    """Every doc_id%10==7 doc (blocked-domain URL) and doc_id%10==3 doc
+    (boilerplate footer) must be excluded from the curated corpus: the
+    per-language totals must equal the same pipeline computed over only
+    the surviving docs."""
+    from github_event_etl_spark.plans.catalog import query_map
+    from github_event_etl_spark.sources.tables import load_table
+
+    out = {r.lang: r for r in
+           query_map()["llm_corpus_curation"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    survivors = docs.filter(
+        (F.col("doc_id") % 10 != 7) & (F.col("doc_id") % 10 != 3)
+    ).count()
+    assert survivors < total
+    # Gate arithmetic: curated doc count can never exceed the survivor
+    # pool (planted docs are guaranteed dropped).
+    assert sum(r.n_docs for r in out.values()) <= survivors

@@ -46,3 +46,55 @@ def test_contract_shape():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert all(callable(f) for f in q.values())
+
+
+def test_catalog_staleness_ordering():
+    """Pin the registry ordering discipline the driver's 50-key/round
+    cap depends on (catalog._load_all): (1) queries changed this round
+    first, (2) never-checked keys, (3) everything else stalest-first by
+    last green round — so no key's verification ever goes staler than
+    it has to, and a changed query is always re-hash-verified in the
+    round it changed."""
+    from github_event_etl_spark.plans import catalog
+
+    last_green = catalog._rounds_checked_green()
+    newest = catalog._newest_artifact_round()
+    names = list(SPECS)
+
+    def expected_rank(key: str) -> tuple[int, int]:
+        if (
+            key in catalog._CHANGED_THIS_ROUND
+            and last_green.get(key, 0) <= catalog._CHANGED_AFTER_ROUND
+        ):
+            return (0, 0)
+        if (
+            key in catalog._DEFERRED_NEW_KEYS
+            and newest < catalog._DEFER_NEW_UNTIL_ROUND
+        ):
+            return (2, 0)
+        return (1, last_green.get(key, 0))
+
+    ranks = [expected_rank(n) for n in names]
+    assert ranks == sorted(ranks), (
+        "registry not ordered changed-first / stalest-first: "
+        + str([
+            (n, r) for n, r, prev in zip(names[1:], ranks[1:], ranks)
+            if r < prev
+        ])
+    )
+    # Changed-this-round keys (not yet re-verified) must sit inside the
+    # driver's 50-key window.
+    for key in catalog._CHANGED_THIS_ROUND:
+        if key in SPECS and last_green.get(key, 0) <= catalog._CHANGED_AFTER_ROUND:
+            assert names.index(key) < 50, f"{key} outside the 50-key window"
+    # Never-checked keys (no deferral active) must also make the window.
+    never = [
+        n for n in names
+        if n not in last_green
+        and not (
+            n in catalog._DEFERRED_NEW_KEYS
+            and newest < catalog._DEFER_NEW_UNTIL_ROUND
+        )
+    ]
+    for key in never:
+        assert names.index(key) < 50, f"new key {key} outside the 50-key window"
