@@ -524,6 +524,62 @@ def shingle_overlap(
     )
 
 
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_grams: int = 3,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """Substring-level duplicate detection: maximal token spans of each
+    document that are fully covered by word k-grams shared with other
+    documents (2..max_df distinct docs). Returns (doc_id, span_start,
+    span_end, n_grams) in token coordinates — the doc-internal
+    passages (license headers, quoted articles, templated sections)
+    that doc-level MinHash/SimHash can never flag.
+
+    Shape: positioned k-gram md5 → grouped df count on the hash
+    (two-phase, hot grams collapse map-side; the df cap bounds any
+    boilerplate gram's downstream fan-out) → equi-join back on the
+    hash (membership counting — never a doc×doc pair expansion) → one
+    doc_id window whose sort feeds the island merge: a gap > k between
+    consecutive shared positions is a coverage hole, so it starts a
+    new span; the final span groupBy reuses the window's partitioning
+    with no further exchange."""
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col(text_col), k)).alias("pos", "sh"),
+    ).select("doc_id", "pos", F.md5("sh").alias("h"))
+    dfc = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("h")
+    )
+    shared = grams.join(dfc, "h").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        shared.withColumn(
+            "newgrp",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w_ord) <= k, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("g", F.sum("newgrp").over(run))
+        .groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= min_grams)
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 

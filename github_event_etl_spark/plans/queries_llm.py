@@ -54,11 +54,11 @@ from ..operators.text_analysis import (
 )
 from ..operators.text_dedup import (
     dedup_exact,
+    duplicated_spans,
     jaccard_ngram,
     minhash_candidate_pairs,
     simhash_candidate_pairs,
     verify_pairs_jaccard,
-    word_shingles,
     words,
 )
 from ..sources.tables import load_table
@@ -1058,44 +1058,21 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting, not pair generation), then one doc_id window whose sort
     feeds the span groupBy with no further exchange. Every 20th doc
     carries a deterministic planted passage (same construction in both
-    engines) so the positive path is guaranteed at every SF."""
+    engines) so the positive path is guaranteed at every SF.
+    Core logic: operators/text_dedup.py::duplicated_spans (scale notes
+    there); hypothesis model-diffs it against a sequential reference in
+    tests/test_properties.py."""
     docs = load_table(spark, sf_dir, "documents")
     planted = F.when(
         F.col("doc_id") % 20 == 0,
         F.concat(F.col("text"), F.lit(" " + _SPAN_PASSAGE)),
     ).otherwise(F.col("text"))
-    grams = docs.select(
-        "doc_id",
-        F.posexplode(word_shingles(planted, _SPAN_K)).alias("pos", "sh"),
-    ).select("doc_id", "pos", F.md5("sh").alias("h"))
-    dfc = (
-        grams.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= _SPAN_MAX_DF))
-        .select("h")
+    return duplicated_spans(
+        docs.select("doc_id", planted.alias("text")),
+        k=_SPAN_K,
+        min_grams=_SPAN_MIN_GRAMS,
+        max_df=_SPAN_MAX_DF,
     )
-    shared = grams.join(dfc, "h").select("doc_id", "pos")
-    w_ord = Window.partitionBy("doc_id").orderBy("pos")
-    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    spans = (
-        shared.withColumn(
-            "newgrp",
-            F.when(
-                F.col("pos") - F.lag("pos").over(w_ord) <= _SPAN_K, F.lit(0)
-            ).otherwise(F.lit(1)),
-        )
-        .withColumn("g", F.sum("newgrp").over(run))
-        .groupBy("doc_id", "g")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(_SPAN_K - 1)).cast("long").alias("span_end"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
-        .filter(F.col("n_grams") >= _SPAN_MIN_GRAMS)
-    )
-    return spans.select("doc_id", "span_start", "span_end", "n_grams")
 
 
 _VOCAB_MIN_DF = 3
@@ -1146,6 +1123,93 @@ def llm_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= _VOCAB_MIN_DF)
         .orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("tok"))
         .limit(_VOCAB_TOP_K)
+    )
+
+
+# ----------------------------------------------- LM-based quality filtering
+
+_RARITY_MAX = 60  # mean inverse-probability above this = outlier doc
+
+
+@query(
+    "llm_rarity_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK_LOWER}) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, COUNT(*)::BIGINT AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(tf)::BIGINT AS total FROM tf),
+    scored AS (
+      -- ALL-INTEGER rarity: micros of 1/p via integer floor division.
+      -- No doubles anywhere = no libm, no float-sum ordering, no
+      -- half-way rounding — the value hash is engine-stable by
+      -- construction (both engines truncate integer division).
+      SELECT t.doc_id, (tot.total * 1000000) // tf.tf AS rarity_micros
+      FROM toks t JOIN tf USING (tok), tot
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_toks,
+             CAST(SUM(rarity_micros) AS BIGINT) AS rarity_sum
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks, rarity_sum,
+           CAST(CASE WHEN rarity_sum <= {_RARITY_MAX} * 1000000 * n_toks
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM agg
+    """,
+    tags=("llm", "text", "quality"),
+)
+def llm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filter — the statistical-LM scoring family
+    (CCNet / Gopher use KenLM perplexity): score each doc by how
+    (im)probable its tokens are under the corpus' own unigram model,
+    and flag outliers. The score is the summed INVERSE token
+    probability in MICROS — floor(total*1e6/tf) per token, all-integer
+    (mean = rarity_sum/1e6/n_toks, left to the consumer) — rather than
+    log-perplexity: the hashed values never touch a double, per the
+    repo rule that hashed measures avoid order-dependent float
+    aggregation, libm (ln) calls, and derived-float rounds whose
+    half-way cases are engine-specific (a round(mean,6) variant
+    diverged by 1e-6 on single docs; a DECIMAL variant differed only
+    in trailing-zero rendering between client paths). Spark `div` ==
+    DuckDB integer `//` (both truncate). total*1e6 needs < 2^63:
+    holds through ~9e12 corpus tokens; beyond that, widen to decimal
+    intermediates. Gibberish/rare-token docs score high; 'keep' flags
+    the normal corpus band via rarity_sum <= max*1e6*n_toks.
+
+    Scale shape: one two-phase token count (hot tokens collapse
+    map-side), the unigram table rides a broadcast back onto the token
+    stream (no shuffle of the corpus, no skew on hot tokens — a 'the'
+    join key never concentrates), one grouped agg on doc_id. The
+    broadcast is bounded by distinct-token count; at extreme vocab
+    sizes the standard fallback is a top-K cap + OOV floor
+    (llm_vocabulary's TakeOrdered shape), same plan otherwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("total"))
+    lm = tf.crossJoin(F.broadcast(tot))
+    scored = toks.join(F.broadcast(lm), "tok").select(
+        "doc_id",
+        F.expr("(total * 1000000L) div tf").alias("rarity_micros"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("rarity_micros").alias("rarity_sum"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_toks",
+        "rarity_sum",
+        F.when(
+            F.col("rarity_sum") <= F.col("n_toks") * (_RARITY_MAX * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
     )
 
 

@@ -89,11 +89,16 @@ def read_kafka_events(
 ) -> DataFrame:
     """Production live ingest: one Kafka topic of JSON events → typed
     stream. Requires the spark-sql-kafka connector on the classpath
-    and a reachable broker — neither exists in this container, so this
-    wrapper is exercised only as wiring (the parse stage it shares
-    with the socket path is fully tested). Partition count of the
-    topic is the ingest parallelism; offsets + checkpoint give
-    exactly-once into the event table (A13 idempotence analog)."""
+    and a reachable broker — neither exists in this container (Maven
+    Central is unreachable, so `spark.jars.packages` cannot fetch the
+    artifact, and no local/ivy jar is present). The wrapper is instead
+    pinned by a batch contract test
+    (tests/test_live_ingest.py::test_kafka_wrapper_contract_without_broker)
+    that captures the exact format/option wiring and pushes rows with
+    the real Kafka source schema (binary value) through it; the parse
+    stage is shared with the fully-executed socket path. Partition
+    count of the topic is the ingest parallelism; offsets + checkpoint
+    give exactly-once into the event table (A13 idempotence analog)."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -565,3 +565,69 @@ def test_pii_patterns_agree_across_engines(spark, frags):
     con.close()
     assert got.clean == want[0]
     assert (got.n_email, got.n_ipv4, got.n_long_id) == want[1:]
+
+
+# ------------------------------------- duplicated spans vs sequential model
+
+
+def _ref_duplicated_spans(docs, k, min_grams, max_df):
+    """Sequential reference for duplicated_spans: shared-gram positions
+    merged into coverage islands (gap > k starts a new span)."""
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    gram_pos = {}
+    for d, toks in docs.items():
+        # Engine tokenization parity: split(trim('')) yields [''] — an
+        # empty doc still carries one (empty) token in both engines.
+        toks = toks if toks else [""]
+        gs = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        gram_pos[d] = gs
+        for g in gs:
+            gram_docs[g].add(d)
+    ok = {g for g, ds in gram_docs.items() if 2 <= len(ds) <= max_df}
+    out = []
+    for d, gs in gram_pos.items():
+        runs = []
+        for p, g in enumerate(gs):
+            if g not in ok:
+                continue
+            if runs and p - runs[-1][-1] <= k:
+                runs[-1].append(p)
+            else:
+                runs.append([p])
+        for r in runs:
+            if len(r) >= min_grams:
+                out.append((d, r[0], r[-1] + k - 1, len(r)))
+    return sorted(out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=2,
+        max_size=6,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_duplicated_spans_match_sequential_model(spark, docs, k):
+    """The distributed span extractor (operators/text_dedup.py::
+    duplicated_spans) must agree with a sequential reference on
+    arbitrary tiny corpora — shared prefixes/suffixes, full-doc
+    duplicates, interleaved repeats, docs shorter than k."""
+    from github_event_etl_spark.operators.text_dedup import duplicated_spans
+
+    doc_map = {i: toks for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in doc_map.items()],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_spans(
+            df, k=k, min_grams=1, max_df=100
+        ).collect()
+    )
+    want = _ref_duplicated_spans(doc_map, k, min_grams=1, max_df=100)
+    assert got == want
