@@ -94,11 +94,18 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
 # the round after (staleness 2). Policy: at most ~3 new/changed keys
 # per round, so worst-case staleness stays bounded at two rounds and
 # the displaced keys are always the least-stale ones (ordering below).
-_DEFER_NEW_UNTIL_ROUND = 5
+_DEFER_NEW_UNTIL_ROUND = 6
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # round 5: added with the window at exactly 50 (1 changed + 3 new
-    # + 46 stale); first verified in round 6
-    "llm_token_shards",
+    # round 6: the round's new/changed budget (llm_token_shards from
+    # the r5 deferral + llm_span_dedup + llm_rarity_score new +
+    # llm_corpus_curation changed) already displaces ~3 stale keys, so
+    # these three later additions rank last and take their first
+    # driver check in round 7 (local oracle replay in tests/
+    # test_oracle.py covers them meanwhile). llm_token_shards's r5
+    # entry self-cleared when CORRECTNESS_r05 landed.
+    "llm_tfidf_topk",
+    "llm_mixture_sample",
+    "llm_pack_offsets",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

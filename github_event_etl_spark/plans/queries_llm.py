@@ -930,6 +930,70 @@ def llm_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-language target sampling rates for mixture rebalancing,
+# expressed as exact 32-bit thresholds (rate × 2^32) so the keep test
+# is an integer comparison in both engines. Downsample the dominant
+# language, keep the tails.
+_MIXTURE_RATES: dict[str, float] = {
+    "en": 0.5, "zh": 1.0, "es": 0.75, "de": 0.75, "fr": 1.0,
+}
+_MIXTURE_DEFAULT_RATE = 0.25
+_MIXTURE_THRESHOLDS: dict[str, int] = {
+    lg: int(r * (1 << 32)) for lg, r in _MIXTURE_RATES.items()
+}
+_MIXTURE_DEFAULT_THRESHOLD = int(_MIXTURE_DEFAULT_RATE * (1 << 32))
+
+
+def _mixture_threshold_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lg}' THEN {t}"
+        for lg, t in _MIXTURE_THRESHOLDS.items()
+    )
+    return f"CASE {whens} ELSE {_MIXTURE_DEFAULT_THRESHOLD} END"
+
+
+@query(
+    "llm_mixture_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                          < {_mixture_threshold_sql()}
+                THEN 1 ELSE 0 END AS INTEGER) AS sampled
+    FROM documents
+    """,
+    tags=("llm", "sampling"),
+)
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixture rebalancing — the reweighting step that
+    hits a target corpus composition (downsample the dominant
+    language, keep the tails): keep a doc iff the first 32 bits of
+    md5(doc_id), read as an unsigned int, fall below its language's
+    rate × 2^32 threshold. Like llm_split_sample this is a pure
+    function of the stable id — reproducible across runs, engines,
+    and cluster sizes, no RNG state, and re-running on grown data
+    never resamples old docs. Emits every doc with its 0/1 verdict so
+    the decision (not just the survivor set) is value-checked.
+
+    Scale shape: map-side projection, zero shuffle at any corpus
+    size. The u32 hash-to-threshold comparison is all-integer (hex
+    parse via conv/'0x'-cast — the cross-engine md5 trick used
+    throughout), so rates are exact, not float-rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    thr = None
+    for lg, t in _MIXTURE_THRESHOLDS.items():
+        cond = F.col("lang") == lg
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(F.lit(_MIXTURE_DEFAULT_THRESHOLD))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(u32 < thr, 1).otherwise(0).cast("int").alias("sampled"),
+    )
+
+
 _WINNOW_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, {_TOK} AS w FROM documents
@@ -1126,6 +1190,81 @@ def llm_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_TOP_K = 3
+
+
+@query(
+    "llm_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK_LOWER}) AS tok FROM documents
+    ),
+    tfd AS (
+      SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+    ),
+    dfc AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tfd GROUP BY 1),
+    n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+      -- integer tf-idf: idf as micros of N/df via floor division —
+      -- monotone in rarity, zero doubles, engine-exact (see
+      -- llm_rarity_score for the why)
+      SELECT t.doc_id, t.tok,
+             t.tf * ((n.n_docs * 1000000) // d.df) AS score_micros
+      FROM tfd t JOIN dfc d USING (tok), n
+    ),
+    r AS (
+      SELECT doc_id, tok, score_micros,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micros DESC, tok) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, tok, score_micros, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= {_TFIDF_TOP_K}
+    """,
+    tags=("llm", "text", "features"),
+)
+def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K characteristic terms per document by integer tf-idf — the
+    classic per-doc featurization (topic signatures, near-dup
+    explanation, cluster labeling). Score = tf × floor(N·1e6/df): the
+    idf factor is inverse document frequency in micros, monotone in
+    the standard log-idf for ranking rare-vs-common terms, and — like
+    llm_rarity_score — all-integer so the cross-engine hash never
+    meets a double. Deterministic (score DESC, token) tie-break.
+
+    Scale shape: one (doc_id, tok) grouped count (two-phase), the
+    per-token df table aggregates FROM that result (tiny — vocab
+    rows) and broadcasts back, so the corpus-sized side never
+    reshuffles on the skewed token key; the final top-K is a
+    row_number window on doc_id (unique key, skew-free exchange).
+    N·1e6 must stay < 2^63 — holds to ~9e12 docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("tok")
+    )
+    tfd = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tfd.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tfd.join(F.broadcast(dfc.crossJoin(F.broadcast(n))), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.expr("(n_docs * 1000000L) div df")).alias(
+                "score_micros"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micros").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _TFIDF_TOP_K)
+        .select("doc_id", "tok", "score_micros", "rnk")
+    )
+
+
 # ----------------------------------------------- LM-based quality filtering
 
 _RARITY_MAX = 60  # mean inverse-probability above this = outlier doc
@@ -1277,6 +1416,69 @@ def llm_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("shard"),
+    )
+
+
+@query(
+    "llm_pack_offsets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, doc_id // {_SHARD_BLOCK} AS block,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS toks
+      FROM documents
+    ),
+    c AS (
+      -- CAST: DuckDB's SUM over BIGINT widens to HUGEINT, which the
+      -- pandas client path renders as float — pin BIGINT end-to-end
+      SELECT doc_id, lang, block, toks,
+             CAST(SUM(toks) OVER (PARTITION BY lang, block ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+                  - toks AS BIGINT) AS tok_before
+      FROM t
+    )
+    SELECT doc_id, lang, block, toks,
+           CAST(tok_before // {_SHARD_CAPACITY} AS BIGINT) AS shard,
+           CAST(tok_before % {_SHARD_CAPACITY} AS BIGINT) AS offset_in_shard
+    FROM c
+    """,
+    tags=("llm", "packing"),
+)
+def llm_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout — the step after token-budget sharding
+    (llm_token_shards) that a training-data writer needs to CONCATENATE
+    docs into fixed-capacity sequences: each doc's shard plus its
+    starting token offset inside that shard, i.e. (cumulative tokens
+    before it) divmod capacity. All-integer (floor-div/mod of a
+    non-negative running sum — identical in both engines), fully
+    deterministic, so the physical byte layout of a packed training
+    file is reproducible anywhere.
+
+    Scale shape: same one skew-free composite-key window as
+    llm_token_shards — (lang, 100-doc block) groups keep parallelism
+    growing with the corpus; token counting is map-side regexp_count;
+    no other shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.text_analysis import regex_token_count
+
+    w = (
+        Window.partitionBy("lang", "block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"doc_id div {_SHARD_BLOCK}").alias("block"),
+        regex_token_count(F.col("text")).cast("long").alias("toks"),
+    ).withColumn("tok_before", F.sum("toks").over(w) - F.col("toks"))
+    return c.select(
+        "doc_id",
+        "lang",
+        "block",
+        "toks",
+        F.expr(f"tok_before div {_SHARD_CAPACITY}").alias("shard"),
+        (F.col("tok_before") % _SHARD_CAPACITY).alias("offset_in_shard"),
     )
 
 
