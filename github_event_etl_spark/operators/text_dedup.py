@@ -545,7 +545,15 @@ def duplicated_spans(
     doc_id window whose sort feeds the island merge: a gap > k between
     consecutive shared positions is a coverage hole, so it starts a
     new span; the final span groupBy reuses the window's partitioning
-    with no further exchange."""
+    with no further exchange.
+
+    The gram stream is derived twice (df-count branch + probe branch)
+    rather than shuffled once by hash: recomputing a map-side
+    explode+md5 costs CPU, while materializing/exchanging the exploded
+    stream (~10× corpus bytes) costs IO that dwarfs it at 100 TB — the
+    classic recompute-vs-materialize call. A cluster run that must scan
+    pricey remote storage can insert a checkpoint of `grams` instead;
+    the plan composes unchanged."""
     grams = docs.select(
         "doc_id",
         F.posexplode(word_shingles(F.col(text_col), k)).alias("pos", "sh"),

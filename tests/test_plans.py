@@ -502,3 +502,30 @@ def test_vocabulary_topk_is_take_ordered(qmap, spark, sf_dir):
     # A full sort would appear as a range-partitioning Exchange feeding
     # a global Sort ("GlobalSort" is not a real plan node name).
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_rarity_and_tfidf_broadcast_not_shuffle_corpus(qmap, spark, sf_dir):
+    """The unigram/df statistics tables must come back to the
+    corpus-sized side as BROADCAST joins: a SortMergeJoin on the token
+    key would reshuffle every token occurrence of the corpus onto the
+    most skewed key imaginable ('the'). Also pins the zero-shuffle
+    mixture sampler."""
+    for name in ("llm_rarity_score", "llm_tfidf_topk"):
+        tree = tree_of(plan_of(qmap, spark, sf_dir, name))
+        assert "BroadcastHashJoin" in tree, name
+        assert "SortMergeJoin" not in tree, name
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_mixture_sample"))
+    assert tree.count("Exchange") == 0
+
+
+def test_span_dedup_single_doc_sort(qmap, spark, sf_dir):
+    """The span extractor's two windows (lag flag + running group id)
+    and the final span aggregation must all ride ONE (doc_id) sort —
+    an extra Sort or a per-window Exchange means the island merge
+    re-partitions the shared-gram stream once per step."""
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_span_dedup"))
+    assert tree.count("Window") == 2
+    # windows share one sort; the df-count aggregation contributes its
+    # own exchange, the window partitioning one more
+    assert tree.count("Sort") == 1
+    assert "CartesianProduct" not in tree
