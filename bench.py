@@ -178,9 +178,13 @@ def main() -> None:
     def _pipeline_e2e():
         from github_event_etl_spark.plans.pipelines import dedup_e2e_pipeline
 
-        t0 = time.perf_counter()
-        _force(dedup_e2e_pipeline(spark, sf_dir))
-        pipelines["dedup_e2e"] = round(time.perf_counter() - t0, 3)
+        reps = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            _force(dedup_e2e_pipeline(spark, sf_dir))
+            reps.append(round(time.perf_counter() - t0, 3))
+        pipelines["dedup_e2e"] = sorted(reps)[len(reps) // 2]
+        spread["dedup_e2e"] = [min(reps), max(reps)]
 
     _guard("pipeline_dedup_e2e", _pipeline_e2e)
 
