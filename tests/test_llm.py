@@ -584,3 +584,34 @@ def test_curation_gates_drop_planted_negatives(spark, sf_dir):
     # Gate arithmetic: curated doc count can never exceed the survivor
     # pool (planted docs are guaranteed dropped).
     assert sum(r.n_docs for r in out.values()) <= survivors
+
+
+def test_mixture_sample_hits_target_rates(spark, sf_dir):
+    """The md5-threshold sampler must land near each language's target
+    rate (exact-threshold Bernoulli over a uniform 32-bit hash — at
+    n>=50 per lang a ±0.25 absolute tolerance is ~4+ sigma) and be
+    idempotent across runs (pure function of doc_id)."""
+    from github_event_etl_spark.plans.catalog import query_map
+    from github_event_etl_spark.plans.queries_llm import (
+        _MIXTURE_DEFAULT_RATE,
+        _MIXTURE_RATES,
+    )
+
+    fn = query_map()["llm_mixture_sample"]
+    rows = fn(spark, sf_dir).collect()
+    again = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    from collections import defaultdict
+
+    n = defaultdict(int)
+    kept = defaultdict(int)
+    for r in rows:
+        n[r.lang] += 1
+        kept[r.lang] += r.sampled
+    for lang, total in n.items():
+        rate = _MIXTURE_RATES.get(lang, _MIXTURE_DEFAULT_RATE)
+        got = kept[lang] / total
+        assert abs(got - rate) <= 0.25, (lang, got, rate, total)
+        if rate == 1.0:
+            assert kept[lang] == total, (lang, "rate-1.0 must keep all")
