@@ -299,6 +299,79 @@ def ann_ivf(
     )
 
 
+def pq_codes(
+    corpus: DataFrame,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes — the standard embedding-compression
+    step for billion-vector similarity search (IVF-PQ): split each
+    vector into `num_subspaces` contiguous subvectors, assign each
+    subvector to its nearest codeword (squared L2, argmin), and pack
+    the per-subspace code indices into one integer. 64-dim float32 →
+    one BIGINT per vector (8 subspaces × 4 bits here): a 64×
+    compression that makes a 100 TB embedding corpus scan-able.
+
+    The codebook is deterministic, not k-means: per subspace, the
+    codewords are the subvectors of the `num_codewords` md5-rank seed
+    rows (the ivf_assign seeding idiom — distributed TakeOrdered, no
+    driver collect, engine-reproducible so the DuckDB oracle re-derives
+    the identical codebook). Real systems would refine these seeds with
+    k-means sweeps; the operator SHAPE — broadcast codebook, map-side
+    per-subspace argmin via a grouped struct-min (lexicographic
+    (distance, code_rank), the same tie-break rule both engines apply),
+    pack — is identical, and a trained codebook slots in as a drop-in
+    `codebook` replacement.
+
+    Scale shape: one broadcast of C tiny codeword rows, one
+    n×C-row map-side expansion feeding a groupBy(id) whose struct-min
+    partial-aggregates map-side (only n rows cross the shuffle), zero
+    windows over the corpus. Distances fold left-to-right in double,
+    matching DuckDB's list sum to the last ulp (see `dot`)."""
+    d_sub = dim // num_subspaces
+    rank_key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    seeds = (
+        corpus.orderBy(rank_key, F.col(id_col))
+        .limit(num_codewords)
+        .select(F.col(id_col).alias("code_id"), F.col(vec_col).alias("c_vec"))
+    )
+    # 0-based codeword rank, same md5 ordering (C rows — the window's
+    # single-partition sort is over the broadcast-sized frame only).
+    wseed = Window.orderBy(
+        F.md5(F.col("code_id").cast("string").cast("binary")), F.col("code_id")
+    )
+    codebook = seeds.withColumn(
+        "code_rank", (F.row_number().over(wseed) - 1).cast("int")
+    )
+
+    def sub_dist(s: int) -> Column:
+        a = F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
+        b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    joined = corpus.select(id_col, vec_col).join(F.broadcast(codebook))
+    codes = joined.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.struct(sub_dist(s).alias("d"), F.col("code_rank").alias("r"))
+            )["r"].alias(f"c{s}")
+            for s in range(num_subspaces)
+        ]
+    )
+    packed = None
+    for s in range(num_subspaces):
+        term = F.col(f"c{s}").cast("long") * F.lit(num_codewords**s).cast("long")
+        packed = term if packed is None else packed + term
+    return codes.select(F.col(id_col), packed.alias("pq_code"))
+
+
 def ivf_write_index(
     corpus: DataFrame,
     path: str,

@@ -106,6 +106,7 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     "llm_tfidf_topk",
     "llm_mixture_sample",
     "llm_pack_offsets",
+    "llm_pq_codes",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

@@ -32,6 +32,7 @@ from ..operators.similarity import (
     cosine_dup_pairs_lsh,
     ivf_write_index,
     knn_bruteforce,
+    pq_codes,
 )
 from ..operators.text_analysis import (
     LANG_MARKERS,
@@ -584,6 +585,74 @@ def llm_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_write_index(emb, index, num_centroids=16)
     queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
     return ann_ivf_partitioned(spark, index, queries, k=_KNN_K, nprobe=4)
+
+
+_PQ_SUBSPACES = 8
+_PQ_CODEWORDS = 16
+_PQ_DSUB = 8  # 64-dim / 8 subspaces
+
+
+def _pq_oracle() -> str:
+    def dist(s: int) -> str:
+        off = s * _PQ_DSUB
+        sq = f"(v[{off} + i] - cv[{off} + i]) * (v[{off} + i] - cv[{off} + i])"
+        return (
+            f"list_aggregate(list_transform(range(1, {_PQ_DSUB + 1}),"
+            f" i -> {sq}), 'sum')"
+        )
+
+    dist_cols = ",\n             ".join(
+        f"{dist(s)} AS d{s}" for s in range(_PQ_SUBSPACES)
+    )
+    code_cols = ",\n             ".join(
+        f"min({{'d': d{s}, 'r': code_rank}}).r AS c{s}"
+        for s in range(_PQ_SUBSPACES)
+    )
+    packed = " + ".join(
+        f"c{s} * CAST({_PQ_CODEWORDS ** s} AS BIGINT)"
+        for s in range(_PQ_SUBSPACES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      -- engine codebook seeding: C smallest md5(id), rank 0-based in
+      -- the same order (window is evaluated before LIMIT)
+      SELECT vec_id AS code_id, v AS cv,
+             CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                     vec_id) - 1 AS INTEGER) AS code_rank
+      FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_PQ_CODEWORDS}
+    ),
+    dists AS (
+      SELECT e.vec_id, cb.code_rank,
+             {dist_cols}
+      FROM e, cb
+    ),
+    codes AS (
+      SELECT vec_id,
+             {code_cols}
+      FROM dists GROUP BY vec_id
+    )
+    SELECT vec_id, CAST({packed} AS BIGINT) AS pq_code FROM codes
+    """
+
+
+@query("llm_pq_codes", oracle=_pq_oracle(), tags=("llm", "similarity"))
+def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression of the embedding corpus: 8
+    subspaces × 16 codewords → one packed BIGINT per vector, the
+    IVF-PQ building block that makes billion-vector search memory
+    hold (operators/similarity.py:pq_codes — deterministic md5-seeded
+    codebook, broadcast + map-side argmin, struct-min tie-break
+    identical in both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(
+        emb,
+        num_subspaces=_PQ_SUBSPACES,
+        num_codewords=_PQ_CODEWORDS,
+        dim=_PQ_SUBSPACES * _PQ_DSUB,
+    )
 
 
 # -------------------------------------------------------------- text analysis

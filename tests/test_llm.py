@@ -615,3 +615,52 @@ def test_mixture_sample_hits_target_rates(spark, sf_dir):
         assert abs(got - rate) <= 0.25, (lang, got, rate, total)
         if rate == 1.0:
             assert kept[lang] == total, (lang, "rate-1.0 must keep all")
+
+
+def test_pq_codes_match_python_model(spark, sf_dir):
+    """PQ assignment must agree exactly with a sequential model: same
+    md5-rank codebook, same left-to-right double fold for the squared
+    L2, same (distance, rank) argmin tie-break, same packing."""
+    import hashlib
+
+    from github_event_etl_spark.plans.catalog import query_map
+    from github_event_etl_spark.plans.queries_llm import (
+        _PQ_CODEWORDS,
+        _PQ_DSUB,
+        _PQ_SUBSPACES,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    ranked = sorted(
+        vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    codebook = [(rank, vecs[i]) for rank, i in enumerate(ranked[:_PQ_CODEWORDS])]
+
+    def sub_dist(v, cv, s):
+        acc = 0.0
+        for i in range(s * _PQ_DSUB, (s + 1) * _PQ_DSUB):
+            d = v[i] - cv[i]
+            acc = acc + d * d
+        return acc
+
+    def model_code(v):
+        packed = 0
+        for s in range(_PQ_SUBSPACES):
+            best = min(
+                (sub_dist(v, cv, s), rank) for rank, cv in codebook
+            )[1]
+            packed += best * (_PQ_CODEWORDS ** s)
+        return packed
+
+    got = {
+        r.vec_id: r.pq_code
+        for r in query_map()["llm_pq_codes"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(vecs)
+    bad = [i for i in vecs if got[i] != model_code(vecs[i])]
+    assert not bad, f"{len(bad)} mismatched codes, first: {bad[:3]}"

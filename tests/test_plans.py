@@ -529,3 +529,21 @@ def test_span_dedup_single_doc_sort(qmap, spark, sf_dir):
     # own exchange, the window partitioning one more
     assert tree.count("Sort") == 1
     assert "CartesianProduct" not in tree
+
+
+def test_pq_codes_broadcast_codebook_partial_agg(qmap, spark, sf_dir):
+    """PQ assignment must broadcast the tiny codebook (never reshuffle
+    the corpus for it) and compute the per-subspace argmin as a grouped
+    aggregation — partial map-side min means only one row per vector
+    crosses the shuffle, and no Window node ever touches the n×C
+    expansion."""
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_pq_codes"))
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    # struct-typed min buffers plan as SortAggregate; two of them
+    # (partial below the exchange, final above) = map-side combine
+    assert tree.count("SortAggregate") == 2
+    # the only Window is the 16-row codebook ranking, which sits under
+    # the broadcast side; the corpus side must stay window-free — a
+    # cheap proxy: exactly one Window node in the whole plan
+    assert tree.count("Window") == 1
