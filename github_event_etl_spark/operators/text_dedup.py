@@ -588,6 +588,62 @@ def duplicated_spans(
     )
 
 
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The rewrite stage that consumes `duplicated_spans` output: drop
+    every token covered by a span and rebuild each document's text —
+    the final step of substring-level dedup (keep one copy of a
+    duplicated passage corpus-wide is a policy layered on top; this
+    operator removes the flagged ranges it is given). Returns
+    (doc_id, text, n_removed_tokens).
+
+    Shape: tokenize with positions (map-side posexplode), mark covered
+    tokens with ONE range join against the doc's own spans (both sides
+    keyed by unique doc_id — equi-join plus a non-equi position
+    predicate, never a cross join), rebuild with an order-insensitive
+    sort_array over (pos, token) structs so reassembly needs no window
+    or second sort. Docs with no spans pass through unchanged via the
+    left join."""
+    toks = docs.select(
+        "doc_id", F.posexplode(words(F.col(text_col))).alias("pos", "tok")
+    )
+    covered = toks.join(
+        spans.select("doc_id", "span_start", "span_end"),
+        on=[
+            toks.doc_id == spans.doc_id,
+            F.col("pos") >= F.col("span_start"),
+            F.col("pos") <= F.col("span_end"),
+        ],
+        how="left_semi",
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("_rebuilt"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_toks = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_orig"),
+        F.size(words(F.col(text_col))).cast("long").alias("_n"),
+    )
+    return n_toks.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("_rebuilt", F.lit("")).alias(text_col),
+        (F.col("_n") - F.coalesce("_n_kept", F.lit(0))).alias(
+            "n_removed_tokens"
+        ),
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 

@@ -664,3 +664,61 @@ def test_pq_codes_match_python_model(spark, sf_dir):
     assert set(got) == set(vecs)
     bad = [i for i in vecs if got[i] != model_code(vecs[i])]
     assert not bad, f"{len(bad)} mismatched codes, first: {bad[:3]}"
+
+
+def test_remove_spans_rewrites_exactly(spark):
+    """remove_spans must drop exactly the covered token ranges, keep
+    order, pass span-free docs through unchanged, and count removals."""
+    from github_event_etl_spark.operators.text_dedup import remove_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y z"),
+            (3, "p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 2, 4),   # drop c d e
+            (1, 6, 7),   # drop g h
+            (3, 0, 4),   # drop everything
+        ],
+        "doc_id long, span_start long, span_end long",
+    )
+    out = {r.doc_id: r for r in remove_spans(docs, spans).collect()}
+    assert out[1].text == "a b f"
+    assert out[1].n_removed_tokens == 5
+    assert out[2].text == "x y z"
+    assert out[2].n_removed_tokens == 0
+    assert out[3].text == ""
+    assert out[3].n_removed_tokens == 5
+
+
+def test_remove_spans_composes_with_duplicated_spans(spark):
+    """End-to-end substring dedup: after removing the spans reported by
+    duplicated_spans, re-running span detection on the rewritten corpus
+    finds nothing — the rewrite is a fixpoint."""
+    from github_event_etl_spark.operators.text_dedup import (
+        duplicated_spans,
+        remove_spans,
+    )
+
+    shared = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"delta {shared} epsilon zeta"),
+            (3, "unrelated text entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, k=3, min_grams=2, max_df=10)
+    assert {r.doc_id for r in spans.collect()} == {1, 2}
+    clean = remove_spans(docs, spans)
+    again = duplicated_spans(clean, k=3, min_grams=2, max_df=10)
+    assert again.count() == 0
+    kept = {r.doc_id: r.text for r in clean.collect()}
+    assert kept[3] == "unrelated text entirely here now"
+    assert "three" not in kept[1] and "three" not in kept[2]
