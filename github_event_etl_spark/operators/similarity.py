@@ -332,20 +332,7 @@ def pq_codes(
     windows over the corpus. Distances fold left-to-right in double,
     matching DuckDB's list sum to the last ulp (see `dot`)."""
     d_sub = dim // num_subspaces
-    rank_key = F.md5(F.col(id_col).cast("string").cast("binary"))
-    seeds = (
-        corpus.orderBy(rank_key, F.col(id_col))
-        .limit(num_codewords)
-        .select(F.col(id_col).alias("code_id"), F.col(vec_col).alias("c_vec"))
-    )
-    # 0-based codeword rank, same md5 ordering (C rows — the window's
-    # single-partition sort is over the broadcast-sized frame only).
-    wseed = Window.orderBy(
-        F.md5(F.col("code_id").cast("string").cast("binary")), F.col("code_id")
-    )
-    codebook = seeds.withColumn(
-        "code_rank", (F.row_number().over(wseed) - 1).cast("int")
-    )
+    codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
 
     def sub_dist(s: int) -> Column:
         a = F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
@@ -370,6 +357,109 @@ def pq_codes(
         term = F.col(f"c{s}").cast("long") * F.lit(num_codewords**s).cast("long")
         packed = term if packed is None else packed + term
     return codes.select(F.col(id_col), packed.alias("pq_code"))
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    num_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The deterministic PQ codebook used by `pq_codes`: the
+    `num_codewords` md5-rank seed rows with a 0-based rank in the same
+    ordering. Split out so the search path (`ann_pq_adc`) derives the
+    IDENTICAL codebook from the corpus without re-stating the idiom."""
+    rank_key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    seeds = (
+        corpus.orderBy(rank_key, F.col(id_col))
+        .limit(num_codewords)
+        .select(F.col(id_col).alias("code_id"), F.col(vec_col).alias("c_vec"))
+    )
+    wseed = Window.orderBy(
+        F.md5(F.col("code_id").cast("string").cast("binary")), F.col("code_id")
+    )
+    return seeds.withColumn(
+        "code_rank", (F.row_number().over(wseed) - 1).cast("int")
+    )
+
+
+def ann_pq_adc(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search by asymmetric distance computation (ADC): each query
+    precomputes its 8×16 table of (query-subvector → codeword) squared
+    L2 distances, and every corpus vector's approximate distance is
+    then 8 table lookups on its packed code — no touching the original
+    embeddings, which is the entire point: the scan reads only the
+    BIGINT codes (64× smaller than float32 vectors at these
+    parameters). Returns (qid, rnk, nid, adist) — approximate distance,
+    ascending, deterministic (adist, nid) tie-break.
+
+    Scale shape: the distance tables live on the query side — q × 8
+    arrays of 16 doubles — built from a broadcast codebook join and
+    aggregated into lookup arrays, then THAT tiny frame broadcasts
+    against the codes scan: the corpus side stays map-side until the
+    per-qid top-k window (q×n narrow rows, same exchange shape as
+    brute-force kNN, but each row costs 8 array lookups instead of a
+    64-dim cosine). A production variant pairs this with the IVF
+    partition pruning (`ann_ivf_partitioned`) to cut n as well."""
+    d_sub = dim // num_subspaces
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
+
+    def sub_dist(s: int) -> Column:
+        a = F.slice(_as_double(F.col("q_vec")), s * d_sub + 1, d_sub)
+        b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # Per (query, codeword) row: 8 subspace distances; aggregate into
+    # one 16-slot lookup array per (query, subspace), codeword-rank
+    # ordered via sort_array over (rank, dist) structs.
+    qc = q.join(F.broadcast(codebook)).select(
+        "qid",
+        "q_vec",
+        "code_rank",
+        *[sub_dist(s).alias(f"d{s}") for s in range(num_subspaces)],
+    )
+    tables = qc.groupBy("qid", "q_vec").agg(
+        *[
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("code_rank", F.col(f"d{s}")))
+                ),
+                lambda st: st[f"d{s}"],
+            ).alias(f"t{s}")
+            for s in range(num_subspaces)
+        ]
+    )
+    scored = codes.join(F.broadcast(tables.drop("q_vec")))
+    adist = None
+    for s in range(num_subspaces):
+        # integer unpack: (code div 16^s) mod 16 — no doubles near ids
+        code_s = F.expr(f"pq_code div {num_codewords ** s}") % num_codewords
+        term = F.element_at(F.col(f"t{s}"), code_s.cast("int") + 1)
+        adist = term if adist is None else adist + term
+    w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    return (
+        scored.select(
+            "qid", F.col(id_col).alias("nid"), adist.alias("adist")
+        )
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "nid", "adist")
+    )
 
 
 def ivf_write_index(

@@ -722,3 +722,74 @@ def test_remove_spans_composes_with_duplicated_spans(spark):
     kept = {r.doc_id: r.text for r in clean.collect()}
     assert kept[3] == "unrelated text entirely here now"
     assert "three" not in kept[1] and "three" not in kept[2]
+
+
+def test_ann_pq_adc_matches_python_model(spark, sf_dir):
+    """PQ-ADC search must agree exactly with a sequential model: same
+    codebook, same per-subspace lookup tables, same Σ-of-lookups
+    approximate distance, same (adist, nid) top-k tie-break."""
+    import hashlib
+
+    from github_event_etl_spark.operators.similarity import (
+        ann_pq_adc,
+        pq_codebook,
+        pq_codes,
+    )
+    from github_event_etl_spark.plans.queries_llm import (
+        _PQ_CODEWORDS,
+        _PQ_DSUB,
+        _PQ_SUBSPACES,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_queries, k = 4, 5
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    codes = pq_codes(emb, _PQ_SUBSPACES, _PQ_CODEWORDS,
+                     _PQ_SUBSPACES * _PQ_DSUB)
+    cb = pq_codebook(emb, _PQ_CODEWORDS)
+    got = ann_pq_adc(codes, cb, queries, k=k,
+                     num_subspaces=_PQ_SUBSPACES,
+                     num_codewords=_PQ_CODEWORDS,
+                     dim=_PQ_SUBSPACES * _PQ_DSUB).collect()
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    ranked = sorted(
+        vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    book = [vecs[i] for i in ranked[:_PQ_CODEWORDS]]
+    code_rows = {r.vec_id: r.pq_code for r in codes.collect()}
+
+    def sub_dist(a, b, s):
+        acc = 0.0
+        for i in range(s * _PQ_DSUB, (s + 1) * _PQ_DSUB):
+            d = a[i] - b[i]
+            acc = acc + d * d
+        return acc
+
+    model = {}
+    for qid in range(n_queries):
+        qv = vecs[qid]
+        tables = [
+            [sub_dist(qv, cw, s) for cw in book] for s in range(_PQ_SUBSPACES)
+        ]
+        scored = []
+        for nid, code in code_rows.items():
+            if nid == qid:
+                continue
+            adist = 0.0
+            for s in range(_PQ_SUBSPACES):
+                adist = adist + tables[s][(code // _PQ_CODEWORDS**s)
+                                          % _PQ_CODEWORDS]
+            scored.append((adist, nid))
+        scored.sort()
+        model[qid] = [
+            (rnk + 1, nid, ad) for rnk, (ad, nid) in enumerate(scored[:k])
+        ]
+
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r.qid, []).append((r.rnk, r.nid, r.adist))
+    for qid in model:
+        assert sorted(got_by_q[qid]) == model[qid], f"qid {qid}"
