@@ -107,6 +107,8 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     "llm_mixture_sample",
     "llm_pack_offsets",
     "llm_pq_codes",
+    "llm_span_removed",
+    "llm_ann_pq",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

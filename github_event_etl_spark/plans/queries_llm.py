@@ -30,8 +30,10 @@ from ..operators.similarity import (
     ann_lsh,
     cosine_dup_pairs,
     cosine_dup_pairs_lsh,
+    ann_pq_adc,
     ivf_write_index,
     knn_bruteforce,
+    pq_codebook,
     pq_codes,
 )
 from ..operators.text_analysis import (
@@ -58,6 +60,7 @@ from ..operators.text_dedup import (
     duplicated_spans,
     jaccard_ngram,
     minhash_candidate_pairs,
+    remove_spans,
     simhash_candidate_pairs,
     verify_pairs_jaccard,
     words,
@@ -592,7 +595,12 @@ _PQ_CODEWORDS = 16
 _PQ_DSUB = 8  # 64-dim / 8 subspaces
 
 
-def _pq_oracle() -> str:
+def _pq_ctes() -> str:
+    """Shared oracle CTE chain: corpus → md5-rank codebook → all
+    (vector, codeword) subspace distances → per-subspace argmin codes.
+    llm_pq_codes packs the codes; llm_ann_pq reuses `dists` rows as the
+    query-side ADC lookup tables (a query's table IS its dists rows)."""
+
     def dist(s: int) -> str:
         off = s * _PQ_DSUB
         sq = f"(v[{off} + i] - cv[{off} + i]) * (v[{off} + i] - cv[{off} + i])"
@@ -606,10 +614,6 @@ def _pq_oracle() -> str:
     )
     code_cols = ",\n             ".join(
         f"min({{'d': d{s}, 'r': code_rank}}).r AS c{s}"
-        for s in range(_PQ_SUBSPACES)
-    )
-    packed = " + ".join(
-        f"c{s} * CAST({_PQ_CODEWORDS ** s} AS BIGINT)"
         for s in range(_PQ_SUBSPACES)
     )
     return f"""
@@ -634,8 +638,47 @@ def _pq_oracle() -> str:
              {code_cols}
       FROM dists GROUP BY vec_id
     )
-    SELECT vec_id, CAST({packed} AS BIGINT) AS pq_code FROM codes
     """
+
+
+def _pq_oracle() -> str:
+    packed = " + ".join(
+        f"c{s} * CAST({_PQ_CODEWORDS ** s} AS BIGINT)"
+        for s in range(_PQ_SUBSPACES)
+    )
+    return (
+        _pq_ctes()
+        + f"SELECT vec_id, CAST({packed} AS BIGINT) AS pq_code FROM codes"
+    )
+
+
+def _ann_pq_oracle() -> str:
+    # adist = Σ_s dists[qid][c_s]: the scalar subqueries pick the
+    # query's own precomputed subspace distances, added left-to-right
+    # in the same order the Spark loop accumulates them.
+    adist = " + ".join(
+        f"(SELECT d.d{s} FROM dists d"
+        f" WHERE d.vec_id = q.vec_id AND d.code_rank = c.c{s})"
+        for s in range(_PQ_SUBSPACES)
+    )
+    return (
+        _pq_ctes()
+        + f"""
+    , scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid, ({adist}) AS adist
+      FROM codes c, (SELECT vec_id FROM e WHERE vec_id < {_KNN_QUERIES}) q
+      WHERE c.vec_id <> q.vec_id
+    ),
+    r AS (
+      SELECT qid, nid, adist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adist, nid) AS rnk
+      FROM scored
+    )
+    SELECT qid, CAST(rnk AS INTEGER) AS rnk, nid, adist
+    FROM r WHERE rnk <= {_KNN_K}
+    """
+    )
 
 
 @query("llm_pq_codes", oracle=_pq_oracle(), tags=("llm", "similarity"))
@@ -652,6 +695,30 @@ def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_subspaces=_PQ_SUBSPACES,
         num_codewords=_PQ_CODEWORDS,
         dim=_PQ_SUBSPACES * _PQ_DSUB,
+    )
+
+
+@query("llm_ann_pq", oracle=_ann_pq_oracle(), tags=("llm", "similarity"))
+def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over the compressed corpus: PQ asymmetric
+    distance computation — each query's 8×16 lookup table scores every
+    vector via 8 array lookups on its packed code, never touching the
+    float embeddings (operators/similarity.py:ann_pq_adc; sequential
+    model diff in pytest). Same deterministic codebook as
+    llm_pq_codes; top-k per query with an (adist, nid) tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _PQ_SUBSPACES * _PQ_DSUB
+    codes = pq_codes(emb, _PQ_SUBSPACES, _PQ_CODEWORDS, dim)
+    cb = pq_codebook(emb, _PQ_CODEWORDS)
+    queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
+    return ann_pq_adc(
+        codes,
+        cb,
+        queries,
+        k=_KNN_K,
+        num_subspaces=_PQ_SUBSPACES,
+        num_codewords=_PQ_CODEWORDS,
+        dim=dim,
     )
 
 
@@ -1127,7 +1194,10 @@ _SPAN_SHINGLES = (
     f" i -> array_to_string(w[i:i+{_SPAN_K - 1}], ' ')) ELSE [] END"
 )
 
-_SPAN_ORACLE = f"""
+# Shared CTE chain: planted corpus → positioned gram hashes → shared
+# grams → island groups. llm_span_dedup selects the spans;
+# llm_span_removed continues into the rewrite.
+_SPAN_CTES = f"""
 WITH planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % 20 = 0 THEN text || ' {_SPAN_PASSAGE}'
@@ -1163,11 +1233,44 @@ grp AS (
                           ) AS g
   FROM flag
 )
+"""
+
+_SPAN_ORACLE = f"""{_SPAN_CTES}
 SELECT doc_id,
        CAST(MIN(pos) AS BIGINT) AS span_start,
        CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
        CAST(COUNT(*) AS BIGINT) AS n_grams
 FROM grp GROUP BY doc_id, g HAVING COUNT(*) >= {_SPAN_MIN_GRAMS}
+"""
+
+_SPAN_REMOVED_ORACLE = f"""{_SPAN_CTES}
+, spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_K - 1} AS span_end
+  FROM grp GROUP BY doc_id, g HAVING COUNT(*) >= {_SPAN_MIN_GRAMS}
+),
+ptoks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)+1),
+                i -> {{'pos': i - 1, 'tok': w[CAST(i AS INT)]}})) AS pt
+  FROM tok
+),
+pt AS (SELECT doc_id, pt.pos AS pos, pt.tok AS tok FROM ptoks),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM pt t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id
+                      AND t.pos BETWEEN s.span_start AND s.span_end)
+),
+reb AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY pos), ' ') AS text,
+         COUNT(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.text, '') AS text,
+       CAST(len(t.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed_tokens
+FROM tok t LEFT JOIN reb r USING (doc_id)
 """
 
 
@@ -1206,6 +1309,27 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_grams=_SPAN_MIN_GRAMS,
         max_df=_SPAN_MAX_DF,
     )
+
+
+@query("llm_span_removed", oracle=_SPAN_REMOVED_ORACLE, tags=("llm", "dedup"))
+def llm_span_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite half of substring-level dedup: detect duplicated
+    spans (same planted corpus and parameters as llm_span_dedup) and
+    rebuild every document without the covered tokens, reporting the
+    removal count (operators/text_dedup.py:remove_spans — left-semi
+    range join on the unique doc_id, order-free struct-sort
+    reassembly; fixpoint-tested in pytest: re-detection on the
+    rewritten corpus finds nothing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 20 == 0,
+        F.concat(F.col("text"), F.lit(" " + _SPAN_PASSAGE)),
+    ).otherwise(F.col("text"))
+    corpus = docs.select("doc_id", planted.alias("text"))
+    spans = duplicated_spans(
+        corpus, k=_SPAN_K, min_grams=_SPAN_MIN_GRAMS, max_df=_SPAN_MAX_DF
+    )
+    return remove_spans(corpus, spans)
 
 
 _VOCAB_MIN_DF = 3
