@@ -115,24 +115,28 @@ def connected_components(
     executor loss after lineage truncation is unrecoverable — pass a
     shared-filesystem `checkpoint_dir` in any multi-executor
     deployment.
+
+    Side-effect hygiene: `setCheckpointDir` mutates session-global
+    SparkContext state and has no public unset, so when this function
+    sets it, a finally block restores the PRIOR value (including the
+    unset state, via the Scala-side Option setter) before returning —
+    callers on a shared session never inherit this operator's
+    checkpoint configuration. Because the per-round checkpoints are
+    eager and the returned plan reads only the final checkpointed
+    edge set, restoring the config does not disturb the result.
     """
     spark = edges.sparkSession
+    sc = spark.sparkContext
+    prior_dir = sc.getCheckpointDir()
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-    reliable = spark.sparkContext.getCheckpointDir() is not None
+        sc.setCheckpointDir(checkpoint_dir)
+    reliable = sc.getCheckpointDir() is not None
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
             eager=True
         )
 
-    cur = _ckpt(
-        edges.filter(F.col("u") != F.col("v"))
-        .select(
-            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-        )
-        .distinct()
-    )
     def _sketch(df: DataFrame) -> tuple[int, int]:
         """(edge count, order-free checksum) in ONE job: XOR of per-edge
         xxhash64 over a distinct edge set is a commutative set
@@ -149,15 +153,33 @@ def connected_components(
         ).first()
         return row["n"], row["h"]
 
-    prev = _sketch(cur)
-    for _ in range(max_rounds):
-        nxt = _star_round(cur, large=True)
-        cur = _ckpt(_star_round(nxt, large=False))
-        sk = _sketch(cur)
-        # Fixed point: same edge set (both sides are distinct sets).
-        if sk == prev:
-            break
-        prev = sk
+    try:
+        cur = _ckpt(
+            edges.filter(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        )
+        prev = _sketch(cur)
+        for _ in range(max_rounds):
+            nxt = _star_round(cur, large=True)
+            cur = _ckpt(_star_round(nxt, large=False))
+            sk = _sketch(cur)
+            # Fixed point: same edge set (both sides are distinct sets).
+            if sk == prev:
+                break
+            prev = sk
+    finally:
+        if checkpoint_dir is not None and prior_dir != sc.getCheckpointDir():
+            # Restore through the Scala-side Option setter in BOTH
+            # cases: there is no public unset for None, and for a
+            # previously-set dir re-calling setCheckpointDir would
+            # nest a fresh UUID subdir under the already-resolved
+            # path instead of restoring it verbatim.
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.apply(prior_dir)
+            )
     # After convergence every edge is (component_min, member).
     members = cur.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = cur.select(F.col("u").alias("node"), F.col("u").alias("component"))

@@ -605,8 +605,12 @@ def remove_spans(
     keyed by unique doc_id — equi-join plus a non-equi position
     predicate, never a cross join), rebuild with an order-insensitive
     sort_array over (pos, token) structs so reassembly needs no window
-    or second sort. Docs with no spans pass through unchanged via the
-    left join."""
+    or second sort. Docs with no removed tokens keep their ORIGINAL
+    text byte-for-byte (whitespace included): reassembly is inherently
+    whitespace-normalizing, so the final projection switches on the
+    removal count — only rewritten docs pay the normalization. The
+    switch is a column expression, not a join: a span always removes
+    >= min_grams tokens, so removed == 0 identifies span-free docs."""
     toks = docs.select(
         "doc_id", F.posexplode(words(F.col(text_col))).alias("pos", "tok")
     )
@@ -635,12 +639,13 @@ def remove_spans(
         F.col(text_col).alias("_orig"),
         F.size(words(F.col(text_col))).cast("long").alias("_n"),
     )
+    removed = F.col("_n") - F.coalesce("_n_kept", F.lit(0))
     return n_toks.join(rebuilt, "doc_id", "left").select(
         "doc_id",
-        F.coalesce("_rebuilt", F.lit("")).alias(text_col),
-        (F.col("_n") - F.coalesce("_n_kept", F.lit(0))).alias(
-            "n_removed_tokens"
-        ),
+        F.when(removed > 0, F.coalesce("_rebuilt", F.lit("")))
+        .otherwise(F.col("_orig"))
+        .alias(text_col),
+        removed.alias("n_removed_tokens"),
     )
 
 

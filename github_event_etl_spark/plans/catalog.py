@@ -99,10 +99,13 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # round 6: the round's new/changed budget (llm_token_shards from
     # the r5 deferral + llm_span_dedup + llm_rarity_score new +
     # llm_corpus_curation changed) already displaces ~3 stale keys, so
-    # these three later additions rank last and take their first
-    # driver check in round 7 (local oracle replay in tests/
-    # test_oracle.py covers them meanwhile). llm_token_shards's r5
-    # entry self-cleared when CORRECTNESS_r05 landed.
+    # these SIX later additions rank last and take their first driver
+    # check in round 7 (local oracle replay in tests/test_oracle.py
+    # covers them meanwhile) — six exceeds the ~3/round budget above,
+    # which is why the documented worst-case staleness bound is two
+    # rounds, not one. llm_token_shards's r5 entry self-cleared when
+    # CORRECTNESS_r05 landed; these entries self-cleared when
+    # CORRECTNESS_r06 landed (kept for the historical record).
     "llm_tfidf_topk",
     "llm_mixture_sample",
     "llm_pack_offsets",

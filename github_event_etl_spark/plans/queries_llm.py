@@ -1268,9 +1268,13 @@ reb AS (
   FROM kept GROUP BY doc_id
 )
 SELECT t.doc_id,
-       COALESCE(r.text, '') AS text,
+       CASE WHEN len(t.w) - COALESCE(r.n_kept, 0) > 0
+            THEN COALESCE(r.text, '')
+            ELSE p.text END AS text,
        CAST(len(t.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed_tokens
-FROM tok t LEFT JOIN reb r USING (doc_id)
+FROM tok t
+JOIN planted p USING (doc_id)
+LEFT JOIN reb r USING (doc_id)
 """
 
 

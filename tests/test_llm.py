@@ -674,7 +674,7 @@ def test_remove_spans_rewrites_exactly(spark):
     docs = spark.createDataFrame(
         [
             (1, "a b c d e f g h"),
-            (2, "x y z"),
+            (2, "x  y\tz "),   # irregular whitespace must survive verbatim
             (3, "p q r s t"),
         ],
         "doc_id long, text string",
@@ -690,7 +690,8 @@ def test_remove_spans_rewrites_exactly(spark):
     out = {r.doc_id: r for r in remove_spans(docs, spans).collect()}
     assert out[1].text == "a b f"
     assert out[1].n_removed_tokens == 5
-    assert out[2].text == "x y z"
+    # span-free doc passes through byte-for-byte, not whitespace-normalized
+    assert out[2].text == "x  y\tz "
     assert out[2].n_removed_tokens == 0
     assert out[3].text == ""
     assert out[3].n_removed_tokens == 5

@@ -352,25 +352,33 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
     local = {r.node: r.component for r in connected_components(edges).collect()}
 
     ckpt = str(tmp_path / "cc_ckpt")
-    try:
-        reliable = {
-            r.node: r.component
-            for r in connected_components(edges, checkpoint_dir=ckpt).collect()
-        }
-    finally:
-        # setCheckpointDir is sticky on the shared context and has no
-        # public unset; clear the Scala-side Option so later tests (and
-        # the auto-detection in connected_components) see local mode.
-        jvm = spark.sparkContext._jvm
-        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
-            jvm.scala.Option.apply(None)
-        )
-        assert spark.sparkContext.getCheckpointDir() is None
+    reliable = {
+        r.node: r.component
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    # The operator must restore the session's prior (unset) checkpoint
+    # config itself — the sticky setCheckpointDir side effect is its
+    # own to undo, not the caller's.
+    assert spark.sparkContext.getCheckpointDir() is None
     assert reliable == local
     # The reliable path must have gone through the fault-tolerant dir.
     import os
 
     assert any(files for _, _, files in os.walk(ckpt))
+
+    # And when a prior dir WAS configured, its resolved value (the
+    # UUID subdir setCheckpointDir created) is restored verbatim.
+    prior = str(tmp_path / "prior_ckpt")
+    spark.sparkContext.setCheckpointDir(prior)
+    resolved_prior = spark.sparkContext.getCheckpointDir()
+    try:
+        connected_components(edges, checkpoint_dir=ckpt).collect()
+        assert spark.sparkContext.getCheckpointDir() == resolved_prior
+    finally:
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None)
+        )
+    assert spark.sparkContext.getCheckpointDir() is None
 
 
 # ------------------------------------- LSH near-dup vs exact differential
