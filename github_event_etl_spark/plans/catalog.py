@@ -69,13 +69,16 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 # the change). Once the post-change verification lands, the key
 # rejoins normal staleness ordering — a forgotten entry cannot
 # permanently hog the 50-key budget.
-_CHANGED_AFTER_ROUND = 5  # round-6 edits; r01-r05 artifacts predate them
+_CHANGED_AFTER_ROUND = 6  # round-7 edits; r01-r06 artifacts predate them
 
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # round 6: llm_corpus_curation gained URL-domain-blocklist and
-    # boilerplate gates (with planted negatives), changing the
-    # per-language accounting values
-    "llm_corpus_curation",
+    # round 7: both vocabulary-broadcast queries gained the capped-
+    # vocab + OOV-floor scale path (operators/vocab.py), with caps
+    # below the test vocabulary so the OOV arithmetic is part of the
+    # hashed values. (Round 6's llm_corpus_curation entry self-cleared
+    # when its post-change green row landed in CORRECTNESS_r06.)
+    "llm_rarity_score",
+    "llm_tfidf_topk",
 })
 
 # Keys added when the current round's 50-key verification window is

@@ -65,6 +65,7 @@ from ..operators.text_dedup import (
     verify_pairs_jaccard,
     words,
 )
+from ..operators.vocab import tfidf_topk, unigram_rarity
 from ..sources.tables import load_table
 from .catalog import query
 
@@ -1388,6 +1389,11 @@ def llm_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TFIDF_TOP_K = 3
+# Broadcast cap on the document-frequency table. 12 < the synthetic
+# corpus' 31-token vocabulary at every SF, so the OOV-floor path is
+# exercised and HASH-VERIFIED cross-engine in every driver check —
+# the production plan is the checked plan.
+_TFIDF_VOCAB_CAP = 12
 
 
 @query(
@@ -1400,14 +1406,31 @@ _TFIDF_TOP_K = 3
       SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
     ),
     dfc AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tfd GROUP BY 1),
+    -- capped vocabulary: exact top-{_TFIDF_VOCAB_CAP} by (df DESC,
+    -- tok) — mirrors operators/vocab.py::top_count_vocab; excluded
+    -- tokens score through the average-of-tail OOV df floor
+    kept AS (
+      SELECT tok, df FROM dfc
+      QUALIFY row_number() OVER (ORDER BY df DESC, tok)
+              <= {_TFIDF_VOCAB_CAP}
+    ),
+    fl AS (
+      SELECT CAST(GREATEST(1,
+               (CAST((SELECT COALESCE(SUM(df), 0) FROM dfc) AS BIGINT)
+                - CAST((SELECT COALESCE(SUM(df), 0) FROM kept) AS BIGINT))
+               // GREATEST(1, (SELECT COUNT(*) FROM dfc)
+                              - (SELECT COUNT(*) FROM kept))
+             ) AS BIGINT) AS oov_floor
+    ),
     n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
     scored AS (
       -- integer tf-idf: idf as micros of N/df via floor division —
       -- monotone in rarity, zero doubles, engine-exact (see
       -- llm_rarity_score for the why)
       SELECT t.doc_id, t.tok,
-             t.tf * ((n.n_docs * 1000000) // d.df) AS score_micros
-      FROM tfd t JOIN dfc d USING (tok), n
+             t.tf * ((n.n_docs * 1000000)
+                     // COALESCE(k.df, fl.oov_floor)) AS score_micros
+      FROM tfd t LEFT JOIN kept k USING (tok), n, fl
     ),
     r AS (
       SELECT doc_id, tok, score_micros,
@@ -1429,9 +1452,15 @@ def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_rarity_score — all-integer so the cross-engine hash never
     meets a double. Deterministic (score DESC, token) tie-break.
 
-    Scale shape: one (doc_id, tok) grouped count (two-phase), the
-    per-token df table aggregates FROM that result (tiny — vocab
-    rows) and broadcasts back, so the corpus-sized side never
+    Scale shape: one (doc_id, tok) grouped count (two-phase), then the
+    CAPPED per-token df table broadcasts back (operators/vocab.py::
+    tfidf_topk): the broadcast is bounded at _TFIDF_VOCAB_CAP rows no
+    matter how many distinct tokens the corpus has (a 100 TB web
+    corpus' vocabulary — URLs, hex blobs, typos — reaches billions of
+    rows and would blow an uncapped broadcast), with excluded tokens
+    scored through a mass-preserving OOV df floor. The cap selection
+    is threshold-based, not TakeOrdered — no driver-side top-K merge
+    (vocab.py module docstring). The corpus-sized side never
     reshuffles on the skewed token key; the final top-K is a
     row_number window on doc_id (unique key, skew-free exchange).
     N·1e6 must stay < 2^63 — holds to ~9e12 docs."""
@@ -1440,31 +1469,18 @@ def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(words(F.lower(F.col("text")))).alias("tok")
     )
     tfd = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfc = tfd.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tfd.join(F.broadcast(dfc.crossJoin(F.broadcast(n))), "tok")
-        .select(
-            "doc_id",
-            "tok",
-            (F.col("tf") * F.expr("(n_docs * 1000000L) div df")).alias(
-                "score_micros"
-            ),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score_micros").desc(), F.col("tok")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= _TFIDF_TOP_K)
-        .select("doc_id", "tok", "score_micros", "rnk")
-    )
+    return tfidf_topk(tfd, n, _TFIDF_TOP_K, vocab_cap=_TFIDF_VOCAB_CAP)
 
 
 # ----------------------------------------------- LM-based quality filtering
 
 _RARITY_MAX = 60  # mean inverse-probability above this = outlier doc
+# Broadcast cap on the unigram table: 16 < the synthetic 31-token
+# vocabulary at every SF, so the OOV-floor path is hash-verified
+# cross-engine in every driver check (same rationale as
+# _TFIDF_VOCAB_CAP).
+_RARITY_VOCAB_CAP = 16
 
 
 @query(
@@ -1474,14 +1490,34 @@ _RARITY_MAX = 60  # mean inverse-probability above this = outlier doc
       SELECT doc_id, unnest({_TOK_LOWER}) AS tok FROM documents
     ),
     tf AS (SELECT tok, COUNT(*)::BIGINT AS tf FROM toks GROUP BY tok),
-    tot AS (SELECT SUM(tf)::BIGINT AS total FROM tf),
+    -- capped vocabulary: exact top-{_RARITY_VOCAB_CAP} by (tf DESC,
+    -- tok) — mirrors operators/vocab.py::top_count_vocab. `total`
+    -- still normalizes over the FULL vocabulary; excluded tokens
+    -- score through the average-of-tail OOV floor, preserving
+    -- aggregate probability mass.
+    kept AS (
+      SELECT tok, tf FROM tf
+      QUALIFY row_number() OVER (ORDER BY tf DESC, tok)
+              <= {_RARITY_VOCAB_CAP}
+    ),
+    fl AS (
+      SELECT CAST((SELECT COALESCE(SUM(tf), 0) FROM tf) AS BIGINT) AS total,
+             CAST(GREATEST(1,
+               (CAST((SELECT COALESCE(SUM(tf), 0) FROM tf) AS BIGINT)
+                - CAST((SELECT COALESCE(SUM(tf), 0) FROM kept) AS BIGINT))
+               // GREATEST(1, (SELECT COUNT(*) FROM tf)
+                              - (SELECT COUNT(*) FROM kept))
+             ) AS BIGINT) AS oov_floor
+    ),
     scored AS (
       -- ALL-INTEGER rarity: micros of 1/p via integer floor division.
       -- No doubles anywhere = no libm, no float-sum ordering, no
       -- half-way rounding — the value hash is engine-stable by
       -- construction (both engines truncate integer division).
-      SELECT t.doc_id, (tot.total * 1000000) // tf.tf AS rarity_micros
-      FROM toks t JOIN tf USING (tok), tot
+      SELECT t.doc_id,
+             (fl.total * 1000000)
+             // COALESCE(k.tf, fl.oov_floor) AS rarity_micros
+      FROM toks t LEFT JOIN kept k USING (tok), fl
     ),
     agg AS (
       SELECT doc_id, COUNT(*)::BIGINT AS n_toks,
@@ -1514,27 +1550,20 @@ def llm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normal corpus band via rarity_sum <= max*1e6*n_toks.
 
     Scale shape: one two-phase token count (hot tokens collapse
-    map-side), the unigram table rides a broadcast back onto the token
-    stream (no shuffle of the corpus, no skew on hot tokens — a 'the'
-    join key never concentrates), one grouped agg on doc_id. The
-    broadcast is bounded by distinct-token count; at extreme vocab
-    sizes the standard fallback is a top-K cap + OOV floor
-    (llm_vocabulary's TakeOrdered shape), same plan otherwise."""
+    map-side), then the CAPPED unigram table rides a broadcast back
+    onto the token stream (operators/vocab.py::unigram_rarity — no
+    shuffle of the corpus, no skew on hot tokens, and the broadcast is
+    bounded at _RARITY_VOCAB_CAP rows no matter how many distinct
+    tokens the corpus has; a billion-token web vocabulary would blow
+    an uncapped broadcast). `total` still normalizes over the full
+    vocabulary and out-of-vocab tokens take the average-of-tail floor,
+    so in-vocab scores match the uncapped form exactly. One grouped
+    agg on doc_id finishes."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(words(F.lower(F.col("text")))).alias("tok")
     )
-    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    tot = tf.agg(F.sum("tf").alias("total"))
-    lm = tf.crossJoin(F.broadcast(tot))
-    scored = toks.join(F.broadcast(lm), "tok").select(
-        "doc_id",
-        F.expr("(total * 1000000L) div tf").alias("rarity_micros"),
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_toks"),
-        F.sum("rarity_micros").alias("rarity_sum"),
-    )
+    agg = unigram_rarity(toks, vocab_cap=_RARITY_VOCAB_CAP)
     return agg.select(
         "doc_id",
         "n_toks",

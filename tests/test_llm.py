@@ -794,3 +794,129 @@ def test_ann_pq_adc_matches_python_model(spark, sf_dir):
         got_by_q.setdefault(r.qid, []).append((r.rnk, r.nid, r.adist))
     for qid in model:
         assert sorted(got_by_q[qid]) == model[qid], f"qid {qid}"
+
+
+# ----------------------------------------------- capped-vocab broadcast path
+
+
+def test_top_count_vocab_matches_order_by_limit(spark):
+    """top_count_vocab's threshold-based selection must return exactly
+    the rows of orderBy(count DESC, tok).limit(cap) — including caps
+    landing inside tie bands, cap == 1, and cap >= vocabulary size."""
+    from github_event_etl_spark.operators.vocab import top_count_vocab
+
+    rows = [
+        ("a", 10), ("b", 10), ("c", 10),   # 3-way tie band at 10
+        ("d", 7),
+        ("e", 5), ("f", 5),                # 2-way tie at 5
+        ("g", 1), ("h", 1), ("i", 1), ("j", 1),  # singleton band
+    ]
+    tf = spark.createDataFrame(rows, "tok string, tf long")
+    model_sorted = sorted(rows, key=lambda r: (-r[1], r[0]))
+    for cap in (1, 2, 3, 4, 6, 7, 8, 10, 25):
+        got = sorted(
+            (r.tok, r.tf)
+            for r in top_count_vocab(tf, "tf", cap).collect()
+        )
+        assert got == sorted(model_sorted[:cap]), f"cap={cap}"
+
+
+def test_top_count_vocab_empty_and_invalid_cap(spark):
+    from github_event_etl_spark.operators.vocab import top_count_vocab
+
+    empty = spark.createDataFrame([], "tok string, tf long")
+    assert top_count_vocab(empty, "tf", 5).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        top_count_vocab(empty, "tf", 0)
+
+
+def test_unigram_rarity_capped_matches_python_model(spark):
+    """The capped rarity path must agree with a sequential model:
+    full-vocab total, top-cap vocabulary by (tf DESC, tok), OOV floor =
+    max(1, tail_mass // tail_types), score = (total*1e6) // count."""
+    from github_event_etl_spark.operators.vocab import unigram_rarity
+
+    docs = {
+        1: "the the the cat sat on the mat".split(),
+        2: "the dog ate my homework homework".split(),
+        3: "zz yy xx ww vv".split(),  # all-rare doc -> all OOV at small cap
+    }
+    toks = spark.createDataFrame(
+        [(d, t) for d, ts in docs.items() for t in ts],
+        "doc_id long, tok string",
+    )
+    from collections import Counter
+
+    tf = Counter(t for ts in docs.values() for t in ts)
+    total = sum(tf.values())
+    for cap in (2, 4, 8, None):
+        if cap is None:
+            kept = dict(tf)
+        else:
+            kept = dict(
+                sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+            )
+        tail_mass = total - sum(kept.values())
+        tail_types = len(tf) - len(kept)
+        floor = max(1, tail_mass // tail_types) if tail_types else 1
+        expect = {}
+        for d, ts in docs.items():
+            scores = [
+                (total * 1_000_000) // kept.get(t, floor) for t in ts
+            ]
+            expect[d] = (len(ts), sum(scores))
+        got = {
+            r.doc_id: (r.n_toks, r.rarity_sum)
+            for r in unigram_rarity(toks, vocab_cap=cap).collect()
+        }
+        assert got == expect, f"cap={cap}"
+
+
+def test_tfidf_capped_oov_ranks_rare_tokens_high(spark):
+    """With a df cap, out-of-vocab (rare) tokens take the tail-average
+    df floor and must outrank common in-vocab terms per doc, and the
+    capped result must agree with a sequential model."""
+    from github_event_etl_spark.operators.vocab import tfidf_topk
+
+    corpus = {
+        1: ["common"] * 3 + ["shared", "rareone"],
+        2: ["common", "shared", "raretwo", "raretwo"],
+        3: ["common", "shared", "other"],
+    }
+    tfd_rows = []
+    from collections import Counter
+
+    for d, ts in corpus.items():
+        for t, c in Counter(ts).items():
+            tfd_rows.append((d, t, c))
+    tfd = spark.createDataFrame(tfd_rows, "doc_id long, tok string, tf long")
+    n = spark.createDataFrame([(len(corpus),)], "n_docs long")
+
+    dfc = Counter(t for d, ts in corpus.items() for t in set(ts))
+    cap = 2  # keeps {common:3, shared:3}; other/rareone/raretwo are OOV
+    kept = dict(sorted(dfc.items(), key=lambda kv: (-kv[1], kv[0]))[:cap])
+    tail_mass = sum(dfc.values()) - sum(kept.values())
+    tail_types = len(dfc) - len(kept)
+    floor = max(1, tail_mass // tail_types)
+    model = {}
+    for d, t, c in tfd_rows:
+        score = c * ((len(corpus) * 1_000_000) // kept.get(t, floor))
+        model.setdefault(d, []).append((score, t))
+    k = 2
+    expect = set()
+    for d, scored in model.items():
+        scored.sort(key=lambda st: (-st[0], st[1]))
+        for rnk, (score, t) in enumerate(scored[:k], start=1):
+            expect.add((d, t, score, rnk))
+    got = {
+        (r.doc_id, r.tok, r.score_micros, r.rnk)
+        for r in tfidf_topk(tfd, n, k, vocab_cap=cap).collect()
+    }
+    assert got == expect
+    # OOV (rare) tokens take the floor idf and rank high: raretwo tops
+    # doc 2 outright; rareone ties doc 1's top score and loses only
+    # the deterministic token tie-break.
+    assert (2, "raretwo", 6_000_000, 1) in got
+    assert (1, "rareone", 3_000_000, 2) in got

@@ -518,6 +518,24 @@ def test_rarity_and_tfidf_broadcast_not_shuffle_corpus(qmap, spark, sf_dir):
     assert tree.count("Exchange") == 0
 
 
+def test_rarity_and_tfidf_broadcast_is_capped_table(qmap, spark, sf_dir):
+    """The broadcast side of the token-stats join must be the CAPPED
+    vocabulary (operators/vocab.py): a LeftOuter broadcast join whose
+    build side is the Union of the above-threshold filter and the
+    tie-band row_number — bounded at the cap regardless of corpus
+    vocabulary. And the cap itself must be threshold-based, never a
+    TakeOrderedAndProject (whose driver-side merge of K rows per
+    partition is exactly the scale trap the threshold form avoids)."""
+    for name in ("llm_rarity_score", "llm_tfidf_topk"):
+        tree = tree_of(plan_of(qmap, spark, sf_dir, name))
+        # OOV scoring requires the token stream to SURVIVE the join
+        # when its token fell out of the capped vocab: left outer.
+        assert "BroadcastHashJoin LeftOuter BuildRight" in tree, name
+        # The capped table is above-threshold ∪ tie-band.
+        assert "Union" in tree, name
+        assert "TakeOrderedAndProject" not in tree, name
+
+
 def test_span_dedup_single_doc_sort(qmap, spark, sf_dir):
     """The span extractor's two windows (lag flag + running group id)
     and the final span aggregation must all ride ONE (doc_id) sort —
