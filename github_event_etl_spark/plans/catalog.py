@@ -91,12 +91,24 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
 # round's window.
 #
 # New-keys-per-round budget: with R registry keys and the driver's
-# 50-key cap, every key is re-verified each ceil(R/50) rounds. Keep
-# R <= 100 for strict one-round staleness; past that, each (new +
-# changed) key admitted to a round's window displaces one stale key to
-# the round after (staleness 2). Policy: at most ~3 new/changed keys
-# per round, so worst-case staleness stays bounded at two rounds and
-# the displaced keys are always the least-stale ones (ordering below).
+# 50-key cap, stalest-first ordering re-verifies every key each
+# ceil(R / 50) rounds — that ceiling IS the documented worst-case
+# staleness bound, pinned against the live registry size by
+# tests/test_oracle.py::test_catalog_staleness_ordering via
+# `staleness_bound_rounds()` below. Two levers keep the bound small:
+# (1) at most ~3 new/changed keys per round (each admitted key
+# displaces one least-stale key by one round), and (2) consolidating
+# strict-projection keys into their verified superset's slot (e.g.
+# llm_token_shards is a public projection of llm_pack_offsets and
+# holds no slot of its own).
+_DRIVER_KEYS_PER_ROUND = 50
+
+
+def staleness_bound_rounds() -> int:
+    """Worst-case rounds between driver hash-checks of any one key:
+    ceil(registry size / driver window)."""
+    n = len(all_specs())
+    return -(-n // _DRIVER_KEYS_PER_ROUND)
 _DEFER_NEW_UNTIL_ROUND = 6
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # round 6: the round's new/changed budget (llm_token_shards from

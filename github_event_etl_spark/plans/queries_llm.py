@@ -1582,67 +1582,24 @@ _SHARD_CAPACITY = 4000  # token budget per shard within a packing group
 _SHARD_BLOCK = 100      # docs per (lang, block) packing group
 
 
-@query(
-    "llm_token_shards",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, lang, doc_id // {_SHARD_BLOCK} AS block,
-             len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS toks
-      FROM documents
-    )
-    SELECT doc_id, lang, block, toks,
-           CAST(FLOOR(
-             (SUM(toks) OVER (PARTITION BY lang, block ORDER BY doc_id)
-              - toks)::DOUBLE / {_SHARD_CAPACITY}) AS BIGINT) AS shard
-    FROM t
-    """,
-    tags=("llm", "packing"),
-)
 def llm_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus sharding — the deterministic chunking step
     that splits a curated corpus into ~equal-token training shards: a
     doc's shard is floor(tokens-before-it / capacity) in doc_id order
     within its (lang, block) packing group.
 
-    Scale shape: the running sum windows over (lang, doc_id-block)
-    groups of 100 docs — an unbounded number of small independent
-    partitions, so parallelism grows with the corpus instead of being
-    capped at the language count (a lang-only window would serialize
-    100 TB through a handful of tasks). One skew-free shuffle on the
-    composite key; token counting is map-side regexp_count. Fully
-    deterministic — no RNG, identical in DuckDB — so shard assignment
-    is reproducible across engines and cluster sizes, like
-    llm_split_sample."""
-    docs = load_table(spark, sf_dir, "documents")
-    from ..operators.text_analysis import regex_token_count
+    Public API, but deliberately NOT a catalog slot: the result is a
+    strict projection of llm_pack_offsets (drop offset_in_shard), so
+    the driver hash-verifying llm_pack_offsets covers this operator
+    too — implemented literally as that projection (and pinned by a
+    pytest), it cannot drift from the verified superset. One catalog
+    slot per verified computation keeps the registry inside the
+    driver's 50-keys/round staleness budget (catalog.py).
 
-    w = (
-        Window.partitionBy("lang", "block")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    t = docs.select(
-        "doc_id",
-        "lang",
-        # Integer `div`, not double-divide-then-cast: truncating integer
-        # division toward zero is exactly DuckDB's integer `//`, so the
-        # two engines stay identical by construction even for doc_ids
-        # beyond 2^53 or negative (double round-trip would not be).
-        F.expr(f"doc_id div {_SHARD_BLOCK}").alias("block"),
-        regex_token_count(F.col("text")).cast("long").alias("toks"),
-    )
-    return t.select(
-        "doc_id",
-        "lang",
-        "block",
-        "toks",
-        F.floor(
-            (F.sum("toks").over(w) - F.col("toks")).cast("double")
-            / _SHARD_CAPACITY
-        )
-        .cast("long")
-        .alias("shard"),
-    )
+    Scale shape: inherited from llm_pack_offsets — one skew-free
+    composite-key (lang, 100-doc block) window, map-side regexp token
+    counting, parallelism growing with the corpus."""
+    return llm_pack_offsets(spark, sf_dir).drop("offset_in_shard")
 
 
 @query(

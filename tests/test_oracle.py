@@ -98,3 +98,44 @@ def test_catalog_staleness_ordering():
     ]
     for key in never:
         assert names.index(key) < 50, f"new key {key} outside the 50-key window"
+
+
+def test_staleness_bound_documented_matches_arithmetic():
+    """The catalog's documented worst-case staleness bound must equal
+    the arithmetic reality of the registry size vs the driver's 50-key
+    window — if the registry grows past another multiple of 50, this
+    fails until the documentation (and consolidation policy) catches
+    up."""
+    from github_event_etl_spark.plans import catalog
+
+    n = len(SPECS)
+    expected = -(-n // catalog._DRIVER_KEYS_PER_ROUND)
+    assert catalog.staleness_bound_rounds() == expected
+    # Current design point: 3 rounds (101..150 keys). Growing into a
+    # 4-round bound is a deliberate decision, not an accident.
+    assert expected <= 3, (
+        f"registry at {n} keys pushes staleness past 3 rounds — "
+        "consolidate projection keys or raise this pin deliberately"
+    )
+
+
+def test_token_shards_is_projection_of_pack_offsets(spark, sf_dir):
+    """llm_token_shards holds no catalog slot because it is a strict
+    projection of the hash-verified llm_pack_offsets; pin that
+    equivalence so the public function can never drift from the
+    verified superset."""
+    from github_event_etl_spark.plans.queries_llm import (
+        llm_pack_offsets,
+        llm_token_shards,
+    )
+
+    shards = {tuple(r) for r in llm_token_shards(spark, sf_dir).collect()}
+    proj = {
+        tuple(r)
+        for r in llm_pack_offsets(spark, sf_dir)
+        .drop("offset_in_shard")
+        .collect()
+    }
+    assert shards == proj and shards
+    assert "llm_token_shards" not in SPECS
+    assert "llm_pack_offsets" in SPECS
