@@ -383,6 +383,56 @@ def pq_codebook(
     )
 
 
+def _adc_tables(
+    q: DataFrame, codebook: DataFrame, num_subspaces: int, dim: int
+) -> DataFrame:
+    """Per-query ADC lookup tables: (qid, t0..t{S-1}) where t_s is the
+    codeword-rank-ordered array of (query-subvector → codeword) squared
+    L2 distances for subspace s. Built from a broadcast codebook join
+    (q × C rows) aggregated into arrays via sort_array over
+    (rank, dist) structs. `q` has columns (qid, q_vec)."""
+    d_sub = dim // num_subspaces
+
+    def sub_dist(s: int) -> Column:
+        a = F.slice(_as_double(F.col("q_vec")), s * d_sub + 1, d_sub)
+        b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qc = q.join(F.broadcast(codebook)).select(
+        "qid",
+        "code_rank",
+        *[sub_dist(s).alias(f"d{s}") for s in range(num_subspaces)],
+    )
+    return qc.groupBy("qid").agg(
+        *[
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("code_rank", F.col(f"d{s}")))
+                ),
+                lambda st: st[f"d{s}"],
+            ).alias(f"t{s}")
+            for s in range(num_subspaces)
+        ]
+    )
+
+
+def _adc_distance(num_subspaces: int, num_codewords: int) -> Column:
+    """Σ_s t_s[code_s]: the ADC approximate distance of a packed
+    `pq_code` against the row's ADC lookup arrays t0..t{S-1}, added
+    left-to-right (the association order the oracles mirror)."""
+    adist = None
+    for s in range(num_subspaces):
+        # integer unpack: (code div 16^s) mod 16 — no doubles near ids
+        code_s = F.expr(f"pq_code div {num_codewords ** s}") % num_codewords
+        term = F.element_at(F.col(f"t{s}"), code_s.cast("int") + 1)
+        adist = term if adist is None else adist + term
+    return adist
+
+
 def ann_pq_adc(
     codes: DataFrame,
     codebook: DataFrame,
@@ -405,57 +455,97 @@ def ann_pq_adc(
 
     Scale shape: the distance tables live on the query side — q × 8
     arrays of 16 doubles — built from a broadcast codebook join and
-    aggregated into lookup arrays, then THAT tiny frame broadcasts
-    against the codes scan: the corpus side stays map-side until the
-    per-qid top-k window (q×n narrow rows, same exchange shape as
-    brute-force kNN, but each row costs 8 array lookups instead of a
-    64-dim cosine). A production variant pairs this with the IVF
-    partition pruning (`ann_ivf_partitioned`) to cut n as well."""
-    d_sub = dim // num_subspaces
+    aggregated into lookup arrays (`_adc_tables`), then THAT tiny frame
+    broadcasts against the codes scan: the corpus side stays map-side
+    until the per-qid top-k window (q×n narrow rows, same exchange
+    shape as brute-force kNN, but each row costs 8 array lookups
+    instead of a 64-dim cosine). The production variant that also cuts
+    n via IVF partition pruning is `ann_ivf_pq`."""
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
-
-    def sub_dist(s: int) -> Column:
-        a = F.slice(_as_double(F.col("q_vec")), s * d_sub + 1, d_sub)
-        b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # Per (query, codeword) row: 8 subspace distances; aggregate into
-    # one 16-slot lookup array per (query, subspace), codeword-rank
-    # ordered via sort_array over (rank, dist) structs.
-    qc = q.join(F.broadcast(codebook)).select(
-        "qid",
-        "q_vec",
-        "code_rank",
-        *[sub_dist(s).alias(f"d{s}") for s in range(num_subspaces)],
-    )
-    tables = qc.groupBy("qid", "q_vec").agg(
-        *[
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("code_rank", F.col(f"d{s}")))
-                ),
-                lambda st: st[f"d{s}"],
-            ).alias(f"t{s}")
-            for s in range(num_subspaces)
-        ]
-    )
-    scored = codes.join(F.broadcast(tables.drop("q_vec")))
-    adist = None
-    for s in range(num_subspaces):
-        # integer unpack: (code div 16^s) mod 16 — no doubles near ids
-        code_s = F.expr(f"pq_code div {num_codewords ** s}") % num_codewords
-        term = F.element_at(F.col(f"t{s}"), code_s.cast("int") + 1)
-        adist = term if adist is None else adist + term
+    tables = _adc_tables(q, codebook, num_subspaces, dim)
+    scored = codes.join(F.broadcast(tables))
     w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
     return (
         scored.select(
-            "qid", F.col(id_col).alias("nid"), adist.alias("adist")
+            "qid",
+            F.col(id_col).alias("nid"),
+            _adc_distance(num_subspaces, num_codewords).alias("adist"),
         )
         .filter(F.col("qid") != F.col("nid"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "nid", "adist")
+    )
+
+
+def ann_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the billion-vector ANN flagship, composing the two
+    pruning axes: IVF cuts WHICH vectors are scored (queries probe only
+    their `nprobe` nearest of `num_centroids` inverted lists) and PQ
+    cuts WHAT is read per vector (8 ADC table lookups on a packed
+    BIGINT code instead of a 64-dim cosine on float embeddings). This
+    is the FAISS IVFADC layout expressed relationally. Returns
+    (qid, rnk, nid, adist), ascending approximate distance with a
+    deterministic (adist, nid) tie-break.
+
+    Scale shape: the inverted lists carry ONLY (nid, centroid_id,
+    pq_code) — at 100 TB of embeddings the list storage is ~64×
+    smaller than the vectors, and a probe reads nprobe/C of it
+    (written `partitionBy(centroid_id)`, the scan is additionally
+    partition-pruned — `ivf_write_index` shows the physical layout).
+    Query side: centroid ranking and ADC tables are both built against
+    broadcast tiny tables, then the (qid, centroid_id, t0..t7) probe
+    frame — q × nprobe rows — broadcasts against the code lists. The
+    corpus never shuffles; scored volume is Σ probed-list sizes, not
+    q × n. Fully deterministic (md5 seeding, id tie-breaks), so the
+    whole composition carries a value oracle (queries_llm).
+    """
+    assigned, centroids = ivf_assign(corpus, num_centroids, id_col, vec_col)
+    codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
+    codes = pq_codes(
+        corpus, num_subspaces, num_codewords, dim, id_col, vec_col
+    )
+    lists = assigned.select(F.col(id_col).alias("nid"), "centroid_id").join(
+        codes.select(F.col(id_col).alias("nid"), "pq_code"), "nid"
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
+    qc = q.join(F.broadcast(centroids)).select(
+        "qid",
+        "q_vec",
+        "centroid_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("_csim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("_csim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("qid", "centroid_id")
+    )
+    tables = _adc_tables(q, codebook, num_subspaces, dim)
+    probe_tabs = probes.join(tables, "qid")
+    scored = lists.join(F.broadcast(probe_tabs), "centroid_id").filter(
+        F.col("qid") != F.col("nid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    return (
+        scored.select(
+            "qid",
+            "nid",
+            _adc_distance(num_subspaces, num_codewords).alias("adist"),
+        )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "rnk", "nid", "adist")

@@ -27,6 +27,7 @@ from ..operators.multimodal import attach_fake_media, extract_features, sample_f
 from ..operators.similarity import (
     ann_ivf,
     ann_ivf_partitioned,
+    ann_ivf_pq,
     ann_lsh,
     cosine_dup_pairs,
     cosine_dup_pairs_lsh,
@@ -720,6 +721,87 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_subspaces=_PQ_SUBSPACES,
         num_codewords=_PQ_CODEWORDS,
         dim=dim,
+    )
+
+
+def _ann_ivf_pq_oracle() -> str:
+    # IVF probe set composed over the PQ CTE chain: candidates come
+    # from the probed inverted lists only, scored by ADC lookups into
+    # the query's own precomputed subspace distances (same scalar-
+    # subquery form as _ann_pq_oracle, same left-to-right addition).
+    adist = " + ".join(
+        f"(SELECT d.d{s} FROM dists d"
+        f" WHERE d.vec_id = p.qid AND d.code_rank = c.c{s})"
+        for s in range(_PQ_SUBSPACES)
+    )
+    return (
+        _pq_ctes()
+        + f"""
+    , cent AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16
+    ),
+    asg AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.v', 'cent.cv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM e, cent
+      ) WHERE rn = 1
+    ),
+    qv AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < {_KNN_QUERIES}),
+    probes AS (
+      SELECT qid, centroid_id FROM (
+        SELECT q.qid, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_cos_sql('q.v', 'cent.cv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM qv q, cent
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.qid, a.vec_id AS nid, ({adist}) AS adist
+      FROM probes p
+      JOIN asg a ON a.centroid_id = p.centroid_id
+      JOIN codes c ON c.vec_id = a.vec_id
+      WHERE a.vec_id <> p.qid
+    ),
+    r AS (
+      SELECT qid, nid, adist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adist, nid) AS rnk
+      FROM scored
+    )
+    SELECT qid, CAST(rnk AS INTEGER) AS rnk, nid, adist
+    FROM r WHERE rnk <= {_KNN_K}
+    """
+    )
+
+
+@query("llm_ann_ivf_pq", oracle=_ann_ivf_pq_oracle(), tags=("llm", "similarity"))
+def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ similarity search — the flagship ANN composition for a
+    100 TB embedding corpus: IVF prunes WHICH vectors are scored
+    (top-4 of 16 inverted lists per query) and PQ-ADC prunes WHAT is
+    read per vector (8 lookups on a packed BIGINT code)
+    (operators/similarity.py:ann_ivf_pq — the FAISS IVFADC layout
+    expressed relationally). Deterministic end-to-end (md5 seeding,
+    id tie-breaks), so centroids, inverted lists, codebook, codes,
+    probe sets, and ADC ranking all carry one full value oracle.
+    Recall floor vs llm_knn_bruteforce asserted in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
+    return ann_ivf_pq(
+        emb,
+        queries,
+        k=_KNN_K,
+        num_centroids=16,
+        nprobe=4,
+        num_subspaces=_PQ_SUBSPACES,
+        num_codewords=_PQ_CODEWORDS,
+        dim=_PQ_SUBSPACES * _PQ_DSUB,
     )
 
 

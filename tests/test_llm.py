@@ -920,3 +920,41 @@ def test_tfidf_capped_oov_ranks_rare_tokens_high(spark):
     # the deterministic token tie-break.
     assert (2, "raretwo", 6_000_000, 1) in got
     assert (1, "rareone", 3_000_000, 2) in got
+
+
+def test_ann_ivf_pq_recall_floor_and_subset(emb):
+    """IVF-PQ composes two lossy prunings (list pruning + code
+    quantization), so its recall floor sits below plain IVF's, and its
+    candidate set must be a subset of the IVF probe set (PQ changes
+    the ranking inside the probed lists, never the lists)."""
+    from github_event_etl_spark.operators.similarity import ann_ivf_pq
+
+    qs = emb.filter(F.col("vec_id") < 8)
+    bf = {(r.qid, r.nid) for r in knn_bruteforce(emb, qs, k=10).collect()}
+    ivfpq_rows = ann_ivf_pq(
+        emb, qs, k=10, num_centroids=16, nprobe=4,
+        num_subspaces=8, num_codewords=16, dim=64,
+    ).collect()
+    ivfpq = {(r.qid, r.nid) for r in ivfpq_rows}
+    assert len(bf) == 8 * 10
+    # Floor calibration: the codebook is md5-seeded (not k-means-
+    # trained) and ADC ranks by L2 while brute force ranks by cosine,
+    # so recall is structurally modest; the floor guards the WIRING
+    # (a broken probe/ADC join lands near 0), not retrieval quality.
+    assert len(bf & ivfpq) / len(bf) >= 0.15
+    # widen k on the IVF side to its whole candidate pool: every IVF-PQ
+    # hit must come from a probed list
+    ivf_all = {
+        (r.qid, r.nid)
+        for r in ann_ivf(emb, qs, k=10**6, num_centroids=16, nprobe=4).collect()
+    }
+    assert ivfpq <= ivf_all
+    # adist ascending, deterministic ranks 1..k per query
+    by_q = {}
+    for r in ivfpq_rows:
+        by_q.setdefault(r.qid, []).append((r.rnk, r.adist))
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists), f"adist not ascending for {qid}"

@@ -263,6 +263,22 @@ def test_ann_lsh_is_equi_join_on_signature(qmap, spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_ivf_pq_probes_lists_by_equi_join(qmap, spark, sf_dir):
+    """IVF-PQ's corpus-side scoring must be an equi-join of the code
+    lists against the BROADCAST (qid, centroid_id, ADC-tables) probe
+    frame — keyed on centroid_id, so only probed lists are read and
+    the corpus never shuffles. A CartesianProduct would mean the probe
+    degenerated to scanning every list per query. (The tiny
+    query×centroid / query×codebook attaches are BNLJ over broadcast
+    single-digit-row tables — allowed; the corpus side is the gate.)"""
+    plan = plan_of(qmap, spark, sf_dir, "llm_ann_ivf_pq")
+    tree = tree_of(plan)
+    assert "CartesianProduct" not in tree
+    # the list-probe join: broadcast hash join keyed on centroid_id
+    assert "BroadcastHashJoin" in tree
+    assert "centroid_id" in plan
+
+
 def test_exact_dedup_scans_corpus_once(qmap, spark, sf_dir):
     """Exact dedup is one scan + one hash-key shuffle; a second scan of
     documents would mean the plan re-reads the corpus."""
