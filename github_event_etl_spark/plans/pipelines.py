@@ -11,21 +11,29 @@ as opposed to the per-operator declared queries.
                                          O(log n) bounded iterations)
       → representative selection        (min-doc_id per cluster)
       → quality/language curation gates (map-side JVM expressions)
+      → substring-level span dedup      (shared-gram membership
+                                         counting over the KEPT docs,
+                                         never doc×doc)
+      → span-removal rewrite            (left-semi range join,
+                                         order-free reassembly)
       → per-language corpus accounting
 
 Every stage is an already-oracle-verified operator (queries_llm.py
-keys llm_dedup_minhash_lsh, llm_dedup_clusters, llm_corpus_curation);
-this module adds no new semantics — it publishes the end-to-end
-wall-clock of the composition, which is the number a training-data
-pipeline actually budgets for. Benchmarked by bench.py as
-`pipelines.dedup_e2e` (kept OUT of the headline total so round-over-
-round baseline comparisons stay apples-to-apples).
+keys llm_dedup_minhash_lsh, llm_dedup_clusters, llm_corpus_curation,
+llm_span_dedup, llm_span_removed); this module adds no new semantics —
+it publishes the end-to-end wall-clock of the composition, which is
+the number a training-data pipeline actually budgets for. Benchmarked
+by bench.py as `pipelines.dedup_e2e` (kept OUT of the headline total
+so round-over-round baseline comparisons stay apples-to-apples).
 
 Scale shape of the composition: no stage collects to the driver; the
 cluster step's iterative shuffles dominate (by design — transitive
 closure is the only super-linear stage), and everything before it
 reduces the edge set to near-dup pairs only, so the closure runs on a
-graph that is tiny relative to the corpus at any scale.
+graph that is tiny relative to the corpus at any scale. The span stage
+runs AFTER document-level dedup and curation on purpose: it scans only
+the kept corpus (smaller), and dropping whole duplicate documents
+first means their passages never inflate the gram df counts.
 """
 
 from __future__ import annotations
@@ -35,18 +43,31 @@ from pyspark.sql import functions as F
 
 from ..operators.graph import dedup_clusters
 from ..operators.text_analysis import quality_score, regex_token_count
-from ..operators.text_dedup import minhash_candidate_pairs, verify_pairs_jaccard
+from ..operators.text_dedup import (
+    duplicated_spans,
+    minhash_candidate_pairs,
+    remove_spans,
+    verify_pairs_jaccard,
+    words,
+)
 from ..sources.tables import load_table
 
 _JACCARD_THRESHOLD = 0.8
 _QUALITY_MIN = 0.5
+_SPAN_K = 5
+_SPAN_MIN_GRAMS = 3
+_SPAN_MAX_DF = 10_000
 
 
 def dedup_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → near-dup pairs → clusters → curated per-language
-    accounting, one composed plan. Returns one row per language:
-    (lang, docs_in, docs_kept, dups_removed, low_quality_removed,
-    tokens_kept)."""
+    """documents → near-dup pairs → clusters → curation → span-level
+    dedup of the kept corpus, one composed plan. Returns one row per
+    language: (lang, docs_in, docs_kept, dups_removed,
+    low_quality_removed, span_tokens_removed, tokens_kept), where
+    tokens_kept counts whitespace tokens AFTER span removal, so
+    per-language: tokens_kept + span_tokens_removed = tokens of the
+    kept documents (the conservation pytest pins this).
+    """
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs)
     verified = verify_pairs_jaccard(pairs, docs, _JACCARD_THRESHOLD).select(
@@ -56,11 +77,11 @@ def dedup_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = docs.join(clusters, "doc_id").select(
         "doc_id",
         "lang",
+        "text",
         "is_representative",
         quality_score(F.col("text")).alias("q"),
-        regex_token_count(F.col("text")).cast("long").alias("toks"),
     )
-    return labeled.groupBy("lang").agg(
+    counts = labeled.groupBy("lang").agg(
         F.count(F.lit(1)).alias("docs_in"),
         F.sum(
             (F.col("is_representative") & (F.col("q") >= _QUALITY_MIN)).cast("long")
@@ -69,10 +90,42 @@ def dedup_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (F.col("is_representative") & (F.col("q") < _QUALITY_MIN)).cast("long")
         ).alias("low_quality_removed"),
-        F.sum(
-            F.when(
-                F.col("is_representative") & (F.col("q") >= _QUALITY_MIN),
-                F.col("toks"),
-            ).otherwise(F.lit(0))
-        ).alias("tokens_kept"),
+    )
+    # Substring-level pass over the KEPT corpus only: detect passages
+    # duplicated across otherwise-distinct kept documents and rewrite
+    # them out. Token accounting uses the same whitespace tokenization
+    # remove_spans rewrites with, so conservation is exact.
+    kept = labeled.filter(
+        F.col("is_representative") & (F.col("q") >= _QUALITY_MIN)
+    ).select("doc_id", "lang", "text")
+    spans = duplicated_spans(
+        kept.select("doc_id", "text"),
+        k=_SPAN_K,
+        min_grams=_SPAN_MIN_GRAMS,
+        max_df=_SPAN_MAX_DF,
+    )
+    rewritten = remove_spans(kept.select("doc_id", "text"), spans)
+    token_stats = (
+        kept.select("doc_id", "lang")
+        .join(rewritten, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_removed_tokens").alias("span_tokens_removed"),
+            F.sum(
+                F.when(F.trim(F.col("text")) == "", F.lit(0))
+                .otherwise(F.size(words(F.col("text"))))
+                .cast("long")
+            ).alias("tokens_kept"),
+        )
+    )
+    return counts.join(token_stats, "lang", "left").select(
+        "lang",
+        "docs_in",
+        "docs_kept",
+        "dups_removed",
+        "low_quality_removed",
+        F.coalesce("span_tokens_removed", F.lit(0)).alias(
+            "span_tokens_removed"
+        ),
+        F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
     )

@@ -424,20 +424,61 @@ def test_sample_frames_reassemble(docs):
 
 
 def test_dedup_e2e_pipeline_accounting(spark, sf_dir):
-    """The composed minhash→clusters→curation pipeline must conserve
-    documents: per language, docs_in = docs_kept + dups_removed +
-    low_quality_removed, totals match the corpus, and at least one
-    duplicate is actually removed (the corpus plants near-dups)."""
-    from github_event_etl_spark.plans.pipelines import dedup_e2e_pipeline
+    """The composed minhash→clusters→curation→span-dedup pipeline must
+    conserve both granularities: per language, docs_in = docs_kept +
+    dups_removed + low_quality_removed (document level) and
+    tokens_kept + span_tokens_removed = whitespace tokens of the kept
+    documents (substring level), totals match the corpus, and at least
+    one duplicate is actually removed (the corpus plants near-dups)."""
+    from github_event_etl_spark.plans.pipelines import (
+        _QUALITY_MIN,
+        dedup_e2e_pipeline,
+    )
+    from github_event_etl_spark.operators.graph import dedup_clusters
+    from github_event_etl_spark.operators.text_analysis import quality_score
+    from github_event_etl_spark.operators.text_dedup import (
+        minhash_candidate_pairs,
+        verify_pairs_jaccard,
+        words,
+    )
     from github_event_etl_spark.sources.tables import load_table
 
     rows = dedup_e2e_pipeline(spark, sf_dir).collect()
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
     assert sum(r.docs_in for r in rows) == n_docs
     for r in rows:
         assert r.docs_in == r.docs_kept + r.dups_removed + r.low_quality_removed
         assert r.tokens_kept >= 0
+        assert r.span_tokens_removed >= 0
     assert sum(r.dups_removed for r in rows) > 0
+
+    # Substring-level conservation: recompute the kept corpus the same
+    # way the pipeline does and compare its pre-span token mass.
+    pairs = minhash_candidate_pairs(docs)
+    verified = verify_pairs_jaccard(pairs, docs, 0.8).select("doc_a", "doc_b")
+    clusters = dedup_clusters(verified, docs.select("doc_id"))
+    kept_tokens = {
+        r.lang: r.toks
+        for r in docs.join(clusters, "doc_id")
+        .filter(
+            F.col("is_representative")
+            & (quality_score(F.col("text")) >= _QUALITY_MIN)
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when(F.trim(F.col("text")) == "", F.lit(0))
+                .otherwise(F.size(words(F.col("text"))))
+                .cast("long")
+            ).alias("toks")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.tokens_kept + r.span_tokens_removed == kept_tokens.get(
+            r.lang, 0
+        ), r.lang
 
 
 def test_pii_redaction_scrubs_planted_and_leaves_clean(spark):
