@@ -51,13 +51,20 @@ _HOUR_SQL = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 as a stream: tumbling 1-hour event-time windows × user —
     the hourly contributor scores, incrementally maintained by the
-    micro-batch engine with watermarked state instead of per-record
-    ZINCRBY."""
+    micro-batch engine instead of per-record ZINCRBY.
+
+    Deliberately NO watermark: complete output mode retains all window
+    state and the docs define watermarks as having no effect there, so
+    a watermark would be dead config — and its bookkeeping (plus the
+    trailing watermark-advancing no-data batch) measurably taxes the
+    bounded replay. The watermark-driven append-mode semantics (late
+    drop, state eviction, closed-window emission) are covered by
+    stream_sliding_late / stream_session_window / stream_dedup_
+    watermark and the late-data pytest."""
     src = events_replay_dir(spark, sf_dir)
     ev = read_event_stream(spark, src)
     agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     out = run_bounded(agg, "complete", "tumbling_hourly")
@@ -234,7 +241,13 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 7th event twice); dropDuplicatesWithinWatermark keeps the
     first arrival per event_id — the Lua GET-then-SET dedup with the
     300 s TTL as watermark horizon (insert-events-into-db.lua:8-11,39).
-    The oracle is simply the original duplicate-free table."""
+    The oracle is simply the original duplicate-free table.
+
+    no_data_batches=False: dedup emits each kept row in the data batch
+    itself; the watermark only EVICTS state, so the trailing watermark-
+    advancing empty micro-batch cannot change the sink — skipping it
+    drops one full batch of fixed cost from the bounded replay (the
+    eviction path itself is exercised by the state-eviction pytest)."""
     dup_dir = events_replay_dir_with_dupes(spark, sf_dir)
     ev = read_event_stream(spark, dup_dir)
     deduped = (
@@ -242,7 +255,9 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type")
     )
-    return run_bounded(deduped, "append", "dedup_watermark")
+    return run_bounded(
+        deduped, "append", "dedup_watermark", no_data_batches=False
+    )
 
 
 @query(

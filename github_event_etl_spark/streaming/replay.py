@@ -110,6 +110,7 @@ def run_bounded(
     output_mode: str,
     query_name: str | None = None,
     shuffle_partitions: int | None = 4,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Run a bounded stream to completion (AvailableNow) into a memory
     sink and return the final result as a batch DataFrame. Fresh
@@ -125,15 +126,34 @@ def run_bounded(
     results (the final state is partition-count-invariant). A real
     deployment sizes this to target-state-volume / executor count —
     pass None to leave the session value untouched.
+
+    `no_data_batches=False` pins `spark.sql.streaming.
+    noDataMicroBatches.enabled` off for the stream's lifetime
+    (restored after), skipping the trailing empty micro-batch the
+    engine otherwise runs to advance the watermark. ONLY pass False
+    when the sink contents don't depend on watermark advancement —
+    i.e. the operator emits its rows in the data batch and uses the
+    watermark purely for state EVICTION (dropDuplicates[Within
+    Watermark]). For append-mode windowed aggregations the no-data
+    batch is what EMITS the closed windows — disabling it there
+    returns an empty sink.
     """
     name = f"{query_name or 'q'}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="geetl_ckpt_")
     spark = stream_df.sparkSession
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key, None) if shuffle_partitions is not None else None
+    pins: list[tuple[str, str | None, str]] = []  # (key, prev, pinned)
+    if shuffle_partitions is not None:
+        pins.append(
+            ("spark.sql.shuffle.partitions", None, str(shuffle_partitions))
+        )
+    if not no_data_batches:
+        pins.append(
+            ("spark.sql.streaming.noDataMicroBatches.enabled", None, "false")
+        )
+    pins = [(k, spark.conf.get(k, None), v) for k, _, v in pins]
     try:
-        if shuffle_partitions is not None:
-            spark.conf.set(key, str(shuffle_partitions))
+        for k, _, v in pins:
+            spark.conf.set(k, v)
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -145,15 +165,15 @@ def run_bounded(
         q.awaitTermination()
         return spark.table(name)
     finally:
-        if shuffle_partitions is not None:
+        for k, prev, _ in pins:
             # Restore faithfully: a None prev means the key was unset
             # before we pinned it, so unset it again — re-setting the
             # pinned value (or skipping restore) would leak the bounded-
-            # replay partition count into the shared session.
+            # replay config into the shared session.
             if prev is not None:
-                spark.conf.set(key, prev)
+                spark.conf.set(k, prev)
             else:
-                spark.conf.unset(key)
+                spark.conf.unset(k)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
