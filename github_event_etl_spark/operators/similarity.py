@@ -622,6 +622,95 @@ def ann_ivf_partitioned(
     )
 
 
+def kmeans_refine_int(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of the md5-rank seed centroids — the
+    sweep the IVF/PQ docstrings name as what a real system layers on
+    the deterministic seeding. Returns the final assignment
+    (id, centroid_id, d2): every vector with its refined cluster and
+    integer squared distance.
+
+    FIXED-POINT on purpose: vectors are quantized to integer micros
+    (floor(x·1e6) — floor, not round, so no rounding-mode edge exists
+    between engines), distances are exact int64 sums of squared
+    diffs, and the centroid update is the component-wise integer mean
+    with truncating division (Spark `div` == DuckDB `//`). Every
+    number in every iteration is therefore bit-identical across
+    engines — float k-means cannot promise that (double sums are
+    association-order-dependent), and the repo's oracle rule is that
+    hashed values never ride order-dependent float aggregation. A
+    production deployment that doesn't need cross-engine bit parity
+    swaps in float arithmetic; the plan shape is unchanged.
+
+    Scale shape (the textbook distributed k-means): per iteration, one
+    corpus pass against the BROADCAST C-row centroid table (map-side
+    argmin via a per-id window on C×n narrow rows), then the update
+    shuffles only map-side-combined (centroid, dim) partial sums —
+    C×D rows cross the wire, never vectors. Empty clusters keep their
+    previous centroid (left-join + coalesce). Distance budget:
+    (scale·range)²·dim per pair — ~6e13 at unit-range 64-dim micros,
+    far inside int64; cluster SSE sums approach int64 only past ~1e5
+    corpus rows per cluster at that magnitude (cast to decimal there).
+    """
+    q = corpus.select(
+        F.col(id_col),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.floor(x * scale).cast("long"),
+        ).alias("vq"),
+    )
+    cent = (
+        q.orderBy(
+            F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+        )
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col("vq").alias("cq"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = q.join(F.broadcast(cents)).select(
+            id_col,
+            "vq",
+            "centroid_id",
+            F.aggregate(
+                F.zip_with("vq", "cq", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        w = Window.partitionBy(id_col).orderBy("d2", "centroid_id")
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(id_col, "vq", "centroid_id", "d2")
+        )
+
+    for _ in range(iters):
+        asg = assign(cent)
+        comp = asg.select(
+            "centroid_id", F.posexplode("vq").alias("pos", "val")
+        )
+        means = comp.groupBy("centroid_id", "pos").agg(
+            F.expr("sum(val) div count(1)").alias("m")
+        )
+        newc = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cq_new")
+        )
+        cent = cent.join(newc, "centroid_id", "left").select(
+            "centroid_id", F.coalesce("cq_new", "cq").alias("cq")
+        )
+    return assign(cent).select(id_col, "centroid_id", "d2")
+
+
 # ----------------------------------------------------- bucketed near-dup pairs
 
 

@@ -33,6 +33,7 @@ from ..operators.similarity import (
     cosine_dup_pairs_lsh,
     ann_pq_adc,
     ivf_write_index,
+    kmeans_refine_int,
     knn_bruteforce,
     pq_codebook,
     pq_codes,
@@ -590,6 +591,105 @@ def llm_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_write_index(emb, index, num_centroids=16)
     queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
     return ann_ivf_partitioned(spark, index, queries, k=_KNN_K, nprobe=4)
+
+
+_KM_SCALE = 1_000_000
+_KM_DIM = 64
+_KM_ITERS = 2
+_KM_CENTROIDS = 16
+
+
+def _km_d2(vq: str, cq: str) -> str:
+    """Integer squared L2 between two micro-quantized DuckDB lists."""
+    return (
+        f"list_aggregate(list_transform(range(1, {_KM_DIM + 1}),"
+        f" j -> ({vq}[j] - {cq}[j]) * ({vq}[j] - {cq}[j])), 'sum')"
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled {_KM_ITERS}-iteration fixed-point Lloyd refinement —
+    the SQL mirror of operators/similarity.py::kmeans_refine_int
+    (same floor-micros quantization, same (d2, centroid_id) argmin
+    tie-break, same truncating integer mean, same empty-cluster
+    carry-forward)."""
+    ctes = [
+        f"""WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {_KM_SCALE}) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS centroid_id, vq AS cq FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_KM_CENTROIDS}
+    )"""
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        prev = f"c{i - 1}"
+        ctes.append(f"""a{i} AS (
+      SELECT vec_id, vq, centroid_id FROM (
+        SELECT e.vec_id, e.vq, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_km_d2('e.vq', 'c.cq')}, c.centroid_id) AS rn
+        FROM e, {prev} c
+      ) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT centroid_id, p.pos,
+             CAST(SUM(vq[CAST(p.pos AS INT)]) AS BIGINT) // COUNT(*) AS m
+      FROM a{i}, (SELECT unnest(range(1, {_KM_DIM + 1})) AS pos) p
+      GROUP BY 1, 2
+    ),
+    n{i} AS (SELECT centroid_id, list(m ORDER BY pos) AS cq
+             FROM m{i} GROUP BY 1),
+    c{i} AS (
+      SELECT c.centroid_id, COALESCE(n.cq, c.cq) AS cq
+      FROM {prev} c LEFT JOIN n{i} n USING (centroid_id)
+    )""")
+    ctes.append(f"""fin AS (
+      SELECT vec_id, centroid_id, d2 FROM (
+        SELECT e.vec_id, c.centroid_id,
+               {_km_d2('e.vq', 'c.cq')} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_km_d2('e.vq', 'c.cq')}, c.centroid_id) AS rn
+        FROM e, c{_KM_ITERS} c
+      ) WHERE rn = 1
+    )""")
+    return (
+        ",\n    ".join(ctes)
+        + """
+    SELECT centroid_id, COUNT(*)::BIGINT AS n_members,
+           CAST(SUM(d2) AS BIGINT) AS sse
+    FROM fin GROUP BY 1
+    """
+    )
+
+
+@query("llm_ivf_kmeans", oracle=_kmeans_oracle(), tags=("llm", "similarity"))
+def llm_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means refinement of the IVF seed centroids — the Lloyd sweep
+    the IVF/PQ seeding docstrings name as the production next step,
+    run for 2 iterations in exact FIXED-POINT arithmetic so the whole
+    iterative computation (quantization, argmin assignment, integer
+    centroid means, empty-cluster carry-forward) is bit-identical in
+    DuckDB and carries a full value oracle — something float k-means
+    cannot do (operators/similarity.py:kmeans_refine_int, scale notes
+    there: per iteration one broadcast-assign corpus pass plus a
+    C×D-row partial-sum shuffle). Output is the refined clustering
+    summary (centroid_id, n_members, sse)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_refine_int(
+        emb,
+        num_centroids=_KM_CENTROIDS,
+        iters=_KM_ITERS,
+        scale=_KM_SCALE,
+    )
+    return asg.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("sse"),
+    )
 
 
 _PQ_SUBSPACES = 8

@@ -999,3 +999,62 @@ def test_ann_ivf_pq_recall_floor_and_subset(emb):
         assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
         dists = [d for _, d in rows]
         assert dists == sorted(dists), f"adist not ascending for {qid}"
+
+
+def test_kmeans_refine_matches_python_model(spark, sf_dir):
+    """The fixed-point Lloyd refinement must agree exactly with a
+    sequential model: same floor-micros quantization, same md5-rank
+    seeds, same (d2, centroid_id) argmin tie-break, same truncating
+    integer centroid means, same empty-cluster carry-forward."""
+    import hashlib
+    import math
+
+    from github_event_etl_spark.operators.similarity import kmeans_refine_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r.vec_id: [int(math.floor(float(x) * 1_000_000)) for x in r.embedding]
+        for r in emb.collect()
+    }
+    seeds = sorted(
+        vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:16]
+    cents = {i: list(vecs[i]) for i in seeds}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign(cents):
+        out = {}
+        for vid, v in vecs.items():
+            out[vid] = min(
+                (d2(v, c), cid) for cid, c in sorted(cents.items())
+            )
+        return out  # vid -> (d2, cid)
+
+    for _ in range(2):
+        asg = assign(cents)
+        members = {}
+        for vid, (_, cid) in asg.items():
+            members.setdefault(cid, []).append(vecs[vid])
+        new = {}
+        for cid, prev in cents.items():
+            ms = members.get(cid)
+            if not ms:
+                new[cid] = prev  # empty cluster keeps its centroid
+                continue
+            n = len(ms)
+
+            def tdiv(a: int) -> int:
+                # truncation toward zero, matching Spark div / DuckDB //
+                return abs(a) // n if a >= 0 else -(abs(a) // n)
+
+            new[cid] = [tdiv(sum(col)) for col in zip(*ms)]
+        cents = new
+    model = {vid: (cid, dd) for vid, (dd, cid) in assign(cents).items()}
+
+    got = {
+        r.vec_id: (r.centroid_id, r.d2)
+        for r in kmeans_refine_int(emb, 16, iters=2).collect()
+    }
+    assert got == model
