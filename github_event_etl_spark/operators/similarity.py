@@ -649,11 +649,15 @@ def kmeans_refine_int(
     swaps in float arithmetic; the plan shape is unchanged.
 
     Scale shape (the textbook distributed k-means): per iteration, one
-    corpus pass against the BROADCAST C-row centroid table (map-side
-    argmin via a per-id window on C×n narrow rows), then the update
-    shuffles only map-side-combined (centroid, dim) partial sums —
-    C×D rows cross the wire, never vectors. Empty clusters keep their
-    previous centroid (left-join + coalesce). Distance budget:
+    corpus pass against the BROADCAST C-row centroid table; the argmin
+    is a groupBy(id) STRUCT-MIN (the pq_codes idiom) whose partial
+    aggregate collapses the C candidates map-side — one compact row
+    per vector crosses the shuffle, never C copies (the row_number-
+    window form would shuffle C×n rows each carrying the full vector).
+    The centroid update then shuffles only map-side-combined
+    (centroid, dim) partial sums — C×D rows, never vectors. Empty
+    clusters keep their previous centroid (left-join + coalesce).
+    Distance budget:
     (scale·range)²·dim per pair — ~6e13 at unit-range 64-dim micros,
     far inside int64; cluster SSE sums approach int64 only past ~1e5
     corpus rows per cluster at that magnitude (cast to decimal there).
@@ -684,11 +688,18 @@ def kmeans_refine_int(
                 lambda acc, x: acc + x,
             ).alias("d2"),
         )
-        w = Window.partitionBy(id_col).orderBy("d2", "centroid_id")
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select(id_col, "vq", "centroid_id", "d2")
+        # Lexicographic struct-min == orderBy(d2, centroid_id) pick;
+        # centroid_id is unique per candidate so vq never influences
+        # the ordering — it just rides along, avoiding a re-join to
+        # recover the vector for the update step.
+        best = scored.groupBy(id_col).agg(
+            F.min(F.struct("d2", "centroid_id", "vq")).alias("_b")
+        )
+        return best.select(
+            id_col,
+            F.col("_b.vq").alias("vq"),
+            F.col("_b.centroid_id").alias("centroid_id"),
+            F.col("_b.d2").alias("d2"),
         )
 
     for _ in range(iters):

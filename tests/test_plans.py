@@ -279,6 +279,16 @@ def test_ann_ivf_pq_probes_lists_by_equi_join(qmap, spark, sf_dir):
     assert "centroid_id" in plan
 
 
+def test_kmeans_assign_is_mapside_struct_min(qmap, spark, sf_dir):
+    """Each k-means assignment must be a partial-aggregated struct-min
+    (one compact row per vector crosses the shuffle), never a
+    row_number window — the window form shuffles C copies of every
+    quantized vector per iteration."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_ivf_kmeans")
+    assert "partial_min" in plan
+    assert tree_of(plan).count("Window") == 0
+
+
 def test_exact_dedup_scans_corpus_once(qmap, spark, sf_dir):
     """Exact dedup is one scan + one hash-key shuffle; a second scan of
     documents would mean the plan re-reads the corpus."""
