@@ -639,3 +639,28 @@ def test_duplicated_spans_match_sequential_model(spark, docs, k):
     )
     want = _ref_duplicated_spans(doc_map, k, min_grams=1, max_df=100)
     assert got == want
+
+
+# ------------------------------------------- capped-vocab threshold selection
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=8), min_size=1, max_size=40
+    ),
+    cap=st.integers(min_value=1, max_value=50),
+)
+def test_top_count_vocab_property(spark, counts, cap):
+    """On arbitrary count tables (heavy tie bands by construction —
+    counts drawn from 1..8), the histogram-threshold selection must
+    return exactly the rows of orderBy(count DESC, key).limit(cap)."""
+    from github_event_etl_spark.operators.vocab import top_count_vocab
+
+    rows = [(f"t{i:03d}", c) for i, c in enumerate(counts)]
+    tf = spark.createDataFrame(rows, "tok string, tf long")
+    want = sorted(sorted(rows, key=lambda r: (-r[1], r[0]))[:cap])
+    got = sorted(
+        (r.tok, r.tf) for r in top_count_vocab(tf, "tf", cap).collect()
+    )
+    assert got == want
