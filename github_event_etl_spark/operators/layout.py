@@ -74,3 +74,86 @@ def write_bucketed_table(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def pack_layout(
+    docs: DataFrame,
+    capacity: int = 4000,
+    block: int = 100,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """The sequence-packing layout table: for every document its
+    (lang, block, toks, shard, offset_in_shard) — shard and starting
+    offset are (cumulative tokens before it) divmod capacity in id
+    order within the (lang, `block`-doc) packing group. Deterministic,
+    no RNG, all-integer (truncating `div` matches DuckDB `//`), so the
+    byte layout of a packed training file is reproducible anywhere —
+    this is the core the catalog keys llm_pack_offsets /
+    llm_token_shards expose, factored out so `write_packed_shards`
+    can materialize the same layout physically.
+
+    Scale shape: the running sum windows over (lang, doc-block)
+    composite keys — an unbounded number of small independent
+    partitions, so parallelism grows with the corpus instead of being
+    capped at the language count; token counting is map-side
+    regexp_count; one skew-free shuffle total."""
+    from pyspark.sql import Window
+
+    from .text_analysis import regex_token_count
+
+    w = (
+        Window.partitionBy(lang_col, "block")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.select(
+        id_col,
+        lang_col,
+        # Integer `div`, not double-divide-then-cast: truncating
+        # division toward zero is exactly DuckDB's `//`, identical by
+        # construction even for ids beyond 2^53.
+        F.expr(f"{id_col} div {block}").alias("block"),
+        regex_token_count(F.col(text_col)).cast("long").alias("toks"),
+    ).withColumn("tok_before", F.sum("toks").over(w) - F.col("toks"))
+    return c.select(
+        id_col,
+        lang_col,
+        "block",
+        "toks",
+        F.expr(f"tok_before div {capacity}").alias("shard"),
+        (F.col("tok_before") % capacity).alias("offset_in_shard"),
+    )
+
+
+def write_packed_shards(
+    docs: DataFrame,
+    path: str,
+    capacity: int = 4000,
+    block: int = 100,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the packing layout physically: text joined to its
+    `pack_layout` row, written parquet PARTITIONED BY
+    (lang, block, shard) — one directory per training shard, the
+    packing analog of `ivf_write_index`. A trainer reads exactly one
+    shard directory (partition pruning; no other shard's bytes are
+    opened), sorts its rows by doc_id — equivalently offset_in_shard,
+    which is strictly increasing in doc_id within a shard — and
+    concatenates: offsets make the reconstruction order-independent
+    of parquet row order, which writers do not preserve.
+
+    The join back to text is an equi-join on the unique doc id (AQE
+    picks broadcast vs sort-merge by layout size); the write itself is
+    one pass. Directory count = Σ per-(lang, block) shard counts —
+    at 100 TB that is exactly the shard inventory a training run
+    schedules over, listed by the filesystem instead of a manifest."""
+    layout = pack_layout(docs, capacity, block)
+    out = docs.select("doc_id", "lang", "text").join(
+        layout.select(
+            "doc_id", "block", "toks", "shard", "offset_in_shard"
+        ),
+        "doc_id",
+    )
+    out.write.mode(mode).partitionBy("lang", "block", "shard").parquet(path)

@@ -1822,28 +1822,13 @@ def llm_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same one skew-free composite-key window as
     llm_token_shards — (lang, 100-doc block) groups keep parallelism
     growing with the corpus; token counting is map-side regexp_count;
-    no other shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    from ..operators.text_analysis import regex_token_count
+    no other shuffle. Core: operators/layout.py::pack_layout (shared
+    with the physical shard writer, write_packed_shards)."""
+    from ..operators.layout import pack_layout
 
-    w = (
-        Window.partitionBy("lang", "block")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = docs.select(
-        "doc_id",
-        "lang",
-        F.expr(f"doc_id div {_SHARD_BLOCK}").alias("block"),
-        regex_token_count(F.col("text")).cast("long").alias("toks"),
-    ).withColumn("tok_before", F.sum("toks").over(w) - F.col("toks"))
-    return c.select(
-        "doc_id",
-        "lang",
-        "block",
-        "toks",
-        F.expr(f"tok_before div {_SHARD_CAPACITY}").alias("shard"),
-        (F.col("tok_before") % _SHARD_CAPACITY).alias("offset_in_shard"),
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_layout(
+        docs, capacity=_SHARD_CAPACITY, block=_SHARD_BLOCK
     )
 
 

@@ -1058,3 +1058,66 @@ def test_kmeans_refine_matches_python_model(spark, sf_dir):
         for r in kmeans_refine_int(emb, 16, iters=2).collect()
     }
     assert got == model
+
+
+def test_write_packed_shards_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """The physical shard writer must land every doc exactly once in
+    its (lang, block, shard) directory, with offsets that reconstruct
+    the packing order regardless of parquet row order, agreeing with
+    the llm_pack_offsets layout; and reading one shard partition must
+    prune to that directory's files only."""
+    import os
+
+    from github_event_etl_spark.operators.layout import (
+        pack_layout,
+        write_packed_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "packed")
+    write_packed_shards(docs, out, capacity=4000, block=100)
+
+    landed = spark.read.parquet(out)
+    assert landed.count() == docs.count()
+    assert landed.select("doc_id").distinct().count() == docs.count()
+
+    # Layout parity with the oracle-verified catalog computation.
+    want = {
+        r.doc_id: (r.lang, r.block, r.toks, r.shard, r.offset_in_shard)
+        for r in pack_layout(docs, 4000, 100).collect()
+    }
+    got = {
+        r.doc_id: (r.lang, int(r.block), r.toks, int(r.shard),
+                   r.offset_in_shard)
+        for r in landed.collect()
+    }
+    assert got == want
+
+    # Within each shard, offset is strictly increasing in doc_id (the
+    # reconstruction-order invariant) and always below capacity.
+    by_shard = {}
+    for doc_id, (lang, block, toks, shard, off) in got.items():
+        assert 0 <= off < 4000
+        by_shard.setdefault((lang, block, shard), []).append((doc_id, off))
+    for rows in by_shard.values():
+        rows.sort()
+        offs = [o for _, o in rows]
+        assert offs == sorted(offs)
+        assert len(set(offs)) == len(offs) or all(
+            t == 0 for _, t in rows
+        )  # equal offsets only possible for zero-token docs
+
+    # Partition pruning: a (lang, block, shard) filter opens only that
+    # directory's files.
+    one = next(iter(by_shard))
+    lang, block, shard = one
+    pruned = landed.filter(
+        (F.col("lang") == lang)
+        & (F.col("block") == block)
+        & (F.col("shard") == shard)
+    )
+    files = pruned.inputFiles()  # listing; the real check is the rows
+    assert {r.doc_id for r in pruned.collect()} == {
+        d for d, _ in by_shard[one]
+    }
+    assert all(f"shard={shard}" in f for f in files) or files == []
