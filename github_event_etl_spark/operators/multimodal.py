@@ -163,3 +163,64 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
     videos = media.filter(F.col("media_type") == "video")
     return videos.mapInPandas(batches, schema=frame_schema)
+
+
+def resize_media(
+    media: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Resize plumbing for image/video payloads via mapInPandas:
+    (doc_id, media_type, payload, width, height) with the payload
+    re-encoded at the target dimensions. The PIXEL work is the
+    documented stub (a real pipeline decodes, PIL/ffmpeg-resizes,
+    re-encodes — those libs are absent here): the stand-in
+    deterministically subsamples the payload bytes to
+    target_w × target_h "pixels" using the same stride rule a
+    nearest-neighbor downsample applies to rows, so output size is
+    exactly the target area (padded with zeros for short payloads) and
+    identical across engines/partitionings.
+
+    The Spark-side shape is the real one: audio rows pass through
+    untouched (resize applies to visual media only), the transform is
+    per-row with no shuffle, and peak memory is one Arrow batch of
+    payloads — cap spark.sql.execution.arrow.maxRecordsPerBatch for
+    large media, exactly as extract_features documents."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    area = target_w * target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def fake_resize(payload: bytes) -> bytes:
+            n = len(payload)
+            if n == 0:
+                return bytes(area)
+            # nearest-neighbor stride over the byte stream; pad short
+            # payloads with zeros so the output is always area bytes
+            out = bytes(payload[(i * n) // area] for i in range(min(area, n)))
+            return out + bytes(area - len(out))
+
+        for pdf in it:
+            visual = [t in ("image", "video") for t in pdf["media_type"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": [
+                        fake_resize(p) if v else bytes(p)
+                        for p, v in zip(pdf["payload"], visual)
+                    ],
+                    "width": [target_w if v else 0 for v in visual],
+                    "height": [target_h if v else 0 for v in visual],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)

@@ -1121,3 +1121,42 @@ def test_write_packed_shards_roundtrip_and_pruning(spark, sf_dir, tmp_path):
         d for d, _ in by_shard[one]
     }
     assert all(f"shard={shard}" in f for f in files) or files == []
+
+
+def test_resize_media_plumbing(spark):
+    """Resize plumbing: visual payloads come out at exactly
+    target_w*target_h bytes (deterministic nearest-neighbor byte
+    stride, zero-padded), audio passes through untouched, and the
+    transform is pure per-row (same results at any partitioning)."""
+    from github_event_etl_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (i + 1)) for i in range(9)],
+        "doc_id long, text string",
+    )
+    media = attach_fake_media(docs)
+    out = {r.doc_id: r for r in resize_media(media, 8, 4).collect()}
+    src = {r.doc_id: r for r in media.collect()}
+    assert set(out) == set(src)
+    for i, r in out.items():
+        if src[i].media_type in ("image", "video"):
+            assert len(r.payload) == 32
+            assert (r.width, r.height) == (8, 4)
+            n = len(src[i].payload)
+            expect = bytes(
+                src[i].payload[(j * n) // 32] for j in range(min(32, n))
+            )
+            expect = expect + bytes(32 - len(expect))
+            assert bytes(r.payload) == expect
+        else:
+            assert bytes(r.payload) == bytes(src[i].payload)
+            assert (r.width, r.height) == (0, 0)
+    # partitioning-invariance: per-row purity
+    out2 = {
+        r.doc_id: bytes(r.payload)
+        for r in resize_media(media.repartition(7), 8, 4).collect()
+    }
+    assert out2 == {i: bytes(r.payload) for i, r in out.items()}
