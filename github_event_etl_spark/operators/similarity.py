@@ -306,6 +306,7 @@ def pq_codes(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codes — the standard embedding-compression
     step for billion-vector similarity search (IVF-PQ): split each
@@ -332,7 +333,12 @@ def pq_codes(
     windows over the corpus. Distances fold left-to-right in double,
     matching DuckDB's list sum to the last ulp (see `dot`)."""
     d_sub = dim // num_subspaces
-    codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
+    # A caller composing several PQ stages (ann_ivf_pq, ann_pq_adc
+    # pipelines) passes the codebook it already built — Catalyst does
+    # NOT dedupe two identically-derived codebook subtrees, and each
+    # one plans its own distributed-TakeOrdered corpus pass.
+    if codebook is None:
+        codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
 
     def sub_dist(s: int) -> Column:
         a = F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
@@ -514,7 +520,8 @@ def ann_ivf_pq(
     assigned, centroids = ivf_assign(corpus, num_centroids, id_col, vec_col)
     codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
     codes = pq_codes(
-        corpus, num_subspaces, num_codewords, dim, id_col, vec_col
+        corpus, num_subspaces, num_codewords, dim, id_col, vec_col,
+        codebook=codebook,
     )
     lists = assigned.select(F.col(id_col).alias("nid"), "centroid_id").join(
         codes.select(F.col(id_col).alias("nid"), "pq_code"), "nid"
@@ -661,6 +668,14 @@ def kmeans_refine_int(
     (scale·range)²·dim per pair — ~6e13 at unit-range 64-dim micros,
     far inside int64; cluster SSE sums approach int64 only past ~1e5
     corpus rows per cluster at that magnitude (cast to decimal there).
+
+    Lineage: each iteration's centroid table is EAGERLY checkpointed
+    (reliable `checkpoint()` when the SparkContext has a checkpoint
+    dir, `localCheckpoint()` otherwise — the connected_components
+    discipline), so iteration i+1's plan reads C materialized rows
+    instead of nesting the whole prior chain; without truncation the
+    plan (and the corpus-scan count on re-execution) grows
+    superlinearly in `iters`.
     """
     q = corpus.select(
         F.col(id_col),
@@ -702,6 +717,15 @@ def kmeans_refine_int(
             F.col("_b.d2").alias("d2"),
         )
 
+    reliable = (
+        corpus.sparkSession.sparkContext.getCheckpointDir() is not None
+    )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
     for _ in range(iters):
         asg = assign(cent)
         comp = asg.select(
@@ -716,8 +740,10 @@ def kmeans_refine_int(
                 lambda s: s["m"],
             ).alias("cq_new")
         )
-        cent = cent.join(newc, "centroid_id", "left").select(
-            "centroid_id", F.coalesce("cq_new", "cq").alias("cq")
+        cent = _ckpt(
+            cent.join(newc, "centroid_id", "left").select(
+                "centroid_id", F.coalesce("cq_new", "cq").alias("cq")
+            )
         )
     return assign(cent).select(id_col, "centroid_id", "d2")
 

@@ -81,6 +81,20 @@ def dedup_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_representative",
         quality_score(F.col("text")).alias("q"),
     )
+    # Materialization point: FOUR consumers fan out from `labeled`
+    # (counts, span detection, span removal, token accounting), and
+    # Catalyst does not dedupe the repeated subtree — unchecked, the
+    # composed plan re-executes the jaccard-verify join and quality
+    # gates once per consumer (measured: 28 documents scans in the
+    # un-checkpointed plan). One eager checkpoint truncates the
+    # lineage so every consumer reads the computed rows. Local-mode
+    # blocks suffice here; a cluster run sets a SparkContext
+    # checkpoint dir upstream (dedup_clusters already honors it) or
+    # persists to DISK — the recompute-vs-materialize call the span
+    # operator's docstring discusses, decided for materialize because
+    # the upstream includes a multi-join verify stage, not a map-only
+    # derivation.
+    labeled = labeled.localCheckpoint(eager=True)
     counts = labeled.groupBy("lang").agg(
         F.count(F.lit(1)).alias("docs_in"),
         F.sum(

@@ -810,8 +810,8 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_pq_codes; top-k per query with an (adist, nid) tie-break."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _PQ_SUBSPACES * _PQ_DSUB
-    codes = pq_codes(emb, _PQ_SUBSPACES, _PQ_CODEWORDS, dim)
     cb = pq_codebook(emb, _PQ_CODEWORDS)
+    codes = pq_codes(emb, _PQ_SUBSPACES, _PQ_CODEWORDS, dim, codebook=cb)
     queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
     return ann_pq_adc(
         codes,

@@ -35,7 +35,9 @@ def test_gate_passes_within_bounds():
 
 
 def test_gate_fails_beyond_upper_spread_factor():
-    cur = {"queries": {"q_fast": 0.91, "q_spready": 3.1}}
+    cur = {
+        "queries": {"q_fast": 0.91, "q_spready": 3.1, "q_nospread": 2.0}
+    }
     failures, _ = bench_gate.gate(cur, PRIOR)
     assert len(failures) == 2
     assert any("q_fast" in f for f in failures)
@@ -43,7 +45,14 @@ def test_gate_fails_beyond_upper_spread_factor():
 
 
 def test_gate_ignores_new_queries():
-    cur = {"queries": {"q_brand_new": 99.0}}
+    cur = {
+        "queries": {
+            "q_brand_new": 99.0,
+            "q_fast": 0.5,
+            "q_spready": 1.0,
+            "q_nospread": 2.0,
+        }
+    }
     failures, notes = bench_gate.gate(cur, PRIOR)
     assert failures == []
     assert any("NEW" in n and "q_brand_new" in n for n in notes)
@@ -74,3 +83,12 @@ def test_gate_cli_end_to_end(tmp_path):
     )
     assert r2.returncode == 1
     assert "FAIL" in r2.stdout
+
+
+def test_gate_fails_on_vanished_query():
+    """A query the prior round measured but the current run omitted
+    (bench fault-isolated it) must FAIL the gate, not silently pass."""
+    cur = {"queries": {"q_fast": 0.5, "q_spready": 1.0}}  # q_nospread gone
+    failures, _ = bench_gate.gate(cur, PRIOR)
+    assert len(failures) == 1
+    assert "q_nospread" in failures[0] and "MISSING" in failures[0]

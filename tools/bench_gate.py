@@ -63,7 +63,18 @@ def gate(current: dict, prior: dict) -> tuple[list[str], list[str]]:
     notes: list[str] = []
     prior_q = prior.get("queries", {})
     prior_spread = prior.get("spread", {})
-    for name, cur_med in sorted(current.get("queries", {}).items()):
+    # The worst regression class first: a query the prior round
+    # measured that this run did not produce at all (bench.py fault-
+    # isolates a broken query out of 'queries') — a silent pass here
+    # would hide exactly the structural breakage the gate exists for.
+    cur_q = current.get("queries", {})
+    for name in sorted(set(prior_q) - set(cur_q)):
+        failures.append(
+            f"FAIL  {name}: present in prior round but MISSING from this "
+            "run (errored or dropped) — a vanished query is a regression, "
+            "not a skip"
+        )
+    for name, cur_med in sorted(cur_q.items()):
         if name not in prior_q:
             notes.append(f"NEW   {name}: {cur_med}s (no prior entry)")
             continue
