@@ -987,7 +987,7 @@ def sql_api_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one engine."""
     from ..sources.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("events",))
     return spark.sql(
         """
         SELECT user_id, COUNT(*) AS score

@@ -178,7 +178,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every test table as a temp view for spark.sql queries."""
-    for name in TABLE_NAMES:
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> None:
+    """Register test tables as temp views for spark.sql queries.
+
+    `only` restricts registration to the named tables: every
+    registration costs a parquet-footer read on the driver, so a query
+    that touches one table shouldn't pay for ten."""
+    for name in only if only is not None else TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
