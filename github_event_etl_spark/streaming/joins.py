@@ -1,0 +1,71 @@
+"""Stream-stream joins (Structured Streaming's watermarked interval
+join) — the B9 feature that correlates two live streams with bounded
+state.
+
+Reference analog: the reference correlates an event with its own
+earlier occurrences via the Redis dedup log's GET-then-SET within a
+TTL (insert-events-into-db.lua:8-11,36-39); generalized, that is a
+stream-stream equi-join with a time-bound. Spark's native form: both
+sides carry watermarks, the join condition pairs an equi-key with an
+event-time interval, and the engine buffers each side's rows in state
+ONLY until the other side's watermark passes the interval bound —
+state is provably bounded, the core result of the Structured
+Streaming model (SIGMOD'18, PAPERS.md).
+
+Scale posture: state per side ≈ input-rate × (interval + watermark
+delay), independent of stream lifetime; the join keys partition the
+state stores, so hot keys shard with `spark.sql.shuffle.partitions`.
+Both inputs shuffle once on the join key — the same exchange a batch
+equi-join would plan, plus the state stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    lower: str = "0 seconds",
+    upper: str = "30 minutes",
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: rows pair when their
+    `key` columns are equal AND right's event time falls inside
+    [left_ts + lower, left_ts + upper]. Both sides MUST be streaming
+    DataFrames; the interval plus the watermarks is what lets the
+    engine evict join state (an unconstrained stream-stream equi-join
+    would buffer both streams forever).
+
+    Column hygiene: the right side's columns are suffixed `_r` (key
+    included — the join condition references both) so the output
+    schema is unambiguous. The bounded-replay batch equivalent — what
+    the pytest and any DuckDB oracle compare against — is the plain
+    interval join over the full inputs: AvailableNow replay drives
+    every watermark past every row, so no pairing is lost to
+    late-arrival eviction.
+    """
+    lf = left.withWatermark(left_ts, watermark)
+    rf = right.select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns]
+    ).withWatermark(f"{right_ts}_r", watermark)
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (
+            F.col(f"{right_ts}_r")
+            >= F.col(left_ts) + F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col(f"{right_ts}_r")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return lf.join(rf, cond, "inner")

@@ -318,3 +318,64 @@ def test_stateful_dedup_tws_matches_group_state_variant(spark):
             spark.conf.set(provider_key, prev)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join, bounded replay: a
+    purchase pairs with every view by the same user in the 30 minutes
+    after it. AvailableNow drives every watermark past every row, so
+    the final sink must equal the batch interval join over the full
+    table — the prefix-integrity argument made executable for the
+    two-stream case."""
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.sources.tables import load_table
+    from github_event_etl_spark.streaming.joins import (
+        interval_join_streams,
+    )
+    from github_event_etl_spark.streaming.replay import (
+        events_replay_dir,
+        read_event_stream,
+        run_bounded,
+    )
+
+    src = events_replay_dir(spark, sf_dir)
+    left = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    right = read_event_stream(spark, src).filter(
+        F.col("event_type") == "view"
+    )
+    joined = interval_join_streams(
+        left,
+        right,
+        key="user_id",
+        watermark="10 minutes",
+        lower="0 seconds",
+        upper="30 minutes",
+    ).select("event_id", "event_id_r")
+    got = {
+        (r.event_id, r.event_id_r)
+        for r in run_bounded(joined, "append", "ssj").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    want = {
+        (r.pid, r.vid)
+        for r in p.join(
+            v,
+            (F.col("pu") == F.col("vu"))
+            & (F.col("vts") >= F.col("pts"))
+            & (F.col("vts") <= F.col("pts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce at least one purchase-view pair"
