@@ -35,6 +35,7 @@ def interval_join_streams(
     lower: str = "0 seconds",
     upper: str = "30 minutes",
     extra_cond: Column | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream inner join: rows pair when their
     `key` columns are equal AND right's event time falls inside
@@ -50,6 +51,19 @@ def interval_join_streams(
     interval join over the full inputs: AvailableNow replay drives
     every watermark past every row, so no pairing is lost to
     late-arrival eviction.
+
+    `how='leftOuter'` adds null-extended rows for left rows that never
+    matched — BUT only once the engine can PROVE no match can still
+    arrive: the left row's whole interval must fall below the final
+    right-side watermark. In a bounded replay the final watermark is
+    max(event time) − watermark delay, so left rows within
+    (delay + upper) of the stream's end leave the replay with their
+    outer verdict still pending — the sink holds the batch outer
+    join MINUS the unmatched rows in that tail window. This is not an
+    approximation to paper over; it is the semantics of outer joins
+    over unbounded streams (an unmatched row near the head of an
+    unbounded stream would emit as soon as the watermark passed it),
+    and the pytest pins the exact boundary.
     """
     lf = left.withWatermark(left_ts, watermark)
     rf = right.select(
@@ -68,4 +82,4 @@ def interval_join_streams(
     )
     if extra_cond is not None:
         cond = cond & extra_cond
-    return lf.join(rf, cond, "inner")
+    return lf.join(rf, cond, how)

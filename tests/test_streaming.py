@@ -379,3 +379,86 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     }
     assert got == want
     assert want, "fixture must produce at least one purchase-view pair"
+
+
+def test_stream_stream_left_outer_join_tail_boundary(spark, sf_dir):
+    """Left-outer stream-stream join semantics, pinned exactly: inner
+    pairs match the batch join in full; null-extended rows appear for
+    unmatched purchases ONLY where the engine could prove no view can
+    still arrive — the purchase's whole interval below the final
+    watermark (max event time − delay). Unmatched purchases in that
+    tail window leave the bounded replay still pending: that is the
+    semantics of outer joins over unbounded streams, not an
+    approximation."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.sources.tables import load_table
+    from github_event_etl_spark.streaming.joins import (
+        interval_join_streams,
+    )
+    from github_event_etl_spark.streaming.replay import (
+        events_replay_dir,
+        read_event_stream,
+        run_bounded,
+    )
+
+    src = events_replay_dir(spark, sf_dir)
+    left = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    right = read_event_stream(spark, src).filter(
+        F.col("event_type") == "view"
+    )
+    joined = interval_join_streams(
+        left,
+        right,
+        key="user_id",
+        watermark="10 minutes",
+        upper="30 minutes",
+        how="leftOuter",
+    ).select("event_id", "ts", "event_id_r")
+    rows = run_bounded(joined, "append", "ssj_outer").collect()
+    inner_got = {(r.event_id, r.event_id_r) for r in rows if r.event_id_r is not None}
+    outer_got = {r.event_id for r in rows if r.event_id_r is None}
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    pairs = p.join(
+        v,
+        (F.col("pu") == F.col("vu"))
+        & (F.col("vts") >= F.col("pts"))
+        & (F.col("vts") <= F.col("pts") + F.expr("INTERVAL 30 minutes")),
+        "left",
+    )
+    inner_want = {
+        (r.pid, r.vid) for r in pairs.collect() if r.vid is not None
+    }
+    assert inner_got == inner_want
+
+    unmatched_all = {r.pid for r in pairs.collect() if r.vid is None}
+    # final watermark = max view event time − 10 min delay; a purchase's
+    # outer verdict is decidable iff pts + 30 min < that watermark
+    max_view_ts = ev.filter(F.col("event_type") == "view").agg(
+        F.max("ts")
+    ).first()[0]
+    wm = max_view_ts - dt.timedelta(minutes=10)
+    decidable = {
+        r.pid
+        for r in p.collect()
+        if r.pts + dt.timedelta(minutes=30) < wm
+    }
+    assert outer_got == (unmatched_all & decidable), (
+        f"outer emissions {len(outer_got)} vs decidable unmatched "
+        f"{len(unmatched_all & decidable)} (total unmatched "
+        f"{len(unmatched_all)})"
+    )
+    assert outer_got, "fixture must decide at least one unmatched purchase"
