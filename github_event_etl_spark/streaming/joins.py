@@ -55,15 +55,19 @@ def interval_join_streams(
     `how='leftOuter'` adds null-extended rows for left rows that never
     matched — BUT only once the engine can PROVE no match can still
     arrive: the left row's whole interval must fall below the final
-    right-side watermark. In a bounded replay the final watermark is
-    max(event time) − watermark delay, so left rows within
-    (delay + upper) of the stream's end leave the replay with their
-    outer verdict still pending — the sink holds the batch outer
-    join MINUS the unmatched rows in that tail window. This is not an
-    approximation to paper over; it is the semantics of outer joins
-    over unbounded streams (an unmatched row near the head of an
-    unbounded stream would emit as soon as the watermark passed it),
-    and the pytest pins the exact boundary.
+    GLOBAL watermark, which under Spark's default
+    `multipleWatermarkPolicy=min` is the minimum over BOTH inputs'
+    watermarks — min(max left event time, max right event time) −
+    delay in a bounded replay, NOT the right side's alone (a lagging
+    left stream holds the global watermark back even for the right
+    side's eviction decisions). Left rows within (delay + upper) of
+    that global mark leave the replay with their outer verdict still
+    pending — the sink holds the batch outer join MINUS the unmatched
+    rows in that tail window. This is not an approximation to paper
+    over; it is the semantics of outer joins over unbounded streams
+    (an unmatched row near the head of an unbounded stream emits as
+    soon as the global watermark passes it), and the pytest pins the
+    exact boundary.
     """
     lf = left.withWatermark(left_ts, watermark)
     rf = right.select(

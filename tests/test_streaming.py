@@ -6,6 +6,8 @@ suite (their oracles ARE the batch answers)."""
 from __future__ import annotations
 
 import json
+
+import pytest
 import os
 import shutil
 import tempfile
@@ -320,32 +322,59 @@ def test_stateful_dedup_tws_matches_group_state_variant(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _ssj_streams(spark, sf_dir):
+    """(purchase stream, view stream) over the bounded replay source."""
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.streaming.replay import (
+        events_replay_dir,
+        read_event_stream,
+    )
+
+    src = events_replay_dir(spark, sf_dir)
+    ev = lambda t: read_event_stream(spark, src).filter(  # noqa: E731
+        F.col("event_type") == t
+    )
+    return ev("purchase"), ev("view")
+
+
+def _ssj_batch_pairs(spark, sf_dir):
+    """The batch left-outer interval join both stream tests compare
+    against: every purchase with each view by the same user in the 30
+    minutes after it (vid NULL when none)."""
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    return p.join(
+        v,
+        (F.col("pu") == F.col("vu"))
+        & (F.col("vts") >= F.col("pts"))
+        & (F.col("vts") <= F.col("pts") + F.expr("INTERVAL 30 minutes")),
+        "left",
+    ).select("pid", "pts", "vid").collect()
+
+
 def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     """Watermarked stream-stream interval join, bounded replay: a
     purchase pairs with every view by the same user in the 30 minutes
     after it. AvailableNow drives every watermark past every row, so
-    the final sink must equal the batch interval join over the full
-    table — the prefix-integrity argument made executable for the
-    two-stream case."""
-    from pyspark.sql import functions as F
+    the final sink's INNER pairs must equal the batch interval join
+    over the full table — the prefix-integrity argument made
+    executable for the two-stream case."""
+    from github_event_etl_spark.streaming.joins import interval_join_streams
+    from github_event_etl_spark.streaming.replay import run_bounded
 
-    from github_event_etl_spark.sources.tables import load_table
-    from github_event_etl_spark.streaming.joins import (
-        interval_join_streams,
-    )
-    from github_event_etl_spark.streaming.replay import (
-        events_replay_dir,
-        read_event_stream,
-        run_bounded,
-    )
-
-    src = events_replay_dir(spark, sf_dir)
-    left = read_event_stream(spark, src).filter(
-        F.col("event_type") == "purchase"
-    )
-    right = read_event_stream(spark, src).filter(
-        F.col("event_type") == "view"
-    )
+    left, right = _ssj_streams(spark, sf_dir)
     joined = interval_join_streams(
         left,
         right,
@@ -358,59 +387,36 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
         (r.event_id, r.event_id_r)
         for r in run_bounded(joined, "append", "ssj").collect()
     }
-
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
-        F.col("ts").alias("pts"),
-    )
-    v = ev.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("vid"), F.col("user_id").alias("vu"),
-        F.col("ts").alias("vts"),
-    )
     want = {
-        (r.pid, r.vid)
-        for r in p.join(
-            v,
-            (F.col("pu") == F.col("vu"))
-            & (F.col("vts") >= F.col("pts"))
-            & (F.col("vts") <= F.col("pts") + F.expr("INTERVAL 30 minutes")),
-        ).collect()
+        (r.pid, r.vid) for r in _ssj_batch_pairs(spark, sf_dir)
+        if r.vid is not None
     }
     assert got == want
     assert want, "fixture must produce at least one purchase-view pair"
 
 
-def test_stream_stream_left_outer_join_tail_boundary(spark, sf_dir):
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_stream_stream_left_outer_join_tail_boundary(spark, sf):
     """Left-outer stream-stream join semantics, pinned exactly: inner
     pairs match the batch join in full; null-extended rows appear for
     unmatched purchases ONLY where the engine could prove no view can
     still arrive — the purchase's whole interval below the final
-    watermark (max event time − delay). Unmatched purchases in that
-    tail window leave the bounded replay still pending: that is the
-    semantics of outer joins over unbounded streams, not an
-    approximation."""
+    GLOBAL watermark, which under the default multipleWatermarkPolicy
+    = min is min(max purchase ts, max view ts) − delay, NOT the view
+    side's watermark alone (a lagging input holds the global mark
+    back). Parametrized over both fixture SFs because they land on
+    opposite sides of that distinction: at sf0.001 purchases have the
+    later max event time, at sf0.01 views do — a right-side-only
+    formula passes one and fails the other."""
     import datetime as dt
 
     from pyspark.sql import functions as F
 
     from github_event_etl_spark.sources.tables import load_table
-    from github_event_etl_spark.streaming.joins import (
-        interval_join_streams,
-    )
-    from github_event_etl_spark.streaming.replay import (
-        events_replay_dir,
-        read_event_stream,
-        run_bounded,
-    )
+    from github_event_etl_spark.streaming.joins import interval_join_streams
+    from github_event_etl_spark.streaming.replay import run_bounded
 
-    src = events_replay_dir(spark, sf_dir)
-    left = read_event_stream(spark, src).filter(
-        F.col("event_type") == "purchase"
-    )
-    right = read_event_stream(spark, src).filter(
-        F.col("event_type") == "view"
-    )
+    left, right = _ssj_streams(spark, sf)
     joined = interval_join_streams(
         left,
         right,
@@ -418,43 +424,30 @@ def test_stream_stream_left_outer_join_tail_boundary(spark, sf_dir):
         watermark="10 minutes",
         upper="30 minutes",
         how="leftOuter",
-    ).select("event_id", "ts", "event_id_r")
+    ).select("event_id", "event_id_r")
     rows = run_bounded(joined, "append", "ssj_outer").collect()
-    inner_got = {(r.event_id, r.event_id_r) for r in rows if r.event_id_r is not None}
+    inner_got = {
+        (r.event_id, r.event_id_r) for r in rows if r.event_id_r is not None
+    }
     outer_got = {r.event_id for r in rows if r.event_id_r is None}
 
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
-        F.col("ts").alias("pts"),
-    )
-    v = ev.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("vid"), F.col("user_id").alias("vu"),
-        F.col("ts").alias("vts"),
-    )
-    pairs = p.join(
-        v,
-        (F.col("pu") == F.col("vu"))
-        & (F.col("vts") >= F.col("pts"))
-        & (F.col("vts") <= F.col("pts") + F.expr("INTERVAL 30 minutes")),
-        "left",
-    )
-    inner_want = {
-        (r.pid, r.vid) for r in pairs.collect() if r.vid is not None
-    }
+    pairs = _ssj_batch_pairs(spark, sf)
+    inner_want = {(r.pid, r.vid) for r in pairs if r.vid is not None}
     assert inner_got == inner_want
 
-    unmatched_all = {r.pid for r in pairs.collect() if r.vid is None}
-    # final watermark = max view event time − 10 min delay; a purchase's
-    # outer verdict is decidable iff pts + 30 min < that watermark
-    max_view_ts = ev.filter(F.col("event_type") == "view").agg(
-        F.max("ts")
-    ).first()[0]
-    wm = max_view_ts - dt.timedelta(minutes=10)
+    unmatched_all = {r.pid for r in pairs if r.vid is None}
+    # global watermark = min over both inputs of (max event time) − delay;
+    # a purchase's outer verdict is decidable iff pts + 30 min < that mark
+    ev = load_table(spark, sf, "events")
+    maxes = {
+        r.event_type: r.m
+        for r in ev.filter(
+            F.col("event_type").isin("purchase", "view")
+        ).groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    }
+    wm = min(maxes["purchase"], maxes["view"]) - dt.timedelta(minutes=10)
     decidable = {
-        r.pid
-        for r in p.collect()
-        if r.pts + dt.timedelta(minutes=30) < wm
+        r.pid for r in pairs if r.pts + dt.timedelta(minutes=30) < wm
     }
     assert outer_got == (unmatched_all & decidable), (
         f"outer emissions {len(outer_got)} vs decidable unmatched "
