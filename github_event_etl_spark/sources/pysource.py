@@ -1,0 +1,128 @@
+"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource`) — the
+modern extension point for sources Spark has no built-in reader for
+(internal APIs, bespoke formats, synthetic generators).
+
+`SyntheticEventsDataSource` is the reference's fabricate-events ingest
+loop (insert-events.js:8-34 invents a steady event stream against no
+upstream) re-expressed as a first-class source: `spark.read.format(
+"synthetic_events").option("n", ...).load()` yields a deterministic
+events table straight from the executors — no files, no driver-side
+generation, no RNG state.
+
+Determinism contract: every column is a pure integer function of the
+row index (Weyl-sequence multiplier for user spread, modulo cycling
+for types, fixed epoch base for timestamps), so the same (n,
+num_partitions) always yields identical rows ANY-where — including in
+ANSI SQL, which is what lets a DuckDB `range(0, n)` oracle re-derive
+the source byte-for-byte (the r8 catalog key's plan).
+
+Scale shape: `partitions()` splits [0, n) into `num_partitions`
+contiguous InputPartitions, each generated independently executor-side
+— parallelism and data volume both scale with the option, and nothing
+materializes on the driver. `pushFilters` accepts `event_type =
+'...'` equality filters so the predicate prunes INSIDE the generator
+loop (the Python-source analog of parquet row-group pruning); all
+other filters are returned to Spark to evaluate post-scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+EVENT_TYPES = ("purchase", "signup", "view", "click", "error")
+_EPOCH = datetime(2024, 3, 1, tzinfo=timezone.utc)
+# Knuth's multiplicative-hash constant: scrambles the index into a
+# well-spread user id without RNG state.
+_WEYL = 2654435761
+_USERS = 97
+
+
+def _row(i: int):
+    return (
+        i,
+        _EPOCH + timedelta(seconds=i),
+        (i * _WEYL) % _USERS,
+        EVENT_TYPES[i % len(EVENT_TYPES)],
+        float(i % 1000) / 10.0,
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.num_partitions = int(options.get("num_partitions", 4))
+        self.type_filter: str | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept event_type equality; hand everything else back.
+        Returning the unsupported filters (not raising) is the API
+        contract — Spark re-applies them above the scan."""
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("event_type",)
+                and isinstance(f.value, str)
+            ):
+                self.type_filter = f.value
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        per = -(-self.n // self.num_partitions)
+        return [
+            _RangePartition(lo, min(lo + per, self.n))
+            for lo in range(0, self.n, per)
+        ]
+
+    def read(self, partition: _RangePartition):
+        tf = self.type_filter
+        for i in range(partition.start, partition.end):
+            row = _row(i)
+            if tf is None or row[3] == tf:
+                yield row
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self):
+        return T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SyntheticEventsReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotent registration; after this, `spark.read.format(
+    "synthetic_events")` resolves to the Python source. Python-source
+    filter pushdown ships disabled by default (Spark 4.1) and the scan
+    REFUSES to run a pushFilters-implementing reader without it, so
+    registration enables the conf alongside."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)

@@ -197,3 +197,57 @@ def test_kafka_wrapper_contract_without_broker(spark):
     assert set(rows) == {1, 2, 3}  # corrupt line isolated, not fatal
     assert rows[1].user_id == 7 and rows[1].value == 1.5
     assert rows[2].ts.isoformat() == "2024-01-01T01:00:00"
+
+
+def test_synthetic_events_python_datasource(spark):
+    """The Spark-4 Python Data Source: deterministic synthetic events
+    generated executor-side. Rows must equal the pure-Python model,
+    be invariant to the partition count, and honor the pushed
+    event_type equality filter."""
+    from github_event_etl_spark.sources.pysource import (
+        _row,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", 2000)
+        .option("num_partitions", 8)
+        .load()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    model = sorted(
+        (i, ts.replace(tzinfo=None), u, t, v)
+        for i, ts, u, t, v in (_row(i) for i in range(2000))
+    )
+    # Spark returns naive datetimes in session-local (UTC) time.
+    assert [g[0] for g in got] == [m[0] for m in model]
+    assert got == model
+
+    # partition-count invariance
+    df2 = (
+        spark.read.format("synthetic_events")
+        .option("n", 2000)
+        .option("num_partitions", 3)
+        .load()
+    )
+    assert sorted(tuple(r) for r in df2.collect()) == model
+
+    # pushed equality filter: same rows as post-hoc filtering, and the
+    # physical plan proves the pushdown — the equality leaves the
+    # post-scan Filter (only the isnotnull guard remains), because the
+    # reader consumed it in pushFilters.
+    purchases = df.filter(df.event_type == "purchase")
+    want = [m for m in model if m[3] == "purchase"]
+    assert sorted(tuple(r) for r in purchases.collect()) == want
+    assert len(want) == 400
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        purchases.explain()
+    physical = buf.getvalue()
+    assert "BatchScan synthetic_events" in physical
+    assert "= purchase" not in physical
