@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql import types as T
 
@@ -98,6 +99,34 @@ class _SyntheticEventsReader(DataSourceReader):
                 yield row
 
 
+class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched view of the same deterministic row stream: batch
+    k carries indices [k·rows_per_batch, (k+1)·rows_per_batch) ∩
+    [0, n). Offsets are plain {'index': i} dicts checkpointed by the
+    engine, so replay/readBetweenOffsets re-derives any batch exactly
+    — the replayability contract a recoverable source must meet. With
+    a finite `n`, read() at the cap returns no rows and the SAME
+    offset, which is how a bounded run (availableNow) knows it has
+    caught up."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 250))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        lo = int(start["index"])
+        hi = min(lo + self.rows_per_batch, self.n)
+        return iter([_row(i) for i in range(lo, hi)]), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_row(i) for i in range(int(start["index"]), int(end["index"]))]
+        )
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -116,6 +145,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SyntheticEventsStreamReader(self.options)
 
 
 def register_synthetic_source(spark) -> None:

@@ -251,3 +251,62 @@ def test_synthetic_events_python_datasource(spark):
     physical = buf.getvalue()
     assert "BatchScan synthetic_events" in physical
     assert "= purchase" not in physical
+
+
+def test_synthetic_events_streaming_source(spark):
+    """The streaming face of the Python data source: micro-batches of
+    rows_per_batch rows driven by the engine's repeated read() calls
+    (offsets are {'index'} dicts the engine checkpoints; at the n cap
+    read() reports no new data). The run stops on the engine's own
+    progress telemetry — the stream_rate_source termination pattern —
+    and the landed rows must equal the deterministic model exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from github_event_etl_spark.sources.pysource import (
+        _row,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    n_total = 1000
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", n_total)
+        .option("rows_per_batch", 250)
+        .load()
+    )
+    name = f"synth_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="geetl_synth_ckpt_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        for _ in range(600):
+            seen = sum(int(p.numInputRows) for p in q.recentProgress)
+            if seen >= n_total:
+                break
+            q.awaitTermination(0.2)
+        else:
+            raise TimeoutError("synthetic stream never delivered all rows")
+        q.processAllAvailable()
+        batches = [
+            int(p.numInputRows)
+            for p in q.recentProgress
+            if int(p.numInputRows) > 0
+        ]
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    model = sorted(
+        (i, ts.replace(tzinfo=None), u, t, v)
+        for i, ts, u, t, v in (_row(i) for i in range(n_total))
+    )
+    assert got == model
+    assert all(b == 250 for b in batches) and sum(batches) == n_total
+    shutil.rmtree(ckpt, ignore_errors=True)
