@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from github_event_etl_spark.streaming.replay import (
     REPLAY_SCHEMA,
+    events_replay_dir,
     read_event_stream,
     run_foreach_batch_to_parquet,
 )
@@ -455,3 +456,94 @@ def test_stream_stream_left_outer_join_tail_boundary(spark, sf):
         f"{len(unmatched_all)})"
     )
     assert outer_got, "fixture must decide at least one unmatched purchase"
+
+
+def test_stream_stream_join_checkpoint_resume(spark, sf_dir):
+    """Stream-stream join state must survive a mid-replay stop: phase 1
+    processes part of the source (maxFilesPerTrigger=2), stops, and
+    phase 2 resumes from the SAME checkpoint — buffered join state
+    included — into an idempotent foreachBatch parquet sink. The union
+    of both phases' emissions must equal the batch interval join
+    exactly: no pair lost (state restored), no pair duplicated
+    (offsets + overwrite-by-batch idempotence).
+
+    The watermark delay is deliberately enormous (30 days): the replay
+    files carry randomly time-ordered events, so across multiple
+    batches a realistic delay would legitimately drop late partners
+    (the watermark leaps near the global max after batch 1) — correct
+    streaming semantics, but this test isolates STATE RECOVERY, so
+    eviction is switched off and every pair must survive the
+    stop/resume."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.streaming.joins import interval_join_streams
+
+    src = events_replay_dir(spark, sf_dir)
+    ckpt = _tf.mkdtemp(prefix="geetl_ssjr_ckpt_")
+    sink = os.path.join(_tf.mkdtemp(prefix="geetl_ssjr_sink_"), "out")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "4")
+
+    def build():
+        left = read_event_stream(
+            spark, src, maxFilesPerTrigger=2
+        ).filter(F.col("event_type") == "purchase")
+        right = read_event_stream(
+            spark, src, maxFilesPerTrigger=2
+        ).filter(F.col("event_type") == "view")
+        return interval_join_streams(
+            left, right, key="user_id", watermark="30 days",
+            upper="30 minutes",
+        ).select("event_id", "event_id_r")
+
+    def write_batch(df, batch_id):
+        df.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
+
+    try:
+        # Phase 1: partial processing, then stop mid-stream.
+        q = (
+            build().writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        for _ in range(600):
+            done = [p for p in q.recentProgress if p is not None]
+            if len(done) >= 1 and any(
+                int(p.numInputRows) > 0 for p in done
+            ):
+                break
+            q.awaitTermination(0.2)
+        else:
+            raise TimeoutError("phase 1 never processed a batch")
+        q.stop()
+
+        # Phase 2: resume from the same checkpoint, drain the rest.
+        q2 = (
+            build().writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+        got = {
+            (r.event_id, r.event_id_r)
+            for r in spark.read.parquet(sink).collect()
+        }
+        want = {
+            (r.pid, r.vid) for r in _ssj_batch_pairs(spark, sf_dir)
+            if r.vid is not None
+        }
+        assert got == want
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(sink), ignore_errors=True)
