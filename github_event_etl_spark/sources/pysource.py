@@ -33,10 +33,12 @@ from datetime import datetime, timedelta, timezone
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -158,3 +160,87 @@ def register_synthetic_source(spark) -> None:
     registration enables the conf alongside."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ------------------------------------------------------- Python stream sink
+
+
+class _NdjsonCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class _NdjsonStreamWriter(DataSourceStreamWriter):
+    """Exactly-once NDJSON sink via the two-phase commit the writer API
+    provides: each task writes its partition to a UNIQUELY-NAMED temp
+    file (task retries never collide) and reports it in the commit
+    message; `commit` — called once per successful batch on the driver
+    — atomically renames the reported files into
+    `{path}/batch_id={N}/`, and `abort` removes the orphans. A batch
+    replayed after a failure re-runs its tasks and re-commits the SAME
+    batch directory, which commit clears first — the overwrite-by-
+    batch idempotence run_foreach_batch_to_parquet documents, here
+    implemented beneath the engine's own commit protocol instead of
+    inside a user callback."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _NdjsonCommitMessage:
+        import json
+        import os
+        import uuid
+
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(tmp_dir, f"part-{uuid.uuid4().hex}.ndjson")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                rec = row.asDict()
+                for k, v in rec.items():
+                    if hasattr(v, "isoformat"):
+                        rec[k] = v.isoformat()
+                f.write(json.dumps(rec, sort_keys=True) + "\n")
+                n += 1
+        return _NdjsonCommitMessage(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+        import shutil
+
+        out = os.path.join(self.path, f"batch_id={batchId}")
+        shutil.rmtree(out, ignore_errors=True)  # replay overwrites
+        os.makedirs(out, exist_ok=True)
+        for i, m in enumerate(messages):
+            if m is not None and m.rows > 0:
+                os.replace(m.path, os.path.join(out, f"part-{i:05d}.ndjson"))
+            elif m is not None:
+                os.remove(m.path)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class NdjsonSinkDataSource(DataSource):
+    """`writeStream.format("ndjson_dir")`: the landing-directory sink
+    shape (one NDJSON drop per committed batch) as a first-class
+    Python data source — the write-side twin of the synthetic source's
+    read path, and the same physical layout `events_replay_dir`
+    replays."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ndjson_dir"
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _NdjsonStreamWriter(self.options)
+
+
+def register_ndjson_sink(spark) -> None:
+    spark.dataSource.register(NdjsonSinkDataSource)

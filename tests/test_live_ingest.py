@@ -310,3 +310,71 @@ def test_synthetic_events_streaming_source(spark):
     assert got == model
     assert all(b == 250 for b in batches) and sum(batches) == n_total
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_python_ndjson_stream_sink_end_to_end(spark):
+    """Full Python-API streaming loop: synthetic Python source →
+    Python NDJSON sink. The sink's two-phase commit must land each
+    micro-batch as a complete batch_id directory whose records equal
+    the deterministic model exactly, with the temp staging area
+    drained."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from github_event_etl_spark.sources.pysource import (
+        _row,
+        register_ndjson_sink,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    register_ndjson_sink(spark)
+    out = tempfile.mkdtemp(prefix="geetl_pysink_")
+    ckpt = tempfile.mkdtemp(prefix="geetl_pysink_ckpt_")
+    n_total = 600
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", n_total)
+        .option("rows_per_batch", 200)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("ndjson_dir")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        for _ in range(600):
+            seen = sum(int(p.numInputRows) for p in q.recentProgress)
+            if seen >= n_total:
+                break
+            q.awaitTermination(0.2)
+        else:
+            raise TimeoutError("python sink never received all rows")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = []
+    for path in glob.glob(os.path.join(out, "batch_id=*", "*.ndjson")):
+        with open(path) as f:
+            got.extend(_json.loads(line) for line in f)
+    model = {
+        i: {
+            "event_id": i,
+            "ts": ts.replace(tzinfo=None).isoformat(),
+            "user_id": u,
+            "event_type": t,
+            "value": v,
+        }
+        for i, ts, u, t, v in (_row(i) for i in range(n_total))
+    }
+    assert {r["event_id"]: r for r in got} == model
+    assert len(got) == n_total  # no duplicated batch content
+    assert glob.glob(os.path.join(out, "_tmp", "*")) == []
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
