@@ -73,20 +73,35 @@ class _SyntheticEventsReader(DataSourceReader):
         self.type_filter: str | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Accept event_type equality; hand everything else back.
-        Returning the unsupported filters (not raising) is the API
-        contract — Spark re-applies them above the scan."""
+        """Accept AT MOST ONE event_type equality; hand everything
+        else back. Returning the unsupported filters (not raising) is
+        the API contract — Spark re-applies them above the scan.
+        Consuming only the first equality matters for correctness:
+        Catalyst does not fold a contradictory conjunction like
+        type = 'a' AND type = 'b', so a second equality must go back
+        to Spark (which then correctly empties the result) rather
+        than silently overwrite the first."""
         for f in filters:
             if (
                 isinstance(f, EqualTo)
                 and f.attribute == ("event_type",)
                 and isinstance(f.value, str)
+                and self.type_filter is None
             ):
                 self.type_filter = f.value
             else:
                 yield f
 
     def partitions(self) -> Sequence[InputPartition]:
+        if self.num_partitions < 1:
+            raise ValueError(
+                f"num_partitions must be >= 1, got {self.num_partitions}"
+            )
+        if self.n <= 0:
+            # an empty source is zero rows, not a crash; one empty
+            # range partition (an empty LIST makes Spark call read
+            # with a None partition)
+            return [_RangePartition(0, 0)]
         per = -(-self.n // self.num_partitions)
         return [
             _RangePartition(lo, min(lo + per, self.n))
@@ -114,6 +129,14 @@ class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.n = int(options.get("n", 1000))
         self.rows_per_batch = int(options.get("rows_per_batch", 250))
+        # Fail fast: rows_per_batch <= 0 would walk offsets backward
+        # (negative hi) or stall at index 0 forever.
+        if self.rows_per_batch < 1:
+            raise ValueError(
+                f"rows_per_batch must be >= 1, got {self.rows_per_batch}"
+            )
+        if self.n < 0:
+            raise ValueError(f"n must be >= 0, got {self.n}")
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -177,12 +200,24 @@ class _NdjsonStreamWriter(DataSourceStreamWriter):
     file (task retries never collide) and reports it in the commit
     message; `commit` — called once per successful batch on the driver
     — atomically renames the reported files into
-    `{path}/batch_id={N}/`, and `abort` removes the orphans. A batch
-    replayed after a failure re-runs its tasks and re-commits the SAME
-    batch directory, which commit clears first — the overwrite-by-
-    batch idempotence run_foreach_batch_to_parquet documents, here
-    implemented beneath the engine's own commit protocol instead of
-    inside a user callback."""
+    `{path}/batch_id={N}/` and then SWEEPS the staging area (a task
+    that died before delivering its message leaves a temp file no
+    message references; per-attempt-unique names make removing the
+    unreferenced ones safe, and `abort` additionally removes the
+    reported ones on a failed batch). A batch replayed after a failure
+    re-runs its tasks and re-commits the SAME batch directory, which
+    commit clears first — the overwrite-by-batch idempotence
+    run_foreach_batch_to_parquet documents, here implemented beneath
+    the engine's own commit protocol instead of inside a user
+    callback.
+
+    DEPLOYMENT CONSTRAINT: `path` must be a filesystem that driver and
+    executors share on one mount (local mode, NFS/FUSE-mounted object
+    storage) — write() stages on the executor and commit()'s
+    os.replace runs on the driver, and rename-based commits only work
+    within a mount. A multi-node deployment without a shared POSIX
+    mount should use a storage-API commit (upload + manifest) behind
+    the same message/commit shape; one writer per `path` at a time."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -207,6 +242,7 @@ class _NdjsonStreamWriter(DataSourceStreamWriter):
         return _NdjsonCommitMessage(tmp, n)
 
     def commit(self, messages, batchId: int) -> None:
+        import glob
         import os
         import shutil
 
@@ -218,6 +254,14 @@ class _NdjsonStreamWriter(DataSourceStreamWriter):
                 os.replace(m.path, os.path.join(out, f"part-{i:05d}.ndjson"))
             elif m is not None:
                 os.remove(m.path)
+        # Sweep orphans: temp files from task attempts that died before
+        # reporting a message. Names are per-attempt unique, so
+        # anything still in _tmp after the renames is garbage.
+        for stale in glob.glob(os.path.join(self.path, "_tmp", "*")):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
 
     def abort(self, messages, batchId: int) -> None:
         import os

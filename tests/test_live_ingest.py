@@ -34,6 +34,19 @@ def _event(eid, hour, etype="purchase", value=1.5, user=7):
     }
 
 
+def _drain_until(q, n_rows: int, what: str, steps: int = 600) -> None:
+    """Stop-condition from the engine's own progress telemetry (the
+    stream_rate_source termination pattern): wait until the query
+    reports `n_rows` ingested, then drain whatever remains."""
+    for _ in range(steps):
+        seen = sum(int(p.numInputRows) for p in q.recentProgress)
+        if seen >= n_rows:
+            q.processAllAvailable()
+            return
+        q.awaitTermination(0.2)
+    raise TimeoutError(f"{what} never delivered all rows")
+
+
 def test_parse_event_lines_batch_types_and_error_isolation(spark):
     """The parse stage shared by socket AND Kafka ingest: typed
     envelope out, malformed/incomplete lines dropped (A3/A19), ts as
@@ -109,16 +122,8 @@ def test_socket_source_live_ingest_end_to_end(spark):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        # Stop when the engine reports all 40 lines ingested — the
-        # same progress-telemetry termination as stream_rate_source.
-        for _ in range(600):
-            seen = sum(int(p.numInputRows) for p in q.recentProgress)
-            if seen >= len(events):
-                break
-            q.awaitTermination(0.2)
-        else:
-            raise TimeoutError("socket ingest never delivered all events")
-        q.processAllAvailable()
+        # Stop when the engine reports all 40 lines ingested.
+        _drain_until(q, len(events), "socket ingest")
         q.stop()
         got = {
             r.event_type: (r.n, r.ids)
@@ -287,29 +292,23 @@ def test_synthetic_events_streaming_source(spark):
         .start()
     )
     try:
-        for _ in range(600):
-            seen = sum(int(p.numInputRows) for p in q.recentProgress)
-            if seen >= n_total:
-                break
-            q.awaitTermination(0.2)
-        else:
-            raise TimeoutError("synthetic stream never delivered all rows")
-        q.processAllAvailable()
+        _drain_until(q, n_total, "synthetic stream")
         batches = [
             int(p.numInputRows)
             for p in q.recentProgress
             if int(p.numInputRows) > 0
         ]
+        q.stop()
+        got = sorted(tuple(r) for r in spark.table(name).collect())
+        model = sorted(
+            (i, ts.replace(tzinfo=None), u, t, v)
+            for i, ts, u, t, v in (_row(i) for i in range(n_total))
+        )
+        assert got == model
+        assert all(b == 250 for b in batches) and sum(batches) == n_total
     finally:
         q.stop()
-    got = sorted(tuple(r) for r in spark.table(name).collect())
-    model = sorted(
-        (i, ts.replace(tzinfo=None), u, t, v)
-        for i, ts, u, t, v in (_row(i) for i in range(n_total))
-    )
-    assert got == model
-    assert all(b == 250 for b in batches) and sum(batches) == n_total
-    shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def test_python_ndjson_stream_sink_end_to_end(spark):
@@ -348,33 +347,52 @@ def test_python_ndjson_stream_sink_end_to_end(spark):
         .start()
     )
     try:
-        for _ in range(600):
-            seen = sum(int(p.numInputRows) for p in q.recentProgress)
-            if seen >= n_total:
-                break
-            q.awaitTermination(0.2)
-        else:
-            raise TimeoutError("python sink never received all rows")
-        q.processAllAvailable()
-    finally:
+        _drain_until(q, n_total, "python sink")
         q.stop()
 
-    got = []
-    for path in glob.glob(os.path.join(out, "batch_id=*", "*.ndjson")):
-        with open(path) as f:
-            got.extend(_json.loads(line) for line in f)
-    model = {
-        i: {
-            "event_id": i,
-            "ts": ts.replace(tzinfo=None).isoformat(),
-            "user_id": u,
-            "event_type": t,
-            "value": v,
+        got = []
+        for path in glob.glob(os.path.join(out, "batch_id=*", "*.ndjson")):
+            with open(path) as f:
+                got.extend(_json.loads(line) for line in f)
+        model = {
+            i: {
+                "event_id": i,
+                "ts": ts.replace(tzinfo=None).isoformat(),
+                "user_id": u,
+                "event_type": t,
+                "value": v,
+            }
+            for i, ts, u, t, v in (_row(i) for i in range(n_total))
         }
-        for i, ts, u, t, v in (_row(i) for i in range(n_total))
-    }
-    assert {r["event_id"]: r for r in got} == model
-    assert len(got) == n_total  # no duplicated batch content
-    assert glob.glob(os.path.join(out, "_tmp", "*")) == []
-    shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+        assert {r["event_id"]: r for r in got} == model
+        assert len(got) == n_total  # no duplicated batch content
+        assert glob.glob(os.path.join(out, "_tmp", "*")) == []
+    finally:
+        q.stop()
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_synthetic_datasource_edge_options(spark):
+    """Edge options must behave, not crash: n=0 is an empty scan;
+    contradictory event_type equalities (only one is consumed by
+    pushFilters, the rest go back to Spark) yield the correct empty
+    result."""
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.sources.pysource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    empty = (
+        spark.read.format("synthetic_events").option("n", 0).load()
+    )
+    assert empty.count() == 0
+
+    df = spark.read.format("synthetic_events").option("n", 500).load()
+    contradiction = df.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("event_type") == "view")
+    )
+    assert contradiction.count() == 0
