@@ -143,7 +143,12 @@ class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         lo = int(start["index"])
-        hi = min(lo + self.rows_per_batch, self.n)
+        # Clamp BOTH ends: a query restarted from a checkpoint whose
+        # offset exceeds a now-smaller `n` must hold its offset (empty
+        # batch, same offset back — the caught-up signal), not report
+        # an end offset below the start (an offset regression the
+        # engine treats as source corruption).
+        hi = max(lo, min(lo + self.rows_per_batch, self.n))
         return iter([_row(i) for i in range(lo, hi)]), {"index": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -180,7 +185,14 @@ def register_synthetic_source(spark) -> None:
     "synthetic_events")` resolves to the Python source. Python-source
     filter pushdown ships disabled by default (Spark 4.1) and the scan
     REFUSES to run a pushFilters-implementing reader without it, so
-    registration enables the conf alongside."""
+    registration enables the conf alongside.
+
+    Caller-facing contract: the `spark.sql.python.filterPushdown.
+    enabled` change is session-wide and INTENTIONALLY STICKY — it is a
+    capability flag every pushFilters-implementing Python source needs
+    (and plain ones ignore), not a per-query tuning knob, so restoring
+    it after each read would just re-break the next scan. Callers that
+    must not inherit it should register on a dedicated session."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
 

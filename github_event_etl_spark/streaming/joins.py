@@ -69,6 +69,13 @@ def interval_join_streams(
     soon as the global watermark passes it), and the pytest pins the
     exact boundary.
     """
+    clash = {f"{c}_r" for c in right.columns} & set(left.columns)
+    if clash:
+        raise ValueError(
+            "interval_join_streams: left columns collide with the "
+            f"right side's _r-suffixed names: {sorted(clash)} — rename "
+            "them on the left input before joining"
+        )
     lf = left.withWatermark(left_ts, watermark)
     rf = right.select(
         *[F.col(c).alias(f"{c}_r") for c in right.columns]

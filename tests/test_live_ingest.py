@@ -396,3 +396,22 @@ def test_synthetic_datasource_edge_options(spark):
         & (F.col("event_type") == "view")
     )
     assert contradiction.count() == 0
+
+
+def test_synthetic_stream_reader_offset_clamp():
+    """A checkpointed offset past a now-smaller `n` (the query was
+    restarted with a reduced option) must HOLD the offset — empty batch,
+    same offset back, the caught-up signal — never report an end offset
+    below the start (an offset regression the engine rejects)."""
+    from github_event_etl_spark.sources.pysource import (
+        _SyntheticEventsStreamReader,
+    )
+
+    rdr = _SyntheticEventsStreamReader({"n": "100", "rows_per_batch": "50"})
+    rows, end = rdr.read({"index": 250})
+    assert list(rows) == []
+    assert end == {"index": 250}
+    # normal progression still clamps the tail batch to n
+    rows, end = rdr.read({"index": 75})
+    assert len(list(rows)) == 25
+    assert end == {"index": 100}

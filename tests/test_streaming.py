@@ -547,3 +547,17 @@ def test_stream_stream_join_checkpoint_resume(spark, sf_dir):
             spark.conf.unset(key)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(os.path.dirname(sink), ignore_errors=True)
+
+
+def test_interval_join_rejects_suffix_collision(spark, sf_dir):
+    """A left input already carrying a `_r`-suffixed name that the
+    right side's rename would duplicate must fail fast with a clear
+    error, not produce an ambiguous join condition at analysis time."""
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.streaming.joins import interval_join_streams
+
+    left, right = _ssj_streams(spark, sf_dir)
+    bad_left = left.withColumn("user_id_r", F.col("user_id"))
+    with pytest.raises(ValueError, match="user_id_r"):
+        interval_join_streams(bad_left, right, key="user_id")
