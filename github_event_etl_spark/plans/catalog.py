@@ -69,16 +69,15 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 # the change). Once the post-change verification lands, the key
 # rejoins normal staleness ordering — a forgotten entry cannot
 # permanently hog the 50-key budget.
-_CHANGED_AFTER_ROUND = 6  # round-7 edits; r01-r06 artifacts predate them
+_CHANGED_AFTER_ROUND = 7  # round-8 edits; r01-r07 artifacts predate them
 
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # round 7: both vocabulary-broadcast queries gained the capped-
-    # vocab + OOV-floor scale path (operators/vocab.py), with caps
-    # below the test vocabulary so the OOV arithmetic is part of the
-    # hashed values. (Round 6's llm_corpus_curation entry self-cleared
-    # when its post-change green row landed in CORRECTNESS_r06.)
-    "llm_rarity_score",
-    "llm_tfidf_topk",
+    # round 8: no output-semantics change to any existing key — the
+    # three r8 additions (scan_python_source, stream_interval_join,
+    # llm_multimodal_resize) are never-checked keys and rank ahead of
+    # the stale tail automatically. (Round 7's llm_rarity_score /
+    # llm_tfidf_topk entries self-cleared when their post-change green
+    # rows landed in CORRECTNESS_r07.)
 })
 
 # Keys added when the current round's 50-key verification window is

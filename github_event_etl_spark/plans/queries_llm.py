@@ -23,7 +23,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_fake_media, extract_features, sample_frames
+from ..operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from ..operators.similarity import (
     ann_ivf,
     ann_ivf_partitioned,
@@ -2035,6 +2040,63 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.octet_length("frame_bytes").cast("long").alias("frame_len"),
         F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
+@query(
+    "llm_multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+             text, length(text) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, media_type, text, n, unnest(range(0, 32)) AS i
+      FROM m WHERE media_type IN ('image', 'video')
+    )
+    SELECT doc_id, media_type,
+           lower(string_agg(
+             CASE WHEN i < least(32, n)
+                  THEN lpad(to_hex(ascii(substr(
+                         text, ((i * n) // 32)::INT + 1, 1))), 2, '0')
+                  ELSE '00' END,
+             '' ORDER BY i)) AS payload_sig,
+           8 AS width, 4 AS height
+    FROM px GROUP BY doc_id, media_type
+    UNION ALL
+    SELECT doc_id, media_type, md5(text) AS payload_sig,
+           0 AS width, 0 AS height
+    FROM m WHERE media_type = 'audio'
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing for visual media (operators/multimodal.py
+    resize_media): image/video payloads re-encoded at 8×4 via the
+    deterministic nearest-neighbor byte-stride stand-in (the pixel work
+    a real pipeline does with PIL/ffmpeg — absent here — behind the
+    same mapInPandas shape); audio rows pass through untouched with
+    width/height 0. The oracle re-derives the stride rule per output
+    byte (`payload[(i*n)//area]`, zero-padded past min(area, n)) and
+    compares payloads as hex for visual rows — hex, not md5, because
+    the zero padding puts NUL bytes in short payloads, which a VARCHAR
+    md5 can't carry — and as md5-of-text for the untouched audio rows
+    (the corpus is ASCII, so char ops == byte ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_media(attach_fake_media(docs), target_w=8, target_h=4)
+    return out.select(
+        "doc_id",
+        "media_type",
+        F.when(
+            F.col("media_type") == "audio", F.md5(F.col("payload"))
+        )
+        .otherwise(F.lower(F.hex(F.col("payload"))))
+        .alias("payload_sig"),
+        "width",
+        "height",
     )
 
 

@@ -96,6 +96,55 @@ def scan_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_python_source",
+    oracle="""
+    SELECT i AS event_id,
+           strftime(TIMESTAMP '2024-03-01 00:00:00' + i * INTERVAL 1 SECOND,
+                    '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           (i * 2654435761) % 97 AS user_id,
+           'view' AS event_type,
+           CAST(i % 1000 AS DOUBLE) / 10.0 AS value
+    FROM range(0, 5000) r(i)
+    WHERE i % 5 = 2
+    """,
+    tags=("scan", "partB1", "pysource"),
+)
+def scan_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: custom Python Data Source scan (Spark 4
+    `pyspark.sql.datasource`) — the first-class stand-in for the
+    reference's live HTTP ingest loop (insert-events.js:8-34), which
+    fabricates a steady event stream against no upstream. The source
+    (sources/pysource.py) generates rows executor-side from contiguous
+    range partitions; every column is a pure integer function of the
+    row index, which is what lets the DuckDB oracle re-derive the scan
+    from `range(0, n)`.
+
+    The `event_type = 'view'` filter lands INSIDE the generator via
+    `pushFilters` (plan-gated in tests/test_live_ingest.py — the
+    predicate is absent from the post-scan plan), the Python-source
+    analog of parquet row-group pruning; the oracle applies the same
+    predicate arithmetically (`i % 5 = 2` — 'view' is EVENT_TYPES[2]).
+    `sf_dir` is unused: the source IS the data."""
+    from ..sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", 5000)
+        .option("num_partitions", 8)
+        .load()
+        .filter(F.col("event_type") == "view")
+    )
+    return df.select(
+        "event_id",
+        ts_string(F.col("ts")).alias("ts_str"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@query(
     "parse_ndjson_corrupt",
     oracle="""
     SELECT event_id, event_type FROM events WHERE event_id % 10 <> 0

@@ -261,6 +261,57 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    tags=("streaming", "partB9", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 stream-stream join: two live streams (purchases, views over
+    the same replay source) correlated by the watermarked event-time
+    interval join (streaming/joins.py interval_join_streams) — each
+    purchase pairs with every view by the same user within the 30
+    minutes after it. State per side is bounded by rate × (interval +
+    watermark delay) and evicted by the global min-across-inputs
+    watermark; both inputs shuffle once on the join key, exactly the
+    exchange the batch equi-join plans.
+
+    Bounded AvailableNow replay drives every watermark past every row,
+    so no pairing is lost to late-arrival eviction and the final sink
+    equals the batch interval join — which is the oracle verbatim (the
+    `join_interval` key already proves DuckDB expresses the predicate).
+    Reference analog: the Lua GET-then-SET self-correlation within a
+    TTL (insert-events-into-db.lua:8-11,36-39), generalized to two
+    streams."""
+    from ..streaming.joins import interval_join_streams
+
+    src = events_replay_dir(spark, sf_dir)
+    left = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    right = read_event_stream(spark, src).filter(
+        F.col("event_type") == "view"
+    )
+    joined = interval_join_streams(
+        left,
+        right,
+        key="user_id",
+        watermark="10 minutes",
+        lower="0 seconds",
+        upper="30 minutes",
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_r").alias("view_id"),
+    )
+    return run_bounded(joined, "append", "interval_join")
+
+
+@query(
     "stream_foreach_batch_hourly",
     oracle=f"""
     SELECT {_HOUR_SQL} AS hour_start, event_type, count(*) AS cnt,
