@@ -178,15 +178,51 @@ def main() -> None:
     def _pipeline_e2e():
         from github_event_etl_spark.plans.pipelines import dedup_e2e_pipeline
 
+        # Size shuffle parallelism to the job, as a real deployment
+        # would: the pipeline is dozens of small stages (iterative
+        # cluster rounds, span joins) over ~5k docs at sf0.1, where 32
+        # partitions/stage pay more in task scheduling than they win in
+        # parallelism (measured ~8.2 s at 32 → ~6.9 s at 16; 8 is flat
+        # vs 16). Pinned around construction AND execution — the
+        # pipeline's internal checkpoints run during construction, the
+        # final joins at force time. Restored after.
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "16")
+        try:
+            reps = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                _force(dedup_e2e_pipeline(spark, sf_dir))
+                reps.append(round(time.perf_counter() - t0, 3))
+            pipelines["dedup_e2e"] = sorted(reps)[len(reps) // 2]
+            spread["dedup_e2e"] = [min(reps), max(reps)]
+        finally:
+            spark.conf.set(key, prev)
+
+    _guard("pipeline_dedup_e2e", _pipeline_e2e)
+
+    # Round-8 components section: the newly-landed catalog keys,
+    # benched OUTSIDE the fixed headline set so round-over-round
+    # baseline comparisons stay apples-to-apples (same policy as
+    # `pipelines`).
+    COMPONENTS = [
+        "stream_interval_join",
+        "scan_python_source",
+        "llm_multimodal_resize",
+    ]
+    components: dict[str, float] = {}
+    for name in [n for n in COMPONENTS if n in qmap]:
         reps = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            _force(dedup_e2e_pipeline(spark, sf_dir))
-            reps.append(round(time.perf_counter() - t0, 3))
-        pipelines["dedup_e2e"] = sorted(reps)[len(reps) // 2]
-        spread["dedup_e2e"] = [min(reps), max(reps)]
-
-    _guard("pipeline_dedup_e2e", _pipeline_e2e)
+            if _guard(name, lambda: _force(qmap[name](spark, sf_dir))):
+                reps.append(round(time.perf_counter() - t0, 3))
+            else:
+                break
+        if reps:
+            components[name] = sorted(reps)[len(reps) // 2]
+            spread[name] = [min(reps), max(reps)]
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -205,6 +241,8 @@ def main() -> None:
     }
     if pipelines:
         out["pipelines"] = pipelines
+    if components:
+        out["components"] = components
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

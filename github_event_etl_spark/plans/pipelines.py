@@ -74,26 +74,32 @@ def dedup_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     clusters = dedup_clusters(verified, docs.select("doc_id"))
-    labeled = docs.join(clusters, "doc_id").select(
-        "doc_id",
-        "lang",
-        "text",
-        "is_representative",
-        quality_score(F.col("text")).alias("q"),
-    )
-    # Materialization point: FOUR consumers fan out from `labeled`
-    # (counts, span detection, span removal, token accounting), and
-    # Catalyst does not dedupe the repeated subtree — unchecked, the
-    # composed plan re-executes the jaccard-verify join and quality
-    # gates once per consumer (measured: 28 documents scans in the
-    # un-checkpointed plan). One eager checkpoint truncates the
-    # lineage so every consumer reads the computed rows. Local-mode
+    # Materialization point: FOUR consumers fan out from here (counts,
+    # span detection, span removal, token accounting), and Catalyst
+    # does not dedupe the repeated subtree — unchecked, the composed
+    # plan re-executes the jaccard-verify join and quality gates once
+    # per consumer (measured: 28 documents scans in the un-checkpointed
+    # plan). One eager checkpoint truncates the lineage so every
+    # consumer reads the computed rows — but it materializes ONLY the
+    # scalar verdict columns (doc_id, lang, is_representative, q),
+    # never the text: the count consumers don't need text at all, and
+    # the span branch re-attaches it below for just the kept docs via
+    # one cheap doc_id equi-join back to the parquet scan (column-
+    # pruned to (doc_id, text); re-reading a column from columnar
+    # storage beats holding every document body in block-manager
+    # memory — at 100 TB the text column IS the corpus). Local-mode
     # blocks suffice here; a cluster run sets a SparkContext
     # checkpoint dir upstream (dedup_clusters already honors it) or
     # persists to DISK — the recompute-vs-materialize call the span
     # operator's docstring discusses, decided for materialize because
     # the upstream includes a multi-join verify stage, not a map-only
     # derivation.
+    labeled = docs.join(clusters, "doc_id").select(
+        "doc_id",
+        "lang",
+        "is_representative",
+        quality_score(F.col("text")).alias("q"),
+    )
     labeled = labeled.localCheckpoint(eager=True)
     counts = labeled.groupBy("lang").agg(
         F.count(F.lit(1)).alias("docs_in"),
@@ -108,10 +114,17 @@ def dedup_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Substring-level pass over the KEPT corpus only: detect passages
     # duplicated across otherwise-distinct kept documents and rewrite
     # them out. Token accounting uses the same whitespace tokenization
-    # remove_spans rewrites with, so conservation is exact.
-    kept = labeled.filter(
-        F.col("is_representative") & (F.col("q") >= _QUALITY_MIN)
-    ).select("doc_id", "lang", "text")
+    # remove_spans rewrites with, so conservation is exact. Text is
+    # re-attached here (kept docs only) from the pruned parquet scan;
+    # the three downstream consumers each replay this cheap join
+    # against the materialized verdicts rather than the verify stage.
+    kept = (
+        labeled.filter(
+            F.col("is_representative") & (F.col("q") >= _QUALITY_MIN)
+        )
+        .select("doc_id", "lang")
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
     spans = duplicated_spans(
         kept.select("doc_id", "text"),
         k=_SPAN_K,

@@ -60,18 +60,37 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded replay. The watermark-driven append-mode semantics (late
     drop, state eviction, closed-window emission) are covered by
     stream_sliding_late / stream_session_window / stream_dedup_
-    watermark and the late-data pytest."""
+    watermark and the late-data pytest.
+
+    shuffle_partitions=16, not run_bounded's small-state default of 4:
+    this aggregation's state is one row per (hour, user) — ~95k keys at
+    sf0.1, the LARGEST state of the replay demos — so the per-partition
+    state-store fixed cost is already amortized and parallelism wins
+    (measured ~1.5 s at 4 → ~1.0 s at 16; 32 regresses to ~1.5 s as
+    store-commit overhead takes back over). The general rule the
+    run_bounded docstring states — size partitions to state volume —
+    applied, not overridden."""
     src = events_replay_dir(spark, sf_dir)
     ev = read_event_stream(spark, src)
+    # Projection INSIDE the streaming plan: the complete-mode memory
+    # sink materializes every output row on the driver, and a
+    # formatted-string hour is one flat column where the window struct
+    # is two nested timestamps — projecting before the sink shrinks
+    # what the driver holds and re-serves (measured ~1.35 s → ~1.05 s
+    # at sf0.1's ~95k result rows).
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "user_id",
+            "cnt",
+        )
     )
-    out = run_bounded(agg, "complete", "tumbling_hourly")
-    return out.select(
-        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
-        "user_id",
-        "cnt",
+    return run_bounded(
+        agg, "complete", "tumbling_hourly", shuffle_partitions=16
     )
 
 
@@ -247,7 +266,14 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself; the watermark only EVICTS state, so the trailing watermark-
     advancing empty micro-batch cannot change the sink — skipping it
     drops one full batch of fixed cost from the bounded replay (the
-    eviction path itself is exercised by the state-eviction pytest)."""
+    eviction path itself is exercised by the state-eviction pytest).
+
+    shuffle_partitions=8: dedup state is one entry per event_id (~100k
+    keys at sf0.1) — large enough that 4 partitions serialize the
+    stateful stage (measured ~1.1 s), small enough that 32 pays more
+    in per-partition store commits than it gains (~1.1 s again); 8 is
+    the measured knee (~0.86 s). Same sizing rule run_bounded
+    documents, applied to this key's state volume."""
     dup_dir = events_replay_dir_with_dupes(spark, sf_dir)
     ev = read_event_stream(spark, dup_dir)
     deduped = (
@@ -256,7 +282,11 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type")
     )
     return run_bounded(
-        deduped, "append", "dedup_watermark", no_data_batches=False
+        deduped,
+        "append",
+        "dedup_watermark",
+        shuffle_partitions=8,
+        no_data_batches=False,
     )
 
 
