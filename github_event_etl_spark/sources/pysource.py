@@ -223,23 +223,51 @@ class _NdjsonStreamWriter(DataSourceStreamWriter):
     the engine's own commit protocol instead of inside a user
     callback.
 
-    DEPLOYMENT CONSTRAINT: `path` must be a filesystem that driver and
-    executors share on one mount (local mode, NFS/FUSE-mounted object
-    storage) — write() stages on the executor and commit()'s
-    os.replace runs on the driver, and rename-based commits only work
-    within a mount. A multi-node deployment without a shared POSIX
-    mount should use a storage-API commit (upload + manifest) behind
-    the same message/commit shape; one writer per `path` at a time."""
+    COMMIT MODES (`commit` option):
+
+    - ``rename`` (default): task temp files are os.replace'd into
+      `{path}/batch_id={N}/` at commit. Requires driver and executors
+      to share `path` on ONE mount (local mode, NFS/FUSE-mounted
+      object storage) — write() stages on the executor and the rename
+      runs on the driver, and rename-based commits only work within a
+      mount.
+    - ``manifest``: the object-storage commit shape, no rename
+      anywhere. Each task "uploads" its part into a flat staging
+      namespace (`_staging/`, standing in for atomic per-object PUTs)
+      and the driver's single atomic commit action is writing
+      `{path}/batch_id={N}/manifest.json` naming exactly the parts the
+      batch consists of. Readers (`read_manifested_batches`) list
+      parts FROM the manifests, never by directory listing, so a
+      staged object from a dead task attempt is invisible by
+      construction. Replay overwrites the SAME manifest (idempotent —
+      the re-run's part names simply replace the old attempt's), and
+      commit sweeps staged objects referenced by NO manifest
+      (manifest-anchored GC; on a real deployment this runs as an
+      out-of-band lifecycle job instead). This is the commit protocol
+      a multi-node cluster without a shared POSIX mount needs; the
+      local filesystem here only stands in for the object store's
+      put/list/delete API.
+
+    One writer per `path` at a time, in either mode."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
+        self.mode = options.get("commit", "rename")
+        if self.mode not in ("rename", "manifest"):
+            raise ValueError(
+                f"commit option must be 'rename' or 'manifest', got "
+                f"{self.mode!r}"
+            )
+
+    def _stage_dir(self) -> str:
+        return "_staging" if self.mode == "manifest" else "_tmp"
 
     def write(self, iterator) -> _NdjsonCommitMessage:
         import json
         import os
         import uuid
 
-        tmp_dir = os.path.join(self.path, "_tmp")
+        tmp_dir = os.path.join(self.path, self._stage_dir())
         os.makedirs(tmp_dir, exist_ok=True)
         tmp = os.path.join(tmp_dir, f"part-{uuid.uuid4().hex}.ndjson")
         n = 0
@@ -254,6 +282,12 @@ class _NdjsonStreamWriter(DataSourceStreamWriter):
         return _NdjsonCommitMessage(tmp, n)
 
     def commit(self, messages, batchId: int) -> None:
+        if self.mode == "manifest":
+            self._commit_manifest(messages, batchId)
+        else:
+            self._commit_rename(messages, batchId)
+
+    def _commit_rename(self, messages, batchId: int) -> None:
         import glob
         import os
         import shutil
@@ -274,6 +308,54 @@ class _NdjsonStreamWriter(DataSourceStreamWriter):
                 os.remove(stale)
             except OSError:
                 pass
+
+    def _commit_manifest(self, messages, batchId: int) -> None:
+        """Atomic commit = one manifest write; parts stay where they
+        were uploaded. The manifest is written through a same-directory
+        rename so a reader never observes a torn manifest — the ONE
+        rename this mode performs, and it is driver-local metadata (an
+        object store's single-object PUT gives the same atomicity)."""
+        import glob
+        import json
+        import os
+
+        parts = sorted(
+            os.path.basename(m.path)
+            for m in messages
+            if m is not None and m.rows > 0
+        )
+        for m in messages:  # empty parts are never referenced: GC now
+            if m is not None and m.rows == 0:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+        out = os.path.join(self.path, f"batch_id={batchId}")
+        os.makedirs(out, exist_ok=True)
+        manifest = os.path.join(out, "manifest.json")
+        tmp = manifest + ".inprogress"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batchId, "parts": parts}, f)
+        os.replace(tmp, manifest)
+        # Manifest-anchored GC: a staged object referenced by no
+        # manifest is garbage (dead task attempt, or a replaced replay
+        # attempt). One batch commits at a time, so everything live is
+        # in the manifests just written plus this batch's.
+        referenced: set[str] = set(parts)
+        for mf in glob.glob(
+            os.path.join(self.path, "batch_id=*", "manifest.json")
+        ):
+            try:
+                with open(mf) as f:
+                    referenced.update(json.load(f).get("parts", []))
+            except (OSError, ValueError):
+                continue
+        for staged in glob.glob(os.path.join(self.path, "_staging", "*")):
+            if os.path.basename(staged) not in referenced:
+                try:
+                    os.remove(staged)
+                except OSError:
+                    pass
 
     def abort(self, messages, batchId: int) -> None:
         import os
@@ -300,3 +382,41 @@ class NdjsonSinkDataSource(DataSource):
 
 def register_ndjson_sink(spark) -> None:
     spark.dataSource.register(NdjsonSinkDataSource)
+
+
+def manifested_part_paths(path: str) -> list[str]:
+    """The committed data files of a manifest-mode sink directory: the
+    union of every batch manifest's parts, resolved into the staging
+    namespace. THE reader contract for manifest commits — a staged
+    object no manifest names (dead task attempt, superseded replay
+    attempt) is invisible because listing never touches the directory,
+    mirroring how manifest-committed tables (Iceberg/Delta-style) read
+    on real object storage."""
+    import glob
+    import json
+    import os
+
+    parts: list[str] = []
+    for mf in sorted(glob.glob(os.path.join(path, "batch_id=*", "manifest.json"))):
+        with open(mf) as f:
+            doc = json.load(f)
+        parts.extend(
+            os.path.join(path, "_staging", p) for p in doc.get("parts", [])
+        )
+    return parts
+
+
+def read_manifested_batches(spark, path: str, schema=None):
+    """Batch-read a manifest-mode sink directory as NDJSON, via the
+    manifest listing (never the directory)."""
+    paths = manifested_part_paths(path)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if not paths:
+        import pyspark.sql.types as _T
+
+        return spark.createDataFrame(
+            [], schema if schema is not None else _T.StructType([])
+        )
+    return reader.json(paths)

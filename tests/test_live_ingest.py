@@ -13,6 +13,7 @@ import socketserver
 import threading
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from github_event_etl_spark.sources.live import (
@@ -415,3 +416,147 @@ def test_synthetic_stream_reader_offset_clamp():
     rows, end = rdr.read({"index": 75})
     assert len(list(rows)) == 25
     assert end == {"index": 100}
+
+
+def test_ndjson_sink_manifest_commit_with_task_retry():
+    """The object-storage commit shape, driven through a simulated task
+    retry: two write() attempts for the same task stage two uniquely-
+    named objects, commit() is handed only the SUCCESSFUL attempt's
+    message, and the manifest must reference exactly that part — the
+    dead attempt's object is invisible to the manifest reader and
+    swept by the manifest-anchored GC. A replayed commit of the same
+    batch (fresh attempt, same batchId) must overwrite the manifest
+    idempotently and garbage-collect the superseded attempt's object."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from github_event_etl_spark.sources.pysource import (
+        _NdjsonStreamWriter,
+        manifested_part_paths,
+    )
+
+    out = tempfile.mkdtemp(prefix="geetl_manifest_")
+    try:
+        w = _NdjsonStreamWriter({"path": out, "commit": "manifest"})
+        rows = [Row(event_id=i, value=float(i)) for i in range(5)]
+
+        # attempt 1 dies after upload (no message delivered);
+        # attempt 2 succeeds and reports its message
+        dead = w.write(iter(rows))
+        ok = w.write(iter(rows))
+        assert dead.path != ok.path  # per-attempt-unique names
+        w.commit([ok], batchId=0)
+
+        manifest = os.path.join(out, "batch_id=0", "manifest.json")
+        with open(manifest) as f:
+            doc = _json.load(f)
+        assert doc["parts"] == [os.path.basename(ok.path)]
+        # reader sees exactly one committed part; the dead attempt's
+        # object was swept (referenced by no manifest)
+        assert manifested_part_paths(out) == [ok.path]
+        assert sorted(glob.glob(os.path.join(out, "_staging", "*"))) == [
+            ok.path
+        ]
+
+        # batch replay: engine re-runs the task (new attempt) and
+        # re-commits the SAME batch id
+        retry = w.write(iter(rows))
+        w.commit([retry], batchId=0)
+        with open(manifest) as f:
+            doc = _json.load(f)
+        assert doc["parts"] == [os.path.basename(retry.path)]
+        assert manifested_part_paths(out) == [retry.path]
+        # superseded attempt's object GC'd; no torn-manifest temp left
+        assert sorted(glob.glob(os.path.join(out, "_staging", "*"))) == [
+            retry.path
+        ]
+        assert glob.glob(os.path.join(out, "batch_id=0", "*.inprogress")) == []
+
+        # abort removes the reported staged objects
+        ab = w.write(iter(rows))
+        w.abort([ab], batchId=1)
+        assert not os.path.exists(ab.path)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_ndjson_sink_manifest_mode_live_stream(spark):
+    """End-to-end manifest mode under the real engine: synthetic
+    source → ndjson_dir sink with commit=manifest. Every committed
+    batch directory carries a manifest, the manifest-listed parts
+    reconstruct the deterministic model exactly, and nothing
+    unreferenced survives in staging."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from github_event_etl_spark.sources.pysource import (
+        _row,
+        manifested_part_paths,
+        register_ndjson_sink,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    register_ndjson_sink(spark)
+    out = tempfile.mkdtemp(prefix="geetl_pysink_mf_")
+    ckpt = tempfile.mkdtemp(prefix="geetl_pysink_mf_ckpt_")
+    n_total = 600
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", n_total)
+        .option("rows_per_batch", 200)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("ndjson_dir")
+        .option("path", out)
+        .option("commit", "manifest")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        _drain_until(q, n_total, "manifest sink")
+        q.stop()
+
+        got = []
+        for path in manifested_part_paths(out):
+            with open(path) as f:
+                got.extend(_json.loads(line) for line in f)
+        model = {
+            i: {
+                "event_id": i,
+                "ts": ts.replace(tzinfo=None).isoformat(),
+                "user_id": u,
+                "event_type": t,
+                "value": v,
+            }
+            for i, ts, u, t, v in (_row(i) for i in range(n_total))
+        }
+        assert {r["event_id"]: r for r in got} == model
+        assert len(got) == n_total
+        # every staged object is referenced by some manifest
+        staged = set(glob.glob(os.path.join(out, "_staging", "*")))
+        assert staged == set(manifested_part_paths(out))
+        # every committed batch dir holds exactly a manifest (no data
+        # files land in batch dirs in manifest mode)
+        for d in glob.glob(os.path.join(out, "batch_id=*")):
+            assert os.listdir(d) == ["manifest.json"]
+    finally:
+        q.stop()
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_ndjson_sink_rejects_unknown_commit_mode():
+    from github_event_etl_spark.sources.pysource import _NdjsonStreamWriter
+
+    with pytest.raises(ValueError, match="commit option"):
+        _NdjsonStreamWriter({"path": "/tmp/x", "commit": "two-phase"})
