@@ -286,3 +286,56 @@ def bow_fingerprint(text: Column) -> Column:
     engine-portable for the oracle."""
     toks = F.array_sort(F.array_distinct(words(F.lower(text))))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def bpe_merge_pairs(
+    docs: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """Candidate merge-pair statistics for one BPE tokenizer-training
+    iteration: the frequency of every adjacent symbol pair across the
+    corpus, weighted by word frequency, top-`top_k` by count. Returns
+    (pair, pair_count) where `pair` is the two single-char symbols
+    space-joined — exactly the ranking a byte-pair-encoding trainer
+    consumes to pick its next merge (Sennrich et al., ACL'16 shape;
+    symbols here are the pre-merge single characters, i.e. iteration 0).
+
+    Scale shape — the classic BPE-trainer factoring, distributed:
+      1. corpus → word histogram: one explode + groupBy(word) count.
+         Vocabulary-sized shuffle (hot words collapse in the map-side
+         partial aggregate), after which CORPUS SIZE DROPS OUT — a
+         100 TB corpus and its 10 GB vocabulary produce the same
+         downstream work.
+      2. pair expansion over DISTINCT words only, weighted by freq:
+         pure map-side higher-order transform (no Python).
+      3. groupBy(pair) sum: the pair keyspace is bounded by
+         alphabet², so this shuffle is tiny and skew-free after the
+         map-side partial sums.
+      4. top-K via orderBy+limit = TakeOrderedAndProject (per-partition
+         heaps, no global sort), deterministic under the (count DESC,
+         pair ASC) total order — `pair` is unique after the groupBy.
+
+    Empty tokens are filtered (a blank doc trims to one empty string),
+    single-char words contribute no pairs (sequence(1, 0) is empty).
+    """
+    wf = (
+        docs.select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pair_expr = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.concat(
+            F.col("w").substr(i, F.lit(1)),
+            F.lit(" "),
+            F.col("w").substr(i + F.lit(1), F.lit(1)),
+        ),
+    )
+    return (
+        wf.filter(F.length("w") >= 2)
+        .select("freq", F.explode(pair_expr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(top_k)
+    )

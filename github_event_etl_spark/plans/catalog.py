@@ -108,24 +108,18 @@ def staleness_bound_rounds() -> int:
     ceil(registry size / driver window)."""
     n = len(all_specs())
     return -(-n // _DRIVER_KEYS_PER_ROUND)
-_DEFER_NEW_UNTIL_ROUND = 6
+_DEFER_NEW_UNTIL_ROUND = 8
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # round 6: the round's new/changed budget (llm_token_shards from
-    # the r5 deferral + llm_span_dedup + llm_rarity_score new +
-    # llm_corpus_curation changed) already displaces ~3 stale keys, so
-    # these SIX later additions rank last and take their first driver
-    # check in round 7 (local oracle replay in tests/test_oracle.py
-    # covers them meanwhile) — six exceeds the ~3/round budget above,
-    # which is why the documented worst-case staleness bound is two
-    # rounds, not one. llm_token_shards's r5 entry self-cleared when
-    # CORRECTNESS_r05 landed; these entries self-cleared when
-    # CORRECTNESS_r06 landed (kept for the historical record).
-    "llm_tfidf_topk",
-    "llm_mixture_sample",
-    "llm_pack_offsets",
-    "llm_pq_codes",
-    "llm_span_removed",
-    "llm_ann_pq",
+    # round 8: the round's new-key budget is spent on
+    # scan_python_source + stream_interval_join + llm_multimodal_resize
+    # (never-checked, at the front of the r8 window), so these TWO
+    # later additions rank last and take their first driver check in
+    # round 9 — local oracle replay in tests/test_oracle.py covers
+    # them meanwhile. Entries self-clear when CORRECTNESS_r08 lands.
+    # (Round 6's six deferred entries self-cleared when
+    # CORRECTNESS_r06 landed and their green rows followed in r07.)
+    "llm_bpe_pairs",
+    "stream_interval_join_outer",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

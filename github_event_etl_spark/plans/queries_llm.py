@@ -55,6 +55,7 @@ from ..operators.text_analysis import (
     dup_word_fraction,
     lang_id,
     mean_word_len,
+    bpe_merge_pairs,
     quality_score,
     regex_token_count,
     top_bigram_fraction,
@@ -1360,6 +1361,44 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical selection."""
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, k=3, w=4)
+
+
+@query(
+    "llm_bpe_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, count(*) AS freq FROM toks WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, i::INT, 1) || ' ' || substr(w, i::INT + 1, 1) AS pair,
+             freq
+      FROM (SELECT w, freq, unnest(range(1, length(w))) AS i
+            FROM wf WHERE length(w) >= 2)
+    ),
+    agg AS (
+      SELECT pair, SUM(freq)::BIGINT AS pair_count FROM pairs GROUP BY pair
+    )
+    SELECT pair, pair_count FROM agg
+    ORDER BY pair_count DESC, pair LIMIT 50
+    """,
+    tags=("llm", "tokenizer"),
+)
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training inner loop: adjacent symbol-pair frequencies
+    weighted by word frequency, top-50 — what a BPE trainer ranks to
+    pick its next merge (operators/text_analysis.py bpe_merge_pairs).
+    The factoring is the trainer's classic one, distributed: corpus →
+    word histogram (corpus size drops out), pair expansion over
+    DISTINCT words only, alphabet²-bounded pair shuffle, top-K as
+    TakeOrderedAndProject. The oracle re-derives the identical ranking;
+    (count DESC, pair ASC) is a total order because pairs are unique
+    after the aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_pairs(docs, top_k=50)
 
 
 # ------------------------------------------------------ substring-level dedup

@@ -342,6 +342,70 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_interval_join_outer",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id AS pu, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id AS vid, user_id AS vu, ts AS vts
+      FROM events WHERE event_type = 'view'
+    ),
+    j AS (
+      SELECT p.pid, p.pts, v.vid
+      FROM p LEFT JOIN v
+        ON p.pu = v.vu
+       AND v.vts >= p.pts AND v.vts <= p.pts + INTERVAL 30 MINUTE
+    )
+    SELECT pid AS purchase_id, vid AS view_id FROM j
+    WHERE vid IS NOT NULL
+       OR pts + INTERVAL 30 MINUTE <
+          least((SELECT max(pts) FROM p), (SELECT max(vts) FROM v))
+          - INTERVAL 10 MINUTE
+    """,
+    tags=("streaming", "partB9", "join"),
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The left-outer stream-stream interval join, with its exact
+    tail-boundary semantics IN the oracle: inner pairs equal the batch
+    join in full; a null-extended row appears for an unmatched purchase
+    only once the engine can PROVE no view can still arrive — the
+    purchase's whole interval below the final GLOBAL watermark, which
+    under Spark's default multipleWatermarkPolicy=min is
+    min(max purchase ts, max view ts) − delay in a bounded replay (a
+    lagging input holds the global mark back), NOT the view side's
+    watermark alone. The oracle's WHERE clause is that decidability
+    predicate verbatim — the subtle outer-join-over-unbounded-streams
+    semantics (SIGMOD'18 model) pinned by a value hash, not just a
+    pytest. Unmatched purchases inside the (delay + upper) tail leave
+    the replay with their verdict pending and are correctly ABSENT
+    from both sides of the comparison."""
+    from ..streaming.joins import interval_join_streams
+
+    src = events_replay_dir(spark, sf_dir)
+    left = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    right = read_event_stream(spark, src).filter(
+        F.col("event_type") == "view"
+    )
+    joined = interval_join_streams(
+        left,
+        right,
+        key="user_id",
+        watermark="10 minutes",
+        lower="0 seconds",
+        upper="30 minutes",
+        how="leftOuter",
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_r").alias("view_id"),
+    )
+    return run_bounded(joined, "append", "interval_join_outer")
+
+
+@query(
     "stream_foreach_batch_hourly",
     oracle=f"""
     SELECT {_HOUR_SQL} AS hour_start, event_type, count(*) AS cnt,
