@@ -591,3 +591,35 @@ def test_pq_codes_broadcast_codebook_partial_agg(qmap, spark, sf_dir):
     # the broadcast side; the corpus side must stay window-free — a
     # cheap proxy: exactly one Window node in the whole plan
     assert tree.count("Window") == 1
+
+
+def test_scan_python_source_pushes_type_filter_into_generator(
+    qmap, spark, sf_dir
+):
+    """The catalog key's event_type equality must be CONSUMED by the
+    Python source's pushFilters (pruning inside the generator loop) —
+    the plan shows the BatchScan and NO re-applied equality above it."""
+    plan = plan_of(qmap, spark, sf_dir, "scan_python_source")
+    assert "BatchScan synthetic_events" in plan
+    assert "= view" not in plan
+
+
+def test_bpe_pairs_is_take_ordered(qmap, spark, sf_dir):
+    """Top-K merge pairs must plan as TakeOrderedAndProject (per-
+    partition heaps) — a global Sort before the limit would shuffle the
+    whole pair histogram; and nothing in the factoring may cartesian."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_bpe_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # map-side partial aggregation before both shuffles (word + pair)
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_multimodal_resize_is_arrow_map(qmap, spark, sf_dir):
+    """The resize transform must be one Arrow-batched python map over
+    the scan — no pickled row UDF, no shuffle-introducing node."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_multimodal_resize")
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in tree_of(plan)
