@@ -1,0 +1,110 @@
+"""Column profiling — the engine's SUMMARIZE/data-quality surface.
+
+Every serious analytics engine ships a one-call table profile (DuckDB
+``SUMMARIZE``, Deequ/GE profilers); a training-data pipeline runs the
+same scan as its ingest acceptance gate (null-rate and cardinality
+drift catch upstream schema rot before it poisons a 100 TB corpus).
+The reference has a monitoring read-side (README.md:143-176 — key
+counts, stream length, sample entries) whose analytic generalization
+is exactly a per-column profile.
+
+Shape: ONE aggregation pass over the table computes every column's
+row/null/distinct counts and min/max, then a map-side explode unpivots
+the single wide row into one row per column. No joins, no second scan.
+
+Exact-vs-approx distinct is the scale decision:
+- ``approx=False`` (default): exact ``count(DISTINCT col)`` per column.
+  N distinct aggregates in one pass make Catalyst plan an Expand node
+  that replicates every input row N+1 ways — fine for validation runs
+  and dimension tables, and required for the DuckDB value-hash oracle.
+- ``approx=True``: HyperLogLog ``approx_count_distinct`` — one pass,
+  NO Expand, constant memory per column; the 100 TB path. Same output
+  schema, so callers flip the flag without downstream changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.timeutil import ts_string
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """One row per profiled column: (col_name, dtype, n_rows, n_nulls,
+    n_distinct, min_num, max_num, min_str, max_str).
+
+    min/max land in ``min_num``/``max_num`` (double) for numeric
+    columns and ``min_str``/``max_str`` for strings; timestamps format
+    through the repo's fixed microsecond pattern into the ``_str``
+    pair. The double casts are hash-safe across engines because
+    min/max return STORED values — no arithmetic, so no float-rounding
+    divergence. n_nulls is ``n_rows − count(col)`` (count skips nulls)
+    rather than a CASE sum, in both this plan and the oracle.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(columns) if columns is not None else list(fields)
+    unknown = [c for c in cols if c not in fields]
+    if unknown:
+        raise ValueError(f"profile_columns: unknown columns {unknown}")
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(
+            (
+                F.approx_count_distinct(c)
+                if approx
+                else F.count_distinct(F.col(c))
+            ).alias(f"_nd_{c}")
+        )
+        aggs.append(F.min(F.col(c)).alias(f"_mi_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"_ma_{c}"))
+    wide = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c in cols:
+        dt = fields[c]
+        if isinstance(dt, _NUMERIC):
+            mi_n, ma_n = (
+                F.col(f"_mi_{c}").cast("double"),
+                F.col(f"_ma_{c}").cast("double"),
+            )
+            mi_s = ma_s = null_s
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            mi_n = ma_n = null_d
+            mi_s, ma_s = ts_string(F.col(f"_mi_{c}")), ts_string(
+                F.col(f"_ma_{c}")
+            )
+        else:
+            mi_n = ma_n = null_d
+            mi_s, ma_s = (
+                F.col(f"_mi_{c}").cast("string"),
+                F.col(f"_ma_{c}").cast("string"),
+            )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(dt.simpleString()).alias("dtype"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                mi_n.alias("min_num"),
+                ma_n.alias("max_num"),
+                mi_s.alias("min_str"),
+                ma_s.alias("max_str"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -120,6 +120,7 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # CORRECTNESS_r06 landed and their green rows followed in r07.)
     "llm_bpe_pairs",
     "stream_interval_join_outer",
+    "profile_table",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

@@ -998,3 +998,74 @@ def sql_api_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+# ------------------------------------------------------- table profiling
+
+# Column spec shared by the Spark key and its generated oracle: the
+# lineitem schema is fixed test data, so the oracle enumerates it
+# statically (name, Spark simpleString dtype, min/max family).
+_PROFILE_COLS: tuple[tuple[str, str, str], ...] = (
+    ("l_orderkey", "bigint", "num"),
+    ("l_partkey", "bigint", "num"),
+    ("l_suppkey", "bigint", "num"),
+    ("l_linenumber", "int", "num"),
+    ("l_quantity", "double", "num"),
+    ("l_extendedprice", "double", "num"),
+    ("l_discount", "double", "num"),
+    ("l_tax", "double", "num"),
+    ("l_returnflag", "string", "str"),
+    ("l_linestatus", "string", "str"),
+    ("l_shipdate", "timestamp", "ts"),
+)
+
+
+def _profile_oracle() -> str:
+    """One UNION ALL branch per profiled column, mirroring
+    operators/profile.py row for row: n_nulls as count(*) − count(col),
+    numeric min/max cast to DOUBLE (stored values — hash-safe),
+    timestamps through the repo's fixed microsecond format."""
+    parts = []
+    for c, dt, kind in _PROFILE_COLS:
+        if kind == "num":
+            mi, ma = f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)"
+            mis = mas = "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mi = ma = "CAST(NULL AS DOUBLE)"
+            mis = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S.%f')"
+            mas = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S.%f')"
+        else:
+            mi = ma = "CAST(NULL AS DOUBLE)"
+            mis, mas = f"min({c})", f"max({c})"
+        parts.append(
+            f"""
+    SELECT '{c}' AS col_name, '{dt}' AS dtype,
+           count(*)::BIGINT AS n_rows,
+           (count(*) - count({c}))::BIGINT AS n_nulls,
+           count(DISTINCT {c})::BIGINT AS n_distinct,
+           {mi} AS min_num, {ma} AS max_num,
+           {mis} AS min_str, {mas} AS max_str
+    FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "profile_table",
+    oracle=_profile_oracle(),
+    tags=("relational", "partB", "quality"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality surface: the one-pass column profile of lineitem
+    (operators/profile.py) — row/null/distinct counts and typed min/max
+    per column, the SUMMARIZE/ingest-acceptance scan every analytics
+    engine ships and every training-data pipeline gates ingest with.
+    Exact distincts here (the value-hash needs them; the documented
+    Expand cost is the validation-mode trade); ``approx=True`` is the
+    one-pass HLL scale path with the identical output schema
+    (plan-gated no-Expand in tests/test_plans.py). Reference analog:
+    the monitoring read-side's key counts and stream stats
+    (README.md:143-176), generalized per-column."""
+    from ..operators.profile import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "lineitem"))

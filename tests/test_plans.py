@@ -623,3 +623,37 @@ def test_multimodal_resize_is_arrow_map(qmap, spark, sf_dir):
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in tree_of(plan)
+
+
+def test_profile_approx_mode_avoids_expand(qmap, spark, sf_dir):
+    """Exact per-column distincts cost an Expand (row replication per
+    distinct aggregate) — acceptable in validation mode, asserted so
+    the trade stays visible; approx mode (HLL) must profile in one
+    pass with NO Expand and the identical output schema."""
+    from github_event_etl_spark.operators.profile import profile_columns
+    from github_event_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = profile_columns(li)
+    approx = profile_columns(li, approx=True)
+    assert exact.schema == approx.schema
+
+    import contextlib as _ctx
+    import io as _io
+
+    def plan(df):
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    assert "Expand" in plan(exact)
+    assert "Expand" not in plan(approx)
+    # approx profiles the same columns with plausible cardinalities
+    rows = {r.col_name: r for r in approx.collect()}
+    exact_rows = {r.col_name: r for r in exact.collect()}
+    assert set(rows) == set(exact_rows)
+    for c, r in rows.items():
+        e = exact_rows[c]
+        assert r.n_rows == e.n_rows and r.n_nulls == e.n_nulls
+        assert abs(r.n_distinct - e.n_distinct) <= max(3, 0.1 * e.n_distinct)
