@@ -28,10 +28,14 @@ exactly `orderBy(count DESC, tok).limit(cap)` — same rows, no
 driver-side merge, no full-vocab sort.
 
 Worst case: the cap lands inside a huge tie band (the count==1
-singleton band can hold billions of junk tokens), and the tie-band
-window then sorts that band in one partition. Production configs avoid
-this by construction — the singleton band is exactly the junk the cap
-exists to exclude, so any real cap sits far above it.
+singleton band can hold billions of junk tokens). The tie-band
+selection is two-phase for exactly this case: a per-partition local
+prune to the slot count first, then the global rank over at most
+slots x partitions rows — bounded by the CAP rather than the band, and
+sorted executor-side (spillable) rather than driver-merged. Production
+configs still avoid landing there by construction — the singleton band
+is the junk the cap exists to exclude — but a degenerate corpus now
+degrades to a bounded sort instead of a single-partition band sort.
 """
 
 from __future__ import annotations
@@ -77,12 +81,26 @@ def top_count_vocab(
     )
     t = tf.crossJoin(F.broadcast(thr))
     above = t.filter(F.col(count_col) > F.col("_thr")).select(key_col, count_col)
-    # Tie band only: single-partition row_number is bounded by the
-    # band, not the vocabulary.
-    wb = Window.orderBy(F.col(key_col))
+    # Tie band: two-phase executor-side selection of the band's
+    # `_slots` smallest keys. Phase 1 prunes EACH PARTITION to its own
+    # `_slots` smallest (a row whose local rank exceeds `_slots`
+    # already has `_slots` smaller keys beside it, so its global rank
+    # exceeds `_slots` too — correct under ANY partitioning, so the
+    # nondeterminism of partition ids across re-executions cannot
+    # change the result). Phase 2's global row_number then sorts at
+    # most `_slots` x num_partitions rows — bounded by the CAP, not
+    # the band, and it spills executor-side where the driver-merge
+    # TakeOrdered pattern would die. The selected rows are exactly
+    # `orderBy(key).limit(slots)` of the band.
+    wb_local = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col(key_col)
+    )
+    wb_global = Window.orderBy(F.col(key_col))
     band = (
         t.filter(F.col(count_col) == F.col("_thr"))
-        .withColumn("_rn", F.row_number().over(wb))
+        .withColumn("_lrn", F.row_number().over(wb_local))
+        .filter(F.col("_lrn") <= F.col("_slots"))
+        .withColumn("_rn", F.row_number().over(wb_global))
         .filter(F.col("_rn") <= F.col("_slots"))
         .select(key_col, count_col)
     )
