@@ -1,0 +1,91 @@
+"""Incremental table maintenance — MERGE-style upsert and SCD2
+versioning.
+
+The reference maintains its aggregates incrementally (new hourly keys
+merged into the daily summary, update-contributor-scores.js:252-263;
+idempotent re-runs via the hour-exists check :195-204). Generalized,
+that is the warehouse MERGE: apply a change set to a base table —
+update matched keys, insert new ones — and, when history matters, keep
+every version with validity intervals (slowly-changing dimension
+type 2). Spark has no MERGE INTO without a lakehouse table format; the
+ENGINE capability is the join shape below, which is exactly what those
+formats execute underneath.
+
+Scale shape:
+- `upsert`: one full-outer shuffle join on the merge key (or a
+  broadcast of the change set when it is small — the common case for
+  incremental loads; pass a pre-broadcast `changes`). No driver
+  involvement, no per-row Python.
+- `scd2_versions`: one shuffle into per-key windows; `lead` closes
+  each version with the next one's start. Validity intervals make
+  point-in-time queries a simple range predicate — the batch analog of
+  the streaming state timeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    action_col: str = "action",
+) -> DataFrame:
+    """MERGE `changes` into `base` by `key`: matched keys take the
+    change row ('update'), unmatched change keys append ('insert'),
+    untouched base rows persist ('keep'). Both inputs must carry the
+    same columns; the result carries them plus `action_col`.
+
+    The full-outer join is the MERGE execution shape; every non-key
+    column resolves change-first through coalesce, which is correct
+    because a change row REPLACES its base row wholesale (SCD1). A
+    partial-update merge (null change columns meaning 'leave as was')
+    would coalesce per column the other way — deliberately not this
+    operator's semantics, to keep 'null value in a change' expressible.
+    """
+    if set(base.columns) != set(changes.columns):
+        raise ValueError(
+            "upsert: base and changes must share one schema, got "
+            f"{sorted(base.columns)} vs {sorted(changes.columns)}"
+        )
+    b = base.select([F.col(c).alias(f"_b_{c}") for c in base.columns])
+    c = changes.select([F.col(x).alias(f"_c_{x}") for x in changes.columns])
+    joined = b.join(c, F.col(f"_b_{key}") == F.col(f"_c_{key}"), "full_outer")
+    matched = F.col(f"_c_{key}").isNotNull() & F.col(f"_b_{key}").isNotNull()
+    action = (
+        F.when(matched, F.lit("update"))
+        .when(F.col(f"_c_{key}").isNotNull(), F.lit("insert"))
+        .otherwise(F.lit("keep"))
+    )
+    cols = [
+        F.coalesce(F.col(f"_c_{x}"), F.col(f"_b_{x}")).alias(x)
+        for x in base.columns
+    ]
+    return joined.select(*cols, action.alias(action_col))
+
+
+def scd2_versions(
+    changes: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Type-2 history from a change stream: every change row becomes a
+    version valid from its own timestamp until the key's next change
+    (open-ended for the latest — `valid_to` null, `is_current` true).
+    `seq_col` breaks exact-timestamp ties deterministically (same-ts
+    changes produce zero-length intervals in input order — they stay
+    in the history rather than silently collapsing).
+    """
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    nxt: Column = F.lead(ts_col).over(w)
+    return changes.select(
+        "*",
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -121,6 +121,8 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     "llm_bpe_pairs",
     "stream_interval_join_outer",
     "profile_table",
+    "merge_upsert",
+    "scd2_history",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

@@ -1069,3 +1069,117 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_columns
 
     return profile_columns(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------- incremental maintenance
+
+_MERGE_CUTOFF = "2024-01-16 00:00:00"
+
+
+@query(
+    "merge_upsert",
+    oracle=f"""
+    WITH latest_pre AS (
+      SELECT user_id, event_id, ts, value FROM (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_MERGE_CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    latest_post AS (
+      SELECT user_id, event_id, ts, value FROM (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{_MERGE_CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+           COALESCE(c.event_id, b.event_id) AS event_id,
+           strftime(COALESCE(c.ts, b.ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           COALESCE(c.value, b.value) AS value,
+           CASE WHEN c.user_id IS NOT NULL AND b.user_id IS NOT NULL
+                THEN 'update'
+                WHEN c.user_id IS NOT NULL THEN 'insert'
+                ELSE 'keep' END AS action
+    FROM latest_pre b FULL JOIN latest_post c ON b.user_id = c.user_id
+    """,
+    tags=("relational", "partB", "merge"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style incremental maintenance (operators/merge.py upsert):
+    the base table is each user's latest state before a cutoff, the
+    change set their latest state after it; the merge updates matched
+    users, inserts new ones, keeps the rest — with the action labeled
+    per row. This is the warehouse MERGE INTO execution shape (one
+    full-outer join on the key; broadcast the change set when small),
+    the generalization of the reference's incremental summary merge
+    (update-contributor-scores.js:252-263)."""
+    from ..operators.merge import upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(side: DataFrame) -> DataFrame:
+        return (
+            side.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "event_id", "ts", "value")
+        )
+
+    cutoff = F.to_timestamp(F.lit(_MERGE_CUTOFF))
+    base = latest(ev.filter(F.col("ts") < cutoff))
+    changes = latest(ev.filter(F.col("ts") >= cutoff))
+    out = upsert(base, changes, key="user_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        ts_string(F.col("ts")).alias("ts_str"),
+        "value",
+        "action",
+    )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    SELECT user_id, event_id, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("relational", "partB", "merge"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 (operators/merge.py
+    scd2_versions): every qualifying event becomes a version row valid
+    from its own timestamp until the user's next one (open-ended +
+    is_current for the latest). One shuffle into per-user windows;
+    event_id breaks exact-timestamp ties so same-instant changes keep
+    deterministic zero-length intervals instead of collapsing."""
+    from ..operators.merge import scd2_versions
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    out = scd2_versions(
+        ev.select("user_id", "event_id", "ts", "value"),
+        key="user_id",
+        ts_col="ts",
+        seq_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        ts_string(F.col("valid_from")).alias("valid_from"),
+        ts_string(F.col("valid_to")).alias("valid_to"),
+        "is_current",
+    )

