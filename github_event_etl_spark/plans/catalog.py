@@ -123,6 +123,7 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     "profile_table",
     "merge_upsert",
     "scd2_history",
+    "stream_python_source",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

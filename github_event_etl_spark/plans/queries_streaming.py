@@ -172,6 +172,77 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_python_source",
+    oracle="""
+    SELECT CASE (i % 5) WHEN 0 THEN 'purchase' WHEN 1 THEN 'signup'
+                        WHEN 2 THEN 'view' WHEN 3 THEN 'click'
+                        ELSE 'error' END AS event_type,
+           count(*)::BIGINT AS cnt,
+           CAST(SUM(CAST(CAST(i % 1000 AS DOUBLE) / 10.0
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM range(0, 5000) r(i) GROUP BY 1
+    """,
+    tags=("streaming", "partB1", "pysource"),
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of the custom Python data source
+    (sources/pysource.py SimpleDataSourceStreamReader): micro-batches
+    of deterministic rows driven by the engine's repeated read() calls
+    against checkpointable {'index'} offsets, aggregated under
+    complete mode. The batch face holds the `scan_python_source` slot;
+    this key gives the stream reader its own driver row — same
+    determinism contract, so the same `range(0, n)` oracle re-derives
+    the final state. Value sums go through DECIMAL(18,2) (exact,
+    association-order-free) per the repo's determinism rules.
+
+    Termination follows the stream_rate_source pattern: the source is
+    unbounded-shaped (at the n cap read() reports no new data), so the
+    run stops on the engine's own progress telemetry once all n tracked
+    rows are committed. `sf_dir` is unused: the source IS the data."""
+    import uuid
+
+    from ..sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    n_total = 5000
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", n_total)
+        .option("rows_per_batch", 1250)
+        .load()
+    )
+    shaped = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    name = f"pysrc_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="geetl_pysrc_ckpt_")
+    q = (
+        shaped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        for _ in range(600):
+            seen = sum(int(p.numInputRows) for p in q.recentProgress)
+            if seen >= n_total:
+                break
+            q.awaitTermination(0.2)
+        else:
+            raise TimeoutError(
+                "python-source stream never committed all 5000 rows"
+            )
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+@query(
     "stream_sliding_counts",
     oracle=f"""
     WITH contrib AS (
