@@ -51,13 +51,26 @@ def upsert(
             "upsert: base and changes must share one schema, got "
             f"{sorted(base.columns)} vs {sorted(changes.columns)}"
         )
-    b = base.select([F.col(c).alias(f"_b_{c}") for c in base.columns])
-    c = changes.select([F.col(x).alias(f"_c_{x}") for x in changes.columns])
+    # Side-presence markers, not key-nullability: a NULL merge key
+    # never matches (SQL null equality), so a null-key change row
+    # reaches the output unmatched — key IS NULL would mislabel it
+    # 'keep' when it is an insert. The literal marker is non-null
+    # exactly when that side contributed the row.
+    b = base.select(
+        *[F.col(c).alias(f"_b_{c}") for c in base.columns],
+        F.lit(True).alias("_b_present"),
+    )
+    c = changes.select(
+        *[F.col(x).alias(f"_c_{x}") for x in changes.columns],
+        F.lit(True).alias("_c_present"),
+    )
     joined = b.join(c, F.col(f"_b_{key}") == F.col(f"_c_{key}"), "full_outer")
-    matched = F.col(f"_c_{key}").isNotNull() & F.col(f"_b_{key}").isNotNull()
+    matched = (
+        F.col("_c_present").isNotNull() & F.col("_b_present").isNotNull()
+    )
     action = (
         F.when(matched, F.lit("update"))
-        .when(F.col(f"_c_{key}").isNotNull(), F.lit("insert"))
+        .when(F.col("_c_present").isNotNull(), F.lit("insert"))
         .otherwise(F.lit("keep"))
     )
     cols = [

@@ -96,3 +96,17 @@ def test_scd2_same_timestamp_ties_stay_ordered(spark):
     assert out[100].valid_from == out[100].valid_to  # zero-length
     assert not out[100].is_current
     assert out[101].is_current
+
+
+def test_upsert_null_key_rows_keep_their_side(spark):
+    """NULL merge keys never match (SQL null equality): a null-key base
+    row is 'keep', a null-key change row is 'insert' — never silently
+    relabeled by the key's nullability."""
+    from github_event_etl_spark.operators.merge import upsert
+
+    base = spark.createDataFrame([(None, 1.0)], "k long, v double")
+    changes = spark.createDataFrame([(None, 2.0)], "k long, v double")
+    got = sorted(
+        (r.v, r.action) for r in upsert(base, changes, "k").collect()
+    )
+    assert got == [(1.0, "keep"), (2.0, "insert")]
