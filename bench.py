@@ -158,49 +158,50 @@ def main() -> None:
     REPS = 3
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in names:
+
+    def _bench_into(sink: dict, tag: str, fn) -> None:
+        """THE measurement policy, shared by every section: REPS timed
+        runs with per-rep fault isolation (break on first failure),
+        median into `sink[tag]`, [min, max] into `spread[tag]`."""
         reps: list[float] = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            if _guard(name, lambda: _force(qmap[name](spark, sf_dir))):
+            if _guard(tag, fn):
                 reps.append(round(time.perf_counter() - t0, 3))
             else:
                 break
         if reps:
-            timings[name] = sorted(reps)[len(reps) // 2]
-            spread[name] = [min(reps), max(reps)]
+            sink[tag] = sorted(reps)[len(reps) // 2]
+            spread[tag] = [min(reps), max(reps)]
+
+    for name in names:
+        _bench_into(timings, name, lambda: _force(qmap[name](spark, sf_dir)))
 
     # End-to-end pipeline wall-clock (minhash → clusters → curation in
     # one composed plan): published as a SEPARATE section so the
     # headline total stays comparable to prior rounds' baselines.
+    # Shuffle parallelism is sized to the job, as a real deployment
+    # would: the pipeline is dozens of small stages (iterative cluster
+    # rounds, span joins) over ~5k docs at sf0.1, where 32
+    # partitions/stage pay more in task scheduling than they win in
+    # parallelism (measured ~8.2 s at 32 → ~6.9 s at 16; 8 is flat vs
+    # 16). Pinned around construction AND execution — the pipeline's
+    # internal checkpoints run during construction, the final joins at
+    # force time. Restored after.
     pipelines: dict[str, float] = {}
 
-    def _pipeline_e2e():
+    def _pipeline_rep():
         from github_event_etl_spark.plans.pipelines import dedup_e2e_pipeline
 
-        # Size shuffle parallelism to the job, as a real deployment
-        # would: the pipeline is dozens of small stages (iterative
-        # cluster rounds, span joins) over ~5k docs at sf0.1, where 32
-        # partitions/stage pay more in task scheduling than they win in
-        # parallelism (measured ~8.2 s at 32 → ~6.9 s at 16; 8 is flat
-        # vs 16). Pinned around construction AND execution — the
-        # pipeline's internal checkpoints run during construction, the
-        # final joins at force time. Restored after.
         key = "spark.sql.shuffle.partitions"
         prev = spark.conf.get(key)
         spark.conf.set(key, "16")
         try:
-            reps = []
-            for _ in range(REPS):
-                t0 = time.perf_counter()
-                _force(dedup_e2e_pipeline(spark, sf_dir))
-                reps.append(round(time.perf_counter() - t0, 3))
-            pipelines["dedup_e2e"] = sorted(reps)[len(reps) // 2]
-            spread["dedup_e2e"] = [min(reps), max(reps)]
+            _force(dedup_e2e_pipeline(spark, sf_dir))
         finally:
             spark.conf.set(key, prev)
 
-    _guard("pipeline_dedup_e2e", _pipeline_e2e)
+    _bench_into(pipelines, "dedup_e2e", _pipeline_rep)
 
     # Round-8 components section: the newly-landed catalog keys,
     # benched OUTSIDE the fixed headline set so round-over-round
@@ -213,16 +214,9 @@ def main() -> None:
     ]
     components: dict[str, float] = {}
     for name in [n for n in COMPONENTS if n in qmap]:
-        reps = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            if _guard(name, lambda: _force(qmap[name](spark, sf_dir))):
-                reps.append(round(time.perf_counter() - t0, 3))
-            else:
-                break
-        if reps:
-            components[name] = sorted(reps)[len(reps) // 2]
-            spread[name] = [min(reps), max(reps)]
+        _bench_into(
+            components, name, lambda: _force(qmap[name](spark, sf_dir))
+        )
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

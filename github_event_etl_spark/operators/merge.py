@@ -39,12 +39,13 @@ def upsert(
     untouched base rows persist ('keep'). Both inputs must carry the
     same columns; the result carries them plus `action_col`.
 
-    The full-outer join is the MERGE execution shape; every non-key
-    column resolves change-first through coalesce, which is correct
-    because a change row REPLACES its base row wholesale (SCD1). A
-    partial-update merge (null change columns meaning 'leave as was')
-    would coalesce per column the other way — deliberately not this
-    operator's semantics, to keep 'null value in a change' expressible.
+    The full-outer join is the MERGE execution shape; every column
+    resolves by SIDE (the change side whenever a change row is present)
+    rather than per-column coalesce, because a change row REPLACES its
+    base row wholesale (SCD1) — including columns it carries as NULL.
+    A partial-update merge (null change columns meaning 'leave as was')
+    is the per-column-coalesce variant, deliberately not this
+    operator's semantics.
     """
     if set(base.columns) != set(changes.columns):
         raise ValueError(
@@ -74,7 +75,9 @@ def upsert(
         .otherwise(F.lit("keep"))
     )
     cols = [
-        F.coalesce(F.col(f"_c_{x}"), F.col(f"_b_{x}")).alias(x)
+        F.when(F.col("_c_present").isNotNull(), F.col(f"_c_{x}"))
+        .otherwise(F.col(f"_b_{x}"))
+        .alias(x)
         for x in base.columns
     ]
     return joined.select(*cols, action.alias(action_col))

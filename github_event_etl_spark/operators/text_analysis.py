@@ -314,8 +314,12 @@ def bpe_merge_pairs(
          heaps, no global sort), deterministic under the (count DESC,
          pair ASC) total order — `pair` is unique after the groupBy.
 
-    Empty tokens are filtered (a blank doc trims to one empty string),
-    single-char words contribute no pairs (sequence(1, 0) is empty).
+    Empty tokens are filtered (a blank doc trims to one empty string).
+    The `length >= 2` filter is LOAD-BEARING, not belt-and-braces:
+    Spark's sequence(1, 0) DESCENDS to [1, 0] (default step -1 when
+    start > stop), so without the filter a single-char word would emit
+    bogus substr(w, 0, 1) pairs — unlike the oracle's range(1,
+    length(w)), which genuinely is empty there.
     """
     wf = (
         docs.select(F.explode(words(F.col(text_col))).alias("w"))

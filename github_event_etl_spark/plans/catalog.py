@@ -112,12 +112,15 @@ _DEFER_NEW_UNTIL_ROUND = 8
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # round 8: the round's new-key budget is spent on
     # scan_python_source + stream_interval_join + llm_multimodal_resize
-    # (never-checked, at the front of the r8 window), so these TWO
+    # (never-checked, at the front of the r8 window), so these SIX
     # later additions rank last and take their first driver check in
-    # round 9 — local oracle replay in tests/test_oracle.py covers
-    # them meanwhile. Entries self-clear when CORRECTNESS_r08 lands.
-    # (Round 6's six deferred entries self-cleared when
-    # CORRECTNESS_r06 landed and their green rows followed in r07.)
+    # round 9 — local oracle replay in tests/test_oracle.py and
+    # sf0.01 driver_sim runs cover them meanwhile. Six matches the r6
+    # precedent and stays inside the documented ceil(R/50)-round
+    # staleness bound (118 keys → 3 rounds). Entries self-clear when
+    # CORRECTNESS_r08 lands. (Round 6's six deferred entries
+    # self-cleared when CORRECTNESS_r06 landed and their green rows
+    # followed in r07.)
     "llm_bpe_pairs",
     "stream_interval_join_outer",
     "profile_table",

@@ -1095,11 +1095,18 @@ _MERGE_CUTOFF = "2024-01-16 00:00:00"
         FROM events WHERE ts >= TIMESTAMP '{_MERGE_CUTOFF}'
       ) WHERE rn = 1
     )
-    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
-           COALESCE(c.event_id, b.event_id) AS event_id,
-           strftime(COALESCE(c.ts, b.ts),
+    -- side-based resolution mirroring upsert(): the change side wins
+    -- WHOLESALE when present (null change columns included) — user_id
+    -- is non-null throughout events, so presence == key non-null here
+    SELECT CASE WHEN c.user_id IS NOT NULL THEN c.user_id
+                ELSE b.user_id END AS user_id,
+           CASE WHEN c.user_id IS NOT NULL THEN c.event_id
+                ELSE b.event_id END AS event_id,
+           strftime(CASE WHEN c.user_id IS NOT NULL THEN c.ts
+                         ELSE b.ts END,
                     '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
-           COALESCE(c.value, b.value) AS value,
+           CASE WHEN c.user_id IS NOT NULL THEN c.value
+                ELSE b.value END AS value,
            CASE WHEN c.user_id IS NOT NULL AND b.user_id IS NOT NULL
                 THEN 'update'
                 WHEN c.user_id IS NOT NULL THEN 'insert'

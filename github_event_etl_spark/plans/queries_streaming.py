@@ -33,6 +33,7 @@ from ..streaming.replay import (
     read_event_stream,
     run_bounded,
     run_foreach_batch_to_parquet,
+    run_until_input_rows,
 )
 from .catalog import query
 
@@ -119,9 +120,11 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's progress telemetry reports both tracked batches committed —
     the oracle is the same aggregate over ``range(0, 5000)``. The
     source itself is unbounded; boundedness is imposed by the filter +
-    stop condition, which is how any rate-based soak test terminates."""
-    import uuid
-
+    stop condition (run_until_input_rows — the engine's own progress
+    telemetry, not wall-clock sink polling: batches 0+1 carry exactly
+    the 5 000 tracked values at 2 500 rowsPerBatch, so the
+    complete-mode sink is final once reported input reaches n_total),
+    which is how any rate-based soak test terminates."""
     stream = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", 2500)
@@ -139,36 +142,7 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").cast("bigint").alias("total"),
         )
     )
-    name = f"rate_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="geetl_rate_ckpt_")
-    q = (
-        shaped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        # Termination from the engine's own progress telemetry, not
-        # wall-clock polling of the sink: every committed micro-batch
-        # reports numInputRows, and batches 0+1 carry exactly the 5 000
-        # tracked values (2 500 rowsPerBatch), so the complete-mode sink
-        # is final once the reported input total reaches n_total.
-        # awaitTermination(0.2) is the scheduler-side wait; the
-        # iteration cap bounds the loop without time.time(), and no
-        # Spark job runs during the wait (recentProgress is driver
-        # metadata).
-        for _ in range(600):
-            seen = sum(int(p.numInputRows) for p in q.recentProgress)
-            if seen >= n_total:
-                break
-            q.awaitTermination(0.2)
-        else:
-            raise TimeoutError("rate-micro-batch demo never reached 5000 rows")
-    finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    return run_until_input_rows(shaped, n_total, "rate")
 
 
 @query(
@@ -195,12 +169,11 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final state. Value sums go through DECIMAL(18,2) (exact,
     association-order-free) per the repo's determinism rules.
 
-    Termination follows the stream_rate_source pattern: the source is
-    unbounded-shaped (at the n cap read() reports no new data), so the
-    run stops on the engine's own progress telemetry once all n tracked
-    rows are committed. `sf_dir` is unused: the source IS the data."""
-    import uuid
-
+    Termination follows the stream_rate_source pattern
+    (run_until_input_rows): the source is unbounded-shaped (at the n
+    cap read() reports no new data), so the run stops on the engine's
+    own progress telemetry once all n tracked rows are committed.
+    `sf_dir` is unused: the source IS the data."""
     from ..sources.pysource import register_synthetic_source
 
     register_synthetic_source(spark)
@@ -217,29 +190,7 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
-    name = f"pysrc_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="geetl_pysrc_ckpt_")
-    q = (
-        shaped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        for _ in range(600):
-            seen = sum(int(p.numInputRows) for p in q.recentProgress)
-            if seen >= n_total:
-                break
-            q.awaitTermination(0.2)
-        else:
-            raise TimeoutError(
-                "python-source stream never committed all 5000 rows"
-            )
-    finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    return run_until_input_rows(shaped, n_total, "pysrc")
 
 
 @query(

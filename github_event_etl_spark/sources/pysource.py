@@ -340,16 +340,21 @@ class _NdjsonStreamWriter(DataSourceStreamWriter):
         # Manifest-anchored GC: a staged object referenced by no
         # manifest is garbage (dead task attempt, or a replaced replay
         # attempt). One batch commits at a time, so everything live is
-        # in the manifests just written plus this batch's.
+        # in the manifests just written plus this batch's. The sweep
+        # MUST be conservative: if any manifest cannot be read, its
+        # parts cannot be proven garbage, so skip the entire sweep —
+        # deleting on a transient read error (NFS blip, permission
+        # race) would destroy committed data; orphans just wait for a
+        # later commit's sweep (or the out-of-band lifecycle job).
         referenced: set[str] = set(parts)
-        for mf in glob.glob(
-            os.path.join(self.path, "batch_id=*", "manifest.json")
-        ):
-            try:
+        try:
+            for mf in glob.glob(
+                os.path.join(self.path, "batch_id=*", "manifest.json")
+            ):
                 with open(mf) as f:
                     referenced.update(json.load(f).get("parts", []))
-            except (OSError, ValueError):
-                continue
+        except (OSError, ValueError):
+            return
         for staged in glob.glob(os.path.join(self.path, "_staging", "*")):
             if os.path.basename(staged) not in referenced:
                 try:

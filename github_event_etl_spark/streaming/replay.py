@@ -177,6 +177,52 @@ def run_bounded(
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def run_until_input_rows(
+    stream_df: DataFrame,
+    n_rows: int,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run an UNBOUNDED-shaped stream into a memory sink until the
+    engine's own progress telemetry reports `n_rows` total input rows
+    committed, then stop and return the sink table.
+
+    This is the termination pattern for sources that never signal
+    completion (rate sources, capped synthetic streams where the cap
+    shows up only as empty batches): boundedness is imposed by the
+    CALLER's row budget, and the wait reads recentProgress — driver
+    metadata, no Spark job — between awaitTermination naps. The 600 ×
+    0.2 s cap bounds the loop without wall-clock arithmetic. Note
+    recentProgress is a ring buffer (spark.sql.streaming.
+    numRecentProgressUpdates, default 100 entries): keep batch counts
+    per run well under it, as every caller here does.
+    """
+    name = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"geetl_{query_name}_ckpt_")
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        for _ in range(600):
+            seen = sum(int(p.numInputRows) for p in q.recentProgress)
+            if seen >= n_rows:
+                break
+            q.awaitTermination(0.2)
+        else:
+            raise TimeoutError(
+                f"{query_name}: stream never committed {n_rows} rows"
+            )
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 def run_foreach_batch_to_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -30,8 +30,7 @@ def test_upsert_update_insert_keep(spark):
 def test_upsert_change_row_replaces_wholesale(spark):
     """SCD1 semantics: a matched change row replaces the base row —
     including columns the change carries as null (null is a value, not
-    'leave as was')... except the merge key itself, which both sides
-    share by definition."""
+    'leave as was')."""
     from github_event_etl_spark.operators.merge import upsert
 
     base = spark.createDataFrame([(1, "old", 5.0)], "k long, s string, v double")
@@ -39,10 +38,7 @@ def test_upsert_change_row_replaces_wholesale(spark):
         [(1, None, 7.0)], "k long, s string, v double"
     )
     row = upsert(base, changes, "k").collect()[0]
-    # Documented shape: coalesce resolves change-first, so a null
-    # change column falls back to base — 'null means null' needs a
-    # sentinel in this formulation, which the docstring calls out.
-    assert (row.k, row.v, row.action) == (1, 7.0, "update")
+    assert (row.k, row.s, row.v, row.action) == (1, None, 7.0, "update")
 
 
 def test_upsert_rejects_schema_mismatch(spark):
