@@ -343,3 +343,156 @@ def bpe_merge_pairs(
         .orderBy(F.col("pair_count").desc(), F.col("pair"))
         .limit(top_k)
     )
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Full iterative BPE training (Sennrich et al., ACL'16),
+    distributed and collect-free: returns the learned merge table
+    (iteration, pair_a, pair_b, pair_count), one row per merge in
+    learning order. `bpe_merge_pairs` is one iteration's candidate
+    statistics; this runs the whole greedy loop.
+
+    Loop shape per merge (the word histogram is the working set —
+    corpus size dropped out before iteration 0):
+      1. adjacent-pair counts over the symbolized words, weighted by
+         word freq (map-side HOF expansion, alphabet-bounded shuffle);
+      2. the argmax pair by (count DESC, a, b) as a ONE-ROW DataFrame
+         (TakeOrdered) — never collected: it re-attaches to every word
+         as a broadcast, the same no-driver-actions discipline as the
+         k-means assign step (similarity.py);
+      3. merge application as a left-to-right greedy fold
+         (`aggregate` HOF): append each symbol, or replace the
+         accumulator's tail when (tail, current) == (a, b). The fold
+         IS greedy-non-overlapping: a just-merged tail equals a+b,
+         which can never equal `a` (b is non-empty), so it cannot
+         merge again with the next symbol as `a` would.
+
+    Iterative-plan hygiene: the symbolized histogram re-checkpoints
+    every `checkpoint_every` merges (graph.py's lineage-truncation
+    pattern — each iteration otherwise nests another crossJoin +
+    aggregate under the last). Eager localCheckpoint per round also
+    pins the merge CHOICE, so ties broken identically on every
+    re-execution.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    wf = (
+        docs.select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+        .drop("w")
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for it in range(n_merges):
+        pair_expr = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("a"),
+                F.element_at("syms", i + F.lit(1)).alias("b"),
+            ),
+        )
+        best = (
+            wf.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .select(
+                F.lit(it).alias("iteration"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                "pair_count",
+            )
+            .localCheckpoint(eager=True)  # pin the choice (ties, replays)
+        )
+        merges.append(best)
+        folded = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("pair_a"))
+                & (s == F.col("pair_b")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.col("pair_a"), F.col("pair_b"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        wf = wf.crossJoin(F.broadcast(best.drop("iteration", "pair_count"))).select(
+            "freq", folded.alias("syms")
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_merges:
+            wf = wf.localCheckpoint(eager=True)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def bpe_segment(
+    docs: DataFrame, merge_table: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Apply a learned merge table to a corpus: (doc_id, tokens) where
+    tokens is each word's final BPE segmentation, space-joined per
+    word. The merge list is tiny (it IS the tokenizer), so it rides to
+    the executors as one collected-free broadcast join and the whole
+    application is map-side via a pandas UDF — the standard shape for
+    tokenizing 100 TB with a fixed tokenizer.
+
+    The pandas function re-implements the same greedy left-to-right
+    fold as learn_bpe (parity-tested); merges apply in learning order,
+    each over every word, exactly as at training time."""
+    import pandas as pd_  # noqa: F401 (worker-side import hygiene)
+
+    rows = merge_table.orderBy("iteration").select("pair_a", "pair_b")
+    # One broadcast of the merge list as a literal array of structs:
+    # attach to every doc row, no driver collect.
+    ml = rows.agg(
+        F.collect_list(F.struct("pair_a", "pair_b")).alias("_merges")
+    )
+
+    def seg_batches(it):
+        for pdf in it:
+            out_tokens = []
+            for text, merges in zip(pdf[text_col], pdf["_merges"]):
+                toks = []
+                for w in str(text).strip(" ").split():
+                    syms = list(w)
+                    for m in merges:
+                        a, b = m["pair_a"], m["pair_b"]
+                        acc = []
+                        for s in syms:
+                            if acc and acc[-1] == a and s == b:
+                                acc[-1] = a + b
+                            else:
+                                acc.append(s)
+                        syms = acc
+                    toks.append(" ".join(syms))
+                out_tokens.append("|".join(toks))
+            yield pd_.DataFrame(
+                {"doc_id": pdf["doc_id"], "tokens": out_tokens}
+            )
+
+    import pyspark.sql.types as T_
+
+    schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.LongType()),
+            T_.StructField("tokens", T_.StringType()),
+        ]
+    )
+    return (
+        docs.select("doc_id", text_col)
+        .crossJoin(F.broadcast(ml))
+        .mapInPandas(seg_batches, schema=schema)
+    )

@@ -1160,3 +1160,85 @@ def test_resize_media_plumbing(spark):
         for r in resize_media(media.repartition(7), 8, 4).collect()
     }
     assert out2 == {i: bytes(r.payload) for i, r in out.items()}
+
+
+def _ref_bpe(word_freqs, n_merges):
+    """Pure-Python reference BPE trainer (greedy, (count DESC, a, b)
+    tie-break, left-to-right non-overlapping application) — the ground
+    truth learn_bpe must reproduce."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        for w in syms:
+            acc = []
+            for s in syms[w]:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(s)
+            syms[w] = acc
+    return merges, syms
+
+
+def test_learn_bpe_matches_reference(spark):
+    """The distributed trainer must reproduce the reference BPE merge
+    sequence exactly — order, pairs, and weighted counts — on a corpus
+    with repeated words and a deliberate tie."""
+    from github_event_etl_spark.operators.text_analysis import learn_bpe
+
+    corpus = [
+        (0, "low low low lower lowest"),
+        (1, "new newer newest new"),
+        (2, "low new low"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    wf = {}
+    for _, t in corpus:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    want, _ = _ref_bpe(wf, 6)
+    got = [
+        (r.pair_a, r.pair_b, r.pair_count)
+        for r in learn_bpe(docs, 6).orderBy("iteration").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_segment_matches_reference(spark):
+    """Applying the learned merges must segment every word exactly as
+    the reference's final symbol table."""
+    from github_event_etl_spark.operators.text_analysis import (
+        bpe_segment,
+        learn_bpe,
+    )
+
+    corpus = [(0, "low lower low"), (1, "newest newer new")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = learn_bpe(docs, 5)
+    wf = {}
+    for _, t in corpus:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    _, syms = _ref_bpe(wf, 5)
+    got = {r.doc_id: r.tokens for r in bpe_segment(docs, merges).collect()}
+    for doc_id, text in corpus:
+        want = "|".join(" ".join(syms[w]) for w in text.split())
+        assert got[doc_id] == want
+
+
+def test_learn_bpe_rejects_zero_merges(spark):
+    from github_event_etl_spark.operators.text_analysis import learn_bpe
+
+    docs = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        learn_bpe(docs, 0)
