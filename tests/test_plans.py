@@ -657,3 +657,78 @@ def test_profile_approx_mode_avoids_expand(qmap, spark, sf_dir):
         e = exact_rows[c]
         assert r.n_rows == e.n_rows and r.n_nulls == e.n_nulls
         assert abs(r.n_distinct - e.n_distinct) <= max(3, 0.1 * e.n_distinct)
+
+
+def test_zorder_layout_tightens_both_dims(spark, tmp_path):
+    """The Z-order write must give every parquet file footer TIGHT
+    min/max stats in BOTH dimensions (what makes scans filtered on
+    either column skip files/row groups), where a linear sort on one
+    column leaves the other near-full-range in every file. Asserted
+    directly on the pyarrow footer statistics — the physical fact the
+    optimizer's pruning consumes."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from github_event_etl_spark.operators.layout import write_zordered
+
+    n = 1 << 16
+    df = spark.range(n).select(
+        (F.col("id") % 256).alias("a"),
+        ((F.col("id") * 2654435761) % 256).alias("b"),
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "l")
+    write_zordered(df, zpath, "a", "b", bits=8, num_files=8)
+    (
+        df.repartitionByRange(8, F.col("a"))
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def widths(path, col):
+        out = []
+        for f in glob.glob(path + "/part*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                out.append(st.max - st.min)
+        return sum(out) / len(out)
+
+    # rows round-trip intact
+    assert spark.read.parquet(zpath).count() == n
+    z_a, z_b = widths(zpath, "a"), widths(zpath, "b")
+    l_b = widths(lpath, "b")
+    # linear-by-a leaves b full-range per file; zorder halves it at
+    # least (typically ~4x tighter), while keeping a far from
+    # full-range too
+    assert l_b > 200
+    assert z_b < l_b / 2, (z_b, l_b)
+    assert z_a < 200, z_a
+
+
+def test_zorder_key_is_pure_jvm_expression(spark):
+    """The interleave must stay inside whole-stage codegen — no
+    Python eval node in a projection using it."""
+    import contextlib as _ctx
+    import io as _io
+
+    from github_event_etl_spark.operators.layout import zorder_key
+
+    df = spark.range(10).select(
+        zorder_key((F.col("id") % 4), (F.col("id") % 8), bits=4).alias("z")
+    )
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan
+    assert "codegen id" in plan  # formatted mode's codegen marker
+    # interleave of (a%4, b%8) at 4 bits: spot-check the math
+    rows = {r[0] for r in df.collect()}
+    def morton(a, b):
+        return sum(((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+                   for i in range(4))
+    want = {morton(i % 4, i % 8) for i in range(10)}
+    assert rows == want
