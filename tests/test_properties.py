@@ -664,3 +664,107 @@ def test_top_count_vocab_property(spark, counts, cap):
         (r.tok, r.tf) for r in top_count_vocab(tf, "tf", cap).collect()
     )
     assert got == want
+
+
+# ----------------------------------------------------- MERGE upsert / SCD2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    base=st.dictionaries(
+        st.integers(0, 15), st.integers(-100, 100), max_size=10
+    ),
+    changes=st.dictionaries(
+        st.integers(0, 15), st.integers(-100, 100), max_size=10
+    ),
+)
+def test_upsert_property(spark, base, changes):
+    """On arbitrary key→value maps, upsert must equal the dict-merge
+    {**base, **changes} with actions derived from set membership."""
+    from github_event_etl_spark.operators.merge import upsert
+
+    b = spark.createDataFrame(
+        [(k, float(v)) for k, v in base.items()] or [(None, None)],
+        "k long, v double",
+    ).filter(F.col("k").isNotNull())
+    c = spark.createDataFrame(
+        [(k, float(v)) for k, v in changes.items()] or [(None, None)],
+        "k long, v double",
+    ).filter(F.col("k").isNotNull())
+    got = {r.k: (r.v, r.action) for r in upsert(b, c, "k").collect()}
+    want = {}
+    for k, v in base.items():
+        want[k] = (
+            (float(changes[k]), "update")
+            if k in changes
+            else (float(v), "keep")
+        )
+    for k, v in changes.items():
+        if k not in base:
+            want[k] = (float(v), "insert")
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),  # (key, ts-offset)
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_scd2_property(spark, events):
+    """SCD2 invariants on arbitrary change streams: per key, exactly
+    one current version; version intervals chain (each valid_to equals
+    the next valid_from under (ts, seq) order); every input row
+    survives as a version."""
+    import datetime as dt
+
+    from github_event_etl_spark.operators.merge import scd2_versions
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, i, base + dt.timedelta(hours=off))
+        for i, (k, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, ts timestamp")
+    out = scd2_versions(df, key="k", ts_col="ts", seq_col="seq").collect()
+    assert len(out) == len(rows)
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: (r.ts, r.seq))
+        assert sum(1 for r in vs if r.is_current) == 1
+        assert vs[-1].is_current and vs[-1].valid_to is None
+        for prev, nxt in zip(vs, vs[1:]):
+            assert prev.valid_to == nxt.valid_from
+
+
+# --------------------------------------------------------- Z-order interleave
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_zorder_key_property(spark, pts):
+    """zorder_key must equal the reference Morton interleave for
+    arbitrary 8-bit points."""
+    from github_event_etl_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(pts, "a long, b long")
+    got = [r.z for r in df.select(zorder_key("a", "b", 8).alias("z")).collect()]
+
+    def morton(a, b):
+        return sum(
+            (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))
+            for i in range(8)
+        )
+
+    assert sorted(got) == sorted(morton(a, b) for a, b in pts)
