@@ -29,6 +29,7 @@ from ..functions.timeutil import ts_string
 from ..sources.tables import load_table
 from ..streaming.replay import (
     events_replay_dir,
+    events_replay_dir_by_type,
     events_replay_dir_with_dupes,
     read_event_stream,
     run_bounded,
@@ -324,9 +325,10 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "partB9", "join"),
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B9 stream-stream join: two live streams (purchases, views over
-    the same replay source) correlated by the watermarked event-time
-    interval join (streaming/joins.py interval_join_streams) — each
+    """B9 stream-stream join: two live streams (purchases and views,
+    each landing in its own per-topic replay directory — the real
+    ingest layout, so each side parses only its own rows) correlated
+    by the watermarked event-time interval join (streaming/joins.py interval_join_streams) — each
     purchase pairs with every view by the same user within the 30
     minutes after it. State per side is bounded by rate × (interval +
     watermark delay) and evicted by the global min-across-inputs
@@ -342,12 +344,11 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams."""
     from ..streaming.joins import interval_join_streams
 
-    src = events_replay_dir(spark, sf_dir)
-    left = read_event_stream(spark, src).filter(
-        F.col("event_type") == "purchase"
+    left = read_event_stream(
+        spark, events_replay_dir_by_type(spark, sf_dir, "purchase")
     )
-    right = read_event_stream(spark, src).filter(
-        F.col("event_type") == "view"
+    right = read_event_stream(
+        spark, events_replay_dir_by_type(spark, sf_dir, "view")
     )
     joined = interval_join_streams(
         left,
@@ -405,12 +406,11 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from both sides of the comparison."""
     from ..streaming.joins import interval_join_streams
 
-    src = events_replay_dir(spark, sf_dir)
-    left = read_event_stream(spark, src).filter(
-        F.col("event_type") == "purchase"
+    left = read_event_stream(
+        spark, events_replay_dir_by_type(spark, sf_dir, "purchase")
     )
-    right = read_event_stream(spark, src).filter(
-        F.col("event_type") == "view"
+    right = read_event_stream(
+        spark, events_replay_dir_by_type(spark, sf_dir, "view")
     )
     joined = interval_join_streams(
         left,

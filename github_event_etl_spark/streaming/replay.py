@@ -90,6 +90,36 @@ def events_replay_dir_with_dupes(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def events_replay_dir_by_type(
+    spark: SparkSession, sf_dir: str, event_type: str, num_files: int = 4
+) -> str:
+    """Replay directory holding ONLY one event type — the per-topic
+    landing layout (a real ingest tier drops purchases and views into
+    separate topics/prefixes, it does not interleave them into one
+    stream for consumers to re-filter). The stream-stream join keys
+    read their two sides from two such dirs, so each side parses only
+    its own rows instead of the full interleaved log. Same idempotent
+    scratch-dir contract as `events_replay_dir`."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        tempfile.gettempdir(), "geetl_spark", sf, f"stream_src_t_{event_type}"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == event_type)
+            .select(
+                "event_id",
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+        )
+        ev.repartition(num_files).write.mode("overwrite").json(out)
+    return out
+
+
 def read_event_stream(spark: SparkSession, src_dir: str, **options) -> DataFrame:
     """Open the replay directory as a streaming source and restore the
     typed event shape (ts back to TimestampType)."""
