@@ -844,3 +844,283 @@ def cosine_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
     )
+
+
+def ivf_assign_with_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_assign`'s assignment step against a CALLER-SUPPLIED
+    centroid table (centroid_id, c_vec) — the hook for trained coarse
+    quantizers (e.g. `train_pq_codebook(num_subspaces=1)` full-vector
+    k-means, or `kmeans_refine_int` output mapped to vectors). Same
+    cosine argmin and tie-break as ivf_assign."""
+    scored = corpus.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("c_vec")).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_csim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ann_ivf_pq_residual(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 2,
+    coarse: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the faithful FAISS IVFADC:
+    each vector is PQ-encoded as (x − centroid(x)), not as x. The
+    residual distribution is centered and much tighter than the raw
+    vectors', so the same codebook budget spends its codewords on the
+    part of x the inverted list does NOT already explain — the
+    standard recall upgrade over raw-vector PQ at identical storage.
+
+    The price is on the query side: the ADC tables become per-PROBE,
+    not per-query — (q − centroid) differs in every probed list, so a
+    query builds `nprobe` tables of S×C entries instead of one. That
+    frame is still q × nprobe tiny rows built against broadcast
+    centroids and codebook; the corpus-side economics are unchanged
+    (lists carry only (nid, centroid_id, pq_code); the corpus never
+    shuffles; scored volume is Σ probed-list sizes).
+
+    Fully deterministic (same md5 seeding and id tie-breaks as
+    `ann_ivf_pq`). The codebook is Lloyd-TRAINED on the residuals
+    (`train_pq_codebook`, `train_iters` rounds) — residual encoding
+    without training degenerates (residuals concentrate near zero, so
+    seed-row codewords collapse most vectors onto one identical code
+    and the ranking falls to its id tie-break; measured recall 0.04
+    untrained vs trained's win in the pytest). `train_iters=0` keeps
+    the raw seeds for an A/B. Returns (qid, rnk, nid, adist).
+
+    `coarse` = a caller-supplied (assigned, centroids) pair — and it
+    is where the residual advantage actually lives: residuals are only
+    SMALL when the coarse quantizer captures the data's cluster
+    structure, so pair this with TRAINED centroids
+    (`train_pq_codebook(num_subspaces=1)` + `ivf_assign_with_
+    centroids`). Against the default md5-seed centroids the residuals
+    are as spread as the raw vectors (an arbitrary corpus point
+    explains nothing) and residual encoding cannot beat raw-vector PQ
+    — the pytest measures exactly this contrast."""
+    if coarse is not None:
+        assigned, centroids = coarse
+    else:
+        assigned, centroids = ivf_assign(corpus, num_centroids, id_col, vec_col)
+    resid = assigned.join(F.broadcast(centroids), "centroid_id").select(
+        F.col(id_col),
+        "centroid_id",
+        F.zip_with(
+            _as_double(F.col(vec_col)),
+            _as_double(F.col("c_vec")),
+            lambda x, y: x - y,
+        ).alias("_resid"),
+    )
+    codebook = (
+        train_pq_codebook(
+            resid, num_subspaces, num_codewords, dim, id_col, "_resid",
+            iters=train_iters,
+        )
+        if train_iters > 0
+        else pq_codebook(resid, num_codewords, id_col, "_resid")
+    )
+    codes = pq_codes(
+        resid, num_subspaces, num_codewords, dim, id_col, "_resid",
+        codebook=codebook,
+    )
+    lists = resid.select(F.col(id_col).alias("nid"), "centroid_id").join(
+        codes.select(F.col(id_col).alias("nid"), "pq_code"), "nid"
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
+    qc = q.join(F.broadcast(centroids)).select(
+        "qid",
+        "q_vec",
+        "centroid_id",
+        "c_vec",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("_csim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("_csim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select(
+            "qid",
+            "centroid_id",
+            F.zip_with(
+                _as_double(F.col("q_vec")),
+                _as_double(F.col("c_vec")),
+                lambda x, y: x - y,
+            ).alias("q_resid"),
+        )
+    )
+    d_sub = dim // num_subspaces
+
+    def sub_dist(s: int) -> Column:
+        a = F.slice(F.col("q_resid"), s * d_sub + 1, d_sub)
+        b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pcc = probes.join(F.broadcast(codebook)).select(
+        "qid",
+        "centroid_id",
+        "code_rank",
+        *[sub_dist(s).alias(f"d{s}") for s in range(num_subspaces)],
+    )
+    tables = pcc.groupBy("qid", "centroid_id").agg(
+        *[
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("code_rank", F.col(f"d{s}")))
+                ),
+                lambda st: st[f"d{s}"],
+            ).alias(f"t{s}")
+            for s in range(num_subspaces)
+        ]
+    )
+    scored = lists.join(F.broadcast(tables), "centroid_id").filter(
+        F.col("qid") != F.col("nid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    return (
+        scored.select(
+            "qid",
+            "nid",
+            _adc_distance(num_subspaces, num_codewords).alias("adist"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "nid", "adist")
+    )
+
+
+def train_pq_codebook(
+    frame: DataFrame,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd-trained PQ codebook: per subspace, `iters` rounds of
+    assign-to-nearest + recenter over the frame's subvectors, from the
+    md5-rank seeds. Returns the SAME (code_id, c_vec, code_rank) shape
+    `pq_codes`/`ann_pq_adc` consume: codeword j's full-dim c_vec is the
+    concatenation of each subspace's trained codeword j — equivalent to
+    independent per-subspace codebooks because every consumer slices
+    per subspace and never mixes them.
+
+    Training matters most for RESIDUAL encoding: residuals concentrate
+    near zero, so untrained (seed-row) codewords collapse — most
+    vectors quantize to one identical code and ADC ranking degenerates
+    to its id tie-break (measured: recall 0.04 untrained vs the
+    trained variant's win in tests/test_llm.py). Seed-row codebooks
+    stay adequate for RAW vectors, which is why `pq_codes` defaults to
+    them and keeps its engine-mirrorable oracle.
+
+    Scale/determinism shape: assignment reuses the broadcast-codebook
+    struct-min idiom (map-side, n rows cross the shuffle); recentering
+    posexplodes subvectors to (s, rank, pos) cells and averages
+    through DECIMAL(25,10) (association-order-free, so the trained
+    codebook is bit-stable across partitionings); empty codewords keep
+    their previous value via a left join.
+    """
+    d_sub = dim // num_subspaces
+    cb = pq_codebook(frame, num_codewords, id_col, vec_col)
+
+    def sub_dist(s: int) -> Column:
+        a = F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
+        b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(iters):
+        joined = frame.select(id_col, vec_col).join(F.broadcast(cb))
+        assigns = joined.groupBy(id_col).agg(
+            *[
+                F.min(
+                    F.struct(
+                        sub_dist(s).alias("d"), F.col("code_rank").alias("r")
+                    )
+                )["r"].alias(f"c{s}")
+                for s in range(num_subspaces)
+            ]
+        )
+        rows = frame.select(id_col, vec_col).join(assigns, id_col)
+        cells = None
+        for s in range(num_subspaces):
+            sub = rows.select(
+                F.lit(s).alias("s"),
+                F.col(f"c{s}").alias("code_rank"),
+                F.posexplode(
+                    F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
+                ).alias("pos", "val"),
+            )
+            cells = sub if cells is None else cells.unionAll(sub)
+        means = cells.groupBy("s", "code_rank", "pos").agg(
+            F.avg(F.col("val").cast("decimal(25,10)"))
+            .cast("double")
+            .alias("m")
+        )
+        # Recenter against the PREVIOUS codebook's full (s, rank, pos)
+        # cell grid: a (subspace, rank) pair that attracted no members
+        # keeps its previous cells — per CELL, not per rank, because a
+        # rank can be empty in one subspace and populated in another,
+        # and a rank-level fallback would drop cells and shift the
+        # reassembled vector.
+        prev_cells = None
+        for s in range(num_subspaces):
+            sub = cb.select(
+                "code_id",
+                F.lit(s).alias("s"),
+                "code_rank",
+                F.posexplode(
+                    F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
+                ).alias("pos", "old"),
+            )
+            prev_cells = sub if prev_cells is None else prev_cells.unionAll(sub)
+        full = prev_cells.join(means, ["s", "code_rank", "pos"], "left")
+        cb = (
+            full.groupBy("code_id", "code_rank")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (F.col("s") * d_sub + F.col("pos")).alias("i"),
+                                F.coalesce(F.col("m"), F.col("old")).alias("v"),
+                            )
+                        )
+                    ),
+                    lambda st: st["v"],
+                ).alias("c_vec")
+            )
+            .localCheckpoint(eager=True)  # truncate the per-iter lineage
+        )
+    return cb

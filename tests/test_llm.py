@@ -1242,3 +1242,63 @@ def test_learn_bpe_rejects_zero_merges(spark):
     docs = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_merges"):
         learn_bpe(docs, 0)
+
+
+def test_ivfadc_residual_encoding_beats_raw_with_trained_coarse(spark):
+    """The faithful IVFADC claim, measured: residual PQ encoding beats
+    raw-vector PQ ONLY when the coarse quantizer captures the data's
+    cluster structure. On deterministic clustered vectors with Lloyd-
+    trained centroids (train_pq_codebook at num_subspaces=1) +
+    residual codes, the ADC distance-approximation error must fall
+    far below raw-vector PQ's (measured ~25x; asserted 5x) and recall
+    must not regress; with the default md5-seed coarse quantizer the
+    residuals are as spread as the data and the advantage must vanish
+    — both sides of the theory pinned."""
+    import numpy as np
+
+    from github_event_etl_spark.operators.similarity import (
+        ann_ivf_pq,
+        ann_ivf_pq_residual,
+        ivf_assign_with_centroids,
+        knn_bruteforce,
+        train_pq_codebook,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(16, 64)
+    pts = np.vstack([c + 0.15 * rng.randn(32, 64) for c in centers])
+    cemb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = cemb.filter(F.col("vec_id") % 67 == 0)
+    E = {i: pts[i] for i in range(len(pts))}
+
+    def err_and_pairs(df):
+        rows = df.collect()
+        errs = [
+            abs(r.adist - float(((E[r.qid] - E[r.nid]) ** 2).sum()))
+            for r in rows
+        ]
+        return sum(errs) / len(errs), {(r.qid, r.nid) for r in rows}
+
+    cents = train_pq_codebook(
+        cemb, num_subspaces=1, num_codewords=16, dim=64, iters=3
+    )
+    centroids = cents.select(F.col("code_id").alias("centroid_id"), "c_vec")
+    assigned = ivf_assign_with_centroids(cemb, centroids)
+
+    bf = {(r.qid, r.nid) for r in knn_bruteforce(cemb, qs, k=10).collect()}
+    e_raw, p_raw = err_and_pairs(ann_ivf_pq(cemb, qs, k=10))
+    e_res, p_res = err_and_pairs(
+        ann_ivf_pq_residual(
+            cemb, qs, k=10, train_iters=2, coarse=(assigned, centroids)
+        )
+    )
+    e_res_md5, _ = err_and_pairs(
+        ann_ivf_pq_residual(cemb, qs, k=10, train_iters=2)
+    )
+    assert e_res < e_raw / 5, (e_res, e_raw)
+    assert len(bf & p_res) >= len(bf & p_raw)
+    # md5-seed coarse quantizer: residuals stay raw-spread, advantage gone
+    assert e_res_md5 > e_res * 10, (e_res_md5, e_res)
