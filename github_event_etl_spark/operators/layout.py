@@ -169,16 +169,28 @@ def zorder_key(col_a, col_b, bits: int = 16):
     Pure JVM bit arithmetic (shiftright/&/shiftleft folded over `bits`
     lanes — a flat ~6·bits-node expression inside whole-stage codegen,
     no UDF). Callers with non-integer dimensions rank them first
-    (date→day ordinal, string→dictionary id); values are masked to
-    `bits` bits so oversized inputs degrade to coarse buckets instead
-    of colliding the interleave.
+    (date→day ordinal, string→dictionary id).
+
+    Out-of-range inputs CLAMP to [0, 2^bits − 1] rather than wrap: a
+    low-bits mask would alias v and v+2^bits into the SAME key — rows
+    from opposite ends of the domain landing in one file, silently
+    erasing the pruning this layout exists for. Clamping collapses the
+    oversized tail into the top bucket (coarse but monotone) and
+    negatives into bucket 0; size `bits` to the dimension's true width
+    to avoid either.
     """
-    a = F.col(col_a) if isinstance(col_a, str) else col_a
-    b = F.col(col_b) if isinstance(col_b, str) else col_b
-    out = F.lit(0).cast("long")
+    hi = F.lit((1 << bits) - 1).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def clamp(c) -> "F.Column":
+        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        return F.least(F.greatest(col, zero), hi)
+
+    a, b = clamp(col_a), clamp(col_b)
+    out = zero
     for i in range(bits):
-        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
-        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
         out = out + F.shiftleft(abit, 2 * i) + F.shiftleft(bbit, 2 * i + 1)
     return out
 

@@ -245,20 +245,9 @@ def ivf_assign(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
         )
     )
-    scored = corpus.join(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "centroid_id",
-        cosine(F.col(vec_col), F.col("c_vec")).alias("_csim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_csim").desc(), F.col("centroid_id")
-    )
-    assigned = (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(id_col, vec_col, "centroid_id")
-    )
+    # assignment delegates to the centroid-table variant so the cosine
+    # argmin + tie-break lives in exactly one place
+    assigned = ivf_assign_with_centroids(corpus, centroids, id_col, vec_col)
     return assigned, centroids
 
 
@@ -390,17 +379,24 @@ def pq_codebook(
 
 
 def _adc_tables(
-    q: DataFrame, codebook: DataFrame, num_subspaces: int, dim: int
+    q: DataFrame,
+    codebook: DataFrame,
+    num_subspaces: int,
+    dim: int,
+    vec_col: str = "q_vec",
+    group_cols: tuple[str, ...] = ("qid",),
 ) -> DataFrame:
-    """Per-query ADC lookup tables: (qid, t0..t{S-1}) where t_s is the
-    codeword-rank-ordered array of (query-subvector → codeword) squared
-    L2 distances for subspace s. Built from a broadcast codebook join
-    (q × C rows) aggregated into arrays via sort_array over
-    (rank, dist) structs. `q` has columns (qid, q_vec)."""
+    """ADC lookup tables: (group_cols..., t0..t{S-1}) where t_s is the
+    codeword-rank-ordered array of (`vec_col`-subvector → codeword)
+    squared L2 distances for subspace s. Built from a broadcast
+    codebook join (group × C rows) aggregated into arrays via
+    sort_array over (rank, dist) structs. Per-QUERY tables for plain
+    ADC (group = qid, vec = q_vec); per-PROBE tables for residual
+    IVFADC (group = (qid, centroid_id), vec = the query residual)."""
     d_sub = dim // num_subspaces
 
     def sub_dist(s: int) -> Column:
-        a = F.slice(_as_double(F.col("q_vec")), s * d_sub + 1, d_sub)
+        a = F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
         b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -409,11 +405,11 @@ def _adc_tables(
         )
 
     qc = q.join(F.broadcast(codebook)).select(
-        "qid",
+        *group_cols,
         "code_rank",
         *[sub_dist(s).alias(f"d{s}") for s in range(num_subspaces)],
     )
-    return qc.groupBy("qid").agg(
+    return qc.groupBy(*group_cols).agg(
         *[
             F.transform(
                 F.sort_array(
@@ -972,33 +968,15 @@ def ann_ivf_pq_residual(
             ).alias("q_resid"),
         )
     )
-    d_sub = dim // num_subspaces
-
-    def sub_dist(s: int) -> Column:
-        a = F.slice(F.col("q_resid"), s * d_sub + 1, d_sub)
-        b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    pcc = probes.join(F.broadcast(codebook)).select(
-        "qid",
-        "centroid_id",
-        "code_rank",
-        *[sub_dist(s).alias(f"d{s}") for s in range(num_subspaces)],
-    )
-    tables = pcc.groupBy("qid", "centroid_id").agg(
-        *[
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("code_rank", F.col(f"d{s}")))
-                ),
-                lambda st: st[f"d{s}"],
-            ).alias(f"t{s}")
-            for s in range(num_subspaces)
-        ]
+    # per-PROBE ADC tables: same idiom as plain ADC, grouped by
+    # (qid, centroid_id) over the query RESIDUAL for that probe
+    tables = _adc_tables(
+        probes,
+        codebook,
+        num_subspaces,
+        dim,
+        vec_col="q_resid",
+        group_cols=("qid", "centroid_id"),
     )
     scored = lists.join(F.broadcast(tables), "centroid_id").filter(
         F.col("qid") != F.col("nid")
@@ -1073,16 +1051,23 @@ def train_pq_codebook(
             ]
         )
         rows = frame.select(id_col, vec_col).join(assigns, id_col)
-        cells = None
-        for s in range(num_subspaces):
-            sub = rows.select(
-                F.lit(s).alias("s"),
-                F.col(f"c{s}").alias("code_rank"),
-                F.posexplode(
-                    F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
-                ).alias("pos", "val"),
-            )
-            cells = sub if cells is None else cells.unionAll(sub)
+        # ONE posexplode of the full vector; subspace and in-subspace
+        # position derive arithmetically from the global position, and
+        # the row's assigned code for that subspace is an element_at
+        # into the packed assignment array — a single scan where the
+        # per-subspace slice/union form re-scanned the rows S times.
+        codes_arr = F.array(*[F.col(f"c{s}") for s in range(num_subspaces)])
+        cells = rows.select(
+            codes_arr.alias("_codes"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("gpos", "val"),
+        ).select(
+            F.expr(f"gpos div {d_sub}").cast("int").alias("s"),
+            F.element_at(
+                "_codes", F.expr(f"gpos div {d_sub}").cast("int") + 1
+            ).alias("code_rank"),
+            (F.col("gpos") % d_sub).alias("pos"),
+            "val",
+        )
         means = cells.groupBy("s", "code_rank", "pos").agg(
             F.avg(F.col("val").cast("decimal(25,10)"))
             .cast("double")
@@ -1094,17 +1079,17 @@ def train_pq_codebook(
         # rank can be empty in one subspace and populated in another,
         # and a rank-level fallback would drop cells and shift the
         # reassembled vector.
-        prev_cells = None
-        for s in range(num_subspaces):
-            sub = cb.select(
-                "code_id",
-                F.lit(s).alias("s"),
-                "code_rank",
-                F.posexplode(
-                    F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
-                ).alias("pos", "old"),
-            )
-            prev_cells = sub if prev_cells is None else prev_cells.unionAll(sub)
+        prev_cells = cb.select(
+            "code_id",
+            "code_rank",
+            F.posexplode(_as_double(F.col("c_vec"))).alias("gpos", "old"),
+        ).select(
+            "code_id",
+            F.expr(f"gpos div {d_sub}").cast("int").alias("s"),
+            "code_rank",
+            (F.col("gpos") % d_sub).alias("pos"),
+            "old",
+        )
         full = prev_cells.join(means, ["s", "code_rank", "pos"], "left")
         cb = (
             full.groupBy("code_id", "code_rank")

@@ -444,32 +444,39 @@ def bpe_segment(
 ) -> DataFrame:
     """Apply a learned merge table to a corpus: (doc_id, tokens) where
     tokens is each word's final BPE segmentation, space-joined per
-    word. The merge list is tiny (it IS the tokenizer), so it rides to
-    the executors as one collected-free broadcast join and the whole
-    application is map-side via a pandas UDF — the standard shape for
-    tokenizing 100 TB with a fixed tokenizer.
+    word. The pandas function re-implements the same greedy
+    left-to-right fold as learn_bpe (parity-tested); merges apply in
+    learning order, each over every word, exactly as at training time.
 
-    The pandas function re-implements the same greedy left-to-right
-    fold as learn_bpe (parity-tested); merges apply in learning order,
-    each over every word, exactly as at training time."""
-    import pandas as pd_  # noqa: F401 (worker-side import hygiene)
-
-    rows = merge_table.orderBy("iteration").select("pair_a", "pair_b")
-    # One broadcast of the merge list as a literal array of structs:
-    # attach to every doc row, no driver collect.
-    ml = rows.agg(
-        F.collect_list(F.struct("pair_a", "pair_b")).alias("_merges")
-    )
+    DELIBERATE driver materialization of the merge table: it is the
+    MODEL — bounded by the merge count (a tokenizer is tens of
+    thousands of rows), never by data volume — and closure-capturing
+    it ships ONE copy to each executor inside the serialized function,
+    the same shape as broadcasting fitted ML-model coefficients. The
+    two rejected alternatives are both wrong at scale: a crossJoin'd
+    array column duplicates the whole tokenizer into EVERY Arrow row,
+    and a collect_list aggregate's order is not guaranteed after a
+    shuffle, so merges could apply out of learning order (the explicit
+    driver-side sort pins it). This is the repo's one documented
+    exception to the no-driver-collect rule, and it is exempt
+    because the collected size is O(model), not O(data)."""
+    merges = [
+        (r.pair_a, r.pair_b)
+        for r in merge_table.select("iteration", "pair_a", "pair_b")
+        .orderBy("iteration")
+        .collect()
+    ]
 
     def seg_batches(it):
+        import pandas as _pd
+
         for pdf in it:
             out_tokens = []
-            for text, merges in zip(pdf[text_col], pdf["_merges"]):
+            for text in pdf[text_col]:
                 toks = []
                 for w in str(text).strip(" ").split():
                     syms = list(w)
-                    for m in merges:
-                        a, b = m["pair_a"], m["pair_b"]
+                    for a, b in merges:
                         acc = []
                         for s in syms:
                             if acc and acc[-1] == a and s == b:
@@ -479,7 +486,7 @@ def bpe_segment(
                         syms = acc
                     toks.append(" ".join(syms))
                 out_tokens.append("|".join(toks))
-            yield pd_.DataFrame(
+            yield _pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "tokens": out_tokens}
             )
 
@@ -491,8 +498,6 @@ def bpe_segment(
             T_.StructField("tokens", T_.StringType()),
         ]
     )
-    return (
-        docs.select("doc_id", text_col)
-        .crossJoin(F.broadcast(ml))
-        .mapInPandas(seg_batches, schema=schema)
+    return docs.select("doc_id", text_col).mapInPandas(
+        seg_batches, schema=schema
     )

@@ -46,17 +46,29 @@ REPLAY_SCHEMA = T.StructType(
 
 
 def events_replay_dir(
-    spark: SparkSession, sf_dir: str, num_files: int = 8, tag: str = "base"
+    spark: SparkSession,
+    sf_dir: str,
+    num_files: int = 8,
+    tag: str = "base",
+    event_type: str | None = None,
 ) -> str:
     """Materialize the events table as `num_files` NDJSON files under a
-    deterministic scratch dir (idempotent: reused if already written).
-    Files are the replay's micro-batch unit."""
+    deterministic scratch dir (idempotent: reused if already written —
+    the cache key includes tag AND num_files, so a different layout
+    request never silently returns an old one). Files are the replay's
+    micro-batch unit. `event_type` restricts the drop to one type —
+    the per-topic landing layout (a real ingest tier drops purchases
+    and views into separate topics/prefixes; consumers don't re-filter
+    an interleaved log)."""
     sf = os.path.basename(sf_dir.rstrip("/"))
     out = os.path.join(
         tempfile.gettempdir(), "geetl_spark", sf, f"stream_src_{tag}_{num_files}"
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        ev = load_table(spark, sf_dir, "events").select(
+        ev = load_table(spark, sf_dir, "events")
+        if event_type is not None:
+            ev = ev.filter(F.col("event_type") == event_type)
+        ev = ev.select(
             "event_id",
             F.unix_micros(F.col("ts")).alias("ts_us"),
             "user_id",
@@ -93,31 +105,17 @@ def events_replay_dir_with_dupes(spark: SparkSession, sf_dir: str) -> str:
 def events_replay_dir_by_type(
     spark: SparkSession, sf_dir: str, event_type: str, num_files: int = 4
 ) -> str:
-    """Replay directory holding ONLY one event type — the per-topic
-    landing layout (a real ingest tier drops purchases and views into
-    separate topics/prefixes, it does not interleave them into one
-    stream for consumers to re-filter). The stream-stream join keys
-    read their two sides from two such dirs, so each side parses only
-    its own rows instead of the full interleaved log. Same idempotent
-    scratch-dir contract as `events_replay_dir`."""
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(
-        tempfile.gettempdir(), "geetl_spark", sf, f"stream_src_t_{event_type}"
+    """Per-topic replay directory: `events_replay_dir` restricted to
+    one event type (see its docstring for the layout rationale). The
+    stream-stream join keys read their two sides from two such dirs,
+    so each side parses only its own rows."""
+    return events_replay_dir(
+        spark,
+        sf_dir,
+        num_files=num_files,
+        tag=f"t_{event_type}",
+        event_type=event_type,
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        ev = (
-            load_table(spark, sf_dir, "events")
-            .filter(F.col("event_type") == event_type)
-            .select(
-                "event_id",
-                F.unix_micros(F.col("ts")).alias("ts_us"),
-                "user_id",
-                "event_type",
-                "value",
-            )
-        )
-        ev.repartition(num_files).write.mode("overwrite").json(out)
-    return out
 
 
 def read_event_stream(spark: SparkSession, src_dir: str, **options) -> DataFrame:
