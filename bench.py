@@ -215,8 +215,14 @@ def main() -> None:
     # `pipelines`).
     COMPONENTS = [
         "stream_interval_join",
+        "stream_interval_join_outer",
         "scan_python_source",
+        "stream_python_source",
         "llm_multimodal_resize",
+        "llm_bpe_pairs",
+        "profile_table",
+        "merge_upsert",
+        "scd2_history",
     ]
     components: dict[str, float] = {}
     for name in [n for n in COMPONENTS if n in qmap]:

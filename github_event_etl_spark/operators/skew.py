@@ -89,3 +89,50 @@ def salted_count_sum(
         },
         n_salts=n_salts,
     )
+
+
+def salted_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Manual salted equi-join for hot keys: the BIG side salts each
+    row deterministically into `n_salts` sub-keys, the SMALL side
+    replicates once per salt value, and the join runs on (key, salt) —
+    a hot key's rows spread over `n_salts` reducers instead of one.
+    Result equals `big.join(small, key, how)` exactly (pinned by the
+    equality pytest); supported `how`: inner / left (the replicated
+    side must be the one whose rows may fan out — a right/full variant
+    would emit n_salts copies of unmatched small rows).
+
+    When to use over AQE: AQE's skew-join splitting (on session-wide,
+    session.py) already rebalances BATCH sort-merge joins at runtime
+    and needs no hints — prefer it. This manual form is the portable
+    fallback for the paths AQE cannot rebalance: stream-static and
+    stream-stream joins (state-store partitioning is fixed by the
+    plan, decided before any runtime statistics exist) and broadcast-
+    ineligible small sides. The salt is content-deterministic
+    (with_salt), so task retries and streaming replays partition
+    identically.
+
+    Cost model: small side storage ×n_salts (it is small — that is the
+    premise), one exchange per side on (key, salt), no row of the big
+    side duplicated."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_skew_join supports how='inner'|'left', got {how!r}"
+        )
+    clash = set(big.columns) & set(small.columns) - {key}
+    if clash:
+        raise ValueError(
+            f"salted_skew_join: ambiguous non-key columns {sorted(clash)} — "
+            "rename them on one side before joining"
+        )
+    b = with_salt(big, n_salts)
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>")
+    )
+    s = small.select("*", salts.alias(SALT_COL))
+    return b.join(s, [key, SALT_COL], how).drop(SALT_COL)

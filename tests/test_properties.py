@@ -768,3 +768,33 @@ def test_zorder_key_property(spark, pts):
         )
 
     assert sorted(got) == sorted(morton(a, b) for a, b in pts)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    big=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+    ),
+    small=st.dictionaries(st.integers(0, 5), st.integers(0, 9), max_size=6),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_skew_join_equals_plain_join(spark, big, small, how):
+    """The salted (key, salt) join must equal the plain equi-join
+    row-for-row on arbitrary skewed inputs — including unmatched big
+    rows under how='left' (never duplicated by the replication)."""
+    from github_event_etl_spark.operators.skew import salted_skew_join
+
+    b = spark.createDataFrame(big, "k long, v long")
+    s = spark.createDataFrame(
+        list(small.items()) or [(None, None)], "k long, w long"
+    ).filter(F.col("k").isNotNull())
+    got = sorted(
+        (r.k, r.v, r.w)
+        for r in salted_skew_join(b, s, "k", n_salts=4, how=how).collect()
+    )
+    want = sorted(
+        (r.k, r.v, r.w) for r in b.join(s, "k", how).collect()
+    )
+    assert got == want
