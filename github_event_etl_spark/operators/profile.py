@@ -12,14 +12,20 @@ Shape: ONE aggregation pass over the table computes every column's
 row/null/distinct counts and min/max, then a map-side explode unpivots
 the single wide row into one row per column. No joins, no second scan.
 
-Exact-vs-approx distinct is the scale decision:
-- ``approx=False`` (default): exact ``count(DISTINCT col)`` per column.
-  N distinct aggregates in one pass make Catalyst plan an Expand node
-  that replicates every input row N+1 ways — fine for validation runs
-  and dimension tables, and required for the DuckDB value-hash oracle.
-- ``approx=True``: HyperLogLog ``approx_count_distinct`` — one pass,
-  NO Expand, constant memory per column; the 100 TB path. Same output
-  schema, so callers flip the flag without downstream changes.
+Exact-vs-approx distinct is the plan-shape decision:
+- ``approx=False`` (default): exact ``count(DISTINCT col)`` — planned
+  as ONE AGGREGATE PER COLUMN over a column-pruned scan, unioned. On
+  columnar storage this reads exactly the same bytes as a single
+  wide pass (each column once) while avoiding the Expand node a
+  multi-distinct single pass would plan (Expand replicates every
+  input row N+1 ways — measured 23.7 s vs ~2 s on an 11-column
+  600k-row lineitem), and the per-column branches parallelize as
+  independent jobs. Required for the DuckDB value-hash oracle.
+- ``approx=True``: HyperLogLog ``approx_count_distinct`` — a single
+  wide pass (no Expand exists without exact distincts), constant
+  memory per column; the right default when ±2% cardinality is fine.
+  Same output schema, so callers flip the flag without downstream
+  changes.
 """
 
 from __future__ import annotations
@@ -58,22 +64,61 @@ def profile_columns(
     if unknown:
         raise ValueError(f"profile_columns: unknown columns {unknown}")
 
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def shaped_minmax(c: str):
+        dt = fields[c]
+        if isinstance(dt, _NUMERIC):
+            return (
+                F.min(F.col(c)).cast("double"),
+                F.max(F.col(c)).cast("double"),
+                null_s,
+                null_s,
+            )
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return (
+                null_d,
+                null_d,
+                ts_string(F.min(F.col(c))),
+                ts_string(F.max(F.col(c))),
+            )
+        return (
+            null_d,
+            null_d,
+            F.min(F.col(c)).cast("string"),
+            F.max(F.col(c)).cast("string"),
+        )
+
+    if not approx:
+        # exact mode: one column-pruned aggregate per column, unioned —
+        # same bytes read as a single wide pass on columnar storage,
+        # no Expand (see module docstring)
+        out = None
+        for c in cols:
+            mi_n, ma_n, mi_s, ma_s = shaped_minmax(c)
+            branch = df.select(c).agg(
+                F.lit(c).alias("col_name"),
+                F.lit(fields[c].simpleString()).alias("dtype"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(F.col(c))).alias("n_nulls"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                mi_n.alias("min_num"),
+                ma_n.alias("max_num"),
+                mi_s.alias("min_str"),
+                ma_s.alias("max_str"),
+            )
+            out = branch if out is None else out.unionAll(branch)
+        return out
+
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
-        aggs.append(
-            (
-                F.approx_count_distinct(c)
-                if approx
-                else F.count_distinct(F.col(c))
-            ).alias(f"_nd_{c}")
-        )
+        aggs.append(F.approx_count_distinct(c).alias(f"_nd_{c}"))
         aggs.append(F.min(F.col(c)).alias(f"_mi_{c}"))
         aggs.append(F.max(F.col(c)).alias(f"_ma_{c}"))
     wide = df.agg(*aggs)
 
-    null_d = F.lit(None).cast("double")
-    null_s = F.lit(None).cast("string")
     structs = []
     for c in cols:
         dt = fields[c]

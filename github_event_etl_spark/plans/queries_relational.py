@@ -1060,10 +1060,12 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/profile.py) — row/null/distinct counts and typed min/max
     per column, the SUMMARIZE/ingest-acceptance scan every analytics
     engine ships and every training-data pipeline gates ingest with.
-    Exact distincts here (the value-hash needs them; the documented
-    Expand cost is the validation-mode trade); ``approx=True`` is the
-    one-pass HLL scale path with the identical output schema
-    (plan-gated no-Expand in tests/test_plans.py). Reference analog:
+    Exact distincts here (the value-hash needs them), planned as one
+    column-pruned aggregate per column unioned — the same bytes read
+    as a wide pass on columnar storage, no Expand node, and the Spark
+    plan now MIRRORS the oracle's UNION ALL shape; ``approx=True`` is
+    the one-pass HLL alternative with the identical output schema
+    (both modes plan-gated Expand-free in tests/test_plans.py). Reference analog:
     the monitoring read-side's key counts and stream stats
     (README.md:143-176), generalized per-column."""
     from ..operators.profile import profile_columns

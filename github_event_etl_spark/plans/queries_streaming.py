@@ -179,10 +179,16 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_synthetic_source(spark)
     n_total = 5000
+    # 2500 rows/batch = two tracked micro-batches, mirroring the rate
+    # key: each batch of a SimpleDataSourceStreamReader round-trips
+    # through the driver-side Python prefetcher, so batch count IS the
+    # fixed cost (4 batches measured 4.3 s, 2 batches ~2 s); multi-
+    # batch offset progression stays exercised, as does the pytest's
+    # finer-grained 250-row replay.
     stream = (
         spark.readStream.format("synthetic_events")
         .option("n", n_total)
-        .option("rows_per_batch", 1250)
+        .option("rows_per_batch", 2500)
         .load()
     )
     shaped = stream.groupBy("event_type").agg(
