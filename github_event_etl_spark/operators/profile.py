@@ -57,9 +57,18 @@ def profile_columns(
     min/max return STORED values — no arithmetic, so no float-rounding
     divergence. n_nulls is ``n_rows − count(col)`` (count skips nulls)
     rather than a CASE sum, in both this plan and the oracle.
+
+    Source-format caveat: exact mode's 'same bytes as a wide pass'
+    equivalence is a COLUMNAR-storage fact; a row-oriented source
+    (CSV/JSON, or an unpersisted in-memory frame) gets re-parsed once
+    per column by the per-column branches. Profiling such inputs:
+    use ``approx=True`` (single pass) or land them to parquet first —
+    which a pipeline at scale does anyway.
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = list(columns) if columns is not None else list(fields)
+    if not cols:
+        raise ValueError("profile_columns: no columns to profile")
     unknown = [c for c in cols if c not in fields]
     if unknown:
         raise ValueError(f"profile_columns: unknown columns {unknown}")
@@ -67,28 +76,17 @@ def profile_columns(
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
 
-    def shaped_minmax(c: str):
+    def shaped_minmax(c: str, lo, hi):
+        """THE min/max type dispatch, shared by both modes: `lo`/`hi`
+        are the raw min/max expressions (aggregates in exact mode, the
+        wide row's columns in approx mode); returns the four shaped
+        output columns (min_num, max_num, min_str, max_str)."""
         dt = fields[c]
         if isinstance(dt, _NUMERIC):
-            return (
-                F.min(F.col(c)).cast("double"),
-                F.max(F.col(c)).cast("double"),
-                null_s,
-                null_s,
-            )
+            return lo.cast("double"), hi.cast("double"), null_s, null_s
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            return (
-                null_d,
-                null_d,
-                ts_string(F.min(F.col(c))),
-                ts_string(F.max(F.col(c))),
-            )
-        return (
-            null_d,
-            null_d,
-            F.min(F.col(c)).cast("string"),
-            F.max(F.col(c)).cast("string"),
-        )
+            return null_d, null_d, ts_string(lo), ts_string(hi)
+        return null_d, null_d, lo.cast("string"), hi.cast("string")
 
     if not approx:
         # exact mode: one column-pruned aggregate per column, unioned —
@@ -96,7 +94,9 @@ def profile_columns(
         # no Expand (see module docstring)
         out = None
         for c in cols:
-            mi_n, ma_n, mi_s, ma_s = shaped_minmax(c)
+            mi_n, ma_n, mi_s, ma_s = shaped_minmax(
+                c, F.min(F.col(c)), F.max(F.col(c))
+            )
             branch = df.select(c).agg(
                 F.lit(c).alias("col_name"),
                 F.lit(fields[c].simpleString()).alias("dtype"),
@@ -121,28 +121,13 @@ def profile_columns(
 
     structs = []
     for c in cols:
-        dt = fields[c]
-        if isinstance(dt, _NUMERIC):
-            mi_n, ma_n = (
-                F.col(f"_mi_{c}").cast("double"),
-                F.col(f"_ma_{c}").cast("double"),
-            )
-            mi_s = ma_s = null_s
-        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            mi_n = ma_n = null_d
-            mi_s, ma_s = ts_string(F.col(f"_mi_{c}")), ts_string(
-                F.col(f"_ma_{c}")
-            )
-        else:
-            mi_n = ma_n = null_d
-            mi_s, ma_s = (
-                F.col(f"_mi_{c}").cast("string"),
-                F.col(f"_ma_{c}").cast("string"),
-            )
+        mi_n, ma_n, mi_s, ma_s = shaped_minmax(
+            c, F.col(f"_mi_{c}"), F.col(f"_ma_{c}")
+        )
         structs.append(
             F.struct(
                 F.lit(c).alias("col_name"),
-                F.lit(dt.simpleString()).alias("dtype"),
+                F.lit(fields[c].simpleString()).alias("dtype"),
                 F.col("_n").alias("n_rows"),
                 (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
                 F.col(f"_nd_{c}").alias("n_distinct"),

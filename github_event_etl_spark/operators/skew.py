@@ -119,18 +119,44 @@ def salted_skew_join(
 
     Cost model: small side storage ×n_salts (it is small — that is the
     premise), one exchange per side on (key, salt), no row of the big
-    side duplicated."""
+    side duplicated.
+
+    The salt hashes the big side's top-level HASHABLE columns (maps are
+    excluded — Spark's hash expressions reject MapType, and a wide
+    event schema with a map payload must not break the drop-in
+    contract); the non-key hashable set must be non-empty, since
+    salting by the key alone would give every row of a hot key the
+    same salt and defeat the spread."""
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_skew_join supports how='inner'|'left', got {how!r}"
         )
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     clash = set(big.columns) & set(small.columns) - {key}
     if clash:
         raise ValueError(
             f"salted_skew_join: ambiguous non-key columns {sorted(clash)} — "
             "rename them on one side before joining"
         )
-    b = with_salt(big, n_salts)
+    if SALT_COL in big.columns or SALT_COL in small.columns:
+        raise ValueError(
+            f"salted_skew_join: inputs may not carry the reserved salt "
+            f"column {SALT_COL!r}"
+        )
+    from pyspark.sql import types as _T
+
+    hashable = [
+        f.name
+        for f in big.schema.fields
+        if not isinstance(f.dataType, _T.MapType) and f.name != key
+    ]
+    if not hashable:
+        raise ValueError(
+            "salted_skew_join: big side has no hashable non-key column to "
+            "derive the salt from"
+        )
+    b = with_salt(big, n_salts, from_cols=hashable)
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>")
     )

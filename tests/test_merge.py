@@ -106,3 +106,42 @@ def test_upsert_null_key_rows_keep_their_side(spark):
         (r.v, r.action) for r in upsert(base, changes, "k").collect()
     )
     assert got == [(1.0, "keep"), (2.0, "insert")]
+
+
+def test_profile_columns_rejects_empty_selection(spark):
+    from github_event_etl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="no columns"):
+        profile_columns(df, columns=[])
+
+
+def test_salted_skew_join_input_validation(spark):
+    """n_salts < 1 would NULL every salt (or divide by zero under
+    ANSI) and silently empty the join; a reserved-salt-column input
+    would be overwritten and dropped — both must fail fast."""
+    from github_event_etl_spark.operators.skew import salted_skew_join
+
+    b = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    s = spark.createDataFrame([(1, 3.0)], "k long, w double")
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_skew_join(b, s, "k", n_salts=0)
+    bad = b.withColumnRenamed("v", "__salt")
+    with pytest.raises(ValueError, match="reserved salt"):
+        salted_skew_join(bad, s, "k")
+
+
+def test_salted_skew_join_tolerates_map_columns(spark):
+    """A map payload column on the big side must not break the
+    drop-in contract (Spark's hash expressions reject MapType; the
+    salt derives from the hashable columns only)."""
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.operators.skew import salted_skew_join
+
+    b = spark.createDataFrame([(1, 5.0)], "k long, v double").select(
+        "k", "v", F.create_map(F.lit("a"), F.lit(1)).alias("payload")
+    )
+    s = spark.createDataFrame([(1, 9.0)], "k long, w double")
+    got = salted_skew_join(b, s, "k", n_salts=4).collect()
+    assert len(got) == 1 and got[0].w == 9.0 and got[0].payload == {"a": 1}
