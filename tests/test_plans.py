@@ -737,3 +737,17 @@ def test_zorder_key_is_pure_jvm_expression(spark):
                    for i in range(4))
     want = {morton(i % 4, i % 8) for i in range(10)}
     assert rows == want
+
+
+def test_merge_and_scd2_plans_are_scale_safe(qmap, spark, sf_dir):
+    """merge_upsert's full-outer MERGE shape must stay a hash/sort-
+    merge equi-join (no cartesian, no nested loop) and scd2_history
+    must be one window pass — no join at all."""
+    p_merge = plan_of(qmap, spark, sf_dir, "merge_upsert")
+    assert "CartesianProduct" not in p_merge
+    assert "BroadcastNestedLoopJoin" not in p_merge
+    assert "FullOuter" in p_merge or "full_outer" in p_merge.lower()
+
+    p_scd = plan_of(qmap, spark, sf_dir, "scd2_history")
+    assert "Window" in p_scd
+    assert "Join" not in tree_of(p_scd)
