@@ -123,8 +123,15 @@ class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     engine, so replay/readBetweenOffsets re-derives any batch exactly
     — the replayability contract a recoverable source must meet. With
     a finite `n`, read() at the cap returns no rows and the SAME
-    offset, which is how a bounded run (availableNow) knows it has
-    caught up."""
+    offset, which is the caught-up signal.
+
+    Trigger.AvailableNow caveat (measured, Spark 4.1): against a
+    SimpleDataSourceStreamReader the trigger bounds the run at the
+    offset the driver-side prefetcher happens to hold at start — ONE
+    batch (e.g. 2 500 of 5 000 rows processed, then clean
+    termination), silently incomplete. Bounded consumption of this
+    source must therefore use the progress-telemetry stop
+    (streaming/replay.run_until_input_rows), not availableNow."""
 
     def __init__(self, options: dict):
         self.n = int(options.get("n", 1000))
