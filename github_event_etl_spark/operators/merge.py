@@ -33,11 +33,23 @@ def upsert(
     changes: DataFrame,
     key: str,
     action_col: str = "action",
+    assert_unique: bool = False,
 ) -> DataFrame:
     """MERGE `changes` into `base` by `key`: matched keys take the
     change row ('update'), unmatched change keys append ('insert'),
     untouched base rows persist ('keep'). Both inputs must carry the
     same columns; the result carries them plus `action_col`.
+
+    PRECONDITION: `key` must be unique (per non-null key value) on BOTH
+    sides. Duplicate keys fan out through the full-outer join and
+    silently multiply rows — where SQL MERGE raises on multiple source
+    matches. Callers with raw change feeds pre-dedup (e.g. row_number
+    over a sequence column, as the catalog's merge_upsert key does) or
+    pass `assert_unique=True` to fail fast: that runs one small
+    aggregate job per side (count vs count_distinct of the non-null
+    keys — null keys never join, so their multiplicity is harmless)
+    before building the merge plan. Opt-in because at scale the exact
+    distinct is itself a shuffle the caller may know is unnecessary.
 
     The full-outer join is the MERGE execution shape; every column
     resolves by SIDE (the change side whenever a change row is present)
@@ -52,6 +64,19 @@ def upsert(
             "upsert: base and changes must share one schema, got "
             f"{sorted(base.columns)} vs {sorted(changes.columns)}"
         )
+    if assert_unique:
+        for side, df in (("base", base), ("changes", changes)):
+            n, nd = df.agg(
+                F.count(key), F.count_distinct(key)
+            ).first()
+            if n != nd:
+                raise ValueError(
+                    f"upsert: merge key '{key}' is not unique on the "
+                    f"{side} side ({n} non-null rows, {nd} distinct "
+                    "keys) — duplicate keys would fan out through the "
+                    "full-outer join; dedup first (e.g. row_number "
+                    "over a sequence column)"
+                )
     # Side-presence markers, not key-nullability: a NULL merge key
     # never matches (SQL null equality), so a null-key change row
     # reaches the output unmatched — key IS NULL would mislabel it

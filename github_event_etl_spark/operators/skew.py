@@ -97,6 +97,7 @@ def salted_skew_join(
     key: str,
     n_salts: int = 32,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Manual salted equi-join for hot keys: the BIG side salts each
     row deterministically into `n_salts` sub-keys, the SMALL side
@@ -121,12 +122,20 @@ def salted_skew_join(
     premise), one exchange per side on (key, salt), no row of the big
     side duplicated.
 
-    The salt hashes the big side's top-level HASHABLE columns (maps are
-    excluded — Spark's hash expressions reject MapType, and a wide
-    event schema with a map payload must not break the drop-in
-    contract); the non-key hashable set must be non-empty, since
-    salting by the key alone would give every row of a hot key the
-    same salt and defeat the spread."""
+    Salt derivation: pass `salt_cols` naming a per-row-unique column
+    (an event id, an offset) whenever one exists — that guarantees the
+    spread. The default hashes the big side's top-level HASHABLE
+    columns (maps are excluded — Spark's hash expressions reject
+    MapType, and a wide event schema with a map payload must not break
+    the drop-in contract); the non-key hashable set must be non-empty,
+    since salting by the key alone would give every row of a hot key
+    the same salt. KNOWN LIMIT of the default: rows with IDENTICAL
+    non-key content hash to one salt, so a hot key whose payload is
+    also low-cardinality does not spread (it still pays the small-side
+    replication) — that is the case for `salt_cols`. A nondeterministic
+    per-row source (rand(), monotonically_increasing_id) is
+    deliberately not used: it would break task-retry determinism and
+    streaming-replay equality."""
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_skew_join supports how='inner'|'left', got {how!r}"
@@ -146,11 +155,20 @@ def salted_skew_join(
         )
     from pyspark.sql import types as _T
 
-    hashable = [
-        f.name
-        for f in big.schema.fields
-        if not isinstance(f.dataType, _T.MapType) and f.name != key
-    ]
+    if salt_cols is not None:
+        missing = [c for c in salt_cols if c not in big.columns]
+        if missing:
+            raise ValueError(
+                f"salted_skew_join: salt_cols {missing} not in big side "
+                f"columns {big.columns}"
+            )
+        hashable = list(salt_cols)
+    else:
+        hashable = [
+            f.name
+            for f in big.schema.fields
+            if not isinstance(f.dataType, _T.MapType) and f.name != key
+        ]
     if not hashable:
         raise ValueError(
             "salted_skew_join: big side has no hashable non-key column to "

@@ -54,13 +54,18 @@ def events_replay_dir(
 ) -> str:
     """Materialize the events table as `num_files` NDJSON files under a
     deterministic scratch dir (idempotent: reused if already written —
-    the cache key includes tag AND num_files, so a different layout
-    request never silently returns an old one). Files are the replay's
-    micro-batch unit. `event_type` restricts the drop to one type —
-    the per-topic landing layout (a real ingest tier drops purchases
-    and views into separate topics/prefixes; consumers don't re-filter
-    an interleaved log)."""
+    the cache key includes tag, num_files AND event_type, so a
+    different layout request never silently returns an old one). Files
+    are the replay's micro-batch unit. `event_type` restricts the drop
+    to one type — the per-topic landing layout (a real ingest tier
+    drops purchases and views into separate topics/prefixes; consumers
+    don't re-filter an interleaved log)."""
     sf = os.path.basename(sf_dir.rstrip("/"))
+    # event_type is part of the cache key: a filtered request under the
+    # default tag must never return (or poison) the unfiltered 'base'
+    # drop every other streaming key reads.
+    if event_type is not None:
+        tag = f"{tag}_{event_type}"
     out = os.path.join(
         tempfile.gettempdir(), "geetl_spark", sf, f"stream_src_{tag}_{num_files}"
     )
@@ -113,7 +118,7 @@ def events_replay_dir_by_type(
         spark,
         sf_dir,
         num_files=num_files,
-        tag=f"t_{event_type}",
+        tag="t",  # event_type itself joins the cache key in the callee
         event_type=event_type,
     )
 

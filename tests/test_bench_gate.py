@@ -85,6 +85,112 @@ def test_gate_cli_end_to_end(tmp_path):
     assert "FAIL" in r2.stdout
 
 
+def test_recover_from_tail_start_truncated():
+    """Round 8's failure mode: the driver's 2,000-char tail capture cut
+    the START of the bench line (mid-`queries`). Recovery must rebuild a
+    payload with the surviving queries plus spread/components."""
+    full = json.dumps(
+        {
+            "metric": "headline_queries_wall_clock",
+            "value": 9.9,
+            "unit": "sec",
+            "queries": {f"q{i:02d}": 0.1 * i for i in range(30)},
+            "spread": {f"q{i:02d}": [0.1 * i, 0.2 * i] for i in range(30)},
+            "reps": 3,
+            "sf": 0.1,
+            "components": {"c1": 1.0},
+        }
+    )
+    cut = full.find('"q10"') - 2  # start cut off inside the queries map
+    doc = bench_gate.recover_from_tail(full[cut:])
+    assert doc is not None
+    assert isinstance(doc["queries"], dict) and doc["queries"]
+    assert doc["queries"]["q29"] == 0.1 * 29
+    assert doc["components"] == {"c1": 1.0}
+    assert "q05" not in doc["queries"]  # lost to truncation, by design
+    assert len(doc["spread"]) == 30  # spread survived whole
+
+    # a cut landing inside `spread` instead must NOT mislabel the
+    # [min,max] pairs as query medians — queries degrades to empty
+    cut2 = full.find('"q10": [') - 2
+    doc2 = bench_gate.recover_from_tail(full[cut2:])
+    assert doc2 is not None
+    assert doc2["queries"] == {}
+    assert doc2["spread"]["q29"] == [0.1 * 29, 0.2 * 29]
+
+
+def test_recover_from_tail_full_line_present():
+    line = json.dumps({"metric": "x", "value": 1, "queries": {"a": 0.5}})
+    doc = bench_gate.recover_from_tail("noise\n" + line)
+    assert doc == {"metric": "x", "value": 1, "queries": {"a": 0.5}}
+
+
+def test_load_prior_recovers_bench_r08_shape(tmp_path):
+    """A driver artifact with parsed:null but a raw tail (the literal
+    BENCH_r08 shape) must still produce a usable prior."""
+    full = json.dumps(
+        {
+            "metric": "m",
+            "value": 5,
+            "queries": {f"q{i}": float(i) for i in range(40)},
+            "spread": {f"q{i}": [float(i), float(i) + 0.1] for i in range(40)},
+            "components": {"c": 2.0},
+        }
+    )
+    art = {"n": 8, "rc": 0, "parsed": None, "tail": full[-2000:]}
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps(art))
+    prior = bench_gate.load_prior(root=str(tmp_path))
+    assert prior is not None
+    rnd, parsed = prior
+    assert rnd == 8
+    assert parsed["queries"] and parsed["spread"]
+
+
+def test_load_prior_merges_spread_from_tail(tmp_path):
+    """bench.py ≥ r9 prints spread on its own line; when the driver's
+    parsed payload lacks it, load_prior picks it up from the raw tail."""
+    spread_line = json.dumps({"spread": {"a": [0.4, 0.6]}})
+    main_line = json.dumps({"metric": "m", "value": 1, "queries": {"a": 0.5}})
+    art = {
+        "n": 9,
+        "rc": 0,
+        "parsed": json.loads(main_line),
+        "tail": spread_line + "\n" + main_line,
+    }
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(art))
+    rnd, parsed = bench_gate.load_prior(root=str(tmp_path))
+    assert rnd == 9
+    assert parsed["spread"] == {"a": [0.4, 0.6]}
+
+
+def test_bench_final_line_fits_driver_tail_capture():
+    """The driver records only the last 2,000 stdout chars; the parsed
+    bench line must stay under 1,800 with headroom. Simulate the line at
+    the current catalog's full key census with worst-case-width values."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench
+
+    val = 99.999  # wider than any real sf0.1 median
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: val for n in bench.HEADLINE + bench.OPTIONAL},
+        "reps": 3,
+        "sf": 0.1,
+        "pipelines": {"dedup_e2e": val},
+        "components": {n: val for n in bench.COMPONENTS},
+    }
+    line = json.dumps(out)
+    assert len(line) < 1800, (
+        f"bench line would be {len(line)} chars — trim COMPONENTS or "
+        "move another section to its own line before the driver's "
+        "2,000-char tail capture truncates the artifact again"
+    )
+
+
 def test_gate_fails_on_vanished_query():
     """A query the prior round measured but the current run omitted
     (bench fault-isolated it) must FAIL the gate, not silently pass."""

@@ -36,6 +36,74 @@ FACTOR = 1.5
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def recover_from_tail(tail: str) -> dict | None:
+    """Best-effort payload recovery from a driver artifact's raw 2,000-char
+    stdout ``tail`` when ``parsed`` is null (round 8's failure mode: the
+    bench line outgrew the tail capture, so its START is cut off).
+
+    Two shapes are tried, in order:
+
+    1. The full line survived somewhere in the tail — parse the last
+       ``{"metric"...}`` span directly.
+    2. Only a suffix survived. bench.py's line is
+       ``{"metric": ..., "queries": {...}, ["spread": {...},] ...}`` and a
+       long line truncates INSIDE the flat ``queries`` map, so the suffix
+       looks like ``<partial pair>, "name": 0.265, ...}, "spread": ...}``.
+       Re-wrap each candidate cut point (every ``, "``) as either
+       ``{"queries": {"<suffix>`` (cut inside queries) or ``{"<suffix>``
+       (cut after queries closed) and keep the first candidate that parses
+       to a dict containing a dict ``queries``. The recovered payload
+       misses the pairs before the cut plus metric/value — enough for the
+       gate, which only needs per-query medians and spread bounds.
+    """
+    m = re.search(r'\{"metric".*\}\s*$', tail, re.S)
+    if m:
+        try:
+            doc = json.loads(m.group(0))
+            if isinstance(doc, dict) and "queries" in doc:
+                return doc
+        except json.JSONDecodeError:
+            pass
+    last = tail.rstrip().rsplit("\n", 1)[-1]
+    pos = last.find(', "')
+    while pos != -1:
+        suffix = last[pos + 3:]  # starts at a clean `key": ...`
+        # wrapper order matters: a cut inside `queries` parses under the
+        # spread wrapper too (and vice versa), so each candidate is
+        # shape-checked — queries values are scalars, spread values are
+        # [min, max] lists — before being trusted.
+        for prefix, section in (
+            ('{"queries": {"', "queries"),
+            ('{"spread": {"', "spread"),
+            ('{"', None),
+        ):
+            try:
+                doc = json.loads(prefix + suffix)
+            except json.JSONDecodeError:
+                continue
+            if not isinstance(doc, dict):
+                continue
+            if section is not None:
+                inner = doc.get(section)
+                if not isinstance(inner, dict) or not inner:
+                    continue
+                want = (int, float) if section == "queries" else list
+                if not all(isinstance(v, want) for v in inner.values()):
+                    continue
+                doc.setdefault("queries", {})
+                return doc
+            if isinstance(doc.get("queries"), dict):
+                return doc
+            if isinstance(doc.get("spread"), dict) or isinstance(
+                doc.get("components"), dict
+            ):
+                # cut after `queries` closed — medians lost, bounds kept
+                doc.setdefault("queries", {})
+                return doc
+        pos = last.find(', "', pos + 1)
+    return None
+
+
 def load_prior(root: str = REPO_ROOT) -> tuple[int, dict] | None:
     """(round, parsed bench payload) of the newest BENCH_r*.json, or
     None when no artifact exists (round 1)."""
@@ -52,8 +120,23 @@ def load_prior(root: str = REPO_ROOT) -> tuple[int, dict] | None:
     with open(best[1]) as f:
         doc = json.load(f)
     parsed = doc.get("parsed", doc)  # accept a raw bench.py line too
+    tail = doc.get("tail") if isinstance(doc, dict) else None
     if not isinstance(parsed, dict) or "queries" not in parsed:
-        return None
+        # driver couldn't parse the line (it outgrew the tail capture) —
+        # reconstruct from the raw tail instead of going blind
+        parsed = recover_from_tail(tail) if isinstance(tail, str) else None
+        if parsed is None:
+            return None
+    elif "spread" not in parsed and isinstance(tail, str):
+        # bench.py ≥ r9 emits spread on its own preceding line to keep
+        # the parsed line under the capture limit; pick it back up from
+        # the tail when it survived there
+        sm = re.search(r'\{"spread": \{.*?\}\}', tail, re.S)
+        if sm:
+            try:
+                parsed = {**parsed, **json.loads(sm.group(0))}
+            except json.JSONDecodeError:
+                pass
     return best[0], parsed
 
 
