@@ -161,34 +161,38 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING face of the custom Python data source
-    (sources/pysource.py SimpleDataSourceStreamReader): micro-batches
-    of deterministic rows driven by the engine's repeated read() calls
-    against checkpointable {'index'} offsets, aggregated under
+    (sources/pysource.py), on its PARTITIONED `DataSourceStreamReader`
+    — the executor-side scale shape: the driver plans offsets only and
+    the rows are generated inside executor tasks, aggregated under
     complete mode. The batch face holds the `scan_python_source` slot;
     this key gives the stream reader its own driver row — same
     determinism contract, so the same `range(0, n)` oracle re-derives
     the final state. Value sums go through DECIMAL(18,2) (exact,
     association-order-free) per the repo's determinism rules.
 
+    The CONTRAST this key used to measure the hard way: its first
+    implementation rode the `SimpleDataSourceStreamReader` face, whose
+    engine wrapper prefetches every row THROUGH THE DRIVER — fine for
+    the offset-model pytests that still pin it via
+    `.option("reader", "simple")`, but a driver bottleneck shape at
+    any scale (3.77 s here vs ~1.8 s for every other streaming key; a
+    production source must implement the partitioned face, as this one
+    now does by default — see the reader class docstrings for the full
+    design note).
+
     Termination follows the stream_rate_source pattern
-    (run_until_input_rows): the source is unbounded-shaped (at the n
-    cap read() reports no new data), so the run stops on the engine's
-    own progress telemetry once all n tracked rows are committed.
+    (run_until_input_rows): the run stops on the engine's own progress
+    telemetry once all n tracked rows are committed (one micro-batch —
+    a static finite source is wholly available at start).
     `sf_dir` is unused: the source IS the data."""
     from ..sources.pysource import register_synthetic_source
 
     register_synthetic_source(spark)
     n_total = 5000
-    # 2500 rows/batch = two tracked micro-batches, mirroring the rate
-    # key: each batch of a SimpleDataSourceStreamReader round-trips
-    # through the driver-side Python prefetcher, so batch count IS the
-    # fixed cost (4 batches measured 4.3 s, 2 batches ~2 s); multi-
-    # batch offset progression stays exercised, as does the pytest's
-    # finer-grained 250-row replay.
     stream = (
         spark.readStream.format("synthetic_events")
         .option("n", n_total)
-        .option("rows_per_batch", 2500)
+        .option("num_partitions", 4)
         .load()
     )
     shaped = stream.groupBy("event_type").agg(

@@ -215,6 +215,7 @@ def run_until_input_rows(
     n_rows: int,
     query_name: str,
     output_mode: str = "complete",
+    shuffle_partitions: int | None = 4,
 ) -> DataFrame:
     """Run an UNBOUNDED-shaped stream into a memory sink until the
     engine's own progress telemetry reports `n_rows` total input rows
@@ -229,17 +230,32 @@ def run_until_input_rows(
     recentProgress is a ring buffer (spark.sql.streaming.
     numRecentProgressUpdates, default 100 entries): keep batch counts
     per run well under it, as every caller here does.
+
+    `shuffle_partitions` pins the state-store count for the stream's
+    lifetime exactly as in `run_bounded` (see its docstring for the
+    cost model — the final state is partition-count-invariant); pass
+    None to leave the session value untouched.
     """
     name = f"{query_name}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"geetl_{query_name}_ckpt_")
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key) if shuffle_partitions is not None else None
+    if shuffle_partitions is not None:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    finally:
+        # the plan is locked at start(): restore immediately so the
+        # pin never leaks into the shared session
+        if prev is not None:
+            spark.conf.set(key, prev)
     try:
         for _ in range(600):
             seen = sum(int(p.numInputRows) for p in q.recentProgress)

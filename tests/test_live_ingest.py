@@ -260,12 +260,16 @@ def test_synthetic_events_python_datasource(spark):
 
 
 def test_synthetic_events_streaming_source(spark):
-    """The streaming face of the Python data source: micro-batches of
-    rows_per_batch rows driven by the engine's repeated read() calls
-    (offsets are {'index'} dicts the engine checkpoints; at the n cap
-    read() reports no new data). The run stops on the engine's own
-    progress telemetry — the stream_rate_source termination pattern —
-    and the landed rows must equal the deterministic model exactly."""
+    """The SIMPLE streaming face of the Python data source
+    (reader=simple): micro-batches of rows_per_batch rows driven by
+    the engine's repeated read() calls (offsets are {'index'} dicts
+    the engine checkpoints; at the n cap read() reports no new data).
+    The run stops on the engine's own progress telemetry — the
+    stream_rate_source termination pattern — and the landed rows must
+    equal the deterministic model exactly. The per-batch row-count
+    assertion below is WHY this test pins the simple face: it is the
+    offset-progression model test; the default partitioned face plans
+    one all-available batch instead."""
     import shutil
     import tempfile
     import uuid
@@ -281,6 +285,7 @@ def test_synthetic_events_streaming_source(spark):
         spark.readStream.format("synthetic_events")
         .option("n", n_total)
         .option("rows_per_batch", 250)
+        .option("reader", "simple")
         .load()
     )
     name = f"synth_{uuid.uuid4().hex[:8]}"
@@ -310,6 +315,90 @@ def test_synthetic_events_streaming_source(spark):
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_synthetic_events_partitioned_stream_reader(spark):
+    """The PARTITIONED (default) streaming face: the driver plans
+    offsets only and `read()` executes in executor tasks — the scale
+    shape, vs the simple face's driver-side prefetch. For this static
+    finite source every index is available at start, so the run is ONE
+    micro-batch carrying all n rows; rows must equal the deterministic
+    model exactly (same rows either face — that is the twin
+    contract)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from github_event_etl_spark.sources.pysource import (
+        _row,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    n_total = 1000
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", n_total)
+        .option("num_partitions", 4)
+        .load()
+    )
+    name = f"synthp_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="geetl_synthp_ckpt_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        _drain_until(q, n_total, "partitioned synthetic stream")
+        batches = [
+            int(p.numInputRows)
+            for p in q.recentProgress
+            if int(p.numInputRows) > 0
+        ]
+        q.stop()
+        got = sorted(tuple(r) for r in spark.table(name).collect())
+        model = sorted(
+            (i, ts.replace(tzinfo=None), u, t, v)
+            for i, ts, u, t, v in (_row(i) for i in range(n_total))
+        )
+        assert got == model
+        assert batches == [n_total]  # all-available-at-start: one batch
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_partitioned_stream_reader_offset_model():
+    """Driver-side planning contract of the partitioned face:
+    latestOffset reports the full cap, partitions() splits [start, end)
+    into contiguous executor ranges, an empty or REGRESSED range (a
+    checkpoint past a shrunken n) plans no work rather than emitting
+    rows backward."""
+    from github_event_etl_spark.sources.pysource import (
+        _SyntheticEventsPartitionedStreamReader,
+    )
+
+    rdr = _SyntheticEventsPartitionedStreamReader(
+        {"n": "100", "num_partitions": "4"}
+    )
+    assert rdr.initialOffset() == {"index": 0}
+    assert rdr.latestOffset() == {"index": 100}
+    parts = rdr.partitions({"index": 0}, {"index": 100})
+    assert [(p.start, p.end) for p in parts] == [
+        (0, 25), (25, 50), (50, 75), (75, 100)
+    ]
+    # ranges that don't split evenly still cover exactly [lo, hi)
+    parts = rdr.partitions({"index": 90}, {"index": 100})
+    assert [(p.start, p.end) for p in parts] == [
+        (90, 93), (93, 96), (96, 99), (99, 100)
+    ]
+    assert rdr.partitions({"index": 100}, {"index": 100}) == []
+    assert rdr.partitions({"index": 250}, {"index": 100}) == []
+    rows = list(rdr.read(parts[0]))
+    assert [r[0] for r in rows] == [90, 91, 92]
 
 
 def test_python_ndjson_stream_sink_end_to_end(spark):
