@@ -49,6 +49,7 @@ COMPONENTS = [
     "llm_multimodal_resize",
     "llm_bpe_pairs",
     "profile_table",
+    "profile_table_approx",
     "merge_upsert",
     "scd2_history",
 ]

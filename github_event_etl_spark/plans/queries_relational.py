@@ -1073,6 +1073,28 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(load_table(spark, sf_dir, "lineitem"))
 
 
+@query(
+    "profile_table_approx",
+    oracle=None,
+    tags=("relational", "partB", "quality", "approx"),
+)
+def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL twin of `profile_table`: identical output schema, ONE
+    wide aggregation pass (no per-column branches, no Expand — plan-
+    gated in tests/test_plans.py), `approx_count_distinct` for the
+    cardinalities. Rows-only driver check BY DESIGN: HLL sketch values
+    are engine-specific, so no DuckDB value hash can pin them — the
+    value-level signal lives in the exact-twin comparison pytest
+    (tests/test_plans.py::test_profile_modes_avoid_expand: schemas
+    equal, n_rows/n_nulls exactly equal, n_distinct within the HLL
+    error envelope). This is the profile mode a 100 TB ingest gate
+    actually runs: constant memory per column, single pass, ±2%
+    cardinalities."""
+    from ..operators.profile import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "lineitem"), approx=True)
+
+
 # --------------------------------------------- incremental maintenance
 
 _MERGE_CUTOFF = "2024-01-16 00:00:00"

@@ -654,7 +654,13 @@ def test_profile_modes_avoid_expand(qmap, spark, sf_dir):
     # each exact branch scans ONE column (pruned), not the full width
     assert "ReadSchema: struct<l_orderkey:bigint>" in p_exact
     assert "Expand" not in plan(approx)
-    # approx profiles the same columns with plausible cardinalities
+    # approx vs exact twin: counts/null-counts/min/max EXACTLY equal
+    # (they are not sketched), n_distinct within the HLL error
+    # envelope — approx_count_distinct's default rsd is 0.05, and the
+    # 2×rsd bound here is ~4 standard errors (the agg_approx_distinct
+    # key's 5×rsd precedent, tightened since this data is fixed).
+    # This is the value-level hard signal behind the rows-only
+    # profile_table_approx driver key.
     rows = {r.col_name: r for r in approx.collect()}
     exact_rows = {r.col_name: r for r in exact.collect()}
     assert set(rows) == set(exact_rows)
@@ -662,6 +668,9 @@ def test_profile_modes_avoid_expand(qmap, spark, sf_dir):
         e = exact_rows[c]
         assert r.n_rows == e.n_rows and r.n_nulls == e.n_nulls
         assert abs(r.n_distinct - e.n_distinct) <= max(3, 0.1 * e.n_distinct)
+        assert (r.min_num, r.max_num, r.min_str, r.max_str) == (
+            e.min_num, e.max_num, e.min_str, e.max_str
+        )
 
 
 def test_zorder_layout_tightens_both_dims(spark, tmp_path):

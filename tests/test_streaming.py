@@ -561,3 +561,113 @@ def test_interval_join_rejects_suffix_collision(spark, sf_dir):
     bad_left = left.withColumn("user_id_r", F.col("user_id"))
     with pytest.raises(ValueError, match="user_id_r"):
         interval_join_streams(bad_left, right, key="user_id")
+
+
+def test_salted_skew_join_stream_static_hot_key(spark):
+    """salted_skew_join against the exact path it exists for: a
+    stream-static equi-join whose stream side carries a planted
+    100k-row hot key, with broadcast disabled (AQE cannot rebalance a
+    stream-static join — state/exchange partitioning is fixed by the
+    plan before any runtime statistics exist, and the small side here
+    is declared broadcast-ineligible). The salt comes from the per-row-
+    unique event_id (`salt_cols`), so the hot key's rows must spread
+    over every salt bucket; the executed micro-batch plan must show the
+    (key, salt) exchange on the stream side and no broadcast join; and
+    the result must equal the plain batch join row-for-row
+    (SURVEY §7 Phase 5's hot-actor skew scenario)."""
+    import uuid
+
+    from github_event_etl_spark.operators.skew import (
+        SALT_COL,
+        salted_skew_join,
+        with_salt,
+    )
+
+    n_hot, n_spread, n_salts = 100_000, 5_000, 8
+    src = tempfile.mkdtemp(prefix="geetl_skewstream_src_")
+    ckpt = tempfile.mkdtemp(prefix="geetl_skewstream_ckpt_")
+    bcast_keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    prev = {k: spark.conf.get(k, None) for k in bcast_keys}
+    name = f"skewjoin_{uuid.uuid4().hex[:8]}"
+    try:
+        base = spark.range(n_hot + n_spread).select(
+            F.col("id").alias("event_id"),
+            (F.lit(_ts(1.0)) + F.col("id")).alias("ts_us"),
+            F.when(F.col("id") < n_hot, F.lit(7))
+            .otherwise(F.col("id") % 97)
+            .alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            (F.col("id") % 100).cast("double").alias("value"),
+        )
+        base.repartition(4).write.mode("overwrite").json(src)
+
+        dim = spark.createDataFrame(
+            [(u, f"seg_{u % 5}") for u in range(97)],
+            "user_id long, segment string",
+        )
+
+        for k in bcast_keys:
+            spark.conf.set(k, "-1")
+
+        # the hot key's rows must actually spread: unique-column salt
+        hot_salts = (
+            with_salt(
+                spark.read.schema(REPLAY_SCHEMA).json(src).filter(
+                    F.col("user_id") == 7
+                ),
+                n_salts,
+                from_cols=["event_id"],
+            )
+            .select(SALT_COL)
+            .distinct()
+            .count()
+        )
+        assert hot_salts == n_salts
+
+        stream = read_event_stream(spark, src)
+        joined = salted_skew_join(
+            stream, dim, "user_id", n_salts=n_salts, salt_cols=["event_id"]
+        ).select("event_id", "user_id", "segment")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(True)
+        q.stop()
+
+        # the executed micro-batch plan: (key, salt) exchange on the
+        # stream side, and no broadcast anywhere
+        salted_exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning(user_id" in ln and SALT_COL in ln
+        ]
+        assert len(salted_exchanges) >= 2  # one per join side
+        assert "BroadcastHashJoin" not in plan
+
+        got = spark.table(name)
+        want = (
+            spark.read.schema(REPLAY_SCHEMA)
+            .json(src)
+            .join(dim, "user_id")
+            .select("event_id", "user_id", "segment")
+        )
+        assert got.count() == n_hot + n_spread  # every user_id matches
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
