@@ -249,14 +249,20 @@ def main() -> None:
     if components:
         out["components"] = components
     if errors:
-        out["errors"] = errors
+        out["n_errors"] = len(errors)
     # The driver records only the LAST ~2,000 chars of stdout; round 8's
     # single line grew past that (spread + components) and the official
     # headline landed unparseable (BENCH_r08.json parsed:null). Contract
-    # since round 9: `spread` goes on its OWN preceding line (same
-    # driver ignores it; tools/bench_gate.py recovers it from the raw
-    # tail when present) and the final driver-parsed line stays compact
-    # — tests/test_bench_gate.py pins it under 1,800 chars.
+    # since round 9: `spread` and `errors` go on their OWN preceding
+    # lines (the driver ignores them; tools/bench_gate.py recovers
+    # spread from the raw tail when it survives there) and the final
+    # driver-parsed line stays compact — it carries only an `n_errors`
+    # count, and tests/test_bench_gate.py pins it under 1,800 chars.
+    # Error details print FIRST (furthest from the tail's end): on the
+    # runs where queries fail, the parsed line itself is what must
+    # survive the capture, exactly as in a clean run.
+    if errors:
+        print(json.dumps({"errors": errors}))
     print(json.dumps({"spread": spread}))
     line = json.dumps(out)
     if len(line) > 1800:

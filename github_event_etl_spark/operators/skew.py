@@ -162,6 +162,18 @@ def salted_skew_join(
                 f"salted_skew_join: salt_cols {missing} not in big side "
                 f"columns {big.columns}"
             )
+        # the same key-exclusion rule the default path enforces: a
+        # salt derived from the join key alone is constant per key —
+        # every hot-key row lands in ONE bucket while still paying
+        # the small-side replication (an easy slip, since salt_cols
+        # and key both name columns)
+        if not [c for c in salt_cols if c != key]:
+            raise ValueError(
+                "salted_skew_join: salt_cols must include at least one "
+                f"non-key column, got {salt_cols!r} for key {key!r} — "
+                "salting by the join key alone gives every row of a "
+                "hot key the same salt"
+            )
         hashable = list(salt_cols)
     else:
         hashable = [

@@ -23,6 +23,7 @@ update-contributor-scores.js:195-204).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -138,6 +139,25 @@ def read_event_stream(spark: SparkSession, src_dir: str, **options) -> DataFrame
     )
 
 
+@contextlib.contextmanager
+def _pinned_confs(spark: SparkSession, pins: dict[str, str]):
+    """THE conf pin/restore mechanism for the bounded-replay helpers.
+    Restore is faithful: a key that was UNSET before pinning is unset
+    again — re-setting the old effective value (or skipping restore)
+    would leak the bounded-replay config into the shared session."""
+    prev = [(k, spark.conf.get(k, None)) for k in pins]
+    try:
+        for k, v in pins.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, p in prev:
+            if p is not None:
+                spark.conf.set(k, p)
+            else:
+                spark.conf.unset(k)
+
+
 def run_bounded(
     stream_df: DataFrame,
     output_mode: str,
@@ -174,39 +194,24 @@ def run_bounded(
     name = f"{query_name or 'q'}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="geetl_ckpt_")
     spark = stream_df.sparkSession
-    pins: list[tuple[str, str | None, str]] = []  # (key, prev, pinned)
+    pins: dict[str, str] = {}
     if shuffle_partitions is not None:
-        pins.append(
-            ("spark.sql.shuffle.partitions", None, str(shuffle_partitions))
-        )
+        pins["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if not no_data_batches:
-        pins.append(
-            ("spark.sql.streaming.noDataMicroBatches.enabled", None, "false")
-        )
-    pins = [(k, spark.conf.get(k, None), v) for k, _, v in pins]
+        pins["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
     try:
-        for k, _, v in pins:
-            spark.conf.set(k, v)
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _pinned_confs(spark, pins):
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name)
     finally:
-        for k, prev, _ in pins:
-            # Restore faithfully: a None prev means the key was unset
-            # before we pinned it, so unset it again — re-setting the
-            # pinned value (or skipping restore) would leak the bounded-
-            # replay config into the shared session.
-            if prev is not None:
-                spark.conf.set(k, prev)
-            else:
-                spark.conf.unset(k)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -239,11 +244,12 @@ def run_until_input_rows(
     name = f"{query_name}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"geetl_{query_name}_ckpt_")
     spark = stream_df.sparkSession
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key) if shuffle_partitions is not None else None
+    pins: dict[str, str] = {}
     if shuffle_partitions is not None:
-        spark.conf.set(key, str(shuffle_partitions))
-    try:
+        pins["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # the query clones the session config synchronously inside start():
+    # the pin is restored immediately after, before the poll loop
+    with _pinned_confs(spark, pins):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -251,11 +257,6 @@ def run_until_input_rows(
             .option("checkpointLocation", ckpt)
             .start()
         )
-    finally:
-        # the plan is locked at start(): restore immediately so the
-        # pin never leaks into the shared session
-        if prev is not None:
-            spark.conf.set(key, prev)
     try:
         for _ in range(600):
             seen = sum(int(p.numInputRows) for p in q.recentProgress)

@@ -163,6 +163,54 @@ def test_load_prior_merges_spread_from_tail(tmp_path):
     assert parsed["spread"] == {"a": [0.4, 0.6]}
 
 
+def test_load_prior_recovers_truncated_spread_line(tmp_path):
+    """THE realistic r9+ artifact shape at the full catalog census:
+    spread line + main line together exceed the 2,000-char tail
+    capture, so the spread line's START is cut off. load_prior must
+    still recover the surviving spread entries (partial is fine — the
+    gate medians-fallback only the lost ones); without this the gate
+    silently tightens from 1.5x-upper-bound to 1.5x-median for every
+    query and host noise starts failing commits."""
+    import bench  # noqa: F401  (census source)
+
+    names = bench.HEADLINE + bench.OPTIONAL
+    spread_line = json.dumps(
+        {
+            "spread": {
+                n: [9.111, 9.999]
+                for n in names + ["dedup_e2e"] + bench.COMPONENTS
+            }
+        }
+    )
+    main_line = json.dumps(
+        {
+            "metric": "headline_queries_wall_clock",
+            "value": 99.9,
+            "unit": "sec",
+            "queries": {n: 9.5 for n in names},
+            "reps": 3,
+            "sf": 0.1,
+            "pipelines": {"dedup_e2e": 9.5},
+            "components": {n: 9.5 for n in bench.COMPONENTS},
+        }
+    )
+    two_lines = spread_line + "\n" + main_line
+    assert len(two_lines) > 2000, "census shrank; adjust the test"
+    art = {
+        "n": 9,
+        "rc": 0,
+        "parsed": json.loads(main_line),
+        "tail": two_lines[-2000:],
+    }
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(art))
+    rnd, parsed = bench_gate.load_prior(root=str(tmp_path))
+    assert rnd == 9
+    spread = parsed.get("spread")
+    assert spread, "truncated spread line must still yield entries"
+    assert spread[names[-1]] == [9.111, 9.999]
+    assert all(isinstance(v, list) for v in spread.values())
+
+
 def test_bench_final_line_fits_driver_tail_capture():
     """The driver records only the last 2,000 stdout chars; the parsed
     bench line must stay under 1,800 with headroom. Simulate the line at
@@ -182,6 +230,9 @@ def test_bench_final_line_fits_driver_tail_capture():
         "sf": 0.1,
         "pipelines": {"dedup_e2e": val},
         "components": {n: val for n in bench.COMPONENTS},
+        # error DETAILS go on their own line; the parsed line carries
+        # only this count, so a failing run stays under the capture too
+        "n_errors": 99,
     }
     line = json.dumps(out)
     assert len(line) < 1800, (

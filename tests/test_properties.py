@@ -798,3 +798,20 @@ def test_salted_skew_join_equals_plain_join(spark, big, small, how):
         (r.k, r.v, r.w) for r in b.join(s, "k", how).collect()
     )
     assert got == want
+
+
+def test_salted_skew_join_rejects_key_only_salt_cols(spark):
+    """salt_cols consisting only of the join key must fail fast: the
+    salt would be constant per key — zero spread, full small-side
+    replication cost — and both parameters naming columns makes it an
+    easy slip."""
+    from github_event_etl_spark.operators.skew import salted_skew_join
+
+    b = spark.createDataFrame([(1, 2)], "k long, v long")
+    s = spark.createDataFrame([(1, 3)], "k long, w long")
+    with pytest.raises(ValueError, match="non-key column"):
+        salted_skew_join(b, s, "k", salt_cols=["k"])
+    with pytest.raises(ValueError, match="non-key column"):
+        salted_skew_join(b, s, "k", salt_cols=[])
+    with pytest.raises(ValueError, match="not in big side"):
+        salted_skew_join(b, s, "k", salt_cols=["nope"])

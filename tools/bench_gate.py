@@ -104,6 +104,43 @@ def recover_from_tail(tail: str) -> dict | None:
     return None
 
 
+def recover_spread_from_tail(tail: str) -> dict | None:
+    """The spread map from an artifact tail, tolerating a START-
+    truncated spread line. bench.py prints spread on its own line
+    before the parsed line, and at the full catalog census
+    spread-line + main-line together EXCEED the driver's 2,000-char
+    capture — so the spread line's beginning is routinely cut off.
+    A partial spread is still useful: the gate falls back to the
+    median bound only for the queries whose [min, max] was lost."""
+    # intact line first (spread values are lists, so the inner dict
+    # has no nested braces)
+    m = re.search(r'\{"spread": (\{[^{}]*\})\}', tail)
+    if m:
+        try:
+            return json.loads(m.group(1))
+        except json.JSONDecodeError:
+            pass
+    first = tail.splitlines()[0] if tail else ""
+    if not first.rstrip().endswith("}}"):
+        return None
+    pos = first.find(', "')
+    while pos != -1:
+        try:
+            doc = json.loads('{"spread": {"' + first[pos + 3:])
+        except json.JSONDecodeError:
+            doc = None
+        if isinstance(doc, dict):
+            inner = doc.get("spread")
+            if (
+                isinstance(inner, dict)
+                and inner
+                and all(isinstance(v, list) for v in inner.values())
+            ):
+                return inner
+        pos = first.find(', "', pos + 1)
+    return None
+
+
 def load_prior(root: str = REPO_ROOT) -> tuple[int, dict] | None:
     """(round, parsed bench payload) of the newest BENCH_r*.json, or
     None when no artifact exists (round 1)."""
@@ -130,13 +167,11 @@ def load_prior(root: str = REPO_ROOT) -> tuple[int, dict] | None:
     elif "spread" not in parsed and isinstance(tail, str):
         # bench.py ≥ r9 emits spread on its own preceding line to keep
         # the parsed line under the capture limit; pick it back up from
-        # the tail when it survived there
-        sm = re.search(r'\{"spread": \{.*?\}\}', tail, re.S)
-        if sm:
-            try:
-                parsed = {**parsed, **json.loads(sm.group(0))}
-            except json.JSONDecodeError:
-                pass
+        # the tail — including a start-truncated spread line, the
+        # normal case at the full catalog census
+        spread = recover_spread_from_tail(tail)
+        if spread is not None:
+            parsed = {**parsed, "spread": spread}
     return best[0], parsed
 
 
