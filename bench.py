@@ -52,6 +52,10 @@ COMPONENTS = [
     "profile_table_approx",
     "merge_upsert",
     "scd2_history",
+    "sessionize_gap",
+    "join_bucketed_colocated",
+    "profile_drift",
+    "fn_unpivot",
 ]
 # LLM-pipeline + streaming headliners (import-safe: skipped if absent).
 OPTIONAL = [

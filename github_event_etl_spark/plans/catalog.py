@@ -108,25 +108,22 @@ def staleness_bound_rounds() -> int:
     ceil(registry size / driver window)."""
     n = len(all_specs())
     return -(-n // _DRIVER_KEYS_PER_ROUND)
-_DEFER_NEW_UNTIL_ROUND = 8
+_DEFER_NEW_UNTIL_ROUND = 9
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # round 8: the round's new-key budget is spent on
-    # scan_python_source + stream_interval_join + llm_multimodal_resize
-    # (never-checked, at the front of the r8 window), so these SIX
-    # later additions rank last and take their first driver check in
-    # round 9 — local oracle replay in tests/test_oracle.py and
-    # sf0.01 driver_sim runs cover them meanwhile. Six matches the r6
-    # precedent and stays inside the documented ceil(R/50)-round
-    # staleness bound (118 keys → 3 rounds). Entries self-clear when
-    # CORRECTNESS_r08 lands. (Round 6's six deferred entries
-    # self-cleared when CORRECTNESS_r06 landed and their green rows
-    # followed in r07.)
-    "llm_bpe_pairs",
-    "stream_interval_join_outer",
-    "profile_table",
-    "merge_upsert",
-    "scd2_history",
-    "stream_python_source",
+    # round 9: the round's ~1-new-key budget is spent on
+    # profile_table_approx (riding at the window front with round 8's
+    # six deferred keys, which self-cleared when CORRECTNESS_r08
+    # landed and now take their first driver check this round). These
+    # FOUR later additions rank last and defer to the round-10 window
+    # — local oracle replay in tests/test_oracle.py and sf0.01
+    # driver_sim runs cover them meanwhile, per the r6/r8 precedent,
+    # inside the documented ceil(R/50)-round staleness bound
+    # (123 keys → 3 rounds). Entries self-clear when CORRECTNESS_r09
+    # lands.
+    "sessionize_gap",
+    "join_bucketed_colocated",
+    "profile_drift",
+    "fn_unpivot",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

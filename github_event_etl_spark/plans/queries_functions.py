@@ -355,3 +355,37 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p.k") * 2).alias("k_doubled"),
         F.col("p.missing").isNull().alias("missing_null"),
     )
+
+
+@query(
+    "fn_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS amount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    tags=("functions", "partB", "reshape"),
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 reshape: UNPIVOT/melt — the inverse of `agg_pivot_type`'s
+    wide pivot, turning four measure columns into (metric, amount)
+    rows. `DataFrame.unpivot` plans a single Expand over ONE scan
+    (each input row emits 4 output rows in the same task — map-side,
+    no shuffle, no self-union re-scan); the oracle's 4-way UNION ALL
+    is the portable relational spelling of the same multiset. Stored
+    doubles pass through unchanged (no arithmetic), so the value hash
+    is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    )

@@ -450,6 +450,64 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "q_name")
 
 
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join", "partB", "layout"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed CO-LOCATED join (operators/layout.py
+    write_bucketed_table): both sides land bucketed by the join key
+    into the same bucket count, so the join consumes the write-time
+    layout and plans ZERO shuffle exchanges — at 100 TB the facts→dims
+    join shuffle is usually a pipeline's single largest cost, and
+    bucketing pays it once at write time, amortized over every
+    subsequent join (the plan fact is pinned by
+    tests/test_plans.py::test_bucketed_join_skips_shuffle, including
+    the two-exchange non-bucketed control). The merge hint keeps the
+    bucketed sort-merge shape even where a small dim would broadcast —
+    THIS key demonstrates the co-location path; `join_broadcast` owns
+    the broadcast one. Result values are layout-invariant, which is
+    exactly what the plain-join oracle asserts.
+
+    The bucketed twins build once per (sf, table) under the scratch
+    dir and re-register idempotently — the same materialize-once
+    contract as events_replay_dir."""
+    from ..operators.layout import write_bucketed_table
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tables = {}
+    for table, key, cols in (
+        ("orders", "o_custkey", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        ("customer", "c_custkey", ["c_custkey", "c_name"]),
+    ):
+        name = f"geetl_{sf}_{table}_bucketed"
+        if not spark.catalog.tableExists(name):
+            write_bucketed_table(
+                load_table(spark, sf_dir, table).select(*cols),
+                name,
+                os.path.join(
+                    tempfile.gettempdir(),
+                    "geetl_spark",
+                    os.path.basename(sf_dir.rstrip("/")),
+                    f"bucketed_{table}_8",
+                ),
+                bucket_col=key,
+                num_buckets=8,
+                sort_col=key,
+            )
+        tables[table] = spark.table(name)
+    ob, cb = tables["orders"], tables["customer"]
+    return (
+        ob.hint("merge")
+        .join(cb, ob.o_custkey == cb.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
 # ---------------------------------------------------------- B4: aggregations
 
 
@@ -851,6 +909,83 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sessionize_gap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*)::BIGINT AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+             AS duration_us
+    FROM sess GROUP BY 1, 2
+    """,
+    tags=("window", "partB", "session"),
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization by inactivity gap — the batch twin of
+    `stream_session_windows` (same 30-minute gap), and the canonical
+    lag→flag→running-sum window composition every clickstream pipeline
+    runs: a session is a maximal per-user run of events whose
+    consecutive gaps stay within 30 minutes; output is one row per
+    session (start, event count, duration). Ordering ties on ts break
+    by the unique event_id so the running session numbering — and the
+    value hash — is deterministic.
+
+    Plan shape: ONE exchange total (plan-gated). The user_id hash
+    partitioning serves the lag flag and the running sum (same
+    partitioning + ordering → one Sort feeding two Window nodes), and
+    because user_id is a subset of the aggregate's grouping keys
+    (user_id, session_id), the SAME partitioning satisfies the
+    per-session aggregate's clustered distribution — Catalyst plans
+    partial+final HashAggregate with no new exchange and no global
+    sort. At 100 TB that one exchange is the same hash partitioning
+    any per-user analysis pays. Gap boundaries compare epoch
+    MICROSECONDS (exact integers), mirroring `epoch_us()` in the
+    oracle — no float time arithmetic.
+
+    Reference analog: the 300 s dedup horizon
+    (insert-events-into-db.lua:39) is a TTL on a per-key timeline;
+    sessionization is the same inactivity-window concept promoted to
+    an analytic operator."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(run).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        ts_string(F.min("ts")).alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
 # ----------------------------------------------------- B6: sort / B7: set ops
 
 
@@ -1093,6 +1228,100 @@ def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_columns
 
     return profile_columns(load_table(spark, sf_dir, "lineitem"), approx=True)
+
+
+_DRIFT_CUTOFF = "2024-01-16 00:00:00"
+_DRIFT_COLS = ("user_id", "event_type", "value")
+
+
+def _drift_side_sql(cmp: str) -> str:
+    """One side of the drift oracle: per-column (rows, non-null,
+    distinct) over events filtered by the cutoff comparison."""
+    parts = [
+        f"""
+      SELECT '{c}' AS col_name, count(*) AS n_rows, count({c}) AS nn,
+             count(DISTINCT {c}) AS nd
+      FROM events WHERE ts {cmp} TIMESTAMP '{_DRIFT_CUTOFF}'"""
+        for c in _DRIFT_COLS
+    ]
+    return "\n      UNION ALL".join(parts)
+
+
+@query(
+    "profile_drift",
+    oracle=f"""
+    WITH base AS ({_drift_side_sql('<')}
+    ),
+    cand AS ({_drift_side_sql('>=')}
+    )
+    SELECT b.col_name,
+           b.n_rows::BIGINT AS base_rows, c.n_rows::BIGINT AS cand_rows,
+           (b.n_rows - b.nn)::BIGINT AS base_nulls,
+           (c.n_rows - c.nn)::BIGINT AS cand_nulls,
+           b.nd::BIGINT AS base_distinct, c.nd::BIGINT AS cand_distinct,
+           CAST(c.nd AS DOUBLE) / CAST(b.nd AS DOUBLE) AS distinct_ratio,
+           CAST(c.n_rows - c.nn AS DOUBLE) / CAST(c.n_rows AS DOUBLE)
+             - CAST(b.n_rows - b.nn AS DOUBLE) / CAST(b.n_rows AS DOUBLE)
+             AS null_rate_delta
+    FROM base b JOIN cand c USING (col_name)
+    """,
+    tags=("relational", "partB", "quality"),
+)
+def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-acceptance DRIFT gate the profile operator exists to
+    feed: profile a candidate batch (events at/after the cutoff)
+    against the accepted baseline (before it) and emit per-column
+    drift metrics — row/null/distinct counts side by side, the
+    distinct-cardinality ratio, and the null-rate delta. A pipeline at
+    100 TB runs exactly this before admitting a day's drop: cardinality
+    collapse and null-rate jumps are how upstream schema rot shows up
+    before it poisons a corpus (the generalization of the reference's
+    monitoring read-side counts, README.md:143-176, compared across
+    runs).
+
+    Plan shape: two profile passes (operators/profile.py exact mode —
+    per-column PRUNED aggregates, no Expand) over ts-filtered scans;
+    each side reduces to one row per profiled column, so the drift
+    join is a broadcast of a handful of rows. The ratio/delta doubles
+    are single IEEE divisions of exact integer counts — deterministic
+    across engines, hence hashable by the oracle."""
+    from ..operators.profile import profile_columns
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit(_DRIFT_CUTOFF))
+    cols = list(_DRIFT_COLS)
+
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        p = profile_columns(df, cols)
+        return p.select(
+            "col_name",
+            F.col("n_rows").alias(f"{prefix}_rows"),
+            F.col("n_nulls").alias(f"{prefix}_nulls"),
+            F.col("n_distinct").alias(f"{prefix}_distinct"),
+        )
+
+    base = side(ev.filter(F.col("ts") < cutoff), "base")
+    cand = side(ev.filter(F.col("ts") >= cutoff), "cand")
+    j = base.join(F.broadcast(cand), "col_name")
+    return j.select(
+        "col_name",
+        "base_rows",
+        "cand_rows",
+        "base_nulls",
+        "cand_nulls",
+        "base_distinct",
+        "cand_distinct",
+        (
+            F.col("cand_distinct").cast("double")
+            / F.col("base_distinct").cast("double")
+        ).alias("distinct_ratio"),
+        (
+            F.col("cand_nulls").cast("double")
+            / F.col("cand_rows").cast("double")
+            - F.col("base_nulls").cast("double")
+            / F.col("base_rows").cast("double")
+        ).alias("null_rate_delta"),
+    )
 
 
 # --------------------------------------------- incremental maintenance

@@ -760,3 +760,44 @@ def test_merge_and_scd2_plans_are_scale_safe(qmap, spark, sf_dir):
     p_scd = plan_of(qmap, spark, sf_dir, "scd2_history")
     assert "Window" in p_scd
     assert "Join" not in tree_of(p_scd)
+
+
+def test_sessionize_gap_single_exchange(qmap, spark, sf_dir):
+    """Batch sessionization must pay exactly ONE exchange: the user_id
+    hash partitioning serves the lag flag, the running session sum
+    (same partitioning AND ordering → one Sort, two Window nodes, no
+    re-shuffle) and then the per-session aggregate too — user_id is a
+    subset of the grouping keys (user_id, session_id), so the existing
+    partitioning satisfies the aggregate's clustered distribution and
+    Catalyst plans partial+final HashAggregate with no new exchange.
+    No global sort anywhere."""
+    plan = plan_of(qmap, spark, sf_dir, "sessionize_gap")
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 2 and tree.count("Sort") == 1, tree
+    assert "rangepartitioning" not in plan  # no global sort
+
+
+def test_fn_unpivot_single_scan_no_shuffle(qmap, spark, sf_dir):
+    """unpivot plans ONE Expand over ONE scan — map-side melt, no
+    shuffle, no self-union re-reading the table four times (the
+    oracle's UNION ALL spelling is for DuckDB, not the engine)."""
+    plan = plan_of(qmap, spark, sf_dir, "fn_unpivot")
+    tree = tree_of(plan)
+    assert tree.count("Expand") == 1, tree
+    assert "Exchange" not in tree
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_profile_drift_expand_free_pruned(qmap, spark, sf_dir):
+    """The drift gate inherits the profile operator's plan contract:
+    per-column PRUNED aggregate branches on BOTH sides (each reads one
+    column plus the ts filter), no Expand anywhere, and the per-column
+    join broadcast (a handful of rows must never shuffle)."""
+    plan = plan_of(qmap, spark, sf_dir, "profile_drift")
+    tree = tree_of(plan)
+    assert "Expand" not in tree
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    # column pruning: a profiled-column branch reads (col, ts) only
+    assert "ReadSchema: struct<ts:timestamp,user_id:bigint>" in plan
