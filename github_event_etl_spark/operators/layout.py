@@ -76,6 +76,53 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
+def ensure_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Cross-process idempotent face of `write_bucketed_table`: the
+    bucketed files materialize ONCE per `path`, and later processes
+    re-REGISTER the existing layout instead of re-shuffling and
+    re-writing it (the `events_replay_dir` materialize-once contract).
+
+    Three cases:
+    - table already in this session's catalog → return it;
+    - files exist on disk (`_SUCCESS`) but the catalog is fresh (new
+      process) → `CREATE TABLE ... CLUSTERED BY ... LOCATION`, the
+      DDL a metastore-backed deployment would persist once — the
+      bucket spec in the DDL must describe how the files were written,
+      which it does because this module is the only writer;
+    - nothing on disk → `write_bucketed_table` (pays the one-time
+      shuffle+sort+write).
+    """
+    import os
+
+    if spark.catalog.tableExists(table_name):
+        return spark.table(table_name)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        sort_clause = (
+            f"SORTED BY ({sort_col}) " if sort_col is not None else ""
+        )
+        spark.sql(
+            f"CREATE TABLE {table_name} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({bucket_col}) {sort_clause}"
+            f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+        )
+        return spark.table(table_name)
+    write_bucketed_table(
+        df, table_name, path, bucket_col, num_buckets, sort_col
+    )
+    return spark.table(table_name)
+
+
 def pack_layout(
     docs: DataFrame,
     capacity: int = 4000,

@@ -473,10 +473,13 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast one. Result values are layout-invariant, which is
     exactly what the plain-join oracle asserts.
 
-    The bucketed twins build once per (sf, table) under the scratch
-    dir and re-register idempotently — the same materialize-once
-    contract as events_replay_dir."""
-    from ..operators.layout import write_bucketed_table
+    The bucketed twins materialize ONCE per (sf, table) under the
+    scratch dir — the events_replay_dir materialize-once contract: a
+    fresh process finds the files and re-REGISTERS the layout
+    (CREATE TABLE ... CLUSTERED BY ... LOCATION, the DDL a metastore
+    persists) instead of re-paying the shuffle+write
+    (operators/layout.py ensure_bucketed_table)."""
+    from ..operators.layout import ensure_bucketed_table
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     tables = {}
@@ -484,22 +487,20 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("orders", "o_custkey", ["o_orderkey", "o_custkey", "o_totalprice"]),
         ("customer", "c_custkey", ["c_custkey", "c_name"]),
     ):
-        name = f"geetl_{sf}_{table}_bucketed"
-        if not spark.catalog.tableExists(name):
-            write_bucketed_table(
-                load_table(spark, sf_dir, table).select(*cols),
-                name,
-                os.path.join(
-                    tempfile.gettempdir(),
-                    "geetl_spark",
-                    os.path.basename(sf_dir.rstrip("/")),
-                    f"bucketed_{table}_8",
-                ),
-                bucket_col=key,
-                num_buckets=8,
-                sort_col=key,
-            )
-        tables[table] = spark.table(name)
+        tables[table] = ensure_bucketed_table(
+            spark,
+            load_table(spark, sf_dir, table).select(*cols),
+            f"geetl_{sf}_{table}_bucketed",
+            os.path.join(
+                tempfile.gettempdir(),
+                "geetl_spark",
+                os.path.basename(sf_dir.rstrip("/")),
+                f"bucketed_{table}_8",
+            ),
+            bucket_col=key,
+            num_buckets=8,
+            sort_col=key,
+        )
     ob, cb = tables["orders"], tables["customer"]
     return (
         ob.hint("merge")

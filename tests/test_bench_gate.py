@@ -119,6 +119,60 @@ def test_recover_from_tail_start_truncated():
     assert doc2["spread"]["q29"] == [0.1 * 29, 0.2 * 29]
 
 
+def test_recover_from_tail_cut_past_queries_never_mislabels():
+    """A tail whose cut lands INSIDE pipelines/components (an r8-style
+    line only slightly over the capture) must not relabel those
+    section entries as headline queries — gate() would otherwise
+    report each as a vanished query and fail a healthy commit."""
+    full = json.dumps(
+        {
+            "metric": "m",
+            "value": 9.9,
+            "queries": {f"q{i:02d}": 0.5 for i in range(20)},
+            "reps": 3,
+            "sf": 0.1,
+            "pipelines": {"dedup_e2e": 6.44},
+            "components": {f"c{i}": 1.0 for i in range(8)},
+        }
+    )
+    cut = full.find('"dedup_e2e"') - 2  # inside pipelines
+    doc = bench_gate.recover_from_tail(full[cut:])
+    if doc is not None:
+        assert "dedup_e2e" not in doc.get("queries", {})
+        assert not set(doc.get("queries", {})) & {f"c{i}" for i in range(8)}
+    cut2 = full.find('"c3"') - 2  # inside components
+    doc2 = bench_gate.recover_from_tail(full[cut2:])
+    if doc2 is not None:
+        assert not set(doc2.get("queries", {})) & {f"c{i}" for i in range(8)}
+
+
+def test_load_prior_merges_spread_when_parsed_null(tmp_path):
+    """An r9+-shaped artifact with parsed:null whose tail still holds
+    BOTH lines: the rebuilt main payload must pick the spread line up
+    too, or the gate silently tightens to 1.5x-median."""
+    spread_line = json.dumps({"spread": {"a": [0.4, 0.6], "b": [1.0, 1.2]}})
+    main_line = json.dumps(
+        {
+            "metric": "m",
+            "value": 1,
+            "queries": {"a": 0.5, "b": 1.1},
+            "reps": 3,
+            "sf": 0.1,
+        }
+    )
+    art = {
+        "n": 9,
+        "rc": 1,
+        "parsed": None,
+        "tail": spread_line + "\n" + main_line,
+    }
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(art))
+    rnd, parsed = bench_gate.load_prior(root=str(tmp_path))
+    assert rnd == 9
+    assert parsed["queries"] == {"a": 0.5, "b": 1.1}
+    assert parsed["spread"] == {"a": [0.4, 0.6], "b": [1.0, 1.2]}
+
+
 def test_recover_from_tail_full_line_present():
     line = json.dumps({"metric": "x", "value": 1, "queries": {"a": 0.5}})
     doc = bench_gate.recover_from_tail("noise\n" + line)

@@ -428,6 +428,12 @@ def test_python_ndjson_stream_sink_end_to_end(spark):
         spark.readStream.format("synthetic_events")
         .option("n", n_total)
         .option("rows_per_batch", 200)
+        # the SIMPLE face: these sink tests exist to exercise the
+        # commit protocol ACROSS micro-batches (three batch_id dirs,
+        # staging swept per batch) — the default partitioned face
+        # plans one all-available batch and would collapse that
+        # coverage to a single commit
+        .option("reader", "simple")
         .load()
     )
     q = (
@@ -602,6 +608,12 @@ def test_ndjson_sink_manifest_mode_live_stream(spark):
         spark.readStream.format("synthetic_events")
         .option("n", n_total)
         .option("rows_per_batch", 200)
+        # the SIMPLE face: these sink tests exist to exercise the
+        # commit protocol ACROSS micro-batches (three batch_id dirs,
+        # staging swept per batch) — the default partitioned face
+        # plans one all-available batch and would collapse that
+        # coverage to a single commit
+        .option("reader", "simple")
         .load()
     )
     q = (

@@ -801,3 +801,73 @@ def test_profile_drift_expand_free_pruned(qmap, spark, sf_dir):
     assert "SortMergeJoin" not in tree
     # column pruning: a profiled-column branch reads (col, ts) only
     assert "ReadSchema: struct<ts:timestamp,user_id:bigint>" in plan
+
+
+def test_ensure_bucketed_table_register_path_keeps_layout(
+    spark, sf_dir, tmp_path
+):
+    """The cross-process face: after the files exist, a fresh catalog
+    (simulated by dropping the table) must take the CREATE TABLE ...
+    CLUSTERED BY ... LOCATION path — no rewrite — and the registered
+    table must still join bucket-co-located with ZERO exchanges and
+    identical rows."""
+    import contextlib
+    import io
+    import os
+
+    from github_event_etl_spark.operators.layout import (
+        ensure_bucketed_table,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    path = str(tmp_path / "cust_b")
+    name = "geetl_ensure_b_test"
+    try:
+        t1 = ensure_bucketed_table(
+            spark, df, name, path, "c_custkey", 8, sort_col="c_custkey"
+        )
+        n1 = t1.count()
+        files1 = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }
+        spark.sql(f"DROP TABLE {name}")  # fresh-process simulation
+        t2 = ensure_bucketed_table(
+            spark, df, name, path, "c_custkey", 8, sort_col="c_custkey"
+        )
+        assert t2.count() == n1
+        files2 = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }
+        assert files2 == files1, "register path must not rewrite files"
+        # the re-registered metadata still carries the bucket spec
+        orders = ensure_bucketed_table(
+            spark,
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            "geetl_ensure_b_orders",
+            str(tmp_path / "ord_b"),
+            "o_custkey",
+            8,
+            sort_col="o_custkey",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            j = orders.hint("merge").join(
+                t2, orders.o_custkey == t2.c_custkey
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain(mode="formatted")
+            tree = tree_of(buf.getvalue())
+            assert "Exchange" not in tree, tree
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql("DROP TABLE IF EXISTS geetl_ensure_b_orders")

@@ -65,13 +65,17 @@ def recover_from_tail(tail: str) -> dict | None:
         except json.JSONDecodeError:
             pass
     last = tail.rstrip().rsplit("\n", 1)[-1]
-    pos = last.find(', "')
-    while pos != -1:
-        suffix = last[pos + 3:]  # starts at a clean `key": ...`
+    for suffix in _rewrap_suffixes(last):
         # wrapper order matters: a cut inside `queries` parses under the
         # spread wrapper too (and vice versa), so each candidate is
         # shape-checked — queries values are scalars, spread values are
-        # [min, max] lists — before being trusted.
+        # [min, max] lists — before being trusted. The reps/sf guard
+        # pins the cut to the section it claims: those keys FOLLOW
+        # queries and spread in bench.py's layout, so a rewrap that
+        # lacks them actually cut inside a LATER section (pipelines/
+        # components) and would mislabel its entries — gate() would
+        # then fail healthy commits with spurious 'vanished query'
+        # reports.
         for prefix, section in (
             ('{"queries": {"', "queries"),
             ('{"spread": {"', "spread"),
@@ -90,9 +94,13 @@ def recover_from_tail(tail: str) -> dict | None:
                 want = (int, float) if section == "queries" else list
                 if not all(isinstance(v, want) for v in inner.values()):
                     continue
+                if "reps" not in doc and "sf" not in doc:
+                    continue  # cut landed past the claimed section
                 doc.setdefault("queries", {})
                 return doc
-            if isinstance(doc.get("queries"), dict):
+            if isinstance(doc.get("queries"), dict) and (
+                "reps" in doc or "sf" in doc
+            ):
                 return doc
             if isinstance(doc.get("spread"), dict) or isinstance(
                 doc.get("components"), dict
@@ -100,8 +108,19 @@ def recover_from_tail(tail: str) -> dict | None:
                 # cut after `queries` closed — medians lost, bounds kept
                 doc.setdefault("queries", {})
                 return doc
-        pos = last.find(', "', pos + 1)
     return None
+
+
+def _rewrap_suffixes(line: str):
+    """Candidate suffixes of a START-truncated JSON line: the text
+    after each ``, "`` separator begins at a clean ``key": value``
+    boundary, so a caller can try re-wrapping each as the interior of
+    a known section. Shared by both recovery paths — ONE cut
+    heuristic, not two drifting copies."""
+    pos = line.find(', "')
+    while pos != -1:
+        yield line[pos + 3:]
+        pos = line.find(', "', pos + 1)
 
 
 def recover_spread_from_tail(tail: str) -> dict | None:
@@ -123,12 +142,11 @@ def recover_spread_from_tail(tail: str) -> dict | None:
     first = tail.splitlines()[0] if tail else ""
     if not first.rstrip().endswith("}}"):
         return None
-    pos = first.find(', "')
-    while pos != -1:
+    for suffix in _rewrap_suffixes(first):
         try:
-            doc = json.loads('{"spread": {"' + first[pos + 3:])
+            doc = json.loads('{"spread": {"' + suffix)
         except json.JSONDecodeError:
-            doc = None
+            continue
         if isinstance(doc, dict):
             inner = doc.get("spread")
             if (
@@ -137,7 +155,6 @@ def recover_spread_from_tail(tail: str) -> dict | None:
                 and all(isinstance(v, list) for v in inner.values())
             ):
                 return inner
-        pos = first.find(', "', pos + 1)
     return None
 
 
@@ -164,11 +181,15 @@ def load_prior(root: str = REPO_ROOT) -> tuple[int, dict] | None:
         parsed = recover_from_tail(tail) if isinstance(tail, str) else None
         if parsed is None:
             return None
-    elif "spread" not in parsed and isinstance(tail, str):
+    if "spread" not in parsed and isinstance(tail, str):
         # bench.py ≥ r9 emits spread on its own preceding line to keep
         # the parsed line under the capture limit; pick it back up from
-        # the tail — including a start-truncated spread line, the
-        # normal case at the full catalog census
+        # the tail — including a start-truncated spread line (the
+        # normal case at the full catalog census) and the case where
+        # the MAIN payload itself was just rebuilt from the tail
+        # (r9+-shaped artifact with parsed:null): without the merge the
+        # gate silently tightens to 1.5x-median and host noise starts
+        # failing healthy commits
         spread = recover_spread_from_tail(tail)
         if spread is not None:
             parsed = {**parsed, "spread": spread}
