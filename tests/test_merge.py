@@ -145,3 +145,35 @@ def test_salted_skew_join_tolerates_map_columns(spark):
     s = spark.createDataFrame([(1, 9.0)], "k long, w double")
     got = salted_skew_join(b, s, "k", n_salts=4).collect()
     assert len(got) == 1 and got[0].w == 9.0 and got[0].payload == {"a": 1}
+
+
+def test_upsert_assert_unique_fails_fast_on_duplicate_keys(spark):
+    """The opt-in unique-key precondition check: duplicate keys on
+    either side would fan out through the full-outer join (where SQL
+    MERGE raises on multiple source matches), so assert_unique=True
+    must fail fast naming the offending side; unique inputs pass
+    through unchanged, and null keys never count as duplicates (they
+    never join)."""
+    from github_event_etl_spark.operators.merge import upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dup_changes = spark.createDataFrame(
+        [(2, "x"), (2, "y")], "k long, v string"
+    )
+    with pytest.raises(ValueError, match="changes side"):
+        upsert(base, dup_changes, key="k", assert_unique=True)
+    dup_base = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    ok_changes = spark.createDataFrame([(3, "z")], "k long, v string")
+    with pytest.raises(ValueError, match="base side"):
+        upsert(dup_base, ok_changes, key="k", assert_unique=True)
+    # unique keys (plus harmless duplicate NULL keys) pass
+    null_changes = spark.createDataFrame(
+        [(3, "z"), (None, "n1"), (None, "n2")], "k long, v string"
+    )
+    out = upsert(base, null_changes, key="k", assert_unique=True)
+    acts = sorted(
+        (r.k, r.action) for r in out.collect()
+        if r.k is not None
+    )
+    assert acts == [(1, "keep"), (2, "keep"), (3, "insert")]
+    assert sum(1 for r in out.collect() if r.k is None) == 2  # inserts
