@@ -871,3 +871,48 @@ def test_ensure_bucketed_table_register_path_keeps_layout(
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql("DROP TABLE IF EXISTS geetl_ensure_b_orders")
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the third pruning lever
+    after pushdown and partition pruning: a selective filter on the
+    dim side injects a might_contain(bloom_filter_agg(...)) predicate
+    into the FACT side's scan stage, semi-reducing the big side
+    BEFORE its shuffle. Spark's stock thresholds gate this on a
+    >= 10 GB application side (right at cluster scale, never at test
+    SF), so the test lowers the size gate to simulate the 100 TB size
+    ratio and pins that (a) the rewrite fires and (b) it does not
+    change the answer."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    join = lambda: li.join(  # noqa: E731
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select("l_orderkey", "o_orderpriority")
+    pins = {
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in pins}
+    try:
+        baseline = join().count()
+        for k, v in pins.items():
+            spark.conf.set(k, v)
+        df = join()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        assert df.count() == baseline  # the filter only prunes, never drops
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
