@@ -92,34 +92,63 @@ def ensure_bucketed_table(
 
     Three cases:
     - table already in this session's catalog → return it;
-    - files exist on disk (`_SUCCESS`) but the catalog is fresh (new
-      process) → `CREATE TABLE ... CLUSTERED BY ... LOCATION`, the
-      DDL a metastore-backed deployment would persist once — the
-      bucket spec in the DDL must describe how the files were written,
-      which it does because this module is the only writer;
-    - nothing on disk → `write_bucketed_table` (pays the one-time
-      shuffle+sort+write).
+    - files exist on disk (`_SUCCESS` plus a MATCHING `_BUCKET_SPEC`
+      fingerprint) but the catalog is fresh (new process) →
+      `CREATE TABLE ... CLUSTERED BY ... LOCATION`, the DDL a
+      metastore-backed deployment would persist once;
+    - nothing on disk, or the fingerprint disagrees with this call's
+      (bucket spec, sort col, schema) → `write_bucketed_table` (pays
+      the one-time shuffle+sort+write).
+
+    The fingerprint is what makes the register path SAFE to trust:
+    registering bucket metadata the files don't satisfy would make
+    Spark skip the join shuffle and silently DROP matches (rows hashed
+    into buckets the metadata doesn't predict never meet their join
+    partners) — a spec/schema change across code versions must rewrite,
+    never re-register. The fingerprint does not hash the DATA: callers
+    must use a distinct `path` per source dataset (as the catalog keys
+    do, one per sf), since regenerated source files under an unchanged
+    path+spec cannot be detected here.
     """
+    import json as _json
     import os
+
+    spec = {
+        "bucket_col": bucket_col,
+        "num_buckets": num_buckets,
+        "sort_col": sort_col,
+        "schema": df.schema.simpleString(),
+    }
+    spec_path = os.path.join(path, "_BUCKET_SPEC.json")
 
     if spark.catalog.tableExists(table_name):
         return spark.table(table_name)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-        )
-        sort_clause = (
-            f"SORTED BY ({sort_col}) " if sort_col is not None else ""
-        )
-        spark.sql(
-            f"CREATE TABLE {table_name} ({ddl}) USING PARQUET "
-            f"CLUSTERED BY ({bucket_col}) {sort_clause}"
-            f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
-        )
-        return spark.table(table_name)
+        on_disk = None
+        try:
+            with open(spec_path) as f:
+                on_disk = _json.load(f)
+        except (OSError, ValueError):
+            pass
+        if on_disk == spec:
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in df.schema.fields
+            )
+            sort_clause = (
+                f"SORTED BY ({sort_col}) " if sort_col is not None else ""
+            )
+            spark.sql(
+                f"CREATE TABLE {table_name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({bucket_col}) {sort_clause}"
+                f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+            )
+            return spark.table(table_name)
     write_bucketed_table(
         df, table_name, path, bucket_col, num_buckets, sort_col
     )
+    with open(spec_path, "w") as f:
+        _json.dump(spec, f)
     return spark.table(table_name)
 
 

@@ -487,10 +487,17 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("orders", "o_custkey", ["o_orderkey", "o_custkey", "o_totalprice"]),
         ("customer", "c_custkey", ["c_custkey", "c_name"]),
     ):
+        name = f"geetl_{sf}_{table}_bucketed"
+        if spark.catalog.tableExists(name):
+            # warm path (every call after a session's first): skip the
+            # source-table load — ensure_bucketed_table only needs the
+            # source df on its register/write paths
+            tables[table] = spark.table(name)
+            continue
         tables[table] = ensure_bucketed_table(
             spark,
             load_table(spark, sf_dir, table).select(*cols),
-            f"geetl_{sf}_{table}_bucketed",
+            name,
             os.path.join(
                 tempfile.gettempdir(),
                 "geetl_spark",

@@ -135,15 +135,19 @@ def test_recover_from_tail_cut_past_queries_never_mislabels():
             "components": {f"c{i}": 1.0 for i in range(8)},
         }
     )
-    cut = full.find('"dedup_e2e"') - 2  # inside pipelines
+    # cut inside pipelines: the queries-rewrap parses but lacks the
+    # reps/sf markers, so it must be rejected; recovery degrades to
+    # the bare wrap at the components boundary — empty queries (the
+    # gate then skips with a warning), components preserved
+    cut = full.find('"dedup_e2e"') - 2
     doc = bench_gate.recover_from_tail(full[cut:])
-    if doc is not None:
-        assert "dedup_e2e" not in doc.get("queries", {})
-        assert not set(doc.get("queries", {})) & {f"c{i}" for i in range(8)}
-    cut2 = full.find('"c3"') - 2  # inside components
-    doc2 = bench_gate.recover_from_tail(full[cut2:])
-    if doc2 is not None:
-        assert not set(doc2.get("queries", {})) & {f"c{i}" for i in range(8)}
+    assert doc is not None
+    assert doc["queries"] == {}
+    assert doc["components"] == {f"c{i}": 1.0 for i in range(8)}
+    # cut inside components (the LAST section): nothing labelable
+    # survives — recovery must return None, never a mislabeled doc
+    cut2 = full.find('"c3"') - 2
+    assert bench_gate.recover_from_tail(full[cut2:]) is None
 
 
 def test_load_prior_merges_spread_when_parsed_null(tmp_path):
@@ -303,3 +307,30 @@ def test_gate_fails_on_vanished_query():
     failures, _ = bench_gate.gate(cur, PRIOR)
     assert len(failures) == 1
     assert "q_nospread" in failures[0] and "MISSING" in failures[0]
+
+
+def test_cli_skips_with_warning_when_prior_unrecoverable(tmp_path):
+    """An artifact whose medians cannot be recovered must make the CLI
+    exit 0 with an explicit SKIPPED warning — never the misleading
+    'nothing to gate against', and never a vacuous all-NEW pass."""
+    import shutil
+
+    # tmp_path acts as the repo root: the copied tool's REPO_ROOT is
+    # dirname(dirname(tool)) = tmp_path, whose only artifact has an
+    # unusable tail
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"n": 8, "rc": 1, "parsed": None, "tail": "garbage }}"})
+    )
+    tool_copy = tmp_path / "tools" / "bench_gate.py"
+    tool_copy.parent.mkdir()
+    shutil.copy(_TOOL, tool_copy)
+    cur = tmp_path / "cur.json"
+    cur.write_text(json.dumps({"queries": {"a": 0.5}}) + "\n")
+    r = subprocess.run(
+        [sys.executable, str(tool_copy), str(cur)],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "SKIPPED" in r.stdout
+    assert "nothing to gate against" not in r.stdout

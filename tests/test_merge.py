@@ -170,10 +170,7 @@ def test_upsert_assert_unique_fails_fast_on_duplicate_keys(spark):
     null_changes = spark.createDataFrame(
         [(3, "z"), (None, "n1"), (None, "n2")], "k long, v string"
     )
-    out = upsert(base, null_changes, key="k", assert_unique=True)
-    acts = sorted(
-        (r.k, r.action) for r in out.collect()
-        if r.k is not None
-    )
+    rows = upsert(base, null_changes, key="k", assert_unique=True).collect()
+    acts = sorted((r.k, r.action) for r in rows if r.k is not None)
     assert acts == [(1, "keep"), (2, "keep"), (3, "insert")]
-    assert sum(1 for r in out.collect() if r.k is None) == 2  # inserts
+    assert sum(1 for r in rows if r.k is None) == 2  # inserts

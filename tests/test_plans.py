@@ -916,3 +916,54 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_ensure_bucketed_table_spec_mismatch_rewrites(
+    spark, sf_dir, tmp_path
+):
+    """A spec change across code versions (bucket count here) must make
+    the register path REWRITE, never re-register: trusting stale files
+    under new bucket metadata would let joins skip the shuffle with
+    rows in the wrong buckets — silently dropped matches."""
+    import os
+
+    from github_event_etl_spark.operators.layout import (
+        ensure_bucketed_table,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    path = str(tmp_path / "cust_b")
+    name = "geetl_spec_mismatch_test"
+    try:
+        ensure_bucketed_table(
+            spark, df, name, path, "c_custkey", 8, sort_col="c_custkey"
+        )
+        before = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }
+        spark.sql(f"DROP TABLE {name}")
+        # same files on disk, DIFFERENT bucket count requested
+        t = ensure_bucketed_table(
+            spark, df, name, path, "c_custkey", 4, sort_col="c_custkey"
+        )
+        after = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }
+        assert after != before, "spec mismatch must rewrite the files"
+        assert t.count() == df.count()
+        # and the rewritten fingerprint admits the new spec next time
+        spark.sql(f"DROP TABLE {name}")
+        t2 = ensure_bucketed_table(
+            spark, df, name, path, "c_custkey", 4, sort_col="c_custkey"
+        )
+        final = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }
+        assert final == after, "matching spec must re-register, not rewrite"
+        assert t2.count() == df.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -251,9 +251,31 @@ def main(argv: list[str]) -> int:
 
     prior = load_prior()
     if prior is None:
-        print("bench_gate: no prior BENCH_r*.json — nothing to gate against")
+        # Distinguish 'no artifact' (round 1, a clean pass) from
+        # 'artifact exists but its medians were unrecoverable' — the
+        # latter is a SKIPPED gate, and saying 'nothing to gate
+        # against' there would hide that a regression could be
+        # shipping unchecked.
+        if glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")):
+            print(
+                "bench_gate: WARNING a prior BENCH artifact exists but "
+                "its query medians were unrecoverable (tail truncated "
+                "beyond recovery) — gate SKIPPED, not passed"
+            )
+        else:
+            print(
+                "bench_gate: no prior BENCH_r*.json — nothing to gate "
+                "against"
+            )
         return 0
     rnd, prior_parsed = prior
+    if not prior_parsed.get("queries"):
+        print(
+            f"bench_gate: WARNING BENCH_r{rnd:02d}'s query medians were "
+            "unrecoverable (empty after tail recovery) — gate SKIPPED, "
+            "not passed"
+        )
+        return 0
     failures, notes = gate(current, prior_parsed)
     print(f"bench_gate: current vs BENCH_r{rnd:02d} "
           f"(rule: median <= {FACTOR}x prior upper spread)")
