@@ -91,7 +91,11 @@ def ensure_bucketed_table(
     re-writing it (the `events_replay_dir` materialize-once contract).
 
     Three cases:
-    - table already in this session's catalog → return it;
+    - table already in this session's catalog AND the on-disk
+      fingerprint matches this call's spec → return it (the fast
+      path is gated by the SAME fingerprint rule as the register
+      path: a same-session caller asking for a different bucket
+      count/sort/schema must not silently get the old layout);
     - files exist on disk (`_SUCCESS` plus a MATCHING `_BUCKET_SPEC`
       fingerprint) but the catalog is fresh (new process) →
       `CREATE TABLE ... CLUSTERED BY ... LOCATION`, the DDL a
@@ -121,16 +125,25 @@ def ensure_bucketed_table(
     }
     spec_path = os.path.join(path, "_BUCKET_SPEC.json")
 
-    if spark.catalog.tableExists(table_name):
-        return spark.table(table_name)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        on_disk = None
+    def on_disk_spec():
         try:
             with open(spec_path) as f:
-                on_disk = _json.load(f)
+                return _json.load(f)
         except (OSError, ValueError):
-            pass
-        if on_disk == spec:
+            return None
+
+    if spark.catalog.tableExists(table_name):
+        # Same fingerprint rule as the register path: return the
+        # session table only when the files at `path` were written for
+        # exactly this spec. A mismatch (different bucket count / sort
+        # / schema requested in the same session) drops the stale
+        # registration and falls through to the rewrite below — the
+        # cross-process behavior, applied in-process.
+        if on_disk_spec() == spec:
+            return spark.table(table_name)
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        if on_disk_spec() == spec:
             ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
                 for f in df.schema.fields

@@ -162,6 +162,20 @@ def salted_skew_join(
                 f"salted_skew_join: salt_cols {missing} not in big side "
                 f"columns {big.columns}"
             )
+        # same MapType exclusion the default path applies: Spark's hash
+        # expressions reject MapType, and failing here with the
+        # operator's error beats an opaque xxhash64 analysis error later
+        big_types = {f.name: f.dataType for f in big.schema.fields}
+        unhashable = [
+            c for c in salt_cols
+            if isinstance(big_types[c], _T.MapType)
+        ]
+        if unhashable:
+            raise ValueError(
+                f"salted_skew_join: salt_cols {unhashable} are MapType — "
+                "Spark's hash expressions reject maps; name hashable "
+                "columns (an event id, an offset) instead"
+            )
         # the same key-exclusion rule the default path enforces: a
         # salt derived from the join key alone is constant per key —
         # every hot-key row lands in ONE bucket while still paying

@@ -1267,9 +1267,16 @@ def _drift_side_sql(cmp: str) -> str:
            (b.n_rows - b.nn)::BIGINT AS base_nulls,
            (c.n_rows - c.nn)::BIGINT AS cand_nulls,
            b.nd::BIGINT AS base_distinct, c.nd::BIGINT AS cand_distinct,
-           CAST(c.nd AS DOUBLE) / CAST(b.nd AS DOUBLE) AS distinct_ratio,
-           CAST(c.n_rows - c.nn AS DOUBLE) / CAST(c.n_rows AS DOUBLE)
-             - CAST(b.n_rows - b.nn AS DOUBLE) / CAST(b.n_rows AS DOUBLE)
+           -- nullif divisor guards: Spark's Divide yields NULL on a
+           -- zero divisor while DuckDB raises/returns inf under IEEE
+           -- defaults; nullif on BOTH sides makes degenerate (empty or
+           -- all-null) sides agree on NULL across engines
+           CAST(c.nd AS DOUBLE) / nullif(CAST(b.nd AS DOUBLE), 0)
+             AS distinct_ratio,
+           CAST(c.n_rows - c.nn AS DOUBLE)
+             / nullif(CAST(c.n_rows AS DOUBLE), 0)
+             - CAST(b.n_rows - b.nn AS DOUBLE)
+             / nullif(CAST(b.n_rows AS DOUBLE), 0)
              AS null_rate_delta
     FROM base b JOIN cand c USING (col_name)
     """,
@@ -1319,15 +1326,19 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_nulls",
         "base_distinct",
         "cand_distinct",
+        # nullif divisor guards mirror the oracle's: Spark's Divide
+        # yields NULL on a zero divisor where DuckDB's IEEE default
+        # yields inf/nan, so a degenerate (empty / all-null) side at
+        # some scale factor would diverge the value hash without them
         (
             F.col("cand_distinct").cast("double")
-            / F.col("base_distinct").cast("double")
+            / F.nullif(F.col("base_distinct").cast("double"), F.lit(0.0))
         ).alias("distinct_ratio"),
         (
             F.col("cand_nulls").cast("double")
-            / F.col("cand_rows").cast("double")
+            / F.nullif(F.col("cand_rows").cast("double"), F.lit(0.0))
             - F.col("base_nulls").cast("double")
-            / F.col("base_rows").cast("double")
+            / F.nullif(F.col("base_rows").cast("double"), F.lit(0.0))
         ).alias("null_rate_delta"),
     )
 

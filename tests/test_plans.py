@@ -865,6 +865,24 @@ def test_ensure_bucketed_table_register_path_keeps_layout(
                 j.explain(mode="formatted")
             tree = tree_of(buf.getvalue())
             assert "Exchange" not in tree, tree
+            # VALUE check, not just plan shape: a bucket-id/filename
+            # misassignment after re-register would let the shuffle-free
+            # join silently DROP matches while keeping the plan clean —
+            # the zero-shuffle result must equal a plain (shuffled) join
+            # of the same inputs row for row.
+            plain = (
+                load_table(spark, sf_dir, "orders")
+                .select("o_orderkey", "o_custkey")
+                .join(
+                    load_table(spark, sf_dir, "customer").select(
+                        "c_custkey", "c_name"
+                    ),
+                    on=[F.col("o_custkey") == F.col("c_custkey")],
+                )
+            )
+            assert j.count() == plain.count()
+            assert j.exceptAll(plain).count() == 0
+            assert plain.exceptAll(j).count() == 0
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -965,5 +983,58 @@ def test_ensure_bucketed_table_spec_mismatch_rewrites(
         }
         assert final == after, "matching spec must re-register, not rewrite"
         assert t2.count() == df.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ensure_bucketed_table_session_path_checks_spec(
+    spark, sf_dir, tmp_path
+):
+    """The SAME-session fast path is gated by the same fingerprint rule
+    as the cross-process register path: a caller asking for a different
+    bucket count while the table is still in the session catalog must
+    get a rewrite, not the old layout silently returned."""
+    import os
+
+    from github_event_etl_spark.operators.layout import (
+        ensure_bucketed_table,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    path = str(tmp_path / "cust_b")
+    name = "geetl_session_spec_test"
+    try:
+        ensure_bucketed_table(
+            spark, df, name, path, "c_custkey", 8, sort_col="c_custkey"
+        )
+        before = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }
+        # NO drop — the table is live in this session's catalog; the
+        # matching-spec call stays the zero-IO fast path...
+        t_same = ensure_bucketed_table(
+            spark, df, name, path, "c_custkey", 8, sort_col="c_custkey"
+        )
+        same = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }
+        assert same == before, "matching spec must not rewrite in-session"
+        assert t_same.count() == df.count()
+        # ...and a DIFFERENT bucket count must drop + rewrite, with the
+        # catalog metadata reflecting the NEW spec afterwards
+        t_new = ensure_bucketed_table(
+            spark, df, name, path, "c_custkey", 4, sort_col="c_custkey"
+        )
+        after = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }
+        assert after != before, "in-session spec mismatch must rewrite"
+        assert t_new.count() == df.count()
+        ddl = spark.sql(f"SHOW CREATE TABLE {name}").first()[0]
+        assert "4 BUCKETS" in ddl, ddl
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -815,3 +815,24 @@ def test_salted_skew_join_rejects_key_only_salt_cols(spark):
         salted_skew_join(b, s, "k", salt_cols=[])
     with pytest.raises(ValueError, match="not in big side"):
         salted_skew_join(b, s, "k", salt_cols=["nope"])
+
+
+def test_salted_skew_join_rejects_map_salt_cols(spark):
+    """Explicit salt_cols naming a MapType column must raise the
+    operator's descriptive ValueError — the same exclusion the default
+    path applies — instead of surfacing later as an opaque xxhash64
+    analysis error (Spark's hash expressions reject maps)."""
+    from github_event_etl_spark.operators.skew import salted_skew_join
+
+    b = spark.createDataFrame(
+        [(1, 2, {"a": 1})], "k long, v long, m map<string,long>"
+    )
+    s = spark.createDataFrame([(1, 3)], "k long, w long")
+    with pytest.raises(ValueError, match="MapType"):
+        salted_skew_join(b, s, "k", salt_cols=["m"])
+    # a map column alongside a hashable one still fails — partial
+    # hashability is not enough for the hash expression
+    with pytest.raises(ValueError, match="MapType"):
+        salted_skew_join(b, s, "k", salt_cols=["v", "m"])
+    # and the map column is fine when NOT named: default path excludes it
+    assert salted_skew_join(b, s, "k", n_salts=2).count() == 1
