@@ -56,6 +56,7 @@ COMPONENTS = [
     "join_bucketed_colocated",
     "profile_drift",
     "fn_unpivot",
+    "layout_zorder_prune",
 ]
 # LLM-pipeline + streaming headliners (import-safe: skipped if absent).
 OPTIONAL = [

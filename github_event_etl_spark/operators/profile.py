@@ -26,6 +26,17 @@ Exact-vs-approx distinct is the plan-shape decision:
   memory per column; the right default when ±2% cardinality is fine.
   Same output schema, so callers flip the flag without downstream
   changes.
+
+Cost crossover, measured so nobody "fixes" it backwards: at LOCAL
+scale the approx mode is the slower one (sf0.1 bench: 2.35 s vs the
+exact mode's 1.62 s) — per-column HLL sketch maintenance costs more
+than small exact hash sets, and the per-column-union exact plan reads
+the same parquet bytes anyway. Approx still wins at cluster scale:
+constant memory per column regardless of cardinality (exact distinct
+sets grow with the data and spill), and ONE pass over row-oriented
+sources the exact mode would re-parse once per column. Do not
+re-plan the exact mode as a single multi-distinct pass to chase the
+local number — that reintroduces the Expand (23.7 s, above).
 """
 
 from __future__ import annotations

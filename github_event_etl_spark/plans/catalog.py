@@ -108,22 +108,16 @@ def staleness_bound_rounds() -> int:
     ceil(registry size / driver window)."""
     n = len(all_specs())
     return -(-n // _DRIVER_KEYS_PER_ROUND)
-_DEFER_NEW_UNTIL_ROUND = 9
+_DEFER_NEW_UNTIL_ROUND = 10
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # round 9: the round's ~1-new-key budget is spent on
-    # profile_table_approx (riding at the window front with round 8's
-    # six deferred keys, which self-cleared when CORRECTNESS_r08
-    # landed and now take their first driver check this round). These
-    # FOUR later additions rank last and defer to the round-10 window
-    # — local oracle replay in tests/test_oracle.py and sf0.01
-    # driver_sim runs cover them meanwhile, per the r6/r8 precedent,
-    # inside the documented ceil(R/50)-round staleness bound
-    # (123 keys → 3 rounds). Entries self-clear when CORRECTNESS_r09
-    # lands.
-    "sessionize_gap",
-    "join_bucketed_colocated",
-    "profile_drift",
-    "fn_unpivot",
+    # round 10: empty — the round's ~1-new-key budget is spent on
+    # layout_zorder_prune, which as a never-checked key rides at the
+    # window front alongside round 9's four deferred keys (those
+    # self-cleared when CORRECTNESS_r09 landed and take their first
+    # driver check this round). Window arithmetic: 5 never-checked +
+    # 19 r7-stale + 26 oldest-r8 keys fill the 50; the remaining r8
+    # cohort rotates through r11, inside the ceil(124/50) = 3-round
+    # staleness bound.
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

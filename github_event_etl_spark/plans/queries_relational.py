@@ -516,6 +516,78 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_EPOCH = "2024-01-01"
+
+
+@query(
+    "layout_zorder_prune",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 20 AND 60
+      AND datediff('day', DATE '{_ZORDER_EPOCH}', CAST(ts AS DATE))
+          BETWEEN 5 AND 12
+    GROUP BY event_type
+    """,
+    tags=("layout", "partB"),
+)
+def layout_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-dimension pruning layout (operators/layout.py
+    zorder_key / write_zordered): events land ONCE per sf range-
+    partitioned and sorted by the Morton interleave of
+    (user_id, day ordinal), so every file and row group holds a
+    contiguous Z-range with TIGHT footer min/max in BOTH dimensions —
+    a predicate on either column prunes files/row groups, where a
+    linear sort on one column leaves the other full-range in every
+    file (the footer-stat difference is measured by
+    tests/test_plans.py::test_zorder_layout_tightens_footer_stats).
+    This is the lakehouse OPTIMIZE ZORDER BY layout, the read-side
+    lever the reference approximates by encoding {{date}}:{{hour}}
+    into key names (redis-key-generator.js:1-10) — at 100 TB the
+    both-dims filter below opens only the files whose Z-range
+    intersects the (user, day) box instead of the whole table.
+
+    The query filters on BOTH dimensions and aggregates; result
+    values are LAYOUT-INVARIANT (the plain-scan oracle asserts
+    exactly that), so the driver hash-checks correctness while the
+    plan facts stay pinned in the footer-stats pytest. Decimal-exact
+    sums keep the double hash stable across row orders. The layout
+    materializes once per sf under the scratch dir and re-reads on
+    warm starts (ensure_zordered's fingerprint contract)."""
+    from ..operators.layout import ensure_zordered
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day_num",
+        F.datediff(F.to_date("ts"), F.lit(_ZORDER_EPOCH).cast("date")),
+    )
+    z = ensure_zordered(
+        ev,
+        os.path.join(
+            tempfile.gettempdir(),
+            "geetl_spark",
+            os.path.basename(sf_dir.rstrip("/")),
+            "zorder_events_16",
+        ),
+        "user_id",
+        "day_num",
+        bits=16,
+        num_files=8,
+    )
+    return (
+        z.filter(
+            F.col("user_id").between(20, 60)
+            & F.col("day_num").between(5, 12)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------- B4: aggregations
 
 

@@ -279,6 +279,11 @@ def test_bench_final_line_fits_driver_tail_capture():
     import bench
 
     val = 99.999  # wider than any real sf0.1 median
+    # growth headroom: simulate FIVE future components beyond the live
+    # census (each new catalog key adds ~30 chars to the parsed line),
+    # so registry growth trips this test several keys BEFORE it trips
+    # the driver's capture
+    headroom = [f"future_component_padding_{i}" for i in range(5)]
     out = {
         "metric": "headline_queries_wall_clock",
         "value": 9999.999,
@@ -287,16 +292,17 @@ def test_bench_final_line_fits_driver_tail_capture():
         "reps": 3,
         "sf": 0.1,
         "pipelines": {"dedup_e2e": val},
-        "components": {n: val for n in bench.COMPONENTS},
+        "components": {n: val for n in bench.COMPONENTS + headroom},
         # error DETAILS go on their own line; the parsed line carries
         # only this count, so a failing run stays under the capture too
         "n_errors": 99,
     }
     line = json.dumps(out)
     assert len(line) < 1800, (
-        f"bench line would be {len(line)} chars — trim COMPONENTS or "
-        "move another section to its own line before the driver's "
-        "2,000-char tail capture truncates the artifact again"
+        f"bench line would be {len(line)} chars (incl. 5-component "
+        "headroom) — trim COMPONENTS or move another section to its "
+        "own line before the driver's 2,000-char tail capture "
+        "truncates the artifact again"
     )
 
 

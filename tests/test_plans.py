@@ -722,6 +722,40 @@ def test_zorder_layout_tightens_both_dims(spark, tmp_path):
     assert z_a < 200, z_a
 
 
+def test_layout_zorder_prune_pushes_both_dims(qmap, spark, sf_dir):
+    """The layout_zorder_prune key's both-dims predicates must reach
+    the parquet scan of the Z-ordered files as PushedFilters — that is
+    the handle the footer stats (tightened per
+    test_zorder_layout_tightens_both_dims) prune through — and the
+    warm path must READ the materialized layout, not rewrite it."""
+    import glob
+    import os as _os
+    import tempfile as _tempfile
+
+    plan = plan_of(qmap, spark, sf_dir, "layout_zorder_prune")
+    assert "PushedFilters:" in plan
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters:" in ln
+    ][0]
+    assert "user_id" in pushed and "day_num" in pushed, pushed
+    # materialize-once: a second plan call must leave the files alone
+    zdir = _os.path.join(
+        _tempfile.gettempdir(),
+        "geetl_spark",
+        _os.path.basename(sf_dir.rstrip("/")),
+        "zorder_events_16",
+    )
+    before = {
+        f: _os.path.getmtime(f) for f in glob.glob(zdir + "/*.parquet")
+    }
+    assert before, zdir
+    plan_of(qmap, spark, sf_dir, "layout_zorder_prune")
+    after = {
+        f: _os.path.getmtime(f) for f in glob.glob(zdir + "/*.parquet")
+    }
+    assert after == before, "warm path must not rewrite the Z layout"
+
+
 def test_zorder_key_is_pure_jvm_expression(spark):
     """The interleave must stay inside whole-stage codegen — no
     Python eval node in a projection using it."""
