@@ -227,6 +227,17 @@ def main() -> None:
         finally:
             spark.conf.set(key, prev)
 
+    # Pipeline-section warmup (same footing as the JVM/UDF/streaming
+    # warmups above): the composite plans dozens of UNIQUE codegen
+    # stages, so its first executions pay janino compilation plus the
+    # C2 JIT ramp that the small headline queries amortize across their
+    # shared scan/shuffle shapes. Measured at sf0.1: reps decay
+    # 8.2 → 8.2 → 6.4 → 6.1 → 5.9 → 5.5 s and hold at ~5.5 s from rep
+    # ~6 — the steady state a long-running cluster job actually sees.
+    # Two untimed warmup reps move the measured median out of the ramp;
+    # BASELINE.md's series notes the policy change at r10.
+    for _ in range(2):
+        _guard("pipeline_warmup", _pipeline_rep)
     _bench_into(pipelines, "dedup_e2e", _pipeline_rep)
 
     components: dict[str, float] = {}
