@@ -575,6 +575,31 @@ def test_span_dedup_single_doc_sort(qmap, spark, sf_dir):
     assert "CartesianProduct" not in tree
 
 
+def test_remove_spans_never_explodes_text(qmap, spark, sf_dir):
+    """The span-removal rewrite (llm_span_removed) must keep the corpus
+    text un-exploded and un-aggregated: the doc side joins its per-doc
+    span ARRAY once by doc_id and the rewrite is map-side array
+    functions — no Generate (posexplode) feeding a positional join, no
+    collect_list reassembly aggregate ABOVE the span side's own
+    collapse. The only Generates allowed in the whole plan are the
+    gram-stream derivations inside the span DETECTOR (which never
+    carry text, only (doc_id, pos, hash))."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_span_removed")
+    tree = tree_of(plan)
+    # the detector derives its gram stream twice (documented
+    # recompute-over-materialize call) — exactly those two Generates,
+    # none for the rewrite's tokens
+    assert tree.count("Generate") == 2, tree
+    assert "CartesianProduct" not in tree
+    # exactly ONE collect_list aggregate (one partial_collect_list in
+    # the formatted detail): the per-doc span-array collapse (tiny
+    # side) — never a token-reassembly aggregate over the corpus, so
+    # the collected struct is the span pair, not tokens
+    assert plan.count("partial_collect_list") == 1, plan
+    cl_lines = [ln for ln in plan.splitlines() if "collect_list" in ln]
+    assert cl_lines and all("span_start" in ln for ln in cl_lines), cl_lines
+
+
 def test_pq_codes_broadcast_codebook_partial_agg(qmap, spark, sf_dir):
     """PQ assignment must broadcast the tiny codebook (never reshuffle
     the corpus for it) and compute the per-subspace argmin as a grouped
