@@ -46,6 +46,30 @@ def read_day_partition(
     return df.filter(F.col("bucket_day") == day)
 
 
+def _read_spec(spec_path: str):
+    """Read a materialize-once fingerprint file; None when absent or
+    unreadable (both mean: do not trust the files, rewrite). Shared by
+    every ensure_* face so the compare rule can never diverge between
+    them."""
+    import json as _json
+
+    try:
+        with open(spec_path) as f:
+            return _json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _table_location(spark: SparkSession, table_name: str) -> str | None:
+    """The catalog table's storage location as a local path (file: URI
+    stripped), or None when the catalog exposes none."""
+    for row in spark.sql(f"DESC FORMATTED {table_name}").collect():
+        if row.col_name == "Location":
+            loc = row.data_type
+            return loc[5:] if loc.startswith("file:") else loc
+    return None
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,
@@ -125,25 +149,33 @@ def ensure_bucketed_table(
     }
     spec_path = os.path.join(path, "_BUCKET_SPEC.json")
 
-    def on_disk_spec():
-        try:
-            with open(spec_path) as f:
-                return _json.load(f)
-        except (OSError, ValueError):
-            return None
-
     if spark.catalog.tableExists(table_name):
+        # A registered table must actually point at THIS call's `path`
+        # before the fingerprint at that path can vouch for it — the
+        # same name registered at a different location is a caller
+        # collision, answered loudly rather than with another
+        # location's data (or a silent drop of the other caller's
+        # registration).
+        loc = _table_location(spark, table_name)
+        if loc is not None and os.path.realpath(loc) != os.path.realpath(
+            path
+        ):
+            raise ValueError(
+                f"ensure_bucketed_table: table {table_name!r} is already "
+                f"registered at {loc!r}, not the requested {path!r} — "
+                "use a distinct table name per layout path"
+            )
         # Same fingerprint rule as the register path: return the
         # session table only when the files at `path` were written for
         # exactly this spec. A mismatch (different bucket count / sort
         # / schema requested in the same session) drops the stale
         # registration and falls through to the rewrite below — the
         # cross-process behavior, applied in-process.
-        if on_disk_spec() == spec:
+        if _read_spec(spec_path) == spec:
             return spark.table(table_name)
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        if on_disk_spec() == spec:
+        if _read_spec(spec_path) == spec:
             ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
                 for f in df.schema.fields
@@ -172,6 +204,7 @@ def ensure_zordered(
     col_b: str,
     bits: int = 16,
     num_files: int | None = None,
+    derivation: str = "",
 ) -> DataFrame:
     """Materialize-once face of `write_zordered`: the Z-ordered files
     land ONCE per `path`, and later calls (same process or a fresh
@@ -180,13 +213,19 @@ def ensure_zordered(
     `ensure_bucketed_table`.
 
     The `_ZORDER_SPEC.json` fingerprint records (dims, bits, file
-    count, schema). Unlike bucket metadata, a stale Z-layout cannot
-    DROP rows — pruning only narrows the scan via footer stats, values
-    are layout-invariant — but a schema or derived-column change
-    across code versions would make the cached files answer with old
-    CONTENT, so a fingerprint mismatch rewrites, never trusts. Same
-    caveat as the bucketed face: the fingerprint does not hash the
-    data; use a distinct `path` per source dataset."""
+    count, schema, derivation). Unlike bucket metadata, a stale
+    Z-layout cannot DROP rows — pruning only narrows the scan via
+    footer stats, values are layout-invariant — but a schema or
+    derived-column change across code versions would make the cached
+    files answer with old CONTENT, so a fingerprint mismatch rewrites,
+    never trusts. The schema string alone cannot see a derived
+    column's DEFINITION change (same name, same type, new formula):
+    callers computing columns into `df` must fold the formula's
+    constants into `derivation` (as layout_zorder_prune does with its
+    day-ordinal epoch) so a definition change rewrites instead of
+    serving stale values. Same caveat as the bucketed face: the
+    fingerprint does not hash the data; use a distinct `path` per
+    source dataset."""
     import json as _json
     import os
 
@@ -196,16 +235,13 @@ def ensure_zordered(
         "bits": bits,
         "num_files": num_files,
         "schema": df.schema.simpleString(),
+        "derivation": derivation,
     }
     spec_path = os.path.join(path, "_ZORDER_SPEC.json")
     spark = df.sparkSession
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        try:
-            with open(spec_path) as f:
-                if _json.load(f) == spec:
-                    return spark.read.parquet(path)
-        except (OSError, ValueError):
-            pass
+        if _read_spec(spec_path) == spec:
+            return spark.read.parquet(path)
     write_zordered(df, path, col_a, col_b, bits=bits, num_files=num_files)
     with open(spec_path, "w") as f:
         _json.dump(spec, f)

@@ -28,6 +28,22 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def _contains_map(dt) -> bool:
+    """True when MapType occurs ANYWHERE in the type — top level, array
+    element, or struct field. Spark's hash expressions (xxhash64/hash)
+    reject maps at any nesting depth, so exclusion must recurse the
+    same way."""
+    from pyspark.sql import types as _T
+
+    if isinstance(dt, _T.MapType):
+        return True
+    if isinstance(dt, _T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, _T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def with_salt(df: DataFrame, n_salts: int, from_cols: list[str] | None = None) -> DataFrame:
     """Add a deterministic salt column in [0, n_salts): xxhash64 over
     `from_cols` (default: all columns). Deterministic per row content —
@@ -153,8 +169,6 @@ def salted_skew_join(
             f"salted_skew_join: inputs may not carry the reserved salt "
             f"column {SALT_COL!r}"
         )
-    from pyspark.sql import types as _T
-
     if salt_cols is not None:
         missing = [c for c in salt_cols if c not in big.columns]
         if missing:
@@ -163,18 +177,19 @@ def salted_skew_join(
                 f"columns {big.columns}"
             )
         # same MapType exclusion the default path applies: Spark's hash
-        # expressions reject MapType, and failing here with the
+        # expressions reject MapType ANYWHERE in the type (top-level,
+        # array element, struct field), and failing here with the
         # operator's error beats an opaque xxhash64 analysis error later
         big_types = {f.name: f.dataType for f in big.schema.fields}
         unhashable = [
-            c for c in salt_cols
-            if isinstance(big_types[c], _T.MapType)
+            c for c in salt_cols if _contains_map(big_types[c])
         ]
         if unhashable:
             raise ValueError(
-                f"salted_skew_join: salt_cols {unhashable} are MapType — "
-                "Spark's hash expressions reject maps; name hashable "
-                "columns (an event id, an offset) instead"
+                f"salted_skew_join: salt_cols {unhashable} contain "
+                "MapType — Spark's hash expressions reject maps at any "
+                "nesting level; name hashable columns (an event id, an "
+                "offset) instead"
             )
         # the same key-exclusion rule the default path enforces: a
         # salt derived from the join key alone is constant per key —
@@ -193,7 +208,7 @@ def salted_skew_join(
         hashable = [
             f.name
             for f in big.schema.fields
-            if not isinstance(f.dataType, _T.MapType) and f.name != key
+            if not _contains_map(f.dataType) and f.name != key
         ]
     if not hashable:
         raise ValueError(

@@ -1547,10 +1547,13 @@ def llm_span_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rewrite half of substring-level dedup: detect duplicated
     spans (same planted corpus and parameters as llm_span_dedup) and
     rebuild every document without the covered tokens, reporting the
-    removal count (operators/text_dedup.py:remove_spans — left-semi
-    range join on the unique doc_id, order-free struct-sort
-    reassembly; fixpoint-tested in pytest: re-detection on the
-    rewritten corpus finds nothing)."""
+    removal count (operators/text_dedup.py:remove_spans — the doc's
+    spans collapse to one small array row, ONE doc_id equi-join, then
+    a pure map-side filter((tok, i) -> uncovered) rebuild: corpus text
+    never explodes and never shuffles, plan-gated by
+    tests/test_plans.py::test_remove_spans_never_explodes_text;
+    fixpoint-tested in pytest: re-detection on the rewritten corpus
+    finds nothing)."""
     docs = load_table(spark, sf_dir, "documents")
     planted = F.when(
         F.col("doc_id") % 20 == 0,

@@ -574,6 +574,10 @@ def layout_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_num",
         bits=16,
         num_files=8,
+        # the derived column's DEFINITION is part of the fingerprint:
+        # an epoch change must rewrite the cached layout, not serve
+        # day_num values computed under the old epoch
+        derivation=f"day_num=datediff(to_date(ts),'{_ZORDER_EPOCH}')",
     )
     return (
         z.filter(

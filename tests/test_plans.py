@@ -1097,3 +1097,77 @@ def test_ensure_bucketed_table_session_path_checks_spec(
         assert "4 BUCKETS" in ddl, ddl
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ensure_bucketed_table_rejects_foreign_location(
+    spark, sf_dir, tmp_path
+):
+    """A table name already registered at a DIFFERENT path must raise —
+    never return the other location's data just because the requested
+    path's fingerprint matches, and never silently drop the other
+    caller's registration."""
+    import pytest as _pytest
+
+    from github_event_etl_spark.operators.layout import (
+        ensure_bucketed_table,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    path_a, path_b = str(tmp_path / "a"), str(tmp_path / "b")
+    name, other = "geetl_loc_a", "geetl_loc_b"
+    try:
+        ensure_bucketed_table(
+            spark, df, name, path_a, "c_custkey", 8, sort_col="c_custkey"
+        )
+        # materialize matching files+spec at path_b under another name,
+        # then ask for `name` (registered at path_a) against path_b
+        ensure_bucketed_table(
+            spark, df, other, path_b, "c_custkey", 8, sort_col="c_custkey"
+        )
+        with _pytest.raises(ValueError, match="already registered at"):
+            ensure_bucketed_table(
+                spark, df, name, path_b, "c_custkey", 8,
+                sort_col="c_custkey",
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {other}")
+
+
+def test_ensure_zordered_derivation_change_rewrites(spark, sf_dir, tmp_path):
+    """The Z-layout fingerprint must include the caller's derived-column
+    DEFINITION: same schema + same dims + a changed derivation string is
+    exactly the stale-content case (day_num computed under an old
+    epoch), so it must rewrite — and an unchanged derivation must keep
+    the warm no-rewrite path."""
+    import os
+
+    from github_event_etl_spark.operators.layout import ensure_zordered
+    from github_event_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    path = str(tmp_path / "z")
+
+    def mtimes():
+        return {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+
+    ensure_zordered(
+        ev, path, "user_id", "event_id", bits=8, num_files=2,
+        derivation="v1",
+    )
+    first = mtimes()
+    ensure_zordered(
+        ev, path, "user_id", "event_id", bits=8, num_files=2,
+        derivation="v1",
+    )
+    assert mtimes() == first, "same derivation must not rewrite"
+    ensure_zordered(
+        ev, path, "user_id", "event_id", bits=8, num_files=2,
+        derivation="v2",
+    )
+    assert mtimes() != first, "changed derivation must rewrite"

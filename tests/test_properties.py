@@ -836,3 +836,15 @@ def test_salted_skew_join_rejects_map_salt_cols(spark):
         salted_skew_join(b, s, "k", salt_cols=["v", "m"])
     # and the map column is fine when NOT named: default path excludes it
     assert salted_skew_join(b, s, "k", n_salts=2).count() == 1
+    # NESTED maps are just as unhashable — xxhash64 rejects MapType at
+    # any depth, so the guard must recurse (array element, struct field)
+    bn = spark.createDataFrame(
+        [(1, 2, [{"a": 1}], ({"a": 1},))],
+        "k long, v long, am array<map<string,long>>, "
+        "sm struct<m: map<string,long>>",
+    )
+    for col in ("am", "sm"):
+        with pytest.raises(ValueError, match="MapType"):
+            salted_skew_join(bn, s, "k", salt_cols=[col])
+    # default path likewise skips the nested-map columns and still joins
+    assert salted_skew_join(bn, s, "k", n_salts=2).count() == 1
