@@ -205,6 +205,7 @@ def ensure_zordered(
     bits: int = 16,
     num_files: int | None = None,
     derivation: str = "",
+    normalize: bool = False,
 ) -> DataFrame:
     """Materialize-once face of `write_zordered`: the Z-ordered files
     land ONCE per `path`, and later calls (same process or a fresh
@@ -236,13 +237,17 @@ def ensure_zordered(
         "num_files": num_files,
         "schema": df.schema.simpleString(),
         "derivation": derivation,
+        "normalize": normalize,
     }
     spec_path = os.path.join(path, "_ZORDER_SPEC.json")
     spark = df.sparkSession
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         if _read_spec(spec_path) == spec:
             return spark.read.parquet(path)
-    write_zordered(df, path, col_a, col_b, bits=bits, num_files=num_files)
+    write_zordered(
+        df, path, col_a, col_b,
+        bits=bits, num_files=num_files, normalize=normalize,
+    )
     with open(spec_path, "w") as f:
         _json.dump(spec, f)
     return spark.read.parquet(path)
@@ -375,6 +380,7 @@ def write_zordered(
     bits: int = 16,
     mode: str = "overwrite",
     num_files: int | None = None,
+    normalize: bool = False,
 ) -> None:
     """Write `df` as parquet range-partitioned AND sorted by the
     Z-order key of (`col_a`, `col_b`) — every file (and every row
@@ -396,8 +402,46 @@ def write_zordered(
     partition size — but note AQE will coalesce a SMALL input to very
     few (even one) partitions, which erases the multi-file layout;
     pass an explicit count whenever file granularity is the point
-    (as the footer-stats test does)."""
-    keyed = df.withColumn("_zkey", zorder_key(col_a, col_b, bits))
+    (as the footer-stats test does).
+
+    `normalize=True` min/max-scales EACH dimension onto the full
+    [0, 2^bits) domain before interleaving (one cheap agg job at write
+    time — amortized like the range sampling). This matters whenever
+    the dimensions' natural widths differ: interleaving a raw 8-bit
+    domain against a raw 5-bit one leaves the key's high bits owned
+    entirely by the wide dimension, so the sort clusters ONLY it and
+    the narrow dimension's footer stats stay near-full-range per file
+    (measured on events (user_id 0–149, day 0–29), 8 files: day width
+    28/29 raw vs ~halved normalized, user unchanged-tight). This is
+    the min/max flavor of what lakehouse OPTIMIZE ZORDER BY does with
+    per-column range-partition ids; rank-based normalization resists
+    skewed value distributions better but costs a full sort per
+    dimension — min/max is the right default for id-like and
+    ordinal-like dims. Scaling is layout-only: written VALUES are
+    untouched."""
+    if normalize:
+        bounds = df.agg(
+            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        ).first()
+        hi_key = float((1 << bits) - 1)
+
+        def scaled(c: str, lo, hi) -> "F.Column":
+            if lo is None or hi is None or hi <= lo:
+                # empty input or constant dimension: no spread to make
+                return F.lit(0).cast("long")
+            # double math: exact for ordinary id/ordinal widths, and a
+            # >2^53 span only costs layout precision, never values
+            return F.floor(
+                (F.col(c).cast("double") - F.lit(float(lo)))
+                / F.lit(float(hi - lo))
+                * F.lit(hi_key)
+            ).cast("long")
+
+        a_key = scaled(col_a, bounds[0], bounds[1])
+        b_key = scaled(col_b, bounds[2], bounds[3])
+    else:
+        a_key, b_key = col_a, col_b
+    keyed = df.withColumn("_zkey", zorder_key(a_key, b_key, bits))
     ranged = (
         keyed.repartitionByRange(num_files, "_zkey")
         if num_files is not None

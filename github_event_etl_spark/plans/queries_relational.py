@@ -578,6 +578,11 @@ def layout_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         # an epoch change must rewrite the cached layout, not serve
         # day_num values computed under the old epoch
         derivation=f"day_num=datediff(to_date(ts),'{_ZORDER_EPOCH}')",
+        # user_id and day ordinal have very different natural widths
+        # (~8 bits vs ~5 at sf0.01); min/max normalization onto the
+        # full key domain is what makes BOTH dims' footer stats tight
+        # (the plan test measures it on the written files)
+        normalize=True,
     )
     return (
         z.filter(

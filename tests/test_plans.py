@@ -779,6 +779,24 @@ def test_layout_zorder_prune_pushes_both_dims(qmap, spark, sf_dir):
         f: _os.path.getmtime(f) for f in glob.glob(zdir + "/*.parquet")
     }
     assert after == before, "warm path must not rewrite the Z layout"
+    # BOTH dimensions' footer stats must be tighter than full-range —
+    # the normalized interleave's whole point. The raw (unnormalized)
+    # interleave of these unequal-width domains leaves day_num at
+    # ~0.97× full range per file (measured), i.e. unprunable; with
+    # min/max normalization both dims stay well under 0.75×.
+    import pyarrow.parquet as _pq
+
+    for col in ("user_id", "day_num"):
+        widths, lo, hi = [], float("inf"), float("-inf")
+        for f in before:
+            md = _pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                widths.append(st.max - st.min)
+                lo, hi = min(lo, st.min), max(hi, st.max)
+        avg = sum(widths) / len(widths)
+        assert avg < 0.75 * (hi - lo), (col, avg, hi - lo)
 
 
 def test_zorder_key_is_pure_jvm_expression(spark):
