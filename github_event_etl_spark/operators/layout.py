@@ -62,11 +62,23 @@ def _read_spec(spec_path: str):
 
 def _table_location(spark: SparkSession, table_name: str) -> str | None:
     """The catalog table's storage location as a local path (file: URI
-    stripped), or None when the catalog exposes none."""
+    parsed via urllib so file:/p, file:///p and file://host/p all yield
+    /p), or None when the catalog exposes none (e.g. a temp view).
+
+    Only rows AFTER the '# Detailed Table Information' marker count:
+    DESC FORMATTED lists the schema first, where a data column
+    literally named 'Location' would otherwise match and return its
+    TYPE string as the path."""
+    from urllib.parse import unquote, urlparse
+
+    in_detail = False
     for row in spark.sql(f"DESC FORMATTED {table_name}").collect():
-        if row.col_name == "Location":
+        if row.col_name.startswith("# Detailed Table Information"):
+            in_detail = True
+        elif in_detail and row.col_name == "Location":
             loc = row.data_type
-            return loc[5:] if loc.startswith("file:") else loc
+            parsed = urlparse(loc)
+            return unquote(parsed.path) if parsed.scheme == "file" else loc
     return None
 
 
@@ -157,9 +169,19 @@ def ensure_bucketed_table(
         # location's data (or a silent drop of the other caller's
         # registration).
         loc = _table_location(spark, table_name)
-        if loc is not None and os.path.realpath(loc) != os.path.realpath(
-            path
-        ):
+        if loc is None:
+            # A catalog entry with no storage location (a temp view
+            # sharing the name) cannot be verified against `path` —
+            # and rewriting would not help, since `spark.table(name)`
+            # resolves the view, not the files. Same loud answer as
+            # the wrong-location case, not a silent bypass.
+            raise ValueError(
+                f"ensure_bucketed_table: {table_name!r} exists in the "
+                "catalog without a storage location (temp view?) — it "
+                f"would shadow the bucketed table at {path!r}; use a "
+                "distinct table name"
+            )
+        if os.path.realpath(loc) != os.path.realpath(path):
             raise ValueError(
                 f"ensure_bucketed_table: table {table_name!r} is already "
                 f"registered at {loc!r}, not the requested {path!r} — "
@@ -214,7 +236,7 @@ def ensure_zordered(
     `ensure_bucketed_table`.
 
     The `_ZORDER_SPEC.json` fingerprint records (dims, bits, file
-    count, schema, derivation). Unlike bucket metadata, a stale
+    count, schema, derivation, normalize). Unlike bucket metadata, a stale
     Z-layout cannot DROP rows — pruning only narrows the scan via
     footer stats, values are layout-invariant — but a schema or
     derived-column change across code versions would make the cached
@@ -420,6 +442,17 @@ def write_zordered(
     ordinal-like dims. Scaling is layout-only: written VALUES are
     untouched."""
     if normalize:
+        from pyspark.sql.types import NumericType
+
+        for c in (col_a, col_b):
+            if not isinstance(df.schema[c].dataType, NumericType):
+                raise ValueError(
+                    f"write_zordered: normalize=True requires numeric "
+                    f"dimensions, but {c!r} is "
+                    f"{df.schema[c].dataType.simpleString()} — rank or "
+                    "ordinal-encode it first (date → day ordinal, "
+                    "string → dictionary id)"
+                )
         bounds = df.agg(
             F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
         ).first()

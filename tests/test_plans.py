@@ -698,6 +698,23 @@ def test_profile_modes_avoid_expand(qmap, spark, sf_dir):
         )
 
 
+def _footer_stat_widths(files, col):
+    """Walk the parquet footer statistics of `col` across `files` and
+    return (avg per-row-group max-min width, global min, global max) —
+    the physical numbers both Z-order layout tests assert on."""
+    import pyarrow.parquet as pq
+
+    widths, lo, hi = [], float("inf"), float("-inf")
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            widths.append(st.max - st.min)
+            lo, hi = min(lo, st.min), max(hi, st.max)
+    return sum(widths) / len(widths), lo, hi
+
+
 def test_zorder_layout_tightens_both_dims(spark, tmp_path):
     """The Z-order write must give every parquet file footer TIGHT
     min/max stats in BOTH dimensions (what makes scans filtered on
@@ -706,8 +723,6 @@ def test_zorder_layout_tightens_both_dims(spark, tmp_path):
     directly on the pyarrow footer statistics — the physical fact the
     optimizer's pruning consumes."""
     import glob
-
-    import pyarrow.parquet as pq
 
     from github_event_etl_spark.operators.layout import write_zordered
 
@@ -726,14 +741,10 @@ def test_zorder_layout_tightens_both_dims(spark, tmp_path):
     )
 
     def widths(path, col):
-        out = []
-        for f in glob.glob(path + "/part*.parquet"):
-            md = pq.ParquetFile(f).metadata
-            idx = md.schema.names.index(col)
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                out.append(st.max - st.min)
-        return sum(out) / len(out)
+        avg, _, _ = _footer_stat_widths(
+            glob.glob(path + "/part*.parquet"), col
+        )
+        return avg
 
     # rows round-trip intact
     assert spark.read.parquet(zpath).count() == n
@@ -784,18 +795,8 @@ def test_layout_zorder_prune_pushes_both_dims(qmap, spark, sf_dir):
     # interleave of these unequal-width domains leaves day_num at
     # ~0.97× full range per file (measured), i.e. unprunable; with
     # min/max normalization both dims stay well under 0.75×.
-    import pyarrow.parquet as _pq
-
     for col in ("user_id", "day_num"):
-        widths, lo, hi = [], float("inf"), float("-inf")
-        for f in before:
-            md = _pq.ParquetFile(f).metadata
-            idx = md.schema.names.index(col)
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                widths.append(st.max - st.min)
-                lo, hi = min(lo, st.min), max(hi, st.max)
-        avg = sum(widths) / len(widths)
+        avg, lo, hi = _footer_stat_widths(before, col)
         assert avg < 0.75 * (hi - lo), (col, avg, hi - lo)
 
 
@@ -1151,6 +1152,84 @@ def test_ensure_bucketed_table_rejects_foreign_location(
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(f"DROP TABLE IF EXISTS {other}")
+
+
+def test_ensure_bucketed_table_rejects_temp_view_collision(
+    spark, sf_dir, tmp_path
+):
+    """A temp VIEW sharing the table name is a catalog entry with no
+    storage location — it cannot be verified against `path`, and
+    `spark.table(name)` would resolve the view, so the operator must
+    raise loudly instead of serving the view's (foreign) data."""
+    import pytest as _pytest
+
+    from github_event_etl_spark.operators.layout import (
+        ensure_bucketed_table,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    name = "geetl_view_collision"
+    try:
+        df.limit(1).createOrReplaceTempView(name)
+        with _pytest.raises(ValueError, match="without a storage location"):
+            ensure_bucketed_table(
+                spark, df, name, str(tmp_path / "v"), "c_custkey", 8,
+                sort_col="c_custkey",
+            )
+    finally:
+        spark.catalog.dropTempView(name)
+
+
+def test_table_location_skips_schema_column_named_location(
+    spark, sf_dir, tmp_path
+):
+    """DESC FORMATTED lists the schema before the detail section; a
+    data column literally named 'Location' must not be mistaken for
+    the storage-location row (which would make every warm call raise a
+    spurious foreign-location error with the TYPE string as the
+    path)."""
+    import os
+
+    from github_event_etl_spark.operators.layout import (
+        ensure_bucketed_table,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_name").alias("Location")
+    )
+    path = str(tmp_path / "loc_col")
+    name = "geetl_loc_col"
+    try:
+        ensure_bucketed_table(spark, df, name, path, "c_custkey", 4)
+        before = sorted(os.listdir(path))
+        # warm same-spec call: fast path, no spurious location error
+        t = ensure_bucketed_table(spark, df, name, path, "c_custkey", 4)
+        assert t.count() == df.count()
+        assert sorted(os.listdir(path)) == before
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_write_zordered_normalize_rejects_non_numeric(spark, tmp_path):
+    """normalize=True min/max-scales with double math, which is
+    undefined for date/string dims — the operator must refuse with its
+    own descriptive error (telling the caller to ordinal-encode), not
+    crash driver-side in float()."""
+    import pytest as _pytest
+
+    from github_event_etl_spark.operators.layout import write_zordered
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+        .alias("d"),
+    )
+    with _pytest.raises(ValueError, match="requires numeric"):
+        write_zordered(
+            df, str(tmp_path / "z"), "a", "d", bits=4, normalize=True
+        )
 
 
 def test_ensure_zordered_derivation_change_rewrites(spark, sf_dir, tmp_path):
