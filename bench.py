@@ -57,6 +57,9 @@ COMPONENTS = [
     "profile_drift",
     "fn_unpivot",
     "layout_zorder_prune",
+    "gapfill_hourly",
+    "profile_histogram",
+    "fn_url_extract",
 ]
 # LLM-pipeline + streaming headliners (import-safe: skipped if absent).
 OPTIONAL = [

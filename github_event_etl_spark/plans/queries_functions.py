@@ -389,3 +389,60 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="amount",
     )
+
+
+# ------------------------------------------------------------------ URLs
+
+
+@query(
+    "fn_url_extract",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/' || lang || '/doc/'
+               || CAST(doc_id AS VARCHAR) || '?ref=' || source AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param
+    FROM u
+    """,
+    tags=("functions", "partB", "llm"),
+)
+def fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 URL decomposition: host / path / query-parameter extraction
+    with the JVM `parse_url` builtin. Domain-level operations are
+    first-class in web-corpus curation — per-domain dedup, blocklist
+    filtering and domain mixture weighting all start by splitting a
+    URL into its components — and a regex in Python would be the slow
+    path. The documents table carries no URL column, so the query
+    derives a deterministic one from (source, lang, doc_id) and then
+    decomposes it; the oracle mirrors the decomposition with anchored
+    regexes (DuckDB has no parse_url), pinning that `parse_url`'s
+    HOST/PATH/QUERY grammar agrees with the portable regex reading.
+
+    Scale shape: pure map-side scalar expressions inside whole-stage
+    codegen — no shuffle, no UDF; at 100 TB this runs at scan
+    speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("source"),
+    )
+    return docs.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias(
+            "ref_param"
+        ),
+    )

@@ -1424,6 +1424,150 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "profile_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS lo_edge,
+           count(*) AS n_rows,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "partB", "quality"),
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution leg of the profiling suite (stats →
+    `profile_table`, drift → `profile_drift`, SHAPE → this): an
+    equi-width histogram of a numeric column — bucket id, bucket lower
+    edge, count, and the observed min/max inside each bucket. The
+    shape profile is what catches a distribution shift that leaves
+    counts and cardinalities intact (e.g. a unit change upstream
+    doubling every value), the third standard ingest-acceptance check
+    after `profile_drift`'s count-level gates.
+
+    Scale shape: bucketing is one map-side floor-divide inside
+    whole-stage codegen (the `width_bucket` pattern with explicit
+    edges), then ONE hash aggregate whose key domain is the bucket
+    count — bounded output regardless of input size, partial
+    aggregation absorbs almost everything map-side, no skew possible
+    beyond the bucket count. min/max pass stored doubles through
+    unchanged and the lo_edge multiply is an exact small-int × 50.0,
+    so every value is engine-stable for the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / F.lit(50.0)).cast("long")
+    return (
+        ev.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(50.0)).alias("lo_edge"),
+            "n_rows",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+# --------------------------------------------- time-series densification
+
+# The previous gapfill call's persisted hourly aggregate, unpersisted
+# on the next call — bounds live cache entries at one (each entry is
+# |types|×|hours| rows, but repeated bench reps shouldn't accumulate
+# even small ones).
+_GAPFILL_CACHE: list[DataFrame] = []
+
+
+@query(
+    "gapfill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+      FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type,
+           strftime(s.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_str,
+           coalesce(h.n_events, 0) AS n_events
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN hourly h
+      ON h.event_type = t.event_type AND h.hour_ts = s.hour_ts
+    """,
+    tags=("relational", "partB", "timeseries"),
+)
+def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series DENSIFICATION (the timeseries-database
+    `time_bucket_gapfill` / `GROUP BY ... FILL` operator): hourly event
+    counts per event_type over the complete [min hour, max hour] span,
+    with silent hours present as explicit zero rows. Dashboards,
+    anomaly detectors and join-by-time consumers all need the dense
+    spine — a missing bucket is indistinguishable from a lost
+    partition otherwise. The reference's hourly score keys (A16)
+    imply exactly this dense hour domain; Spark has no gapfill
+    builtin, so this composes one from sequence + explode.
+
+    Scale shape: the 100 TB input is touched ONCE, by the hourly
+    aggregate (one shuffle, partial agg map-side; output bounded by
+    |types| × |hours|). That small aggregate is PERSISTED and every
+    densification consumer — the global min/max bounds, the type
+    dimension, and the final probe side — reads the cache: without it
+    Catalyst recomputes the aggregate subtree per consumer (exchange
+    reuse cannot fire, column pruning makes the three subtrees
+    unequal), i.e. three corpus scans instead of one. The cached
+    entity is |types|×|hours| rows regardless of input size, and each
+    call unpersists the previous call's cache so repeated runs hold
+    at most one. The spine is sequence()/explode over a single
+    min/max row, and spine×types is |types|×|hours| rows by
+    construction — the declared bounded-domain cross, never a
+    corpus-sized side. The final left join brings the counts back by
+    (type, hour) equi-key. Hour timestamps serialize as fixed-format
+    strings per the oracle contract."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    )
+    while _GAPFILL_CACHE:
+        _GAPFILL_CACHE.pop().unpersist()
+    hourly = (
+        ev.groupBy("event_type", "hour_ts")
+        .agg(F.count("*").alias("n_events"))
+        .persist()
+    )
+    _GAPFILL_CACHE.append(hourly)
+    bounds = hourly.agg(
+        F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    types = hourly.select("event_type").distinct()
+    dense = spine.crossJoin(F.broadcast(types))
+    return dense.join(hourly, ["event_type", "hour_ts"], "left").select(
+        "event_type",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_str"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+            "n_events"
+        ),
+    )
+
+
 # --------------------------------------------- incremental maintenance
 
 _MERGE_CUTOFF = "2024-01-16 00:00:00"

@@ -881,6 +881,68 @@ def test_profile_drift_expand_free_pruned(qmap, spark, sf_dir):
     assert "ReadSchema: struct<ts:timestamp,user_id:bigint>" in plan
 
 
+def test_gapfill_hourly_scans_corpus_once(qmap, spark, sf_dir):
+    """Densification must run on POST-AGGREGATE cardinalities: the
+    corpus contributes ONE physical parquet scan (the persisted hourly
+    aggregate), and the bounds / type-dimension / probe consumers all
+    read that cache — without the persist, column pruning makes the
+    three aggregate subtrees unequal and Catalyst re-scans the corpus
+    per consumer. The only cross join is the bounded spine×types
+    broadcast; the counts come back through an equi-join."""
+    import re
+
+    plan = plan_of(qmap, spark, sf_dir, "gapfill_hourly")
+    tree = tree_of(plan)
+    # one UNIQUE scan node: the cached relation repeats its populating
+    # plan under every InMemoryTableScan, so count distinct node ids
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", tree))
+    assert len(scan_ids) == 1, tree
+    assert tree.count("InMemoryTableScan") == 3, tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin LeftOuter" in tree, tree
+    # cache hygiene: a second call unpersists the first call's entry
+    from github_event_etl_spark.plans import queries_relational as qr
+
+    qmap["gapfill_hourly"](spark, sf_dir)
+    assert len(qr._GAPFILL_CACHE) == 1
+
+
+def test_gapfill_hourly_emits_zero_rows(qmap, spark, sf_dir):
+    """The operator's whole point: silent (type, hour) buckets exist
+    as explicit zero rows, and the dense grid is exactly
+    |types| × |global hour span|."""
+    out = qmap["gapfill_hourly"](spark, sf_dir).collect()
+    types = {r.event_type for r in out}
+    hours = {r.hour_str for r in out}
+    assert len(out) == len(types) * len(hours)
+    assert any(r.n_events == 0 for r in out), "no gap was filled"
+    assert sum(r.n_events for r in out) > 0
+
+
+def test_profile_histogram_single_exchange(qmap, spark, sf_dir):
+    """Equi-width histogram = map-side floor-divide + ONE partial+final
+    hash aggregate over the bounded bucket domain; the scan reads only
+    the profiled column."""
+    plan = plan_of(qmap, spark, sf_dir, "profile_histogram")
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("HashAggregate") == 2, tree
+    assert tree.count("Scan parquet") == 1, tree
+    assert "ReadSchema: struct<value:double>" in plan
+
+
+def test_fn_url_extract_stays_jvm(qmap, spark, sf_dir):
+    """parse_url is a JVM builtin — the whole decomposition must stay
+    inside whole-stage codegen with no Python eval node and a single
+    pruned scan."""
+    plan = plan_of(qmap, spark, sf_dir, "fn_url_extract")
+    tree = tree_of(plan)
+    assert "EvalPython" not in plan
+    assert tree.count("Scan parquet") == 1, tree
+    assert "codegen id" in plan
+    assert "Exchange" not in tree
+
+
 def test_ensure_bucketed_table_register_path_keeps_layout(
     spark, sf_dir, tmp_path
 ):
