@@ -704,6 +704,8 @@ def _footer_stat_widths(files, col):
     the physical numbers both Z-order layout tests assert on."""
     import pyarrow.parquet as pq
 
+    files = list(files)
+    assert files, "no parquet files to read footer stats from"
     widths, lo, hi = [], float("inf"), float("-inf")
     for f in files:
         md = pq.ParquetFile(f).metadata
@@ -900,11 +902,15 @@ def test_gapfill_hourly_scans_corpus_once(qmap, spark, sf_dir):
     assert tree.count("InMemoryTableScan") == 3, tree
     assert "CartesianProduct" not in tree
     assert "BroadcastHashJoin LeftOuter" in tree, tree
-    # cache hygiene: a second call unpersists the first call's entry
+    # cache hygiene: a second call REUSES the same persisted entry
+    # (replacing it would silently revert the first call's returned
+    # plan to the three-scan shape), and the registry holds one entry
+    # for this sf_dir
     from github_event_etl_spark.plans import queries_relational as qr
 
+    before = qr._GAPFILL_CACHE[sf_dir.rstrip("/")]
     qmap["gapfill_hourly"](spark, sf_dir)
-    assert len(qr._GAPFILL_CACHE) == 1
+    assert qr._GAPFILL_CACHE[sf_dir.rstrip("/")] is before
 
 
 def test_gapfill_hourly_emits_zero_rows(qmap, spark, sf_dir):
