@@ -1571,22 +1571,13 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .persist()
             )
             _GAPFILL_CACHE[cache_key] = (spark, hourly)
-    bounds = hourly.agg(
-        F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
-    )
-    spine = bounds.select(
-        F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour_ts")
-    )
-    types = hourly.select("event_type").distinct()
-    dense = spine.crossJoin(F.broadcast(types))
-    return dense.join(hourly, ["event_type", "hour_ts"], "left").select(
+    from ..operators.timeseries import densify_buckets
+
+    dense = densify_buckets(hourly, "event_type", "hour_ts", "n_events")
+    return dense.select(
         "event_type",
         F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_str"),
-        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
-            "n_events"
-        ),
+        "n_events",
     )
 
 

@@ -937,6 +937,20 @@ def test_profile_histogram_single_exchange(qmap, spark, sf_dir):
     assert "ReadSchema: struct<value:double>" in plan
 
 
+def test_profile_histogram_conserves_and_bounds(qmap, spark, sf_dir):
+    """Model-level invariants independent of the DuckDB oracle: bucket
+    counts conserve the table's row count, and every bucket's observed
+    min/max lies inside its [edge, edge + width) interval."""
+    from github_event_etl_spark.sources.tables import load_table
+
+    rows = qmap["profile_histogram"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in rows) == total
+    for r in rows:
+        assert r.lo_edge == r.bin * 50.0
+        assert r.lo_edge <= r.min_value <= r.max_value < r.lo_edge + 50.0
+
+
 def test_fn_url_extract_stays_jvm(qmap, spark, sf_dir):
     """parse_url is a JVM builtin — the whole decomposition must stay
     inside whole-stage codegen with no Python eval node and a single

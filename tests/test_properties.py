@@ -848,3 +848,48 @@ def test_salted_skew_join_rejects_map_salt_cols(spark):
             salted_skew_join(bn, s, "k", salt_cols=[col])
     # default path likewise skips the nested-map columns and still joins
     assert salted_skew_join(bn, s, "k", n_salts=2).count() == 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    agg=st.dictionaries(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 48)),
+        st.integers(1, 5),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_densify_buckets_matches_python_model(spark, agg):
+    """Gap-fill must emit EXACTLY the |groups| x |global span| grid:
+    every (group, bucket) combination over [min bucket, max bucket]
+    present once, original counts preserved, every absent combination
+    zero — including the single-group, single-bucket and
+    all-groups-share-one-bucket shapes hypothesis finds."""
+    from datetime import datetime, timedelta
+
+    from github_event_etl_spark.operators.timeseries import (
+        densify_buckets,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (g, base + timedelta(hours=h), int(n))
+        for (g, h), n in agg.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, bucket timestamp, n long"
+    )
+    got = {
+        (r.grp, r.bucket): r.n
+        for r in densify_buckets(df, "grp", "bucket", "n").collect()
+    }
+
+    offs = [h for (_, h) in agg]
+    span = range(min(offs), max(offs) + 1)
+    groups = {g for (g, _) in agg}
+    want = {
+        (g, base + timedelta(hours=h)): agg.get((g, h), 0)
+        for g in groups
+        for h in span
+    }
+    assert got == want
