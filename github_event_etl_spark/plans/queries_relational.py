@@ -1553,6 +1553,14 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         entry = _GAPFILL_CACHE.get(cache_key)
         if entry is not None and entry[0] is spark:
             hourly = entry[1]
+            lvl = hourly.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                # an outside spark.catalog.clearCache() dropped the
+                # registration out from under the registry — without
+                # this re-persist every later call would silently run
+                # the three-scan shape for the rest of the session
+                hourly = hourly.persist()
+                _GAPFILL_CACHE[cache_key] = (spark, hourly)
         else:
             if entry is not None:
                 # a different (stopped) session's entry: best-effort

@@ -911,6 +911,11 @@ def test_gapfill_hourly_scans_corpus_once(qmap, spark, sf_dir):
     before = qr._GAPFILL_CACHE[sf_dir.rstrip("/")]
     qmap["gapfill_hourly"](spark, sf_dir)
     assert qr._GAPFILL_CACHE[sf_dir.rstrip("/")] is before
+    # an outside clearCache must not permanently degrade later calls:
+    # the registry re-validates the storage level and re-persists
+    spark.catalog.clearCache()
+    plan3 = plan_of(qmap, spark, sf_dir, "gapfill_hourly")
+    assert tree_of(plan3).count("InMemoryTableScan") == 3, plan3
 
 
 def test_gapfill_hourly_emits_zero_rows(qmap, spark, sf_dir):
