@@ -1477,18 +1477,25 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- time-series densification
 
 # Materialize-once registry for the gapfill hourly aggregate: one
-# persisted entry per sf_dir, REUSED by every later call in the same
-# session (the ensure_* contract, in cache form). Reuse — rather than
-# unpersist-and-replace — matters for two reasons: a previously
-# returned DataFrame's plan still references its cache entry, so
-# evicting it would silently revert that live handle to the
-# three-corpus-scan shape this operator exists to prevent; and each
-# entry is only |types|×|hours| rows, so the registry stays bounded by
-# the handful of distinct sf_dirs a process touches. An entry from a
-# stopped session is replaced (best-effort unpersisted) on the next
-# call with that sf_dir. The lock keeps concurrent first calls from
-# racing the dict.
-_GAPFILL_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+# persisted entry per (session, canonical sf_dir), REUSED by every
+# later call with that pair (the ensure_* contract, in cache form).
+# Reuse — rather than unpersist-and-replace — matters because a
+# previously returned DataFrame's plan still references its cache
+# entry: evicting it would silently revert that live handle to the
+# three-corpus-scan shape this operator exists to prevent. Keying by
+# session (not just path) means two live sessions sharing an sf_dir
+# each keep their own entry instead of ping-pong evicting — and
+# nothing here ever unpersists another session's data (sessions of
+# one SparkContext share the CacheManager, so that would destroy a
+# live sibling's cache). Growth is bounded by sessions × sf_dirs —
+# each entry |types|×|hours| rows, and a process creates a handful of
+# either.
+#
+# Same caveat as ensure_bucketed_table: the registry keys the PATH,
+# not the data — REGENERATED files under an unchanged sf_dir are
+# served from the old aggregate for the rest of the session. Use a
+# distinct path per dataset (the testdata sf-dir contract).
+_GAPFILL_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 _GAPFILL_LOCK = threading.Lock()
 
 
@@ -1548,37 +1555,48 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized side. The final left join brings the counts back by
     (type, hour) equi-key. Hour timestamps serialize as fixed-format
     strings per the oracle contract."""
-    cache_key = sf_dir.rstrip("/")
-    with _GAPFILL_LOCK:
+    cache_key = (id(spark), os.path.realpath(sf_dir))
+
+    def _cached() -> DataFrame | None:
         entry = _GAPFILL_CACHE.get(cache_key)
-        if entry is not None and entry[0] is spark:
-            hourly = entry[1]
-            lvl = hourly.storageLevel
-            if not (lvl.useMemory or lvl.useDisk):
-                # an outside spark.catalog.clearCache() dropped the
-                # registration out from under the registry — without
-                # this re-persist every later call would silently run
-                # the three-scan shape for the rest of the session
-                hourly = hourly.persist()
-                _GAPFILL_CACHE[cache_key] = (spark, hourly)
-        else:
-            if entry is not None:
-                # a different (stopped) session's entry: best-effort
-                # release before replacing
-                try:
-                    entry[1].unpersist()
-                except Exception:
-                    pass
-            ev = load_table(spark, sf_dir, "events").select(
-                F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
-                "event_type",
-            )
-            hourly = (
-                ev.groupBy("event_type", "hour_ts")
-                .agg(F.count("*").alias("n_events"))
-                .persist()
-            )
+        if entry is None or entry[0] is not spark:
+            # id() collision with a garbage-collected session cannot
+            # happen while entry[0] pins the session object, but the
+            # identity check keeps the invariant explicit
+            return None
+        hourly = entry[1]
+        lvl = hourly.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            # an outside spark.catalog.clearCache() dropped the
+            # registration out from under the registry — without this
+            # re-persist every later call would silently run the
+            # three-scan shape for the rest of the session
+            hourly = hourly.persist()
             _GAPFILL_CACHE[cache_key] = (spark, hourly)
+        return hourly
+
+    with _GAPFILL_LOCK:
+        hourly = _cached()
+    if hourly is None:
+        # build OUTSIDE the lock (load_table does driver-side file
+        # I/O; unrelated sf_dirs must not stall behind it), publish
+        # under it; a losing racer releases its duplicate
+        ev = load_table(spark, sf_dir, "events").select(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        )
+        built = (
+            ev.groupBy("event_type", "hour_ts")
+            .agg(F.count("*").alias("n_events"))
+            .persist()
+        )
+        with _GAPFILL_LOCK:
+            hourly = _cached()
+            if hourly is None:
+                _GAPFILL_CACHE[cache_key] = (spark, built)
+                hourly = built
+        if hourly is not built:
+            built.unpersist()
     from ..operators.timeseries import densify_buckets
 
     dense = densify_buckets(hourly, "event_type", "hour_ts", "n_events")

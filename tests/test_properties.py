@@ -879,10 +879,11 @@ def test_densify_buckets_matches_python_model(spark, agg):
     df = spark.createDataFrame(
         rows, "grp string, bucket timestamp, n long"
     )
-    got = {
-        (r.grp, r.bucket): r.n
-        for r in densify_buckets(df, "grp", "bucket", "n").collect()
-    }
+    collected = densify_buckets(df, "grp", "bucket", "n").collect()
+    got = {(r.grp, r.bucket): r.n for r in collected}
+    # dict-ifying collapses duplicate rows silently — pin multiplicity
+    # first so a fan-out regression cannot hide behind it
+    assert len(collected) == len(got)
 
     offs = [h for (_, h) in agg]
     span = range(min(offs), max(offs) + 1)
