@@ -98,6 +98,15 @@ def test_catalog_staleness_ordering():
     ]
     for key in never:
         assert names.index(key) < 50, f"new key {key} outside the 50-key window"
+    # Deferred new keys must rank OUTSIDE the window while the deferral
+    # holds — the whole point is that they cannot evict a stale
+    # re-check (they become ordinary never-checked front-riders once
+    # the anchoring round's artifact lands).
+    if catalog._newest_artifact_round() < catalog._DEFER_NEW_UNTIL_ROUND:
+        for key in catalog._DEFERRED_NEW_KEYS:
+            assert names.index(key) >= 50, (
+                f"deferred key {key} inside the window it must not evict from"
+            )
 
 
 def test_staleness_bound_documented_matches_arithmetic():
