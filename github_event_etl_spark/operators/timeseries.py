@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def densify_buckets(
@@ -57,3 +58,81 @@ def densify_buckets(
             count_col
         ),
     )
+
+
+def fill_forward(
+    dense: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Last-observation-carried-forward over a dense bucket grid: null
+    `value_col` entries take the most recent non-null value within
+    their group (timeseries `locf`; buckets before a group's first
+    observation stay null). Pairs with `densify_buckets` when the
+    filled quantity is a reading to hold, not a count to zero.
+
+    One exchange: the per-group window sorts once and
+    last(ignorenulls) scans the frame incrementally."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.withColumn(
+        value_col, F.last(value_col, ignorenulls=True).over(w)
+    )
+
+
+def interpolate_linear(
+    dense: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear interpolation over a dense TIMESTAMP bucket grid: null
+    `value_col` entries take the value linearly interpolated between
+    the nearest earlier and later non-null observations in their group
+    (timeseries `interpolate`). Head gaps (no earlier observation)
+    extend the first observation backward; tail gaps extend the last
+    forward; a group with no observations stays null.
+
+    Plan shape: both passes share ONE partitioning and ONE ascending
+    sort (the backward frame reads unboundedPreceding..current, the
+    forward frame current..unboundedFollowing over the same sort), so
+    Catalyst plans a single Exchange + single Sort feeding a SINGLE
+    Window node evaluating both frames (plan-gated in
+    tests/test_plans.py). Time arithmetic runs on microsecond longs — exact
+    integers — and the interpolation computes the RATIO
+    (t-prev)/(next-prev) first: with exact integer operands the
+    quotient is identical under any linear rescaling of the time
+    axis, so the result is unit-invariant (micros, millis, hours all
+    yield the bit-same double), which multiply-before-divide would
+    not be."""
+    obs = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(
+            F.unix_micros(F.col(bucket_col)).alias("t"),
+            F.col(value_col).alias("v"),
+        ),
+    )
+    pb = Window.partitionBy(group_col).orderBy(bucket_col)
+    w_back = pb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = pb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev = F.last(obs, ignorenulls=True).over(w_back)
+    nxt = F.first(obs, ignorenulls=True).over(w_fwd)
+    t = F.unix_micros(F.col(bucket_col))
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(prev.isNull(), nxt["v"])
+        .when(nxt.isNull(), prev["v"])
+        .otherwise(
+            prev["v"]
+            + (nxt["v"] - prev["v"])
+            * (
+                (t - prev["t"]).cast("double")
+                / (nxt["t"] - prev["t"]).cast("double")
+            )
+        )
+    )
+    return dense.withColumn(value_col, filled)

@@ -963,6 +963,32 @@ def test_profile_histogram_conserves_and_bounds(qmap, spark, sf_dir):
         assert r.lo_edge <= r.min_value <= r.max_value < r.lo_edge + 50.0
 
 
+def test_interpolate_linear_single_exchange_single_window(spark):
+    """Both interpolation frames (backward last, forward first) share
+    one partitioning and one ascending sort, so the whole fill must
+    plan as ONE Exchange + ONE Sort + ONE Window node — a second
+    exchange or sort here would double the operator's cost for no
+    semantic difference."""
+    from datetime import datetime
+
+    from github_event_etl_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, h), float(h) if h % 3 == 0 else None)
+            for h in range(12)
+        ],
+        "grp string, bucket timestamp, val double",
+    )
+    out = interpolate_linear(df, "grp", "bucket", "val")
+    tree = tree_of_df(out)
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Sort") == 1, tree
+    assert tree.count("Window") == 1, tree
+
+
 def test_fn_url_extract_stays_jvm(qmap, spark, sf_dir):
     """parse_url is a JVM builtin — the whole decomposition must stay
     inside whole-stage codegen with no Python eval node and a single

@@ -894,3 +894,87 @@ def test_densify_buckets_matches_python_model(spark, agg):
         for h in span
     }
     assert got == want
+
+
+_VAL = st.one_of(
+    st.none(),
+    st.floats(
+        allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    grid=st.dictionaries(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 30)),
+        _VAL,
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_fill_forward_and_interpolate_match_python_model(spark, grid):
+    """locf must carry the nearest EARLIER observation per group (head
+    nulls stay null); linear interpolation must reproduce the exact
+    IEEE expression prev + (nxt-prev)*(t-prev)/(nxt_t-prev_t) between
+    surrounding observations, extend observations into head/tail gaps,
+    and leave observation-free groups null. The Python model mirrors
+    the operand order, so comparisons are exact — no tolerance."""
+    from datetime import datetime, timedelta
+
+    from github_event_etl_spark.operators.timeseries import (
+        fill_forward,
+        interpolate_linear,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (g, base + timedelta(hours=h), v) for (g, h), v in grid.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, bucket timestamp, val double"
+    )
+
+    def model(kind):
+        out = {}
+        for g in {g for (g, _) in grid}:
+            pts = sorted(
+                (h, v) for (gg, h), v in grid.items() if gg == g
+            )
+            obs = [(h, v) for h, v in pts if v is not None]
+            for h, v in pts:
+                if v is not None:
+                    out[(g, h)] = v
+                    continue
+                prev = max(((t, x) for t, x in obs if t < h), default=None)
+                if kind == "locf":
+                    out[(g, h)] = prev[1] if prev else None
+                    continue
+                nxt = min(((t, x) for t, x in obs if t > h), default=None)
+                if prev is None and nxt is None:
+                    out[(g, h)] = None
+                elif prev is None:
+                    out[(g, h)] = nxt[1]
+                elif nxt is None:
+                    out[(g, h)] = prev[1]
+                else:
+                    pt, pv = prev
+                    nt, nv = nxt
+                    # ratio FIRST, mirroring the operator: with exact
+                    # integer times the quotient is identical under any
+                    # rescaling of the axis, so the hour-based model
+                    # bit-matches the operator's microsecond arithmetic
+                    out[(g, h)] = pv + (nv - pv) * ((h - pt) / (nt - pt))
+        return out
+
+    hours = lambda r: int((r.bucket - base).total_seconds()) // 3600
+    got_locf = {
+        (r.grp, hours(r)): r.val
+        for r in fill_forward(df, "grp", "bucket", "val").collect()
+    }
+    assert got_locf == model("locf")
+    got_interp = {
+        (r.grp, hours(r)): r.val
+        for r in interpolate_linear(df, "grp", "bucket", "val").collect()
+    }
+    assert got_interp == model("interp")
