@@ -1487,9 +1487,12 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each keep their own entry instead of ping-pong evicting — and
 # nothing here ever unpersists another session's data (sessions of
 # one SparkContext share the CacheManager, so that would destroy a
-# live sibling's cache). Growth is bounded by sessions × sf_dirs —
-# each entry |types|×|hours| rows, and a process creates a handful of
-# either.
+# live sibling's cache). Growth: entries whose SparkContext has
+# STOPPED are swept on the next build (stop freed their blocks, so
+# the sweep is just dict hygiene — it bounds stop/recreate session
+# churn); entries for live-context sessions stay pinned until their
+# context stops, bounded by live sessions × sf_dirs, each entry
+# |types|×|hours| rows.
 #
 # Same caveat as ensure_bucketed_table: the registry keys the PATH,
 # not the data — REGENERATED files under an unchanged sf_dir are
@@ -1580,7 +1583,11 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hourly is None:
         # build OUTSIDE the lock (load_table does driver-side file
         # I/O; unrelated sf_dirs must not stall behind it), publish
-        # under it; a losing racer releases its duplicate
+        # under it. A losing racer does NOT unpersist its "duplicate":
+        # the CacheManager keys cached data by canonicalized plan, so
+        # two identical persists share ONE entry — the loser's persist
+        # was a no-op and an unpersist would evict the winner's data
+        # out from under every handle already returned.
         ev = load_table(spark, sf_dir, "events").select(
             F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
             "event_type",
@@ -1591,12 +1598,24 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         with _GAPFILL_LOCK:
+            # registry hygiene under session churn: entries whose
+            # SparkContext has stopped hold no cached data (the stop
+            # freed their blocks) — drop them so short-lived sessions
+            # cannot grow the dict monotonically. Live-session entries
+            # are never evicted here: with a shared context the
+            # CacheManager may serve the SAME plan-keyed entry to
+            # sibling sessions, so releasing one could strand them.
+            dead = [
+                k
+                for k, (s, _) in _GAPFILL_CACHE.items()
+                if getattr(s.sparkContext, "_jsc", None) is None
+            ]
+            for k in dead:
+                _GAPFILL_CACHE.pop(k, None)
             hourly = _cached()
             if hourly is None:
                 _GAPFILL_CACHE[cache_key] = (spark, built)
                 hourly = built
-        if hourly is not built:
-            built.unpersist()
     from ..operators.timeseries import densify_buckets
 
     dense = densify_buckets(hourly, "event_type", "hour_ts", "n_events")
