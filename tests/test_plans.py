@@ -921,6 +921,34 @@ def test_gapfill_hourly_scans_corpus_once(qmap, spark, sf_dir):
     assert tree_of(plan3).count("InMemoryTableScan") == 3, plan3
 
 
+def test_gapfill_registry_sweeps_dead_sessions(qmap, spark, sf_dir):
+    """The registry must drop entries whose SparkContext has stopped on
+    the next build (stop/recreate session churn would otherwise grow
+    the dict monotonically) — and the sweep must only POP, never touch
+    a live session's entry. Simulated with an injected entry shaped
+    like a stopped session (sparkContext._jsc is None), avoiding a
+    real stop of the shared fixture session."""
+    import os as _os
+
+    from github_event_etl_spark.plans import queries_relational as qr
+
+    class _DeadCtx:
+        _jsc = None
+
+    class _DeadSession:
+        sparkContext = _DeadCtx()
+
+    dead_key = (-1, "/nonexistent/sf_dir")
+    qr._GAPFILL_CACHE[dead_key] = (_DeadSession(), None)
+    # force the build path: forget (not unpersist — the registry only
+    # ever pops) the live entry so the next call rebuilds and sweeps
+    live_key = (id(spark), _os.path.realpath(sf_dir))
+    qr._GAPFILL_CACHE.pop(live_key, None)
+    qmap["gapfill_hourly"](spark, sf_dir)
+    assert dead_key not in qr._GAPFILL_CACHE, "dead entry survived sweep"
+    assert live_key in qr._GAPFILL_CACHE, "live entry missing after build"
+
+
 def test_gapfill_hourly_emits_zero_rows(qmap, spark, sf_dir):
     """The operator's whole point: silent (type, hour) buckets exist
     as explicit zero rows, and the dense grid is exactly
