@@ -18,6 +18,8 @@ it over every subsequent join.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,25 +62,39 @@ def _read_spec(spec_path: str):
         return None
 
 
+def _normalize_location(loc: str) -> str:
+    """Canonical comparison form for a storage location. Local paths
+    (no scheme, or file: in any authority form — file:/p, file:///p,
+    file://host/p) normalize via os.path.realpath; any other scheme
+    canonicalizes textually to `scheme://netloc/path` with percent-
+    escapes decoded and the trailing slash dropped — realpath on a raw
+    URI string would prepend the cwd and collapse the `//` after the
+    scheme, so equivalent non-local URIs differing only by trailing
+    slash or escape form would spuriously mismatch."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(loc)
+    if parsed.scheme in ("", "file"):
+        return os.path.realpath(unquote(parsed.path) if parsed.scheme else loc)
+    path = unquote(parsed.path).rstrip("/")
+    return f"{parsed.scheme.lower()}://{parsed.netloc}{path}"
+
+
 def _table_location(spark: SparkSession, table_name: str) -> str | None:
-    """The catalog table's storage location as a local path (file: URI
-    parsed via urllib so file:/p, file:///p and file://host/p all yield
-    /p), or None when the catalog exposes none (e.g. a temp view).
+    """The catalog table's storage location as reported by DESC
+    FORMATTED (verbatim URI — compare via `_normalize_location`), or
+    None when the catalog exposes none (e.g. a temp view).
 
     Only rows AFTER the '# Detailed Table Information' marker count:
     DESC FORMATTED lists the schema first, where a data column
     literally named 'Location' would otherwise match and return its
     TYPE string as the path."""
-    from urllib.parse import unquote, urlparse
-
     in_detail = False
     for row in spark.sql(f"DESC FORMATTED {table_name}").collect():
         if row.col_name.startswith("# Detailed Table Information"):
             in_detail = True
         elif in_detail and row.col_name == "Location":
-            loc = row.data_type
-            parsed = urlparse(loc)
-            return unquote(parsed.path) if parsed.scheme == "file" else loc
+            return row.data_type
     return None
 
 
@@ -149,6 +165,16 @@ def ensure_bucketed_table(
     must use a distinct `path` per source dataset (as the catalog keys
     do, one per sf), since regenerated source files under an unchanged
     path+spec cannot be detected here.
+
+    Live-handle hazard on in-session respec (the same hazard the
+    gapfill registry documents): when a same-session caller asks for a
+    DIFFERENT spec at an existing `path`, the stale registration is
+    dropped and the files at `path` are overwritten — DataFrame
+    handles returned by EARLIER calls under the old spec still
+    reference the overwritten files and will fail (or read the new
+    layout) when next executed. A respec'ing ensure call retires every
+    handle the old spec handed out; callers that need both layouts
+    live at once must use distinct paths.
     """
     import json as _json
     import os
@@ -181,7 +207,7 @@ def ensure_bucketed_table(
                 f"would shadow the bucketed table at {path!r}; use a "
                 "distinct table name"
             )
-        if os.path.realpath(loc) != os.path.realpath(path):
+        if _normalize_location(loc) != _normalize_location(path):
             raise ValueError(
                 f"ensure_bucketed_table: table {table_name!r} is already "
                 f"registered at {loc!r}, not the requested {path!r} — "

@@ -30,10 +30,27 @@ def densify_buckets(
     bucket_col: str,
     count_col: str,
     step: str = "INTERVAL 1 HOUR",
+    validate_alignment: bool = False,
 ) -> DataFrame:
     """Dense (group, bucket) grid over the GLOBAL bucket span of `agg`,
     zero-filling combinations `agg` lacks. Returns columns
     (group_col, bucket_col, count_col) with count_col cast long.
+
+    ALIGNMENT PRECONDITION: every input bucket must lie ON the
+    min-anchored step grid — the spine is sequence(min, max, step), so
+    an off-grid bucket (e.g. an hour-and-a-half value under an hourly
+    step) never matches the left join and its count is silently
+    replaced by a zero row. Inputs produced by date_trunc/time-bucket
+    aggregation satisfy this by construction (truncation quantizes
+    every bucket onto the grid, and min is itself a bucket); pass
+    `validate_alignment=True` (debug; costs one extra job) to assert
+    it — an anti-join of input buckets against the spine must be
+    empty, else ValueError.
+
+    Empty input yields an EMPTY result (no spine to densify): the
+    bounds row is filtered on `lo IS NOT NULL` so the degenerate case
+    is an explicit zero-row spine, not `sequence(null, null)`
+    semantics.
 
     Plan shape: the bounds reduce `agg` to one row; the spine is
     sequence()/explode over that row; spine × distinct-groups is the
@@ -43,12 +60,26 @@ def densify_buckets(
     small — the corpus-sized work happened in the caller's groupBy."""
     bounds = agg.agg(
         F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
-    )
+    ).where(F.col("lo").isNotNull())
     spine = bounds.select(
         F.explode(
             F.sequence(F.col("lo"), F.col("hi"), F.expr(step))
         ).alias(bucket_col)
     )
+    if validate_alignment:
+        off_grid = (
+            agg.select(bucket_col)
+            .distinct()
+            .join(spine, bucket_col, "left_anti")
+            .limit(5)
+            .collect()
+        )
+        if off_grid:
+            raise ValueError(
+                "densify_buckets: input buckets off the min-anchored "
+                f"{step} grid (first {len(off_grid)}): "
+                f"{[r[0] for r in off_grid]}"
+            )
     groups = agg.select(group_col).distinct()
     dense = spine.crossJoin(F.broadcast(groups))
     return dense.join(agg, [group_col, bucket_col], "left").select(

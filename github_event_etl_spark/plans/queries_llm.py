@@ -18,7 +18,6 @@ SQL). The one rows-only key is the HLL `agg_approx_distinct`
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -74,6 +73,7 @@ from ..operators.text_dedup import (
     words,
 )
 from ..operators.vocab import tfidf_topk, unigram_rarity
+from ..scratch import scratch_dir
 from ..sources.tables import load_table
 from .catalog import query
 
@@ -591,8 +591,7 @@ def llm_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, same ranking — so it shares the same full value oracle
     (_IVF_ORACLE), and pytest asserts the in-memory/on-disk equality
     directly."""
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    index = os.path.join(tempfile.gettempdir(), "geetl_spark", sf, "ivf_index")
+    index = scratch_dir(sf_dir, "ivf_index")
     emb = load_table(spark, sf_dir, "embeddings")
     ivf_write_index(emb, index, num_centroids=16)
     queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import datetime
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,6 +24,7 @@ from ..operators.scoring import daily_rollup, hourly_scores, top_contributors
 from ..sources.ndjson import CORRUPT_COL, read_ndjson, read_ndjson_with_corrupt
 from ..sources.tables import load_table
 from ._synth import BOT_REGEX_SQL, bot_heuristic_sql, synth_login, synth_login_sql
+from ..scratch import scratch_dir
 from .catalog import query
 
 _TS_SQL = "strftime(ts, '%Y-%m-%d %H:%M:%S.%f')"
@@ -32,9 +32,9 @@ _SCORING_KINDS = ("purchase", "signup")
 
 
 def _tmpdir(tag: str, sf_dir: str) -> str:
-    """Deterministic scratch dir per (query, scale factor)."""
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), "geetl_spark", sf, tag)
+    """Deterministic scratch dir per (query, dataset) — realpath-keyed
+    identity via scratch_dir so same-basename sf_dirs never share."""
+    return scratch_dir(sf_dir, tag)
 
 
 # ---------------------------------------------------------------- A1/B1: scans

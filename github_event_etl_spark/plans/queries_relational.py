@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
-import tempfile
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +26,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..functions.timeutil import day_bucket, ts_string
+from ..scratch import dataset_tag, scratch_dir
 from ..operators.asof import asof_join, interval_overlap_join
 from ..operators.layout import read_day_partition, write_day_partitioned
 from ..operators.topk import top_k, top_k_per_group
@@ -54,8 +54,7 @@ def _dec(col: str, scale: str = "decimal(18,2)"):
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: CSV scan with header + explicit schema — events written to
     CSV and read back (doubles round-trip via shortest-repr)."""
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), "geetl_spark", sf, "events_csv")
+    out = scratch_dir(sf_dir, "events_csv")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
     )
@@ -90,8 +89,7 @@ def sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned path — only that day's directory is opened
     (PartitionFilters; asserted in tests/test_plans.py). At 100 TB this
     is the difference between scanning a day and scanning the table."""
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), "geetl_spark", sf, "events_by_day")
+    out = scratch_dir(sf_dir, "events_by_day")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
     write_day_partitioned(ev, out)
     day = read_day_partition(spark, out, "2024-01-15")
@@ -482,7 +480,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/layout.py ensure_bucketed_table)."""
     from ..operators.layout import ensure_bucketed_table
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # dataset_tag in the TABLE name too: catalog names are a global
+    # namespace, and two same-basename sf_dirs sharing a name would
+    # trip ensure_bucketed_table's location-mismatch error (loud, but
+    # needless) — distinct tags keep them independent.
+    sf = "{}_{}".format(
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+        dataset_tag(sf_dir),
+    )
     tables = {}
     for table, key, cols in (
         ("orders", "o_custkey", ["o_orderkey", "o_custkey", "o_totalprice"]),
@@ -498,12 +503,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             load_table(spark, sf_dir, table).select(*cols),
             name,
-            os.path.join(
-                tempfile.gettempdir(),
-                "geetl_spark",
-                os.path.basename(sf_dir.rstrip("/")),
-                f"bucketed_{table}_8",
-            ),
+            scratch_dir(sf_dir, f"bucketed_{table}_8"),
             bucket_col=key,
             num_buckets=8,
             sort_col=key,
@@ -564,12 +564,7 @@ def layout_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = ensure_zordered(
         ev,
-        os.path.join(
-            tempfile.gettempdir(),
-            "geetl_spark",
-            os.path.basename(sf_dir.rstrip("/")),
-            "zorder_events_16",
-        ),
+        scratch_dir(sf_dir, "zorder_events_16"),
         "user_id",
         "day_num",
         bits=16,

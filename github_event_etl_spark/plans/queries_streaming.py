@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.timeutil import ts_string
+from ..scratch import scratch_dir
 from ..sources.tables import load_table
 from ..streaming.replay import (
     events_replay_dir,
@@ -482,10 +483,7 @@ def _retx_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     (arrival 0) and a retransmitted copy with a mutated payload
     (arrival 1, value+100). Shared fixture for both stateful-dedup
     variants; idempotent scratch-dir contract as replay.py."""
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    src = os.path.join(
-        tempfile.gettempdir(), "geetl_spark", sf, "stream_src_retx"
-    )
+    src = scratch_dir(sf_dir, "stream_src_retx")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events").select(
             "event_id",

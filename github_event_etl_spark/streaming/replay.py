@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..scratch import scratch_dir
 from ..sources.tables import load_table
 
 REPLAY_SCHEMA = T.StructType(
@@ -61,15 +62,12 @@ def events_replay_dir(
     to one type — the per-topic landing layout (a real ingest tier
     drops purchases and views into separate topics/prefixes; consumers
     don't re-filter an interleaved log)."""
-    sf = os.path.basename(sf_dir.rstrip("/"))
     # event_type is part of the cache key: a filtered request under the
     # default tag must never return (or poison) the unfiltered 'base'
     # drop every other streaming key reads.
     if event_type is not None:
         tag = f"{tag}_{event_type}"
-    out = os.path.join(
-        tempfile.gettempdir(), "geetl_spark", sf, f"stream_src_{tag}_{num_files}"
-    )
+    out = scratch_dir(sf_dir, f"stream_src_{tag}_{num_files}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
         if event_type is not None:
@@ -91,10 +89,7 @@ def events_replay_dir_with_dupes(spark: SparkSession, sf_dir: str) -> str:
     scratch-dir contract as `events_replay_dir`; a separate helper so
     harness warmup can materialize it OUTSIDE any measured window (it
     is test-fixture setup, not query work)."""
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(
-        tempfile.gettempdir(), "geetl_spark", sf, "stream_src_dup"
-    )
+    out = scratch_dir(sf_dir, "stream_src_dup")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events").select(
             "event_id",

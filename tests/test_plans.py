@@ -1329,6 +1329,26 @@ def test_ensure_bucketed_table_rejects_temp_view_collision(
         spark.catalog.dropTempView(name)
 
 
+def test_normalize_location_uri_forms():
+    """Storage-location comparison must not depend on URI spelling:
+    file:/p, file:///p and the bare path are one local location
+    (realpath'd); non-local URIs canonicalize textually — trailing
+    slash, percent-escapes and scheme case must not make two spellings
+    of one s3/hdfs location spuriously mismatch (realpath on a raw URI
+    would cwd-join it and collapse the post-scheme //)."""
+    from github_event_etl_spark.operators.layout import (
+        _normalize_location as n,
+    )
+
+    assert n("file:/a/b") == n("/a/b") == n("file:///a/b") == n("/a/b/")
+    assert n("s3://bucket/p/") == n("S3://bucket/p") == "s3://bucket/p"
+    assert n("hdfs://nn:8020/x/") == n("hdfs://nn:8020/x")
+    assert n("s3://bucket/a%20b") == n("s3://bucket/a b")
+    # distinct locations stay distinct
+    assert n("s3://bucket/p") != n("s3://bucket/q")
+    assert n("s3://bucket/p") != n("hdfs://bucket/p")
+
+
 def test_table_location_skips_schema_column_named_location(
     spark, sf_dir, tmp_path
 ):

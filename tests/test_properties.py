@@ -896,6 +896,69 @@ def test_densify_buckets_matches_python_model(spark, agg):
     assert got == want
 
 
+def test_densify_buckets_empty_input_yields_empty(spark):
+    """Degenerate contract (documented in the docstring): an EMPTY
+    aggregate densifies to an EMPTY grid — the null-bounds row is
+    filtered out, so no `sequence(null, null)` ever evaluates and the
+    caller sees zero rows, not an error or a null-bucket row."""
+    from github_event_etl_spark.operators.timeseries import (
+        densify_buckets,
+    )
+
+    df = spark.createDataFrame([], "grp string, bucket timestamp, n long")
+    out = densify_buckets(df, "grp", "bucket", "n")
+    assert out.count() == 0
+    assert out.columns == ["grp", "bucket", "n"]
+
+
+def test_densify_buckets_alignment_validation(spark):
+    """The alignment precondition is checkable: an input bucket OFF
+    the min-anchored step grid (here :30 under an hourly step) is
+    silently zero-replaced by default — the documented hazard — and
+    `validate_alignment=True` turns it into a loud ValueError naming
+    the offending bucket, while an on-grid input passes the same
+    check unchanged."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from github_event_etl_spark.operators.timeseries import (
+        densify_buckets,
+    )
+
+    on_grid = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 0), 2), ("a", datetime(2024, 1, 1, 2), 3)],
+        "grp string, bucket timestamp, n long",
+    )
+    ok = densify_buckets(
+        on_grid, "grp", "bucket", "n", validate_alignment=True
+    ).collect()
+    assert {(r.bucket.hour, r.n) for r in ok} == {(0, 2), (1, 0), (2, 3)}
+
+    off_grid = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0), 2),
+            ("a", datetime(2024, 1, 1, 1, 30), 3),
+        ],
+        "grp string, bucket timestamp, n long",
+    )
+    # default: the off-grid count is LOST to a zero row (why the
+    # precondition is documented — truncation-produced inputs can't
+    # hit this, hand-built ones can)
+    got = {
+        (r.bucket, r.n)
+        for r in densify_buckets(off_grid, "grp", "bucket", "n").collect()
+    }
+    assert got == {
+        (datetime(2024, 1, 1, 0), 2),
+        (datetime(2024, 1, 1, 1), 0),
+    }
+    with _pytest.raises(ValueError, match="off the min-anchored"):
+        densify_buckets(
+            off_grid, "grp", "bucket", "n", validate_alignment=True
+        )
+
+
 _VAL = st.one_of(
     st.none(),
     st.floats(
