@@ -60,6 +60,7 @@ COMPONENTS = [
     "gapfill_hourly",
     "profile_histogram",
     "fn_url_extract",
+    "gapfill_locf_reading",
 ]
 # LLM-pipeline + streaming headliners (import-safe: skipped if absent).
 OPTIONAL = [

@@ -24,28 +24,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def densify_buckets(
+def _dense_join(
     agg: DataFrame,
     group_col: str,
     bucket_col: str,
-    count_col: str,
-    step: str = "INTERVAL 1 HOUR",
-    validate_alignment: bool = False,
+    step: str,
+    validate_alignment: bool,
 ) -> DataFrame:
-    """Dense (group, bucket) grid over the GLOBAL bucket span of `agg`,
-    zero-filling combinations `agg` lacks. Returns columns
-    (group_col, bucket_col, count_col) with count_col cast long.
+    """Shared core of the two densify faces: the complete
+    (group, bucket) grid over the GLOBAL bucket span of `agg`,
+    left-joined back to `agg` (missing combinations carry nulls in
+    every `agg` value column — each face decides what a null means).
 
     ALIGNMENT PRECONDITION: every input bucket must lie ON the
     min-anchored step grid — the spine is sequence(min, max, step), so
     an off-grid bucket (e.g. an hour-and-a-half value under an hourly
-    step) never matches the left join and its count is silently
-    replaced by a zero row. Inputs produced by date_trunc/time-bucket
-    aggregation satisfy this by construction (truncation quantizes
-    every bucket onto the grid, and min is itself a bucket); pass
-    `validate_alignment=True` (debug; costs one extra job) to assert
-    it — an anti-join of input buckets against the spine must be
-    empty, else ValueError.
+    step) never matches the left join and its values are silently
+    replaced by the face's fill. Inputs produced by
+    date_trunc/time-bucket aggregation satisfy this by construction
+    (truncation quantizes every bucket onto the grid, and min is
+    itself a bucket); `validate_alignment=True` (debug; costs one
+    extra job) asserts it — an anti-join of input buckets against the
+    spine must be empty, else ValueError.
 
     Empty input yields an EMPTY result (no spine to densify): the
     bounds row is filtered on `lo IS NOT NULL` so the degenerate case
@@ -55,7 +55,7 @@ def densify_buckets(
     Plan shape: the bounds reduce `agg` to one row; the spine is
     sequence()/explode over that row; spine × distinct-groups is the
     bounded-domain broadcast cross (|groups|×|buckets| rows by
-    construction, never an input-sized side); the counts come back
+    construction, never an input-sized side); the values come back
     through a left equi-join. Every input here is post-aggregate
     small — the corpus-sized work happened in the caller's groupBy."""
     bounds = agg.agg(
@@ -76,19 +76,59 @@ def densify_buckets(
         )
         if off_grid:
             raise ValueError(
-                "densify_buckets: input buckets off the min-anchored "
+                "densify: input buckets off the min-anchored "
                 f"{step} grid (first {len(off_grid)}): "
                 f"{[r[0] for r in off_grid]}"
             )
     groups = agg.select(group_col).distinct()
     dense = spine.crossJoin(F.broadcast(groups))
-    return dense.join(agg, [group_col, bucket_col], "left").select(
+    return dense.join(agg, [group_col, bucket_col], "left")
+
+
+def densify_buckets(
+    agg: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    count_col: str,
+    step: str = "INTERVAL 1 HOUR",
+    validate_alignment: bool = False,
+) -> DataFrame:
+    """Dense (group, bucket) grid over the GLOBAL bucket span of `agg`,
+    ZERO-filling combinations `agg` lacks — the COUNT flavor (a silent
+    hour genuinely had zero events). Returns columns
+    (group_col, bucket_col, count_col) with count_col cast long.
+    Grid semantics, alignment precondition, empty-input contract and
+    plan shape: see `_dense_join`."""
+    return _dense_join(
+        agg, group_col, bucket_col, step, validate_alignment
+    ).select(
         group_col,
         bucket_col,
         F.coalesce(F.col(count_col), F.lit(0)).cast("long").alias(
             count_col
         ),
     )
+
+
+def densify_values(
+    agg: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+    step: str = "INTERVAL 1 HOUR",
+    validate_alignment: bool = False,
+) -> DataFrame:
+    """Dense (group, bucket) grid over the GLOBAL bucket span of `agg`,
+    keeping missing combinations NULL — the READING flavor (a silent
+    hour has no observation, not a zero one; zero-filling a
+    temperature or a mean price would corrupt it). Pair with
+    `fill_forward` (locf) or `interpolate_linear` to fill the nulls.
+    Returns columns (group_col, bucket_col, value_col), value type
+    unchanged. Grid semantics, alignment precondition, empty-input
+    contract and plan shape: see `_dense_join`."""
+    return _dense_join(
+        agg, group_col, bucket_col, step, validate_alignment
+    ).select(group_col, bucket_col, value_col)
 
 
 def fill_forward(

@@ -108,25 +108,17 @@ def staleness_bound_rounds() -> int:
     ceil(registry size / driver window)."""
     n = len(all_specs())
     return -(-n // _DRIVER_KEYS_PER_ROUND)
-_DEFER_NEW_UNTIL_ROUND = 10
+_DEFER_NEW_UNTIL_ROUND = 11
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # Round 10's ~1-new-key budget is spent on layout_zorder_prune,
-    # which as a never-checked key rides at the window front alongside
-    # round 9's four deferred keys (those self-cleared when
-    # CORRECTNESS_r09 landed and take their first driver check this
-    # round). Window arithmetic: 5 never-checked + 19 r7-stale +
-    # 26 oldest-r8 keys fill the 50; the remaining r8 cohort rotates
-    # through r11, inside the ceil(127/50) = 3-round staleness bound.
-    #
-    # The three keys below are round 10's additions BEYOND that
-    # budget, deferred so they cannot evict a stale re-check: they
-    # rank last in the r10 window, then ride the r11 front as
-    # ordinary never-checked keys (r11 arithmetic: 3 never-checked +
-    # 24 remaining-r8 keys leaves 23 slots for the oldest r9 cohort).
-    # All three pass the sf0.01 driver_sim oracle replay locally.
-    "gapfill_hourly",
-    "profile_histogram",
-    "fn_url_extract",
+    # EMPTY this round (round 10's three deferred keys self-cleared
+    # when CORRECTNESS_r10 landed and now ride the r11 front as
+    # ordinary never-checked keys). Round 11's ~1-new-key budget is
+    # spent on gapfill_locf_reading — never-checked, front of window,
+    # no deferral needed. r11 window arithmetic: 4 never-checked
+    # (gapfill_hourly, profile_histogram, fn_url_extract,
+    # gapfill_locf_reading) + 24 r8-stale + 22 oldest-r9 keys fill
+    # the 50; the remaining r9 cohort rotates through r12, inside the
+    # ceil(128/50) = 3-round staleness bound.
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

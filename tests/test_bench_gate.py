@@ -265,7 +265,11 @@ def test_load_prior_recovers_truncated_spread_line(tmp_path):
     assert rnd == 9
     spread = parsed.get("spread")
     assert spread, "truncated spread line must still yield entries"
-    assert spread[names[-1]] == [9.111, 9.999]
+    # assert on the LAST-written spread entry: it survives any
+    # truncation depth, so this stays valid as the census grows (a
+    # fixed mid-line key would fall off the 2,000-char window whenever
+    # COMPONENTS gains entries after it)
+    assert spread[bench.COMPONENTS[-1]] == [9.111, 9.999]
     assert all(isinstance(v, list) for v in spread.values())
 
 

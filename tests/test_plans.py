@@ -921,6 +921,34 @@ def test_gapfill_hourly_scans_corpus_once(qmap, spark, sf_dir):
     assert tree_of(plan3).count("InMemoryTableScan") == 3, plan3
 
 
+def test_gapfill_family_shares_one_cached_aggregate(qmap, spark, sf_dir):
+    """The gapfill FAMILY scans the corpus once per (session, sf_dir):
+    gapfill_locf_reading consumes the SAME persisted hourly aggregate
+    as gapfill_hourly (the cache carries both n_events and the
+    decimal-exact mean so neither key pays a second corpus pass), its
+    plan shows the single-scan shape (one unique parquet scan feeding
+    InMemoryTableScans, no cartesian product), and the locf fill stays
+    a single Window over the dense grid."""
+    import os
+    import re
+
+    from github_event_etl_spark.plans import queries_relational as qr
+
+    key = (id(spark), os.path.realpath(sf_dir))
+    qmap["gapfill_hourly"](spark, sf_dir)
+    before = qr._GAPFILL_CACHE[key]
+    plan = plan_of(qmap, spark, sf_dir, "gapfill_locf_reading")
+    assert qr._GAPFILL_CACHE[key] is before, (
+        "locf key rebuilt the aggregate its sibling already cached"
+    )
+    tree = tree_of(plan)
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", tree))
+    assert len(scan_ids) == 1, tree
+    assert tree.count("InMemoryTableScan") == 3, tree
+    assert "CartesianProduct" not in tree
+    assert tree.count("Window") == 1, tree
+
+
 def test_gapfill_registry_sweeps_dead_sessions(qmap, spark, sf_dir):
     """The registry must drop entries whose SparkContext has stopped on
     the next build (stop/recreate session churn would otherwise grow
