@@ -76,8 +76,16 @@ def _normalize_location(loc: str) -> str:
     parsed = urlparse(loc)
     if parsed.scheme in ("", "file"):
         return os.path.realpath(unquote(parsed.path) if parsed.scheme else loc)
+    # hostnames are case-insensitive; lowercase the host:port but keep
+    # any userinfo's case (it may be a case-sensitive credential)
+    netloc = parsed.netloc
+    if "@" in netloc:
+        userinfo, hostport = netloc.rsplit("@", 1)
+        netloc = f"{userinfo}@{hostport.lower()}"
+    else:
+        netloc = netloc.lower()
     path = unquote(parsed.path).rstrip("/")
-    return f"{parsed.scheme.lower()}://{parsed.netloc}{path}"
+    return f"{parsed.scheme.lower()}://{netloc}{path}"
 
 
 def _table_location(spark: SparkSession, table_name: str) -> str | None:

@@ -140,8 +140,10 @@ def fill_forward(
     """Last-observation-carried-forward over a dense bucket grid: null
     `value_col` entries take the most recent non-null value within
     their group (timeseries `locf`; buckets before a group's first
-    observation stay null). Pairs with `densify_buckets` when the
-    filled quantity is a reading to hold, not a count to zero.
+    observation stay null). Pairs with `densify_values` (the
+    null-preserving grid) when the filled quantity is a reading to
+    hold — NOT with `densify_buckets`, whose zero-fill leaves no
+    nulls to carry.
 
     One exchange: the per-group window sorts once and
     last(ignorenulls) scans the frame incrementally."""

@@ -17,8 +17,6 @@ SQL). The one rows-only key is the HLL `agg_approx_distinct`
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

@@ -483,9 +483,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dataset_tag in the TABLE name too: catalog names are a global
     # namespace, and two same-basename sf_dirs sharing a name would
     # trip ensure_bucketed_table's location-mismatch error (loud, but
-    # needless) — distinct tags keep them independent.
+    # needless) — distinct tags keep them independent. Realpath
+    # basename, matching scratch_dir: a symlink spelling of one
+    # dataset must resolve to the SAME table, not a second
+    # registration.
     sf = "{}_{}".format(
-        os.path.basename(sf_dir.rstrip("/")).replace(".", "_"),
+        os.path.basename(os.path.realpath(sf_dir)).replace(".", "_"),
         dataset_tag(sf_dir),
     )
     tables = {}

@@ -36,9 +36,14 @@ def dataset_tag(sf_dir: str) -> str:
 
 def scratch_dir(sf_dir: str, *parts: str) -> str:
     """Scratch path `<tmp>/geetl_spark/<basename>-<tag>/<parts...>` for
-    dataset `sf_dir`. Does not create the directory — parquet/json
-    writers do; callers creating bare files mkdir themselves."""
-    base = os.path.basename(sf_dir.rstrip("/"))
+    dataset `sf_dir`. BOTH components derive from the resolved
+    realpath — basename included — so a symlink and its target (two
+    spellings of one dataset) share one scratch tree instead of
+    materializing every layout twice. Does not create the directory —
+    parquet/json writers do; callers creating bare files mkdir
+    themselves."""
+    real = os.path.realpath(sf_dir)
+    base = os.path.basename(real.rstrip("/"))
     return os.path.join(
         tempfile.gettempdir(),
         "geetl_spark",

@@ -768,7 +768,8 @@ def test_layout_zorder_prune_pushes_both_dims(qmap, spark, sf_dir):
     warm path must READ the materialized layout, not rewrite it."""
     import glob
     import os as _os
-    import tempfile as _tempfile
+
+    from github_event_etl_spark.scratch import scratch_dir
 
     plan = plan_of(qmap, spark, sf_dir, "layout_zorder_prune")
     assert "PushedFilters:" in plan
@@ -776,13 +777,11 @@ def test_layout_zorder_prune_pushes_both_dims(qmap, spark, sf_dir):
         ln for ln in plan.splitlines() if "PushedFilters:" in ln
     ][0]
     assert "user_id" in pushed and "day_num" in pushed, pushed
-    # materialize-once: a second plan call must leave the files alone
-    zdir = _os.path.join(
-        _tempfile.gettempdir(),
-        "geetl_spark",
-        _os.path.basename(sf_dir.rstrip("/")),
-        "zorder_events_16",
-    )
+    # materialize-once: a second plan call must leave the files alone.
+    # The SAME scratch_dir helper the query uses, not a hand-built
+    # path — a scheme change must move the test with it, or the
+    # assertions silently validate abandoned files.
+    zdir = scratch_dir(sf_dir, "zorder_events_16")
     before = {
         f: _os.path.getmtime(f) for f in glob.glob(zdir + "/*.parquet")
     }
@@ -1372,6 +1371,11 @@ def test_normalize_location_uri_forms():
     assert n("s3://bucket/p/") == n("S3://bucket/p") == "s3://bucket/p"
     assert n("hdfs://nn:8020/x/") == n("hdfs://nn:8020/x")
     assert n("s3://bucket/a%20b") == n("s3://bucket/a b")
+    # hostnames are case-insensitive; userinfo (may be a credential)
+    # is not
+    assert n("hdfs://NameNode:8020/x") == n("hdfs://namenode:8020/x")
+    assert n("s3://User@Host/p") == "s3://User@host/p"
+    assert n("s3://UserA@h/p") != n("s3://usera@h/p")
     # distinct locations stay distinct
     assert n("s3://bucket/p") != n("s3://bucket/q")
     assert n("s3://bucket/p") != n("hdfs://bucket/p")
