@@ -61,6 +61,7 @@ COMPONENTS = [
     "profile_histogram",
     "fn_url_extract",
     "gapfill_locf_reading",
+    "gapfill_interp_reading",
 ]
 # LLM-pipeline + streaming headliners (import-safe: skipped if absent).
 OPTIONAL = [

@@ -110,15 +110,22 @@ def staleness_bound_rounds() -> int:
     return -(-n // _DRIVER_KEYS_PER_ROUND)
 _DEFER_NEW_UNTIL_ROUND = 11
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # EMPTY this round (round 10's three deferred keys self-cleared
-    # when CORRECTNESS_r10 landed and now ride the r11 front as
-    # ordinary never-checked keys). Round 11's ~1-new-key budget is
-    # spent on gapfill_locf_reading — never-checked, front of window,
-    # no deferral needed. r11 window arithmetic: 4 never-checked
+    # Round 10's three deferred keys self-cleared when CORRECTNESS_r10
+    # landed and now ride the r11 front as ordinary never-checked
+    # keys. Round 11's ~1-new-key budget is spent on
+    # gapfill_locf_reading — never-checked, front of window, no
+    # deferral needed. r11 window arithmetic: 4 never-checked
     # (gapfill_hourly, profile_histogram, fn_url_extract,
     # gapfill_locf_reading) + 24 r8-stale + 22 oldest-r9 keys fill
     # the 50; the remaining r9 cohort rotates through r12, inside the
-    # ceil(128/50) = 3-round staleness bound.
+    # ceil(129/50) = 3-round staleness bound.
+    #
+    # The key below is round 11's addition BEYOND that budget,
+    # deferred so it cannot evict a stale re-check: it ranks last in
+    # the r11 window, then rides the r12 front as an ordinary
+    # never-checked key. It passes the sf0.01 driver_sim oracle
+    # replay locally.
+    "gapfill_interp_reading",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

@@ -1727,6 +1727,104 @@ def gapfill_locf_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gapfill_interp_reading",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS reading
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+      FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    dense AS (
+      SELECT t.event_type, s.hour_ts, h.reading
+      FROM spine s
+      CROSS JOIN types t
+      LEFT JOIN hourly h
+        ON h.event_type = t.event_type AND h.hour_ts = s.hour_ts
+    ),
+    marked AS (
+      SELECT event_type, hour_ts, reading,
+             last_value(CASE WHEN reading IS NOT NULL
+                             THEN epoch_us(hour_ts) END IGNORE NULLS)
+               OVER w_back AS prev_t,
+             last_value(reading IGNORE NULLS) OVER w_back AS prev_v,
+             first_value(CASE WHEN reading IS NOT NULL
+                              THEN epoch_us(hour_ts) END IGNORE NULLS)
+               OVER w_fwd AS next_t,
+             first_value(reading IGNORE NULLS) OVER w_fwd AS next_v
+      FROM dense
+      WINDOW
+        w_back AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY event_type ORDER BY hour_ts
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_str,
+           CASE WHEN reading IS NOT NULL THEN reading
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(epoch_us(hour_ts) - prev_t AS DOUBLE)
+                        / CAST(next_t - prev_t AS DOUBLE))
+           END AS reading
+    FROM marked
+    """,
+    tags=("relational", "partB", "timeseries"),
+)
+def gapfill_interp_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled reading, LINEAR-INTERPOLATION mode (the third
+    standard fill after `gapfill_hourly`'s zero-fill and
+    `gapfill_locf_reading`'s locf, completing the fill-mode family as
+    catalog keys): silent hours take the value linearly interpolated
+    between the surrounding observations in their type's series; head
+    gaps extend the first observation backward, tail gaps the last
+    forward (interpolate_linear's documented boundary policy).
+
+    Scale shape: third consumer of the ONE persisted
+    per-(session, sf_dir) hourly aggregate (_gapfill_hourly_agg), so
+    the corpus-scan count for the whole gapfill family stays one; the
+    interpolation windows evaluate BOTH frames (backward-last +
+    forward-first) over a single partitioning and ascending sort —
+    one Exchange, one Sort, one Window node
+    (operators/timeseries.py:interpolate_linear, plan-gated).
+
+    Value determinism across engines: time arithmetic runs on
+    microsecond longs (unix_micros ≙ DuckDB epoch_us — exact
+    integers), the interpolation computes the RATIO first from exact
+    integer operands, and the oracle spells the identical IEEE
+    operation sequence (sub, div, mul, add on the same operands in
+    the same order), so every interpolated double hashes
+    bit-identical — the ratio-first rule from interpolate_linear's
+    docstring applied to the oracle dialect too."""
+    from ..operators.timeseries import densify_values, interpolate_linear
+
+    hourly = _gapfill_hourly_agg(spark, sf_dir)
+    dense = densify_values(
+        hourly.select("event_type", "hour_ts", "reading"),
+        "event_type",
+        "hour_ts",
+        "reading",
+    )
+    filled = interpolate_linear(dense, "event_type", "hour_ts", "reading")
+    return filled.select(
+        "event_type",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_str"),
+        "reading",
+    )
+
+
 # --------------------------------------------- incremental maintenance
 
 _MERGE_CUTOFF = "2024-01-16 00:00:00"

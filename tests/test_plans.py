@@ -946,6 +946,18 @@ def test_gapfill_family_shares_one_cached_aggregate(qmap, spark, sf_dir):
     assert tree.count("InMemoryTableScan") == 3, tree
     assert "CartesianProduct" not in tree
     assert tree.count("Window") == 1, tree
+    # the third family member: linear interpolation rides the same
+    # cached aggregate, and its two frames (backward-last +
+    # forward-first) share ONE partitioning and sort, so the plan
+    # still carries a single Window node (interpolate_linear's
+    # one-exchange contract, here verified on the catalog key's
+    # full plan)
+    plan_i = plan_of(qmap, spark, sf_dir, "gapfill_interp_reading")
+    assert qr._GAPFILL_CACHE[key] is before
+    tree_i = tree_of(plan_i)
+    assert len(set(re.findall(r"Scan parquet\s*\((\d+)\)", tree_i))) == 1
+    assert tree_i.count("InMemoryTableScan") == 3, tree_i
+    assert tree_i.count("Window") == 1, tree_i
 
 
 def test_gapfill_registry_sweeps_dead_sessions(qmap, spark, sf_dir):
