@@ -70,22 +70,26 @@ def _normalize_location(loc: str) -> str:
     escapes decoded and the trailing slash dropped — realpath on a raw
     URI string would prepend the cwd and collapse the `//` after the
     scheme, so equivalent non-local URIs differing only by trailing
-    slash or escape form would spuriously mismatch."""
+    slash or escape form would spuriously mismatch.
+
+    The netloc compares CASE-SENSITIVELY, deliberately: DNS hostnames
+    are case-insensitive, but object-store authorities carry
+    case-SENSITIVE namespaces (legacy S3 bucket names), and the two
+    are indistinguishable here. The failure modes are asymmetric — a
+    false MISMATCH raises ensure_bucketed_table's loud
+    'registered at a different location' error (annoying, safe),
+    while a false MATCH would skip that guard and silently
+    drop-and-rewrite another caller's registration. Callers on a
+    case-insensitive filesystem should spell the authority
+    consistently; only the scheme (case-insensitive by RFC 3986 for
+    every registered scheme) is folded."""
     from urllib.parse import unquote, urlparse
 
     parsed = urlparse(loc)
     if parsed.scheme in ("", "file"):
         return os.path.realpath(unquote(parsed.path) if parsed.scheme else loc)
-    # hostnames are case-insensitive; lowercase the host:port but keep
-    # any userinfo's case (it may be a case-sensitive credential)
-    netloc = parsed.netloc
-    if "@" in netloc:
-        userinfo, hostport = netloc.rsplit("@", 1)
-        netloc = f"{userinfo}@{hostport.lower()}"
-    else:
-        netloc = netloc.lower()
     path = unquote(parsed.path).rstrip("/")
-    return f"{parsed.scheme.lower()}://{netloc}{path}"
+    return f"{parsed.scheme.lower()}://{parsed.netloc}{path}"
 
 
 def _table_location(spark: SparkSession, table_name: str) -> str | None:

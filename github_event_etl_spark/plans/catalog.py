@@ -122,9 +122,10 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     #
     # The key below is round 11's addition BEYOND that budget,
     # deferred so it cannot evict a stale re-check: it ranks last in
-    # the r11 window, then rides the r12 front as an ordinary
-    # never-checked key. It passes the sf0.01 driver_sim oracle
-    # replay locally.
+    # the registry — OUTSIDE the 50-key r11 window entirely, so its
+    # FIRST driver row is due r12, where it rides the front as an
+    # ordinary never-checked key. It passes the sf0.01 driver_sim
+    # oracle replay locally.
     "gapfill_interp_reading",
 })
 

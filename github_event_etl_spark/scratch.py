@@ -24,14 +24,19 @@ import os
 import tempfile
 
 
+def _tag_of(real: str) -> str:
+    """Tag for an ALREADY-resolved realpath (lets scratch_dir resolve
+    once for both components)."""
+    return hashlib.sha1(real.encode("utf-8")).hexdigest()[:8]
+
+
 def dataset_tag(sf_dir: str) -> str:
     """Stable 8-hex-char identity tag for a dataset directory, derived
     from its canonical realpath (symlinks resolved). Fold this into any
     name that must be unique per dataset — scratch paths below, and
     catalog TABLE names (which live in a global namespace and would
     otherwise collide across same-basename sf_dirs)."""
-    real = os.path.realpath(sf_dir)
-    return hashlib.sha1(real.encode("utf-8")).hexdigest()[:8]
+    return _tag_of(os.path.realpath(sf_dir))
 
 
 def scratch_dir(sf_dir: str, *parts: str) -> str:
@@ -47,6 +52,6 @@ def scratch_dir(sf_dir: str, *parts: str) -> str:
     return os.path.join(
         tempfile.gettempdir(),
         "geetl_spark",
-        f"{base}-{dataset_tag(sf_dir)}",
+        f"{base}-{_tag_of(real)}",
         *parts,
     )

@@ -1383,11 +1383,12 @@ def test_normalize_location_uri_forms():
     assert n("s3://bucket/p/") == n("S3://bucket/p") == "s3://bucket/p"
     assert n("hdfs://nn:8020/x/") == n("hdfs://nn:8020/x")
     assert n("s3://bucket/a%20b") == n("s3://bucket/a b")
-    # hostnames are case-insensitive; userinfo (may be a credential)
-    # is not
-    assert n("hdfs://NameNode:8020/x") == n("hdfs://namenode:8020/x")
-    assert n("s3://User@Host/p") == "s3://User@host/p"
-    assert n("s3://UserA@h/p") != n("s3://usera@h/p")
+    # netloc is deliberately case-SENSITIVE: object-store authorities
+    # can be case-sensitive namespaces (legacy S3 buckets), and a
+    # false match here would silently drop-and-rewrite another
+    # caller's registration where a false mismatch only raises the
+    # loud location error
+    assert n("s3://Bucket/p") != n("s3://bucket/p")
     # distinct locations stay distinct
     assert n("s3://bucket/p") != n("s3://bucket/q")
     assert n("s3://bucket/p") != n("hdfs://bucket/p")
