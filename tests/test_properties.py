@@ -896,6 +896,55 @@ def test_densify_buckets_matches_python_model(spark, agg):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    agg=st.dictionaries(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 48)),
+        st.floats(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=-1e6,
+            max_value=1e6,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_densify_values_matches_python_model(spark, agg):
+    """The READING flavor must emit the same |groups| x |span| grid as
+    densify_buckets but keep missing combinations NULL (zero-filling a
+    reading would corrupt it) and pass present values through
+    bit-unchanged — the contract fill_forward/interpolate_linear
+    build on."""
+    from datetime import datetime, timedelta
+
+    from github_event_etl_spark.operators.timeseries import (
+        densify_values,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (g, base + timedelta(hours=h), float(v))
+        for (g, h), v in agg.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, bucket timestamp, v double"
+    )
+    collected = densify_values(df, "grp", "bucket", "v").collect()
+    got = {(r.grp, r.bucket): r.v for r in collected}
+    assert len(collected) == len(got)
+
+    offs = [h for (_, h) in agg]
+    span = range(min(offs), max(offs) + 1)
+    groups = {g for (g, _) in agg}
+    want = {
+        (g, base + timedelta(hours=h)): agg.get((g, h))
+        for g in groups
+        for h in span
+    }
+    assert got == want
+
+
 def test_densify_buckets_empty_input_yields_empty(spark):
     """Degenerate contract (documented in the docstring): an EMPTY
     aggregate densifies to an EMPTY grid — the null-bounds row is
