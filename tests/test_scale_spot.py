@@ -1,0 +1,50 @@
+"""Spot oracle checks at the BENCH scale factor (sf0.1).
+
+The driver's correctness gate runs at sf0.01 and the bench at sf0.1 —
+these spot checks close that gap for one representative key per major
+family (agg, window, join, dedup, time-series), asserting the same
+strict row/schema/value-hash comparison holds at the scale the
+performance numbers are quoted at. Five keys, not all 129: the full
+matrix belongs to the sf0.01 gate; this is a scale-regression tripwire
+(e.g. an overflow, a skew-triggered plan change, or a float
+re-association that only appears with more data/partitions).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from github_event_etl_spark.plans.catalog import all_specs
+
+from .oracle_harness import compare_query, duckdb_connection
+
+SF_BENCH = "/root/testdata/sf0.1"
+
+_SPOT_KEYS = [
+    "agg_multi",             # decimal-exact multi-aggregate (B4)
+    "window_running_sum",    # window frame over the full corpus (B5)
+    "join_inner_equi",       # shuffle join (B3)
+    "dedup_event_id",        # A9 dedup
+    "gapfill_locf_reading",  # densify + locf over the shared cache (B5b)
+]
+
+
+@pytest.fixture(scope="module")
+def duck_bench():
+    if not os.path.isdir(SF_BENCH):
+        pytest.skip(f"{SF_BENCH} not present")
+    con = duckdb_connection(SF_BENCH)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _SPOT_KEYS)
+def test_query_matches_oracle_at_bench_sf(spark, duck_bench, name):
+    spec = all_specs()[name]
+    assert spec.oracle is not None, f"{name} must be a full-oracle key"
+    result = compare_query(
+        spark, duck_bench, name, spec.fn, spec.oracle, SF_BENCH
+    )
+    assert result.ok, f"{name}@sf0.1: {result.detail}"
