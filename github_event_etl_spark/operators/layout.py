@@ -81,8 +81,13 @@ def _normalize_location(loc: str) -> str:
     while a false MATCH would skip that guard and silently
     drop-and-rewrite another caller's registration. Callers on a
     case-insensitive filesystem should spell the authority
-    consistently; only the scheme (case-insensitive by RFC 3986 for
-    every registered scheme) is folded."""
+    consistently — and note the catalog itself may canonicalize
+    authority case (e.g. Hadoop lowercases HDFS hostnames in stored
+    locations), in which case a mixed-case caller spelling mismatches
+    DESC FORMATTED's lowercased report and raises the loud error on
+    the warm path: spell remote authorities lowercase. Only the
+    scheme (case-insensitive by RFC 3986 for every registered scheme)
+    is folded."""
     from urllib.parse import unquote, urlparse
 
     parsed = urlparse(loc)

@@ -942,7 +942,18 @@ def test_densify_values_matches_python_model(spark, agg):
         for g in groups
         for h in span
     }
-    assert got == want
+
+    def bits(v):
+        # struct-level identity, not ==: -0.0 == 0.0 would hide a
+        # sign-normalizing round-trip, and the hash-stable oracles
+        # downstream compare bit patterns, not float equality
+        import struct
+
+        return None if v is None else struct.pack("<d", v)
+
+    assert {k: bits(v) for k, v in got.items()} == {
+        k: bits(v) for k, v in want.items()
+    }
 
 
 def test_densify_buckets_empty_input_yields_empty(spark):

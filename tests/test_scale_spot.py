@@ -31,10 +31,16 @@ _SPOT_KEYS = [
 ]
 
 
+# module-level skip: decided at collection time, BEFORE the
+# session-scoped spark fixture pays JVM startup for tests that would
+# only skip anyway
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_BENCH), reason=f"{SF_BENCH} not present"
+)
+
+
 @pytest.fixture(scope="module")
 def duck_bench():
-    if not os.path.isdir(SF_BENCH):
-        pytest.skip(f"{SF_BENCH} not present")
     con = duckdb_connection(SF_BENCH)
     yield con
     con.close()
