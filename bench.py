@@ -62,6 +62,7 @@ COMPONENTS = [
     "fn_url_extract",
     "gapfill_locf_reading",
     "gapfill_interp_reading",
+    "agg_quantile_clip",
 ]
 # LLM-pipeline + streaming headliners (import-safe: skipped if absent).
 OPTIONAL = [

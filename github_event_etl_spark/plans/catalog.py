@@ -120,13 +120,14 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # the 50; the remaining r9 cohort rotates through r12, inside the
     # ceil(129/50) = 3-round staleness bound.
     #
-    # The key below is round 11's addition BEYOND that budget,
-    # deferred so it cannot evict a stale re-check: it ranks last in
-    # the registry — OUTSIDE the 50-key r11 window entirely, so its
-    # FIRST driver row is due r12, where it rides the front as an
-    # ordinary never-checked key. It passes the sf0.01 driver_sim
+    # The keys below are round 11's additions BEYOND that budget,
+    # deferred so they cannot evict a stale re-check: they rank last
+    # in the registry — OUTSIDE the 50-key r11 window entirely, so
+    # their FIRST driver rows are due r12, where they ride the front
+    # as ordinary never-checked keys. Both pass the sf0.01 driver_sim
     # oracle replay locally.
     "gapfill_interp_reading",
+    "agg_quantile_clip",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

@@ -747,6 +747,80 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_quantile_clip",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_disc(value, 0.05) AS lo,
+             quantile_disc(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           min(b.lo) AS lo,
+           min(b.hi) AS hi,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE e.value < b.lo) AS BIGINT)
+             AS n_clip_low,
+           CAST(count(*) FILTER (WHERE e.value > b.hi) AS BIGINT)
+             AS n_clip_high,
+           CAST(SUM(CAST(least(greatest(e.value, b.lo), b.hi)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("agg", "partB", "curation"),
+)
+def agg_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (quantile clipping) — the per-group robust-scaling
+    primitive a training-data pipeline runs before numeric features
+    feed a model: values outside each group's [p05, p95] clamp to the
+    boundary, with clip counts and the clipped decimal-exact sum as
+    acceptance evidence. This is the missing CLAMP-BACK half next to
+    `agg_percentile` (which only reports the quantiles): the two-pass
+    normalize shape — small per-group bounds aggregate, broadcast back
+    over the corpus, map-side clamp.
+
+    Scale shape: pass 1 is a column-pruned (type, value) scan into one
+    bounded-domain aggregate (|types| rows); pass 2 broadcasts those
+    rows back (never a shuffle of the corpus) and clamps inside
+    whole-stage codegen before the final partial+final hash aggregate.
+    Two corpus scans are INHERENT to global-statistic normalization —
+    no single-pass plan can clamp row 1 against a quantile that
+    depends on row N — and pass 1 reads two columns only.
+
+    Value determinism: DISCRETE percentiles (Spark `percentile_disc`
+    WITHIN GROUP ≙ DuckDB `quantile_disc` — verified element-equal at
+    sf0.01), so the bounds are DATA values, not interpolated
+    arithmetic; every comparison is data-to-data and the clamped sum
+    is decimal-exact on the same 0.01-grained operands in both
+    engines. The interpolating flavor would risk a rounding-mode ulp
+    between engines (`agg_percentile` absorbs that with round(,5));
+    clipping must not, because an ulp on a bound can flip a clamp
+    comparison."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY value)"
+        ).alias("lo"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY value)"
+        ).alias("hi"),
+    )
+    joined = ev.join(F.broadcast(bounds), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return joined.groupBy("event_type").agg(
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") < F.col("lo")).alias("n_clip_low"),
+        F.count_if(F.col("value") > F.col("hi")).alias("n_clip_high"),
+        F.sum(clamped.cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_clipped"),
+    )
+
+
+@query(
     "agg_count_if",
     oracle="""
     SELECT event_type,

@@ -960,6 +960,23 @@ def test_gapfill_family_shares_one_cached_aggregate(qmap, spark, sf_dir):
     assert tree_i.count("Window") == 1, tree_i
 
 
+def test_quantile_clip_broadcasts_bounds(qmap, spark, sf_dir):
+    """The winsorize key's scale shape: the per-group bounds come back
+    over the corpus as a BROADCAST (|types| rows — shuffling the
+    corpus to meet its own statistics would be the classic
+    normalization anti-plan), and both corpus passes are
+    column-pruned to (event_type, value)."""
+    plan = plan_of(qmap, spark, sf_dir, "agg_quantile_clip")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    schemas = [
+        ln.strip() for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert schemas, plan
+    for ln in schemas:
+        assert "struct<event_type:string,value:double>" in ln, ln
+
+
 def test_gapfill_cache_concurrent_consumers_converge(qmap, spark, sf_dir):
     """The three gapfill keys race the registry from worker threads:
     whatever interleaving occurs, the registry must converge to ONE
