@@ -149,3 +149,53 @@ def profile_columns(
             )
         )
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def winsorize_stats(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> "DataFrame":
+    """Per-group winsorization (quantile-clip) statistics: each group's
+    DISCRETE [lo_q, hi_q] percentile bounds, total row count, counts
+    clipped at each side, and the decimal-exact sum of the clamped
+    values — the two-pass robust-scaling primitive behind the catalog
+    key `agg_quantile_clip` (see its docstring for the cross-engine
+    determinism argument: percentile_disc bounds are DATA values, so
+    no interpolation ulp can flip a clamp comparison).
+
+    NULL policy: a NULL reading stays NULL — missing, not an outlier —
+    so it joins `n` but neither clip count nor the clipped sum; the
+    explicit isNotNull guard matters because least/greatest SKIP nulls
+    and would otherwise substitute the lo bound (manufactured data).
+
+    Scale shape: pass 1 aggregates (group -> bounds) over a two-column
+    pruned scan; pass 2 broadcasts the bounds back (never a corpus
+    shuffle) and clamps inside whole-stage codegen before the final
+    partial+final hash aggregate."""
+    vals = df.select(group_col, value_col)
+    bounds = vals.groupBy(group_col).agg(
+        F.expr(
+            f"percentile_disc({lo_q}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("lo"),
+        F.expr(
+            f"percentile_disc({hi_q}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("hi"),
+    )
+    joined = vals.join(F.broadcast(bounds), group_col)
+    v = F.col(value_col)
+    clamped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    )
+    return joined.groupBy(group_col).agg(
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(v < F.col("lo")).alias("n_clip_low"),
+        F.count_if(v > F.col("hi")).alias("n_clip_high"),
+        F.sum(clamped.cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_clipped"),
+    )

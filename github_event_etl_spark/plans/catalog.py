@@ -118,7 +118,7 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # (gapfill_hourly, profile_histogram, fn_url_extract,
     # gapfill_locf_reading) + 24 r8-stale + 22 oldest-r9 keys fill
     # the 50; the remaining r9 cohort rotates through r12, inside the
-    # ceil(129/50) = 3-round staleness bound.
+    # ceil(130/50) = 3-round staleness bound.
     #
     # The keys below are round 11's additions BEYOND that budget,
     # deferred so they cannot evict a stale re-check: they rank last

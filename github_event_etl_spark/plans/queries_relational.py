@@ -763,8 +763,10 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_clip_low,
            CAST(count(*) FILTER (WHERE e.value > b.hi) AS BIGINT)
              AS n_clip_high,
-           CAST(SUM(CAST(least(greatest(e.value, b.lo), b.hi)
-                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped
+           CAST(SUM(CASE WHEN e.value IS NOT NULL
+                         THEN CAST(least(greatest(e.value, b.lo), b.hi)
+                                   AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS sum_clipped
     FROM events e JOIN bounds b USING (event_type)
     GROUP BY e.event_type
     """,
@@ -796,28 +798,21 @@ def agg_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. The interpolating flavor would risk a rounding-mode ulp
     between engines (`agg_percentile` absorbs that with round(,5));
     clipping must not, because an ulp on a bound can flip a clamp
-    comparison."""
+    comparison.
+
+    NULL policy: a NULL reading stays NULL — it is MISSING, not an
+    outlier, so it joins `n` but neither clip count nor the clipped
+    sum. Without the explicit guard, least/greatest SKIP nulls in
+    both engines and a NULL row would silently contribute the lo
+    bound to the sum: manufactured data, guarded identically in both
+    dialects (current testdata has no NULL readings, so the pytest
+    over a null-bearing frame — not this oracle — keeps the
+    semantics honest). Implementation:
+    operators/profile.py:winsorize_stats."""
+    from ..operators.profile import winsorize_stats
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    bounds = ev.groupBy("event_type").agg(
-        F.expr(
-            "percentile_disc(0.05) WITHIN GROUP (ORDER BY value)"
-        ).alias("lo"),
-        F.expr(
-            "percentile_disc(0.95) WITHIN GROUP (ORDER BY value)"
-        ).alias("hi"),
-    )
-    joined = ev.join(F.broadcast(bounds), "event_type")
-    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
-    return joined.groupBy("event_type").agg(
-        F.min("lo").alias("lo"),
-        F.min("hi").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-        F.count_if(F.col("value") < F.col("lo")).alias("n_clip_low"),
-        F.count_if(F.col("value") > F.col("hi")).alias("n_clip_high"),
-        F.sum(clamped.cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_clipped"),
-    )
+    return winsorize_stats(ev, "event_type", "value")
 
 
 @query(

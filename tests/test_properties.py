@@ -956,6 +956,33 @@ def test_densify_values_matches_python_model(spark, agg):
     }
 
 
+def test_winsorize_null_readings_stay_null(spark):
+    """The quantile-clip NULL policy (agg_quantile_clip's docstring):
+    a NULL reading is MISSING, not an outlier — it counts in `n` but
+    in neither clip count nor the clipped sum. Testdata carries no
+    NULL readings, so this synthetic frame is the only thing standing
+    between the policy and least/greatest's null-skipping turning
+    NULLs into manufactured lo-bound data."""
+    from github_event_etl_spark.operators.profile import winsorize_stats
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [
+        ("a", None),
+        ("a", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize_stats(df, "g", "v", lo_q=0.2, hi_q=0.8).collect()
+    assert len(out) == 1
+    r = out[0]
+    # percentile_disc over 1..10 (nulls excluded by the aggregate):
+    # ceil(0.2*10)=2 -> lo=2.0, ceil(0.8*10)=8 -> hi=8.0
+    assert (r.lo, r.hi) == (2.0, 8.0)
+    assert r.n == 12  # nulls ARE rows
+    assert (r.n_clip_low, r.n_clip_high) == (1, 2)  # 1 | 9, 10
+    # clipped sum over non-null readings only:
+    # 2 + 2+3+4+5+6+7+8 + 8+8 = 53; NULLs contribute nothing
+    assert r.sum_clipped == 53.0
+
+
 def test_densify_buckets_empty_input_yields_empty(spark):
     """Degenerate contract (documented in the docstring): an EMPTY
     aggregate densifies to an EMPTY grid — the null-bounds row is
