@@ -28,6 +28,9 @@ _SPOT_KEYS = [
     "join_inner_equi",       # shuffle join (B3)
     "dedup_event_id",        # A9 dedup
     "gapfill_locf_reading",  # densify + locf over the shared cache (B5b)
+    "agg_quantile_clip",     # discrete-percentile clamp: bound picks are
+                             # rank-position-sensitive, so more data is a
+                             # real second regime for them
 ]
 
 
