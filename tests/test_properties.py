@@ -956,6 +956,62 @@ def test_densify_values_matches_python_model(spark, agg):
     }
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.dictionaries(
+        st.sampled_from(["a", "b"]),
+        st.lists(
+            st.one_of(st.none(), st.integers(-10000, 10000)),
+            min_size=1,
+            max_size=40,
+        ).filter(lambda vs: any(v is not None for v in vs)),
+        min_size=1,
+        max_size=2,
+    ),
+)
+def test_winsorize_stats_matches_python_model(spark, data):
+    """Differential for winsorize_stats vs a sequential Python model:
+    discrete-percentile bounds at ceil(q*n) rank (the SQL-standard
+    percentile_disc semantics both engines implement), clip counts
+    strict-inequality, NULLs in n but nowhere else, clipped sum exact
+    on cent-grid values. Values are generated as cents so the
+    decimal(18,2) sum is exact and the double conversion is the same
+    correctly-rounded rational in both the model and the engine."""
+    import math
+
+    from github_event_etl_spark.operators.profile import winsorize_stats
+
+    rows = [
+        (g, None if c is None else c / 100.0)
+        for g, vals in data.items()
+        for c in vals
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.g: (r.lo, r.hi, r.n, r.n_clip_low, r.n_clip_high, r.sum_clipped)
+        for r in winsorize_stats(df, "g", "v", 0.05, 0.95).collect()
+    }
+
+    want = {}
+    for g, vals in data.items():
+        nonnull = sorted(c for c in vals if c is not None)
+        k = len(nonnull)
+        lo_c = nonnull[max(0, math.ceil(0.05 * k) - 1)]
+        hi_c = nonnull[max(0, math.ceil(0.95 * k) - 1)]
+        clip_lo = sum(1 for c in nonnull if c < lo_c)
+        clip_hi = sum(1 for c in nonnull if c > hi_c)
+        cents = sum(min(max(c, lo_c), hi_c) for c in nonnull)
+        want[g] = (
+            lo_c / 100.0,
+            hi_c / 100.0,
+            len(vals),
+            clip_lo,
+            clip_hi,
+            float(cents) / 100.0,
+        )
+    assert got == want
+
+
 def test_winsorize_null_readings_stay_null(spark):
     """The quantile-clip NULL policy (agg_quantile_clip's docstring):
     a NULL reading is MISSING, not an outlier — it counts in `n` but
