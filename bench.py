@@ -63,6 +63,7 @@ COMPONENTS = [
     "gapfill_locf_reading",
     "gapfill_interp_reading",
     "agg_quantile_clip",
+    "profile_histogram_eqdepth",
 ]
 # LLM-pipeline + streaming headliners (import-safe: skipped if absent).
 OPTIONAL = [

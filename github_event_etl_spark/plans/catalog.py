@@ -128,6 +128,7 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # oracle replay locally.
     "gapfill_interp_reading",
     "agg_quantile_clip",
+    "profile_histogram_eqdepth",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

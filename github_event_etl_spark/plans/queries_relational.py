@@ -1541,6 +1541,85 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "profile_histogram_eqdepth",
+    oracle="""
+    WITH edges AS (
+      SELECT quantile_disc(value, 0.25) AS e1,
+             quantile_disc(value, 0.50) AS e2,
+             quantile_disc(value, 0.75) AS e3
+      FROM events
+    )
+    SELECT CASE WHEN value <= e1 THEN 0
+                WHEN value <= e2 THEN 1
+                WHEN value <= e3 THEN 2
+                ELSE 3 END AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events CROSS JOIN edges
+    GROUP BY 1
+    """,
+    tags=("relational", "partB", "quality"),
+)
+def profile_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram of a numeric column — the selectivity-
+    estimation leg next to `profile_histogram`'s equi-width shape
+    profile: quartile bucket boundaries chosen from the DATA so each
+    bucket holds ~25% of rows (the histogram flavor query optimizers
+    keep, because equal-probability buckets bound selectivity error
+    where equal-width buckets can put 99% of a skewed column in one
+    bin). Output per bucket: id, row count, observed min/max — the
+    min/max of interior buckets ARE the quantile edges, so the same
+    row doubles as a quartile summary.
+
+    Scale shape — deliberately NOT the ntile plan: ranking rows with
+    ntile() costs a GLOBAL SORT of the corpus (one range exchange +
+    full sort at 100 TB) just to throw the order away. Instead pass 1
+    reduces the corpus to a single 3-edge row (one percentile_disc
+    aggregate over a value-only pruned scan), pass 2 broadcasts that
+    row back (literal broadcast-nested-loop of ONE row — never a
+    corpus shuffle) and buckets map-side by three comparisons into a
+    partial+final hash aggregate with a 4-key domain. Same two-pass
+    bounded-broadcast pattern as `agg_quantile_clip`, different
+    output semantics (distribution profile vs clamp).
+
+    Value determinism: DISCRETE quantile edges are data values
+    (`percentile_disc` WITHIN GROUP ≙ DuckDB `quantile_disc`,
+    element-equal — see agg_quantile_clip), so bucket assignment is
+    data-to-data comparison; counts are integers and min/max pass
+    stored doubles through — every cell engine-stable for the
+    hash."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    edges = ev.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias(
+            "e1"
+        ),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").alias(
+            "e2"
+        ),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias(
+            "e3"
+        ),
+    )
+    v = F.col("value")
+    bin_col = (
+        F.when(v <= F.col("e1"), 0)
+        .when(v <= F.col("e2"), 1)
+        .when(v <= F.col("e3"), 2)
+        .otherwise(3)
+    )
+    return (
+        ev.crossJoin(F.broadcast(edges))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
 # --------------------------------------------- time-series densification
 
 # Materialize-once registry for the gapfill hourly aggregate: one

@@ -977,6 +977,26 @@ def test_quantile_clip_broadcasts_bounds(qmap, spark, sf_dir):
         assert "struct<event_type:string,value:double>" in ln, ln
 
 
+def test_eqdepth_histogram_avoids_global_sort(qmap, spark, sf_dir):
+    """The equi-depth histogram must NOT plan the ntile shape (global
+    range exchange + full corpus sort just to throw the order away):
+    the edges come back as a ONE-ROW broadcast nested loop, there is
+    no Sort node anywhere in the plan, and both corpus passes are
+    pruned to the value column."""
+    import re
+
+    plan = plan_of(qmap, spark, sf_dir, "profile_histogram_eqdepth")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert re.search(r"\(\d+\) Sort\b", plan) is None, plan
+    assert "rangepartitioning" not in plan
+    schemas = [
+        ln.strip() for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert schemas and all(
+        "struct<value:double>" in ln for ln in schemas
+    ), schemas
+
+
 def test_gapfill_cache_concurrent_consumers_converge(qmap, spark, sf_dir):
     """The three gapfill keys race the registry from worker threads:
     whatever interleaving occurs, the registry must converge to ONE
