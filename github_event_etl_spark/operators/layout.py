@@ -64,13 +64,21 @@ def _read_spec(spec_path: str):
 
 def _normalize_location(loc: str) -> str:
     """Canonical comparison form for a storage location. Local paths
-    (no scheme, or file: in any authority form — file:/p, file:///p,
-    file://host/p) normalize via os.path.realpath; any other scheme
+    (no scheme, or file: with an EMPTY or 'localhost' authority —
+    file:/p, file:///p, file://localhost/p, the forms RFC 8089 defines
+    as the local machine) normalize via os.path.realpath; any other
+    scheme — and a file: URI naming a REMOTE host (file://hostA/p) —
     canonicalizes textually to `scheme://netloc/path` with percent-
     escapes decoded and the trailing slash dropped — realpath on a raw
     URI string would prepend the cwd and collapse the `//` after the
     scheme, so equivalent non-local URIs differing only by trailing
-    slash or escape form would spuriously mismatch.
+    slash or escape form would spuriously mismatch. Realpath'ing a
+    remote-host file: URI would be worse than a mismatch: it DISCARDS
+    the authority, so file://hostA/p and file://hostB/p would compare
+    equal — the false-MATCH direction the paragraph below calls the
+    dangerous one. ('localhost' is matched exactly, lowercase, per the
+    netloc case rule below; an uppercase spelling canonicalizes
+    textually and at worst raises the loud mismatch error.)
 
     The netloc compares CASE-SENSITIVELY, deliberately: DNS hostnames
     are case-insensitive, but object-store authorities carry
@@ -91,8 +99,10 @@ def _normalize_location(loc: str) -> str:
     from urllib.parse import unquote, urlparse
 
     parsed = urlparse(loc)
-    if parsed.scheme in ("", "file"):
-        return os.path.realpath(unquote(parsed.path) if parsed.scheme else loc)
+    if parsed.scheme == "":
+        return os.path.realpath(loc)
+    if parsed.scheme == "file" and parsed.netloc in ("", "localhost"):
+        return os.path.realpath(unquote(parsed.path))
     path = unquote(parsed.path).rstrip("/")
     return f"{parsed.scheme.lower()}://{parsed.netloc}{path}"
 

@@ -48,7 +48,10 @@ def scratch_dir(sf_dir: str, *parts: str) -> str:
     parquet/json writers do; callers creating bare files mkdir
     themselves."""
     real = os.path.realpath(sf_dir)
-    base = os.path.basename(real.rstrip("/"))
+    # A dataset path that resolves to '/' has no basename; fall back to
+    # 'root' so the component stays `<something>-<tag>` readable rather
+    # than a bare '-<tag>'.
+    base = os.path.basename(real.rstrip("/")) or "root"
     return os.path.join(
         tempfile.gettempdir(),
         "geetl_spark",

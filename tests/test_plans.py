@@ -1457,6 +1457,14 @@ def test_normalize_location_uri_forms():
     )
 
     assert n("file:/a/b") == n("/a/b") == n("file:///a/b") == n("/a/b/")
+    # file://localhost/p is the RFC 8089 local form — same location
+    assert n("file://localhost/a/b") == n("/a/b")
+    # a file: URI naming a REMOTE host keeps its authority: realpath
+    # would discard it and make file://hostA/p == file://hostB/p — a
+    # false MATCH that silently skips the location guard
+    assert n("file://hostA/p") != n("file://hostB/p")
+    assert n("file://hostA/p") != n("/p")
+    assert n("file://hostA/p/") == n("file://hostA/p") == "file://hostA/p"
     assert n("s3://bucket/p/") == n("S3://bucket/p") == "s3://bucket/p"
     assert n("hdfs://nn:8020/x/") == n("hdfs://nn:8020/x")
     assert n("s3://bucket/a%20b") == n("s3://bucket/a b")

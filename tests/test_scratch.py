@@ -42,6 +42,16 @@ def test_same_basename_different_dirs_get_distinct_trees(tmp_path):
     assert "sf0.01-" in ta and "sf0.01-" in tb
 
 
+def test_root_resolving_path_keeps_readable_component():
+    """A dataset path that realpath-resolves to '/' has no basename;
+    the component must fall back to 'root-<tag>' rather than silently
+    degrading to a bare '-<tag>'."""
+    d = scratch_dir("/")
+    component = os.path.basename(d)
+    assert component.startswith("root-")
+    assert component == f"root-{dataset_tag('/')}"
+
+
 def test_parts_compose_under_the_dataset_root(tmp_path):
     d = tmp_path / "ds"
     d.mkdir()
