@@ -108,27 +108,17 @@ def staleness_bound_rounds() -> int:
     ceil(registry size / driver window)."""
     n = len(all_specs())
     return -(-n // _DRIVER_KEYS_PER_ROUND)
-_DEFER_NEW_UNTIL_ROUND = 11
+_DEFER_NEW_UNTIL_ROUND = 13
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # Round 10's three deferred keys self-cleared when CORRECTNESS_r10
-    # landed and now ride the r11 front as ordinary never-checked
-    # keys. Round 11's ~1-new-key budget is spent on
-    # gapfill_locf_reading — never-checked, front of window, no
-    # deferral needed. r11 window arithmetic: 4 never-checked
-    # (gapfill_hourly, profile_histogram, fn_url_extract,
-    # gapfill_locf_reading) + 24 r8-stale + 22 oldest-r9 keys fill
-    # the 50; the remaining r9 cohort rotates through r12, inside the
-    # ceil(130/50) = 3-round staleness bound.
-    #
-    # The keys below are round 11's additions BEYOND that budget,
-    # deferred so they cannot evict a stale re-check: they rank last
-    # in the registry — OUTSIDE the 50-key r11 window entirely, so
-    # their FIRST driver rows are due r12, where they ride the front
-    # as ordinary never-checked keys. Both pass the sf0.01 driver_sim
-    # oracle replay locally.
-    "gapfill_interp_reading",
-    "agg_quantile_clip",
-    "profile_histogram_eqdepth",
+    # Round 11's three deferred keys (gapfill_interp_reading,
+    # agg_quantile_clip, profile_histogram_eqdepth) self-cleared when
+    # their first driver rows landed green in CORRECTNESS_r12; the set
+    # is empty until a round again adds keys beyond its ~1-new-key
+    # budget. r13 window arithmetic: 1 never-checked
+    # (llm_dedup_semantic) + 31 r10-stale + 18 oldest-r11 keys fill
+    # the 50; the remaining r11 cohort rotates through r14, inside
+    # the ceil(len(all_specs()) / 50) staleness bound pinned by
+    # staleness_bound_rounds().
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

@@ -2193,3 +2193,84 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(chains, docs.select("doc_id")).select(
         "doc_id", "cluster_id", "is_representative"
     )
+
+
+@query(
+    "llm_dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + {_PLANT_OFFSET} AS vec_id,
+             list_transform(range(1, 65),
+               i -> v[i] * (CASE WHEN (vec_id + i - 1) % 2 = 0
+                            THEN 1.05 ELSE 0.95 END)) AS v
+      FROM base
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ua, b.vec_id AS ub
+      FROM corpus a, corpus b
+      WHERE a.vec_id < b.vec_id
+        AND {_cos_sql('a.v', 'b.v')} >= {_LSH_DUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT ua, ub FROM pairs UNION SELECT ub AS ua, ua AS ub FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT vec_id, vec_id FROM corpus
+      UNION
+      SELECT reach.node, e.ub FROM reach JOIN edges e ON reach.r = e.ua
+    )
+    SELECT node AS vec_id,
+           MIN(r) AS cluster_id,
+           (node = MIN(r)) AS is_representative
+    FROM reach
+    GROUP BY node
+    """,
+    tags=("llm", "dedup", "embedding", "graph"),
+)
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup end-to-end: the composition a
+    training pipeline actually runs — RHP-LSH near-dup PAIRS
+    (`cosine_dup_pairs_lsh`, the `llm_dup_cosine_lsh` scale path) →
+    connected components (`dedup_clusters`, alternating-star label
+    propagation) → one min-id representative per CLUSTER. The text-side
+    twin is `llm_dedup_minhash_lsh` + `llm_dedup_clusters`; this closes
+    the same loop for embeddings.
+
+    Fixture: the planted index-parity corpus (`_planted_dup_corpus`) —
+    every vector gets one near-duplicate at cosine ≥ 0.99875 while the
+    strongest organic pair sits near 0.5, so at the 0.98 threshold the
+    true clusters are exactly the {{v, v + offset}} pairs and LSH
+    recall is 1 up to a ≈1e-11 escape probability (see
+    `llm_dup_cosine_lsh`). The oracle recomputes the clusters
+    independently: exact all-pairs cosine in DuckDB feeds a
+    WITH RECURSIVE transitive closure (min label per reachable set) —
+    genuine multi-hop closure, not an assumption of pair-sized
+    clusters, so a future fixture with chained near-dups still
+    oracle-checks.
+
+    Scale shape: corpus never self-joins all-pairs (one (table, sig)
+    shuffle + capped in-bucket expansion); components shuffle O(E)
+    narrow rows per star round; the final labeling is one left join on
+    vec_id. No driver-side state anywhere."""
+    from ..operators.graph import dedup_clusters
+
+    corpus = _planted_dup_corpus(load_table(spark, sf_dir, "embeddings"))
+    pairs = cosine_dup_pairs_lsh(
+        corpus,
+        dim=64,
+        threshold=_LSH_DUP_THRESHOLD,
+        num_tables=12,
+        planes_per_table=8,
+    )
+    return dedup_clusters(
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ),
+        corpus.select("vec_id"),
+        id_col="vec_id",
+    ).select("vec_id", "cluster_id", "is_representative")

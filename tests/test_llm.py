@@ -1302,3 +1302,35 @@ def test_ivfadc_residual_encoding_beats_raw_with_trained_coarse(spark):
     assert len(bf & p_res) >= len(bf & p_raw)
     # md5-seed coarse quantizer: residuals stay raw-spread, advantage gone
     assert e_res_md5 > e_res * 10, (e_res_md5, e_res)
+
+
+# ------------------------------------------------- semantic dedup clusters
+
+
+def test_semantic_dedup_planted_clusters(spark, sf_dir):
+    """End-to-end semantic dedup on the planted index-parity corpus:
+    every true cluster is exactly {v, v + _PLANT_OFFSET} (planted sim
+    ≥ 0.99875 vs ~0.5 organic max — see _planted_dup_corpus), so the
+    composed LSH-pairs → connected-components → representative plan
+    must recover N two-node clusters with the base vec_id as
+    representative. Checks the structural truth the DuckDB oracle
+    re-derives via transitive closure; a recall miss (orphan
+    singleton), a false merge (cluster > 2), or a wrong representative
+    each fail a distinct assertion."""
+    from github_event_etl_spark.plans.queries_llm import (
+        _PLANT_OFFSET,
+        llm_dedup_semantic,
+    )
+
+    rows = llm_dedup_semantic(spark, sf_dir).collect()
+    n_base = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == 2 * n_base
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert len(by_cluster) == n_base, "recall miss or false merge"
+    for cid, members in by_cluster.items():
+        ids = sorted(m.vec_id for m in members)
+        assert ids == [cid, cid + _PLANT_OFFSET], f"bad cluster {cid}: {ids}"
+        reps = {m.vec_id for m in members if m.is_representative}
+        assert reps == {cid}, f"wrong representative in cluster {cid}"
