@@ -352,6 +352,26 @@ def llm_dup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLANT_OFFSET = 1_000_000  # planted-duplicate id space, clear of any real vec_id
 _LSH_DUP_THRESHOLD = 0.98
 
+# DuckDB spelling of `_planted_dup_corpus` below — shared by every
+# oracle that checks the planted-duplicate fixture (`llm_dup_cosine_lsh`,
+# `llm_dedup_semantic`) so the SQL corpus can never drift from the
+# Spark one in only one of them. NOTE the index bases: DuckDB
+# `list_transform` is 1-based, Spark `transform` is 0-based, hence
+# `(vec_id + i - 1)` here ≙ `(vec_id + i)` in the Spark fixture.
+_PLANTED_CORPUS_CTE = f"""
+    base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + {_PLANT_OFFSET} AS vec_id,
+             list_transform(range(1, 65),
+               i -> v[i] * (CASE WHEN (vec_id + i - 1) % 2 = 0
+                            THEN 1.05 ELSE 0.95 END)) AS v
+      FROM base
+    )"""
+
 
 def _planted_dup_corpus(emb: DataFrame) -> DataFrame:
     """The base embeddings plus one planted near-duplicate per vector:
@@ -379,18 +399,7 @@ def _planted_dup_corpus(emb: DataFrame) -> DataFrame:
 @query(
     "llm_dup_cosine_lsh",
     oracle=f"""
-    WITH base AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ),
-    corpus AS (
-      SELECT vec_id, v FROM base
-      UNION ALL
-      SELECT vec_id + {_PLANT_OFFSET} AS vec_id,
-             list_transform(range(1, 65),
-               i -> v[i] * (CASE WHEN (vec_id + i - 1) % 2 = 0
-                            THEN 1.05 ELSE 0.95 END)) AS v
-      FROM base
-    )
+    WITH {_PLANTED_CORPUS_CTE}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_cos_sql('a.v', 'b.v')}, 6) AS sim_r
     FROM corpus a, corpus b
@@ -2198,18 +2207,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_semantic",
     oracle=f"""
-    WITH RECURSIVE base AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ),
-    corpus AS (
-      SELECT vec_id, v FROM base
-      UNION ALL
-      SELECT vec_id + {_PLANT_OFFSET} AS vec_id,
-             list_transform(range(1, 65),
-               i -> v[i] * (CASE WHEN (vec_id + i - 1) % 2 = 0
-                            THEN 1.05 ELSE 0.95 END)) AS v
-      FROM base
-    ),
+    WITH RECURSIVE {_PLANTED_CORPUS_CTE},
     pairs AS (
       SELECT a.vec_id AS ua, b.vec_id AS ub
       FROM corpus a, corpus b
@@ -2268,9 +2266,9 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes_per_table=8,
     )
     return dedup_clusters(
-        pairs.select(
-            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-        ),
+        pairs,
         corpus.select("vec_id"),
         id_col="vec_id",
+        a_col="id_a",
+        b_col="id_b",
     ).select("vec_id", "cluster_id", "is_representative")
