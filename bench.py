@@ -64,6 +64,7 @@ COMPONENTS = [
     "gapfill_interp_reading",
     "agg_quantile_clip",
     "profile_histogram_eqdepth",
+    "llm_dedup_semantic",
 ]
 # LLM-pipeline + streaming headliners (import-safe: skipped if absent).
 OPTIONAL = [
