@@ -2243,8 +2243,19 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector gets one near-duplicate at cosine ≥ 0.99875 while the
     strongest organic pair sits near 0.5, so at the 0.98 threshold the
     true clusters are exactly the {{v, v + offset}} pairs and LSH
-    recall is 1 up to a ≈1e-11 escape probability (see
-    `llm_dup_cosine_lsh`). The oracle recomputes the clusters
+    recall is 1 up to a negligible escape probability: a planted pair
+    (cos ≥ 0.99875 → θ ≤ 0.0159π) disagrees on one of 12 planes with
+    p = 1-(1-0.0159)^12 ≈ 0.175 per table, so it escapes all 12 tables
+    with p ≈ 0.175¹² ≈ 8e-10. 12 planes rather than
+    `llm_dup_cosine_lsh`'s 8 is the operator's own tuning law applied
+    (similarity.py: raise planes as N grows): at the bench corpus
+    (2×2000 vectors) 8 planes leave ~16 vectors per bucket and ~430k
+    candidate pairs for the exact-cosine verify — 4× the whole
+    operator's cost — where 12 planes leave ~35k (measured; the
+    correlated synthetic dimensions collide more than the isotropic
+    estimate) while the planted recall margin stays astronomically
+    safe. Verification cost, not the result, is what the parameter
+    changes — the oracle below is parameter-free exact all-pairs. The oracle recomputes the clusters
     independently: exact all-pairs cosine in DuckDB feeds a
     WITH RECURSIVE transitive closure (min label per reachable set) —
     genuine multi-hop closure, not an assumption of pair-sized
@@ -2263,7 +2274,7 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         threshold=_LSH_DUP_THRESHOLD,
         num_tables=12,
-        planes_per_table=8,
+        planes_per_table=12,
     )
     return dedup_clusters(
         pairs,

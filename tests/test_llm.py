@@ -344,9 +344,10 @@ def test_rhp_dot_products_clear_sign_margin():
     summation order differs, so a dot product near zero could flip a
     signature bit between engines and turn the oracle red flakily.
     Enforce the margin on the actual oracle data (sf0.001 AND the
-    driver's sf0.01), for both declared plane sets — the plain corpus
+    driver's sf0.01), for every declared plane set — the plain corpus
     (llm_ann_lsh, 12×6) and the planted-duplicate corpus
-    (llm_dup_cosine_lsh, 12×8). A future data regeneration that lands
+    (llm_dup_cosine_lsh, 12×8; llm_dedup_semantic, 12×12). A future
+    data regeneration that lands
     a boundary case fails HERE as a data issue, not as a confusing
     oracle mismatch."""
     import numpy as np
@@ -362,7 +363,9 @@ def test_rhp_dot_products_clear_sign_margin():
         # even else 0.95), mirroring queries_llm._planted_dup_corpus
         par = (ids[:, None] + np.arange(V.shape[1])[None, :]) % 2 == 0
         planted = np.vstack([V, V * np.where(par, 1.05, 0.95)])
-        for corpus, tables, planes in ((V, 12, 6), (planted, 12, 8)):
+        for corpus, tables, planes in (
+            (V, 12, 6), (planted, 12, 8), (planted, 12, 12),
+        ):
             M = _plane_matrix(64, tables, planes)
             margin = np.abs(corpus @ M.T).min()
             assert margin > 1e-9, (
