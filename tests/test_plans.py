@@ -1566,3 +1566,37 @@ def test_ensure_zordered_derivation_change_rewrites(spark, sf_dir, tmp_path):
         derivation="v2",
     )
     assert mtimes() != first, "changed derivation must rewrite"
+
+
+def test_semantic_dedup_clusters_has_no_cross_join(qmap, spark, sf_dir):
+    """The composed semantic-dedup plan (LSH pairs → connected
+    components → representative labeling) must keep the scale shape at
+    BOTH ends of the composition. The star-iteration intermediates are
+    checkpointed during construction, so the final explain does NOT
+    contain the pair stage — gate the pair plan separately, built
+    exactly as the query builds it (12×12 planes over the planted
+    corpus), then gate the returned labeling plan."""
+    from github_event_etl_spark.operators.similarity import (
+        cosine_dup_pairs_lsh,
+    )
+    from github_event_etl_spark.plans.queries_llm import (
+        _LSH_DUP_THRESHOLD,
+        _planted_dup_corpus,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    corpus = _planted_dup_corpus(load_table(spark, sf_dir, "embeddings"))
+    pairs = cosine_dup_pairs_lsh(
+        corpus, dim=64, threshold=_LSH_DUP_THRESHOLD,
+        num_tables=12, planes_per_table=12,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain(mode="formatted")
+    pair_plan = buf.getvalue()
+    assert "CartesianProduct" not in pair_plan
+    assert "BroadcastNestedLoopJoin" not in pair_plan
+
+    plan = plan_of(qmap, spark, sf_dir, "llm_dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
