@@ -351,6 +351,11 @@ def llm_dup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PLANT_OFFSET = 1_000_000  # planted-duplicate id space, clear of any real vec_id
 _LSH_DUP_THRESHOLD = 0.98
+# llm_dedup_semantic's RHP tuning — module-level so the plan-gate
+# (tests/test_plans.py) and sign-margin (tests/test_llm.py) tests gate
+# the SAME plane set the query runs; retune here, never inline.
+_SEMANTIC_LSH_TABLES = 12
+_SEMANTIC_LSH_PLANES = 12
 
 # DuckDB spelling of `_planted_dup_corpus` below — shared by every
 # oracle that checks the planted-duplicate fixture (`llm_dup_cosine_lsh`,
@@ -2273,8 +2278,8 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus,
         dim=64,
         threshold=_LSH_DUP_THRESHOLD,
-        num_tables=12,
-        planes_per_table=12,
+        num_tables=_SEMANTIC_LSH_TABLES,
+        planes_per_table=_SEMANTIC_LSH_PLANES,
     )
     return dedup_clusters(
         pairs,

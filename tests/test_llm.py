@@ -346,7 +346,8 @@ def test_rhp_dot_products_clear_sign_margin():
     Enforce the margin on the actual oracle data (sf0.001 AND the
     driver's sf0.01), for every declared plane set — the plain corpus
     (llm_ann_lsh, 12×6) and the planted-duplicate corpus
-    (llm_dup_cosine_lsh, 12×8; llm_dedup_semantic, 12×12). A future
+    (llm_dup_cosine_lsh, 12×8; llm_dedup_semantic, its shared
+    _SEMANTIC_LSH_* constants). A future
     data regeneration that lands
     a boundary case fails HERE as a data issue, not as a confusing
     oracle mismatch."""
@@ -363,8 +364,15 @@ def test_rhp_dot_products_clear_sign_margin():
         # even else 0.95), mirroring queries_llm._planted_dup_corpus
         par = (ids[:, None] + np.arange(V.shape[1])[None, :]) % 2 == 0
         planted = np.vstack([V, V * np.where(par, 1.05, 0.95)])
+        from github_event_etl_spark.plans.queries_llm import (
+            _SEMANTIC_LSH_PLANES,
+            _SEMANTIC_LSH_TABLES,
+        )
+
         for corpus, tables, planes in (
-            (V, 12, 6), (planted, 12, 8), (planted, 12, 12),
+            (V, 12, 6),
+            (planted, 12, 8),
+            (planted, _SEMANTIC_LSH_TABLES, _SEMANTIC_LSH_PLANES),
         ):
             M = _plane_matrix(64, tables, planes)
             margin = np.abs(corpus @ M.T).min()

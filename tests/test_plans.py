@@ -1574,13 +1574,15 @@ def test_semantic_dedup_clusters_has_no_cross_join(qmap, spark, sf_dir):
     BOTH ends of the composition. The star-iteration intermediates are
     checkpointed during construction, so the final explain does NOT
     contain the pair stage — gate the pair plan separately, built
-    exactly as the query builds it (12×12 planes over the planted
-    corpus), then gate the returned labeling plan."""
+    exactly as the query builds it (same shared tuning constants over
+    the planted corpus), then gate the returned labeling plan."""
     from github_event_etl_spark.operators.similarity import (
         cosine_dup_pairs_lsh,
     )
     from github_event_etl_spark.plans.queries_llm import (
         _LSH_DUP_THRESHOLD,
+        _SEMANTIC_LSH_PLANES,
+        _SEMANTIC_LSH_TABLES,
         _planted_dup_corpus,
     )
     from github_event_etl_spark.sources.tables import load_table
@@ -1588,7 +1590,8 @@ def test_semantic_dedup_clusters_has_no_cross_join(qmap, spark, sf_dir):
     corpus = _planted_dup_corpus(load_table(spark, sf_dir, "embeddings"))
     pairs = cosine_dup_pairs_lsh(
         corpus, dim=64, threshold=_LSH_DUP_THRESHOLD,
-        num_tables=12, planes_per_table=12,
+        num_tables=_SEMANTIC_LSH_TABLES,
+        planes_per_table=_SEMANTIC_LSH_PLANES,
     )
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
