@@ -1345,3 +1345,53 @@ def test_semantic_dedup_planted_clusters(spark, sf_dir):
         assert ids == [cid, cid + _PLANT_OFFSET], f"bad cluster {cid}: {ids}"
         reps = {m.vec_id for m in members if m.is_representative}
         assert reps == {cid}, f"wrong representative in cluster {cid}"
+
+
+def test_semantic_dedup_transitive_chain(spark):
+    """Multi-hop closure through the semantic-dedup composition: a
+    chain a≈b≈c where a·c ALSO clears the threshold transitively only —
+    cos(a,b) ≈ cos(b,c) ≈ 0.999 but cos(a,c) ≈ 0.996 < 0.998 — must
+    resolve to ONE cluster via the pair graph's transitivity, not
+    because every pair is an edge. Uses the same operators the catalog
+    key composes (cosine_dup_pairs_lsh + dedup_clusters) on synthetic
+    64-dim vectors; an unrelated orthogonal-ish vector must stay a
+    singleton."""
+    import math
+
+    from github_event_etl_spark.operators.graph import dedup_clusters
+    from github_event_etl_spark.operators.similarity import (
+        cosine,
+        cosine_dup_pairs_lsh,
+    )
+
+    dim = 64
+
+    def unit(theta, plane=(0, 1)):
+        v = [0.0] * dim
+        v[plane[0]] = math.cos(theta)
+        v[plane[1]] = math.sin(theta)
+        return v
+
+    # Angles chosen so adjacent pairs pass 0.998 and the a–c pair fails:
+    # cos(0.05) = 0.99875 ≥ 0.998, cos(0.10) = 0.99500 < 0.998.
+    rows = [
+        (1, unit(0.00)),
+        (2, unit(0.05)),
+        (3, unit(0.10)),
+        (9, unit(math.pi / 2, plane=(2, 3))),  # unrelated singleton
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    threshold = 0.998
+    pairs = cosine_dup_pairs_lsh(
+        vecs, dim=dim, threshold=threshold, num_tables=12, planes_per_table=4
+    )
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got_pairs == {(1, 2), (2, 3)}, got_pairs  # (1,3) correctly absent
+
+    clusters = dedup_clusters(
+        pairs, vecs.select("vec_id"), id_col="vec_id", a_col="id_a", b_col="id_b"
+    ).collect()
+    label = {r.vec_id: r.cluster_id for r in clusters}
+    reps = {r.vec_id for r in clusters if r.is_representative}
+    assert label == {1: 1, 2: 1, 3: 1, 9: 9}, label  # 3 joins via 2 only
+    assert reps == {1, 9}
