@@ -1109,3 +1109,61 @@ def train_pq_codebook(
             .localCheckpoint(eager=True)  # truncate the per-iter lineage
         )
     return cb
+
+
+# ----------------------------------------------------------------- evaluation
+
+
+def ann_recall(
+    ann: DataFrame,
+    ground_truth: DataFrame,
+    queries: DataFrame,
+    k: int,
+    methods: tuple[str, ...],
+    qid_col: str = "qid",
+    nid_col: str = "nid",
+) -> DataFrame:
+    """Recall@k of approximate-neighbor results against exact ground
+    truth, per (method, query): the acceptance gate every ANN index
+    deployment runs before swapping out brute force.
+
+    `ann` holds one row per returned neighbor tagged with its `method`;
+    `ground_truth` holds the exact top-k pairs; `queries` pins the
+    output grid so a query (or a whole method) that returned nothing
+    still reports recall 0 instead of silently vanishing. The
+    denominator is the fixed `k`, the standard recall@k convention.
+
+    Scale shape: both inputs are query-sized (Q·k rows — the expensive
+    corpus scans happen upstream in the index paths being evaluated),
+    so every join here is broadcast-small; the methods grid is an
+    explicitly bounded |methods|×Q cross join. No corpus-sized frame
+    enters this operator.
+    """
+    spark = ann.sparkSession
+    m = spark.createDataFrame([(x,) for x in methods], "method string")
+    grid = queries.select(F.col(qid_col).alias("qid")).crossJoin(F.broadcast(m))
+    a = ann.select(
+        "method", F.col(qid_col).alias("qid"), F.col(nid_col).alias("nid")
+    )
+    g = ground_truth.select(
+        F.col(qid_col).alias("qid"), F.col(nid_col).alias("nid")
+    )
+    per_ann = a.groupBy("method", "qid").agg(F.count("*").alias("ann_k"))
+    per_hit = (
+        a.join(F.broadcast(g), ["qid", "nid"])
+        .groupBy("method", "qid")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        grid.join(per_ann, ["method", "qid"], "left")
+        .join(per_hit, ["method", "qid"], "left")
+        .select(
+            "method",
+            "qid",
+            F.coalesce("ann_k", F.lit(0)).cast("long").alias("ann_k"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall_r"),
+        )
+    )

@@ -112,13 +112,17 @@ _DEFER_NEW_UNTIL_ROUND = 13
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # Round 11's three deferred keys (gapfill_interp_reading,
     # agg_quantile_clip, profile_histogram_eqdepth) self-cleared when
-    # their first driver rows landed green in CORRECTNESS_r12; the set
-    # is empty until a round again adds keys beyond its ~1-new-key
-    # budget. r13 window arithmetic: 1 never-checked
-    # (llm_dedup_semantic) + 31 r10-stale + 18 oldest-r11 keys fill
-    # the 50; the remaining r11 cohort rotates through r14, inside
-    # the ceil(len(all_specs()) / 50) staleness bound pinned by
-    # staleness_bound_rounds().
+    # their first driver rows landed green in CORRECTNESS_r12.
+    # r13 window arithmetic: 1 never-checked (llm_dedup_semantic) +
+    # 31 r10-stale + 18 oldest-r11 keys fill the 50; the remaining
+    # r11 cohort rotates through r14, inside the
+    # ceil(len(all_specs()) / 50) staleness bound pinned by
+    # staleness_bound_rounds(). llm_ann_recall_eval is r13's
+    # over-budget addition, pre-staged for r14: deferred past the r13
+    # window (it would otherwise evict a stale key as never-checked),
+    # self-clearing to the front of r14's window once the r13
+    # artifact lands.
+    "llm_ann_recall_eval",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

@@ -19,6 +19,7 @@ from github_event_etl_spark.operators.multimodal import (
 from github_event_etl_spark.operators.similarity import (
     ann_ivf,
     ann_lsh,
+    ann_recall,
     cosine,
     knn_bruteforce,
 )
@@ -317,6 +318,46 @@ def test_ann_recall_floors(emb):
     assert len(bf) == 8 * 10
     assert len(bf & lsh) / len(bf) >= 0.30
     assert len(bf & ivf) / len(bf) >= 0.30
+
+
+def test_ann_recall_eval_matches_set_intersections(emb):
+    """The recall harness's counted hits must equal the literal set
+    intersection |ANN ∩ GT| per method — an independent recomputation
+    of what the operator derives through joins — and a query or method
+    with no ANN rows must still appear with recall 0 (the grid
+    guarantee), exercised here with a planted empty method."""
+    qs = emb.filter(F.col("vec_id") < 8)
+    gt = knn_bruteforce(emb, qs, k=10)
+    bf = {(r.qid, r.nid) for r in gt.collect()}
+    ivf_df = ann_ivf(emb, qs, k=10, num_centroids=16, nprobe=4)
+    lsh_df = ann_lsh(emb, qs, dim=64, k=10, num_tables=12, planes_per_table=6)
+    ivf = {(r.qid, r.nid) for r in ivf_df.collect()}
+    lsh = {(r.qid, r.nid) for r in lsh_df.collect()}
+    ann = (
+        ivf_df.select(F.lit("ivf").alias("method"), "qid", "nid")
+        .unionAll(lsh_df.select(F.lit("lsh").alias("method"), "qid", "nid"))
+    )
+    out = ann_recall(
+        ann,
+        gt.select("qid", "nid"),
+        qs.select(F.col("vec_id").alias("qid")),
+        k=10,
+        methods=("ivf", "lsh", "absent"),
+    ).collect()
+    rows = {(r.method, r.qid): r for r in out}
+    assert len(rows) == 3 * 8
+    for r in out:
+        assert 0 <= r.hits <= r.ann_k <= 10
+        assert abs(r.recall_r - r.hits / 10) < 1e-9
+    for method, pairs in (("ivf", ivf), ("lsh", lsh)):
+        assert sum(rows[(method, q)].hits for q in range(8)) == len(bf & pairs)
+        assert sum(rows[(method, q)].ann_k for q in range(8)) == len(pairs)
+    assert all(
+        rows[("absent", q)].ann_k == 0
+        and rows[("absent", q)].hits == 0
+        and rows[("absent", q)].recall_r == 0.0
+        for q in range(8)
+    )
 
 
 def test_ivf_partitioned_index_equals_in_memory(spark, emb, tmp_path):

@@ -263,6 +263,18 @@ def test_ann_lsh_is_equi_join_on_signature(qmap, spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_recall_eval_adds_only_broadcast_joins(qmap, spark, sf_dir):
+    """The recall harness layers only broadcast-small joins on top of
+    the audited index paths: the bounded 2-row methods grid and the
+    Q·k ground-truth side broadcast (BNLJ over broadcast tiny frames is
+    allowed — same category as knn's intentional query broadcast), and
+    the per-(method, qid) count attaches are hash joins. Nothing may
+    degenerate to a CartesianProduct, which would shuffle both sides."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_ann_recall_eval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ann_ivf_pq_probes_lists_by_equi_join(qmap, spark, sf_dir):
     """IVF-PQ's corpus-side scoring must be an equi-join of the code
     lists against the BROADCAST (qid, centroid_id, ADC-tables) probe
