@@ -1128,16 +1128,23 @@ def ann_recall(
     deployment runs before swapping out brute force.
 
     `ann` holds one row per returned neighbor tagged with its `method`;
-    `ground_truth` holds the exact top-k pairs; `queries` pins the
-    output grid so a query (or a whole method) that returned nothing
-    still reports recall 0 instead of silently vanishing. The
-    denominator is the fixed `k`, the standard recall@k convention.
+    `ground_truth` holds the exact top-k pairs — distinct (qid, nid)
+    by construction (a top-k is a set), which this operator relies on:
+    the hit test is a left join against it, so a duplicated truth pair
+    would double-count the matched ann row. `queries` pins the output
+    grid so a query (or a whole method) that returned nothing still
+    reports recall 0 instead of silently vanishing. The denominator is
+    the fixed `k`, the standard recall@k convention.
 
     Scale shape: both inputs are query-sized (Q·k rows — the expensive
     corpus scans happen upstream in the index paths being evaluated),
     so every join here is broadcast-small; the methods grid is an
     explicitly bounded |methods|×Q cross join. No corpus-sized frame
-    enters this operator.
+    enters this operator. `ann` is consumed exactly ONCE — counting
+    returned neighbors and truth hits in the same aggregate — because
+    Catalyst does not dedupe two identically-derived subtrees: a
+    separate per-ann/per-hit formulation would execute every upstream
+    index path (corpus scans included) twice.
     """
     spark = ann.sparkSession
     m = spark.createDataFrame([(x,) for x in methods], "method string")
@@ -1146,17 +1153,17 @@ def ann_recall(
         "method", F.col(qid_col).alias("qid"), F.col(nid_col).alias("nid")
     )
     g = ground_truth.select(
-        F.col(qid_col).alias("qid"), F.col(nid_col).alias("nid")
+        F.col(qid_col).alias("qid"),
+        F.col(nid_col).alias("nid"),
+        F.lit(1).alias("_hit"),
     )
-    per_ann = a.groupBy("method", "qid").agg(F.count("*").alias("ann_k"))
-    per_hit = (
-        a.join(F.broadcast(g), ["qid", "nid"])
+    per = (
+        a.join(F.broadcast(g), ["qid", "nid"], "left")
         .groupBy("method", "qid")
-        .agg(F.count("*").alias("hits"))
+        .agg(F.count("*").alias("ann_k"), F.count("_hit").alias("hits"))
     )
     return (
-        grid.join(per_ann, ["method", "qid"], "left")
-        .join(per_hit, ["method", "qid"], "left")
+        grid.join(per, ["method", "qid"], "left")
         .select(
             "method",
             "qid",

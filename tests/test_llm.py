@@ -396,6 +396,10 @@ def test_rhp_dot_products_clear_sign_margin():
     import pyarrow.parquet as pq
 
     from github_event_etl_spark.operators.similarity import _plane_matrix
+    from github_event_etl_spark.plans.queries_llm import (
+        _SEMANTIC_LSH_PLANES,
+        _SEMANTIC_LSH_TABLES,
+    )
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         tbl = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
@@ -405,11 +409,6 @@ def test_rhp_dot_products_clear_sign_margin():
         # even else 0.95), mirroring queries_llm._planted_dup_corpus
         par = (ids[:, None] + np.arange(V.shape[1])[None, :]) % 2 == 0
         planted = np.vstack([V, V * np.where(par, 1.05, 0.95)])
-        from github_event_etl_spark.plans.queries_llm import (
-            _SEMANTIC_LSH_PLANES,
-            _SEMANTIC_LSH_TABLES,
-        )
-
         for corpus, tables, planes in (
             (V, 12, 6),
             (planted, 12, 8),
