@@ -103,6 +103,73 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an incoming batch against an already-indexed corpus — the
+    operation a continuously-fed pipeline actually runs (nobody
+    re-deduplicates 100 TB for a daily increment). One row per batch
+    doc: `status` is 'dup_corpus' (content already indexed),
+    'dup_batch' (an earlier batch doc — smaller id — has the same
+    content, first-wins), or 'new'; `first_seen_doc_id` is the
+    earliest holder of the content (corpus min wins over batch min),
+    NULL for 'new'.
+
+    Scale shape — the corpus is consumed exactly once and NEVER fully
+    shuffled: its rows are semi-filtered map-side against a broadcast
+    of the batch's distinct hashes, so only corpus rows whose content
+    actually recurs in the batch (≤ |batch| hashes) reach the tiny
+    min-id aggregate; that aggregate then broadcasts back onto the
+    batch. Every shuffle in the plan is batch-sized. Catalyst plans the
+    batch-side min-id index twice (semi-filter source + final join are
+    identically-derived subtrees), so the BATCH is scanned three times
+    — a deliberate trade: the duplicated subtree is the increment-sized
+    index, which must be broadcast-small anyway, while an eager
+    materialization would put a collect barrier in an otherwise fully
+    declarative plan. When the increment is too large for its hash set
+    to broadcast, drop the two broadcast hints and the same plan
+    degrades to shuffle joins keyed on the uniform 256-bit hash; in
+    production the corpus index (content_hash, first doc_id) is a
+    pre-materialized table and the semi-filter stage disappears
+    entirely.
+    """
+    ch = normalized_text_hash(F.col(text_col)).alias("content_hash")
+    b = batch.select(F.col(id_col), ch)
+    c = corpus.select(F.col(id_col), ch)
+    batch_idx = b.groupBy("content_hash").agg(
+        F.min(id_col).alias("batch_first")
+    )
+    corpus_idx = (
+        c.join(
+            F.broadcast(batch_idx.select("content_hash")),
+            "content_hash",
+            "left_semi",
+        )
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("corpus_first"))
+    )
+    enriched = b.join(F.broadcast(corpus_idx), "content_hash", "left").join(
+        batch_idx, "content_hash"
+    )
+    status = (
+        F.when(F.col("corpus_first").isNotNull(), F.lit("dup_corpus"))
+        .when(F.col(id_col) > F.col("batch_first"), F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+    )
+    first_seen = F.when(
+        F.col("corpus_first").isNotNull(), F.col("corpus_first")
+    ).when(F.col(id_col) > F.col("batch_first"), F.col("batch_first"))
+    return enriched.select(
+        F.col(id_col),
+        "content_hash",
+        status.alias("status"),
+        first_seen.cast("long").alias("first_seen_doc_id"),
+    )
+
+
 # ------------------------------------------------------------- MinHash / LSH
 
 # Deterministic MinHash: permutation j is the md5 hash family member

@@ -117,12 +117,15 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # 31 r10-stale + 18 oldest-r11 keys fill the 50; the remaining
     # r11 cohort rotates through r14, inside the
     # ceil(len(all_specs()) / 50) staleness bound pinned by
-    # staleness_bound_rounds(). llm_ann_recall_eval is r13's
-    # over-budget addition, pre-staged for r14: deferred past the r13
-    # window (it would otherwise evict a stale key as never-checked),
+    # staleness_bound_rounds(). The keys below are r13's over-budget
+    # additions, pre-staged for r14: deferred past the r13 window
+    # (each would otherwise evict a stale key as never-checked),
     # self-clearing to the front of r14's window once the r13
-    # artifact lands.
+    # artifact lands. r14 then carries 3 never-checked + the 32
+    # remaining r11 keys = 35 of 50 slots.
     "llm_ann_recall_eval",
+    "llm_dedup_incremental",
+    "llm_filter_funnel",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

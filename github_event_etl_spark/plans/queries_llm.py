@@ -64,6 +64,7 @@ from ..operators.text_analysis import (
 from ..operators.text_dedup import (
     dedup_exact,
     duplicated_spans,
+    incremental_dedup,
     jaccard_ngram,
     minhash_candidate_pairs,
     remove_spans,
@@ -131,6 +132,93 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-doc_id representative + copy count. One skew-free shuffle on a
     uniform 256-bit key; map-side partial agg (operators/text_dedup.py)."""
     return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------- incremental dedup
+
+# Deterministic planted duplicates (the documents table has no natural
+# exact copies — same fixture style as the PII/span/curation plants,
+# identical construction in both engines). The 80/20 corpus/batch split
+# keys on doc_id % 10 ∈ {8, 9}; the two plants are chosen against it:
+# - doc_id % 20 == 8  ⇒ one shared literal. Every member has
+#   doc_id % 10 == 8, so the whole group sits INSIDE the batch: its
+#   min-id member exercises 'new', the rest 'dup_batch'.
+# - doc_id % 3 == 2 (and not the above) ⇒ literal keyed by
+#   doc_id % 33. 33 ⊥ 10, so each group's members sweep every doc_id
+#   % 10 residue — guaranteed corpus members, exercising 'dup_corpus'.
+# Un-planted docs keep their (corpus-unique) text ⇒ 'new'.
+_INCR_BATCH_SPLIT = 8  # doc_id % 10 >= 8 ⇒ incoming batch
+_INCR_PLANT = """CASE WHEN doc_id % 20 = 8
+         THEN 'planted batch-only passage'
+         WHEN doc_id % 3 = 2
+         THEN 'planted shared passage ' || CAST(doc_id % 33 AS VARCHAR)
+         ELSE text END"""
+
+_INCR_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         sha256(lower(trim({_INCR_PLANT}))) AS content_hash,
+         doc_id % 10 >= {_INCR_BATCH_SPLIT} AS is_batch
+  FROM documents
+),
+corpus_idx AS (
+  SELECT content_hash, min(doc_id) AS corpus_first
+  FROM h WHERE NOT is_batch GROUP BY 1
+),
+batch_idx AS (
+  SELECT content_hash, min(doc_id) AS batch_first
+  FROM h WHERE is_batch GROUP BY 1
+)
+SELECT b.doc_id, b.content_hash,
+       CASE WHEN c.corpus_first IS NOT NULL THEN 'dup_corpus'
+            WHEN b.doc_id > bi.batch_first THEN 'dup_batch'
+            ELSE 'new' END AS status,
+       CAST(CASE WHEN c.corpus_first IS NOT NULL THEN c.corpus_first
+                 WHEN b.doc_id > bi.batch_first THEN bi.batch_first
+            END AS BIGINT) AS first_seen_doc_id
+FROM h b
+LEFT JOIN corpus_idx c USING (content_hash)
+JOIN batch_idx bi USING (content_hash)
+WHERE b.is_batch
+"""
+
+
+@query("llm_dedup_incremental", oracle=_INCR_ORACLE, tags=("llm", "dedup"))
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify an incoming 20% batch of documents
+    against the already-indexed 80% corpus — 'dup_corpus' (content
+    already indexed, with the corpus' first holder), 'dup_batch'
+    (first-wins within the increment), or 'new'. This is the dedup a
+    continuously-fed training pipeline actually runs: the daily
+    increment is checked against a content-hash index, never by
+    re-deduplicating the full 100 TB corpus.
+
+    Scale shape (operators/text_dedup.py::incremental_dedup): the
+    corpus side is consumed once and never fully shuffled — a broadcast
+    semi-join against the batch's distinct hashes map-side-filters it
+    to recurring content before the only corpus-touching aggregate;
+    everything else is batch-sized. Planted duplicates (header comment)
+    make all three statuses fire deterministically at every SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 8, F.lit("planted batch-only passage")
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.concat(
+                F.lit("planted shared passage "),
+                (F.col("doc_id") % 33).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    is_batch = F.col("doc_id") % 10 >= _INCR_BATCH_SPLIT
+    return incremental_dedup(
+        corpus=planted.filter(~is_batch), batch=planted.filter(is_batch)
+    )
 
 
 # ----------------------------------------------------------- MinHash + LSH
@@ -1185,11 +1273,11 @@ _CURATION_BOILER_SUFFIX = (
 )
 
 
-def _curation_sql() -> str:
-    """Oracle for the composite curation pipeline: URL-domain blocklist,
-    boilerplate, language-ID and quality gates, exact-dedup
-    representative selection, per-language corpus stats. All-integer
-    output — no float aggregation order to worry about."""
+def _lang_vote_sql() -> tuple[str, str]:
+    """(vote_cols, pred-lang CASE whens) — the SQL mirror of
+    text_analysis.lang_id over pre-split lowercase tokens `wl`. Shared
+    by the curation and funnel oracles so the language gate is defined
+    once."""
     votes = {
         lg: f"len(list_filter(wl, x -> x IN ({_in_list(markers)})))"
         for lg, markers in LANG_MARKERS.items()
@@ -1199,15 +1287,31 @@ def _curation_sql() -> str:
         f"WHEN v_{lg} > 0 AND v_{lg} = {mx} THEN '{lg}'" for lg in LANG_MARKERS
     )
     vote_cols = ", ".join(f"{sql} AS v_{lg}" for lg, sql in votes.items())
-    quality = f"""round(0.4 * least(length(text)::DOUBLE / 500.0, 1.0)
+    return vote_cols, whens
+
+
+# SQL mirrors of text_analysis.quality_score / boilerplate_hits over a
+# row with `text`, ws tokens `w`, and lowercase ws tokens `wl` — shared
+# by the curation and funnel oracles.
+_QUALITY_SQL = f"""round(0.4 * least(length(text)::DOUBLE / 500.0, 1.0)
                + 0.4 * least(4.0 * (len(list_filter(wl, x -> x IN ({_in_list(STOPWORDS)})))::DOUBLE
                                     / len(w)::DOUBLE), 1.0)
                + 0.2 * (1.0 - least(10.0 * (length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
                                             / length(text)::DOUBLE), 1.0)), 6)"""
-    boiler = " + ".join(
-        f"CASE WHEN lower(text) LIKE '%{m}%' THEN 1 ELSE 0 END"
-        for m in BOILERPLATE_MARKERS
-    )
+_BOILER_SQL = " + ".join(
+    f"CASE WHEN lower(text) LIKE '%{m}%' THEN 1 ELSE 0 END"
+    for m in BOILERPLATE_MARKERS
+)
+
+
+def _curation_sql() -> str:
+    """Oracle for the composite curation pipeline: URL-domain blocklist,
+    boilerplate, language-ID and quality gates, exact-dedup
+    representative selection, per-language corpus stats. All-integer
+    output — no float aggregation order to worry about."""
+    vote_cols, whens = _lang_vote_sql()
+    quality = _QUALITY_SQL
+    boiler = _BOILER_SQL
     blocked = _in_list(BLOCKED_DOMAINS)
     return rf"""
     WITH planted AS (
@@ -1381,6 +1485,158 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0))
         .cast("long"),
+    )
+
+
+# ------------------------------------------------------------ filter funnel
+
+# The per-stage drop report every production filter cascade publishes:
+# who reached each gate, who it dropped, who survived — the number a
+# pipeline owner reads before/after every threshold change. Stages are
+# SEQUENTIAL (a doc is attributed to the FIRST gate it fails), so the
+# whole funnel reduces to one map-side "first failing stage" expression
+# per doc + one tiny aggregate. Gates and thresholds are the curation
+# suite's; plants: the curation URL/boilerplate suffixes, plus a pure
+# stopword-run text on doc_id % 20 == 1 that sails through the
+# language (all-'the' votes en) and quality (stop_ratio 1.0) gates and
+# fails only the repetition gate — so every stage provably fires.
+_FUNNEL_REP_TEXT = " ".join(["the"] * 40)
+_FUNNEL_STAGES: tuple[str, ...] = (
+    "url_blocklist",
+    "boilerplate",
+    "language",
+    "quality",
+    "repetition",
+)
+_FUNNEL_PASS_ID = 99
+
+
+def _funnel_sql() -> str:
+    vote_cols, whens = _lang_vote_sql()
+    stage_rows = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(_FUNNEL_STAGES, start=1)
+    )
+    return rf"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 1 THEN '{_FUNNEL_REP_TEXT}'
+                  WHEN doc_id % 10 = 7 THEN text || '{_CURATION_URL_SUFFIX}'
+                  WHEN doc_id % 10 = 3 THEN text || '{_CURATION_BOILER_SUFFIX}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, text, {_TOK} AS w, {_TOK_LOWER} AS wl FROM planted),
+    v AS (SELECT doc_id, text, w, wl, {vote_cols} FROM t),
+    e AS (
+      SELECT doc_id,
+             regexp_extract(text, '{URL_DOMAIN_REGEX}', 1) AS domain,
+             ({_BOILER_SQL}) AS boiler_hits,
+             CASE {whens} ELSE 'und' END AS pred_lang,
+             {_QUALITY_SQL} AS quality,
+             round(1.0 - len(list_distinct(wl))::DOUBLE
+                       / len(wl)::DOUBLE, 6) AS dup_word_frac
+      FROM v
+    ),
+    f AS (
+      SELECT CASE
+               WHEN domain IN ({_in_list(BLOCKED_DOMAINS)}) THEN 1
+               WHEN boiler_hits > {_CURATION_BOILER_MAX} THEN 2
+               WHEN pred_lang = 'und' THEN 3
+               WHEN quality < {_CURATION_QUALITY_MIN} THEN 4
+               WHEN dup_word_frac > {_REP_DUP_WORD_MAX} THEN 5
+               ELSE {_FUNNEL_PASS_ID} END AS fail_stage
+      FROM e
+    ),
+    g AS (SELECT fail_stage, count(*) AS n FROM f GROUP BY 1),
+    s(stage_id, stage) AS (VALUES {stage_rows}, ({_FUNNEL_PASS_ID}, 'pass')),
+    j AS (
+      SELECT s.stage_id, s.stage, coalesce(g.n, 0) AS n
+      FROM s LEFT JOIN g ON s.stage_id = g.fail_stage
+    ),
+    r AS (
+      SELECT stage_id, stage, n,
+             sum(n) OVER () AS total,
+             sum(n) OVER (ORDER BY stage_id) AS cum
+      FROM j
+    )
+    SELECT CAST(stage_id AS INTEGER) AS stage_id, stage,
+           CAST(total - (cum - n) AS BIGINT) AS docs_in,
+           CAST(n AS BIGINT) AS docs_dropped,
+           CAST(total - cum AS BIGINT) AS docs_out
+    FROM r WHERE stage_id <= {len(_FUNNEL_STAGES)}
+    """
+
+
+@query("llm_filter_funnel", oracle=_funnel_sql(), tags=("llm", "quality"))
+def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade funnel report: one row per gate (URL blocklist →
+    boilerplate → language → quality → repetition, the curation suite's
+    gates at its thresholds) with docs_in / docs_dropped / docs_out
+    under sequential first-failure attribution — the observability
+    query a pipeline owner runs before and after every threshold
+    change. Planted negatives (module comment) make every gate fire at
+    every SF.
+
+    Plan shape: the cascade NEVER materializes per-stage frames — one
+    documents scan computes a map-side "first failing gate" CASE per
+    doc (all signals are JVM expressions over one tokenization), the
+    only corpus-sized exchange is the 6-group fail-stage aggregate, and
+    the in/out arithmetic is two window passes over the 6-row report
+    joined to a literal stage table. At 100 TB: one pass, one tiny
+    shuffle — adding a gate adds a WHEN, not a scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark_stages = [
+        (i, s) for i, s in enumerate(_FUNNEL_STAGES, start=1)
+    ] + [(_FUNNEL_PASS_ID, "pass")]
+    t = (
+        F.when(F.col("doc_id") % 20 == 1, F.lit(_FUNNEL_REP_TEXT))
+        .when(
+            F.col("doc_id") % 10 == 7,
+            F.concat(F.col("text"), F.lit(_CURATION_URL_SUFFIX)),
+        )
+        .when(
+            F.col("doc_id") % 10 == 3,
+            F.concat(F.col("text"), F.lit(_CURATION_BOILER_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+    )
+    fail_stage = (
+        F.when(url_domain(t).isin(*BLOCKED_DOMAINS), F.lit(1))
+        .when(boilerplate_hits(t) > _CURATION_BOILER_MAX, F.lit(2))
+        .when(lang_id(t) == "und", F.lit(3))
+        .when(quality_score(t) < _CURATION_QUALITY_MIN, F.lit(4))
+        .when(dup_word_fraction(t) > _REP_DUP_WORD_MAX, F.lit(5))
+        .otherwise(F.lit(_FUNNEL_PASS_ID))
+    )
+    g = (
+        docs.select(fail_stage.alias("fail_stage"))
+        .groupBy("fail_stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = docs.sparkSession.createDataFrame(
+        spark_stages, "stage_id int, stage string"
+    )
+    j = (
+        s.join(g, s.stage_id == g.fail_stage, "left")
+        .select("stage_id", "stage", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("stage_id")
+    r = j.select(
+        "stage_id",
+        "stage",
+        "n",
+        F.sum("n").over(w_all).alias("total"),
+        F.sum("n").over(w_cum).alias("cum"),
+    )
+    return r.filter(F.col("stage_id") <= len(_FUNNEL_STAGES)).select(
+        "stage_id",
+        "stage",
+        (F.col("total") - (F.col("cum") - F.col("n")))
+        .cast("long")
+        .alias("docs_in"),
+        F.col("n").cast("long").alias("docs_dropped"),
+        (F.col("total") - F.col("cum")).cast("long").alias("docs_out"),
     )
 
 

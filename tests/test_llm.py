@@ -1435,3 +1435,77 @@ def test_semantic_dedup_transitive_chain(spark):
     reps = {r.vec_id for r in clusters if r.is_representative}
     assert label == {1: 1, 2: 1, 3: 1, 9: 9}, label  # 3 joins via 2 only
     assert reps == {1, 9}
+
+
+def test_incremental_dedup_status_partition(spark, sf_dir):
+    """Planted-geometry invariants of llm_dedup_incremental the value
+    oracle can't articulate: statuses partition the batch correctly
+    against the 80/20 split, first_seen ids live on the right side of
+    the split per status, and every planted group behaves (the
+    batch-only doc_id%20==8 group elects exactly its min as 'new')."""
+    from github_event_etl_spark.plans.queries_llm import (
+        llm_dedup_incremental,
+        _INCR_BATCH_SPLIT,
+    )
+
+    rows = llm_dedup_incremental(spark, sf_dir).collect()
+    assert rows, "batch empty"
+    by_status = {}
+    for r in rows:
+        assert r.doc_id % 10 >= _INCR_BATCH_SPLIT, "non-batch doc in output"
+        by_status.setdefault(r.status, []).append(r)
+    # all three statuses fire at every SF (planted geometry)
+    assert set(by_status) == {"new", "dup_batch", "dup_corpus"}
+    for r in by_status["dup_corpus"]:
+        assert r.first_seen_doc_id is not None
+        assert r.first_seen_doc_id % 10 < _INCR_BATCH_SPLIT, (
+            "dup_corpus first_seen must be a corpus doc"
+        )
+    for r in by_status["dup_batch"]:
+        assert r.first_seen_doc_id is not None
+        assert r.first_seen_doc_id % 10 >= _INCR_BATCH_SPLIT, (
+            "dup_batch first_seen must be a batch doc"
+        )
+        assert r.first_seen_doc_id < r.doc_id, "first-wins violated"
+    for r in by_status["new"]:
+        assert r.first_seen_doc_id is None
+    # the batch-only planted group (doc_id % 20 == 8): min is 'new',
+    # every other member 'dup_batch' pointing at the min.
+    grp = sorted(
+        (r for r in rows if r.doc_id % 20 == 8), key=lambda r: r.doc_id
+    )
+    assert len(grp) >= 2, "planted batch-only group too small"
+    assert grp[0].status == "new"
+    for r in grp[1:]:
+        assert r.status == "dup_batch"
+        assert r.first_seen_doc_id == grp[0].doc_id
+    # first-wins is per-hash consistent: one 'new' per content_hash at
+    # most, and dup_batch rows share their hash with that 'new' row.
+    firsts = {r.content_hash for r in by_status["new"]}
+    assert len(firsts) == len(by_status["new"]), "two 'new' rows share a hash"
+    for r in by_status["dup_batch"]:
+        assert r.content_hash in firsts
+
+
+def test_filter_funnel_conservation(spark, sf_dir):
+    """Funnel arithmetic invariants: stage 1 sees the whole corpus,
+    each stage's output feeds the next stage's input, in − dropped =
+    out everywhere, and every gate drops at least one doc (the planted
+    negatives fire)."""
+    from github_event_etl_spark.plans.queries_llm import (
+        llm_filter_funnel,
+        _FUNNEL_STAGES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    rows = sorted(llm_filter_funnel(spark, sf_dir).collect(),
+                  key=lambda r: r.stage_id)
+    assert [r.stage for r in rows] == list(_FUNNEL_STAGES)
+    assert rows[0].docs_in == total
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt.docs_in == prev.docs_out, "funnel stages not contiguous"
+    for r in rows:
+        assert r.docs_in - r.docs_dropped == r.docs_out
+        assert r.docs_dropped >= 1, f"gate {r.stage} never fired"
+        assert r.docs_out >= 0
