@@ -1615,3 +1615,37 @@ def test_semantic_dedup_clusters_has_no_cross_join(qmap, spark, sf_dir):
     plan = plan_of(qmap, spark, sf_dir, "llm_dedup_semantic")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_funnel_single_scan(qmap, spark, sf_dir):
+    """The funnel report must never materialize per-stage frames: ONE
+    documents scan feeding a map-side first-failing-gate CASE, the
+    6-group fail-stage aggregate, and window arithmetic over the 6-row
+    stage report (single broadcast join against the literal stage
+    table, no sort-merge join). A second parquet scan means a gate
+    became its own pass — N extra corpus scans at 100 TB."""
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_filter_funnel"))
+    assert tree.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastHashJoin") == 1
+    # fail-stage agg exchange + single-partition report exchange; the
+    # broadcast of the stage table is not a shuffle.
+    assert tree.count("Exchange hashpartitioning") <= 1
+
+
+def test_incremental_dedup_corpus_never_shuffles(qmap, spark, sf_dir):
+    """Incremental dedup's contract at 100 TB: the corpus side is
+    semi-filtered map-side against a broadcast of the batch's hashes —
+    every join broadcast, every hash-exchange batch-sized. A
+    SortMergeJoin or a cartesian here means the corpus started
+    shuffling (or worse) for a daily increment."""
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_dedup_incremental"))
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastHashJoin") == 3
+    # one of the three broadcast joins is the corpus semi-filter
+    assert "LeftSemi" in tree
+    # scans: corpus once + the batch-sized index subtree (documented
+    # 3x batch consumption in operators/text_dedup.py)
+    assert tree.count("Scan parquet") <= 4
