@@ -170,6 +170,144 @@ def incremental_dedup(
     )
 
 
+def incremental_dedup_minhash(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    num_bands: int = 4,
+    rows_per_band: int = 3,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate flavor of `incremental_dedup`: classify an
+    incoming batch against an indexed corpus by MinHash-LSH banding +
+    exact Jaccard verification — the dedup a continuously-fed pipeline
+    runs daily (checking the increment against the corpus' band index,
+    never re-near-deduplicating the full corpus). One row per batch
+    doc: `status` is 'dup_corpus' (a verified corpus near-dup exists;
+    `matched_doc_id` is the smallest such corpus id), 'dup_batch'
+    (first-wins within the increment: the smallest verified earlier
+    batch near-dup), or 'new'; `jaccard_r` is the Jaccard with the
+    matched doc (NULL for 'new').
+
+    Scale shape — the corpus is never pair-expanded and never
+    all-shuffled: its band keys are computed map-side (the same
+    Arrow-fused `minhash_band_buckets_vec` as the full-corpus path)
+    and immediately semi-filtered against a broadcast of the batch's
+    distinct band keys, so only corpus rows colliding with the
+    increment survive to the candidate join and the degenerate-bucket
+    window; every remaining shuffle is batch/candidate-sized. The
+    corpus parquet is scanned twice (band keys + candidate texts for
+    the verify — both joins stream the corpus against a broadcast
+    small side); the batch subtree is planned ~3× (band-key index,
+    in-batch pairs, text re-attach) — the `incremental_dedup` trade,
+    deliberate: the duplicated subtrees are increment-sized and an
+    eager materialization would break the declarative plan. In
+    production the corpus band index (band, bucket, doc_id) is a
+    pre-materialized table and the corpus banding scan disappears.
+
+    Degenerate buckets: both sides of the cross-candidate join are
+    independently capped at `max_bucket_size` members per (band,
+    bucket) (the `_bucket_pairs` guard, which also caps the in-batch
+    expansion) — a boilerplate-flooded bucket yields B×C pairs under
+    any candidate formulation, and true mass-duplicates belong to
+    exact dedup upstream. The cap never binds at the tested SFs, so
+    the DuckDB oracle (queries_llm) omits it — same convention as the
+    full-corpus MinHash key."""
+    bands_vec = minhash_band_buckets_vec(num_bands, rows_per_band, k)
+
+    def banded(df: DataFrame, spread: bool) -> DataFrame:
+        # _spread only the batch: it may arrive as one small split,
+        # while the corpus' own input splits already parallelize it —
+        # and repartitioning the corpus would be exactly the full
+        # shuffle this operator exists to avoid.
+        src = _spread(df) if spread else df
+        return (
+            src.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(bands_vec(F.col(text_col))).alias("bk"),
+            ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+        )
+
+    def capped(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("band", "bucket")
+        return (
+            df.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+
+    bb = banded(batch, spread=True)
+    cb = banded(corpus, spread=False).join(
+        F.broadcast(bb.select("band", "bucket").distinct()),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    cross_cand = (
+        capped(bb)
+        .alias("b")
+        .join(capped(cb).alias("c"), ["band", "bucket"])
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+
+    jac = jaccard_pairs_vec(k)
+    cand_bt = cross_cand.join(
+        batch.select(F.col(id_col).alias("batch_id"), F.col(text_col).alias("_tb")),
+        "batch_id",
+    )
+    cross_ver = (
+        # corpus on the streamed side, candidates broadcast: the
+        # corpus text scan is column-pruned and never shuffles
+        corpus.select(F.col(id_col).alias("corpus_id"), F.col(text_col).alias("_tc"))
+        .join(F.broadcast(cand_bt), "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            jac(F.col("_tb"), F.col("_tc")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    cross_best = cross_ver.groupBy("batch_id").agg(
+        F.min("corpus_id").alias("_cm"),
+        F.min_by("jaccard", "corpus_id").alias("_cj"),
+    )
+
+    intra_ver = verify_pairs_jaccard(
+        _bucket_pairs(bb, ["band", "bucket"], max_bucket_size),
+        batch.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        threshold,
+        text_col=text_col,
+        k=k,
+    )
+    intra_best = intra_ver.groupBy("doc_b").agg(
+        F.min("doc_a").alias("_bm"),
+        F.min_by("jaccard", "doc_a").alias("_bj"),
+    )
+
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(F.broadcast(cross_best.withColumnRenamed("batch_id", "doc_id")), "doc_id", "left")
+        .join(F.broadcast(intra_best.withColumnRenamed("doc_b", "doc_id")), "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.when(F.col("_cm").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("_bm").isNotNull(), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("_cm", "_bm").cast("long").alias("matched_doc_id"),
+            F.when(F.col("_cm").isNotNull(), F.col("_cj"))
+            .otherwise(F.col("_bj"))
+            .alias("jaccard_r"),
+        )
+    )
+
+
 # ------------------------------------------------------------- MinHash / LSH
 
 # Deterministic MinHash: permutation j is the md5 hash family member

@@ -65,6 +65,7 @@ from ..operators.text_dedup import (
     dedup_exact,
     duplicated_spans,
     incremental_dedup,
+    incremental_dedup_minhash,
     jaccard_ngram,
     minhash_candidate_pairs,
     remove_spans,
@@ -218,6 +219,178 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.col("doc_id") % 10 >= _INCR_BATCH_SPLIT
     return incremental_dedup(
         corpus=planted.filter(~is_batch), batch=planted.filter(is_batch)
+    )
+
+
+# Near-dup plants for the incremental MinHash key. The whitespace trick
+# makes "near-but-not-exact" DETERMINISTIC: variants differ only by one
+# internal double space, which `\s+` tokenization collapses — identical
+# token sequence ⇒ identical shingles, signatures, and band buckets
+# (guaranteed LSH candidates, Jaccard exactly 1.0 ≥ threshold at every
+# SF) while the raw texts (and exact-dedup hashes) differ. Group
+# geometry mirrors llm_dedup_incremental: doc_id % 20 == 8 is a
+# batch-only group (variant split %40, since %20==8 ids are all even);
+# doc_id % 3 == 2 keys shared groups by doc_id % 33 (33 ⊥ 10 ⇒ members
+# on both sides of the 80/20 split; variant split by parity). The
+# group number brackets the passage (first AND last token) so two
+# DIFFERENT groups differ in 4 of 12 shingles — cross-group Jaccard is
+# exactly 8/12 < 0.8, keeping groups isolated at the threshold (a
+# trailing-only number leaves 8/10 = the threshold itself).
+_INCRM_SHARED = "planted minhash shared passage kappa lambda mu nu xi omicron"
+_INCRM_SHARED_WIDE = _INCRM_SHARED.replace("planted ", "planted  ", 1)
+_INCRM_BATCH = "planted minhash batch passage alpha beta gamma delta epsilon"
+_INCRM_BATCH_WIDE = _INCRM_BATCH.replace("planted ", "planted  ", 1)
+
+_INCRM_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 8 THEN
+                CASE WHEN doc_id % 40 = 8
+                     THEN '{_INCRM_BATCH_WIDE}' ELSE '{_INCRM_BATCH}' END
+              WHEN doc_id % 3 = 2 THEN
+                CAST(doc_id % 33 AS VARCHAR) || ' ' ||
+                (CASE WHEN doc_id % 2 = 0
+                      THEN '{_INCRM_SHARED_WIDE}' ELSE '{_INCRM_SHARED}' END)
+                || ' ' || CAST(doc_id % 33 AS VARCHAR)
+              ELSE text END AS text,
+         doc_id % 10 >= {_INCR_BATCH_SPLIT} AS is_batch
+  FROM documents
+),
+tok AS (SELECT doc_id, is_batch, {_TOK} AS w FROM planted),
+sh AS (SELECT doc_id, is_batch, {_SHINGLES} AS shingles FROM tok),
+sig AS (
+  SELECT doc_id, is_batch,
+         list_transform(range(0, {_NUM_HASHES}),
+             j -> list_aggregate(list_transform(shingles,
+                      s -> ('0x' || substr(md5(s), 1, 14))::BIGINT
+                           + j * ('0x' || substr(md5(s), 15, 14))::BIGINT),
+                  'min')) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, is_batch, b.band,
+         md5(array_to_string(list_transform(
+             sig[b.band*{_ROWS_PER_BAND}+1 : b.band*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}],
+             x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, (SELECT unnest(range(0, {_NUM_BANDS})) AS band) b
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+cross_ver AS (
+  SELECT * FROM (
+    SELECT cc.batch_id, cc.corpus_id,
+           round(CASE WHEN len(list_distinct(x.s || y.s)) > 0
+                 THEN len(list_intersect(x.s, y.s))::DOUBLE
+                      / len(list_distinct(x.s || y.s))::DOUBLE
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM (
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM bands b JOIN bands c ON b.band = c.band AND b.bucket = c.bucket
+      WHERE b.is_batch AND NOT c.is_batch
+    ) cc
+    JOIN sets x ON cc.batch_id = x.doc_id
+    JOIN sets y ON cc.corpus_id = y.doc_id
+  ) WHERE jaccard >= {_JACCARD_THRESHOLD}
+),
+intra_ver AS (
+  SELECT * FROM (
+    SELECT ic.doc_a, ic.doc_b,
+           round(CASE WHEN len(list_distinct(x.s || y.s)) > 0
+                 THEN len(list_intersect(x.s, y.s))::DOUBLE
+                      / len(list_distinct(x.s || y.s))::DOUBLE
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+                               AND l.doc_id < r.doc_id
+      WHERE l.is_batch AND r.is_batch
+    ) ic
+    JOIN sets x ON ic.doc_a = x.doc_id
+    JOIN sets y ON ic.doc_b = y.doc_id
+  ) WHERE jaccard >= {_JACCARD_THRESHOLD}
+),
+cross_best AS (
+  SELECT batch_id, min(corpus_id) AS corpus_match,
+         arg_min(jaccard, corpus_id) AS corpus_jaccard
+  FROM cross_ver GROUP BY 1
+),
+intra_best AS (
+  SELECT doc_b, min(doc_a) AS batch_match,
+         arg_min(jaccard, doc_a) AS batch_jaccard
+  FROM intra_ver GROUP BY 1
+)
+SELECT p.doc_id,
+       CASE WHEN cb.corpus_match IS NOT NULL THEN 'dup_corpus'
+            WHEN ib.batch_match IS NOT NULL THEN 'dup_batch'
+            ELSE 'new' END AS status,
+       CAST(coalesce(cb.corpus_match, ib.batch_match) AS BIGINT)
+         AS matched_doc_id,
+       CASE WHEN cb.corpus_match IS NOT NULL THEN cb.corpus_jaccard
+            ELSE ib.batch_jaccard END AS jaccard_r
+FROM planted p
+LEFT JOIN cross_best cb ON p.doc_id = cb.batch_id
+LEFT JOIN intra_best ib ON p.doc_id = ib.doc_b
+WHERE p.is_batch
+"""
+
+
+@query(
+    "llm_dedup_incremental_minhash", oracle=_INCRM_ORACLE, tags=("llm", "dedup")
+)
+def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup: classify the incoming 20% batch against
+    the indexed 80% corpus by MinHash-LSH banding + exact Jaccard
+    verification — the production counterpart of `llm_dedup_minhash_lsh`
+    (which near-dedups a whole corpus at once): a daily increment is
+    checked against the corpus band index, never by re-near-deduping
+    100 TB. One row per batch doc: dup_corpus (smallest verified corpus
+    near-dup) / dup_batch (first-wins within the increment) / new, with
+    the matched doc's Jaccard.
+
+    Scale shape (operators/text_dedup.py::incremental_dedup_minhash):
+    corpus band keys are computed map-side and semi-filtered against a
+    broadcast of the batch's band keys before anything else touches
+    them — the corpus never pair-expands and never fully shuffles; both
+    cross-candidate sides are capped per (band, bucket) against
+    degenerate buckets; every shuffle is batch/candidate-sized.
+
+    Plants (header comment): whitespace-variant passages give
+    deterministic near-not-exact duplicates (identical shingles ⇒
+    guaranteed candidates, Jaccard 1.0) in a batch-only group and in
+    cross-split groups, so all three statuses fire at every SF. The
+    md5 hash family keeps the whole chain engine-portable: DuckDB
+    recomputes identical signatures, buckets, candidates, and
+    verdicts, so status, matched id, AND Jaccard are value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 8,
+            F.when(
+                F.col("doc_id") % 40 == 8, F.lit(_INCRM_BATCH_WIDE)
+            ).otherwise(F.lit(_INCRM_BATCH)),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.concat(
+                (F.col("doc_id") % 33).cast("string"),
+                F.lit(" "),
+                F.when(
+                    F.col("doc_id") % 2 == 0, F.lit(_INCRM_SHARED_WIDE)
+                ).otherwise(F.lit(_INCRM_SHARED)),
+                F.lit(" "),
+                (F.col("doc_id") % 33).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    is_batch = F.col("doc_id") % 10 >= _INCR_BATCH_SPLIT
+    return incremental_dedup_minhash(
+        corpus=planted.filter(~is_batch),
+        batch=planted.filter(is_batch),
+        threshold=_JACCARD_THRESHOLD,
+        num_bands=_NUM_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
     )
 
 

@@ -1509,3 +1509,63 @@ def test_filter_funnel_conservation(spark, sf_dir):
         assert r.docs_in - r.docs_dropped == r.docs_out
         assert r.docs_dropped >= 1, f"gate {r.stage} never fired"
         assert r.docs_out >= 0
+
+
+def test_incremental_minhash_statuses_and_plants(spark, sf_dir):
+    """Planted-geometry invariants of llm_dedup_incremental_minhash the
+    value oracle can't articulate: statuses partition the batch against
+    the 80/20 split, matched ids live on the right side per status,
+    every verified match clears the threshold, and the whitespace-
+    variant plants behave — the batch-only doc_id%20==8 group elects
+    its min as 'new' with the rest 'dup_batch' at Jaccard exactly 1.0
+    (identical token sequences), and every cross-split shared group's
+    batch members report 'dup_corpus' matched to the group's smallest
+    corpus member."""
+    from github_event_etl_spark.plans.queries_llm import (
+        _INCR_BATCH_SPLIT,
+        _JACCARD_THRESHOLD,
+        llm_dedup_incremental_minhash,
+    )
+
+    rows = llm_dedup_incremental_minhash(spark, sf_dir).collect()
+    assert rows, "batch empty"
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    by_status = {}
+    for r in rows:
+        assert r.doc_id % 10 >= _INCR_BATCH_SPLIT, "non-batch doc in output"
+        by_status.setdefault(r.status, []).append(r)
+    assert set(by_status) == {"new", "dup_batch", "dup_corpus"}
+    for r in by_status["dup_corpus"]:
+        assert r.matched_doc_id is not None
+        assert r.matched_doc_id % 10 < _INCR_BATCH_SPLIT
+        assert r.jaccard_r >= _JACCARD_THRESHOLD
+    for r in by_status["dup_batch"]:
+        assert r.matched_doc_id is not None
+        assert r.matched_doc_id % 10 >= _INCR_BATCH_SPLIT
+        assert r.matched_doc_id < r.doc_id, "first-wins violated"
+        assert r.jaccard_r >= _JACCARD_THRESHOLD
+    for r in by_status["new"]:
+        assert r.matched_doc_id is None and r.jaccard_r is None
+    by_id = {r.doc_id: r for r in rows}
+    # batch-only plant: min member 'new', rest 'dup_batch' → min at J=1.0
+    grp = sorted(d for d in by_id if d % 20 == 8)
+    assert len(grp) >= 2
+    assert by_id[grp[0]].status == "new"
+    for d in grp[1:]:
+        assert by_id[d].status == "dup_batch"
+        assert by_id[d].matched_doc_id == grp[0]
+        assert by_id[d].jaccard_r == 1.0
+    # cross-split plants: every batch member of a %33 shared group
+    # matches the group's smallest corpus-side member at J=1.0
+    for d, r in by_id.items():
+        if d % 20 == 8 or d % 3 != 2:
+            continue
+        holders = [
+            x
+            for x in range(d % 33, n_docs, 33)
+            if x % 10 < _INCR_BATCH_SPLIT and x % 20 != 8
+        ]
+        assert holders, f"shared group {d % 33} has no corpus member"
+        assert r.status == "dup_corpus"
+        assert r.matched_doc_id == min(holders)
+        assert r.jaccard_r == 1.0

@@ -1649,3 +1649,22 @@ def test_incremental_dedup_corpus_never_shuffles(qmap, spark, sf_dir):
     # scans: corpus once + the batch-sized index subtree (documented
     # 3x batch consumption in operators/text_dedup.py)
     assert tree.count("Scan parquet") <= 4
+
+
+def test_incremental_minhash_corpus_never_shuffles(qmap, spark, sf_dir):
+    """Incremental MinHash dedup's 100 TB contract: the corpus side is
+    banded map-side and immediately semi-filtered against a broadcast
+    of the batch's band keys — NO sort-merge join, NO cartesian, every
+    join broadcast. The corpus parquet is scanned exactly twice (band
+    keys + verify texts, both streamed against broadcast small sides);
+    the remaining scans are the documented increment-sized batch
+    subtrees. A SortMergeJoin here means the corpus started shuffling
+    for a daily increment."""
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_dedup_incremental_minhash"))
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    # the corpus band-key semi-filter survived optimization
+    assert "LeftSemi" in tree
+    # corpus 2 + batch subtrees (band index 3x, texts 3x, spine 1)
+    assert tree.count("Scan parquet") <= 9
