@@ -1145,6 +1145,15 @@ def ann_recall(
     Catalyst does not dedupe two identically-derived subtrees: a
     separate per-ann/per-hit formulation would execute every upstream
     index path (corpus scans included) twice.
+
+    The grid join is FULL outer for the same reason: a method tag
+    present in `ann` but missing from `methods` must surface as its
+    own rows rather than be silently dropped by the grid (an
+    evaluation harness must never make an evaluated index vanish), and
+    deriving the tag set from `ann` itself would be a second
+    consumption. Declared-but-empty methods still report 0 on every
+    query from the grid side; an undeclared tag appears for the
+    queries it actually answered.
     """
     spark = ann.sparkSession
     m = spark.createDataFrame([(x,) for x in methods], "method string")
@@ -1163,7 +1172,7 @@ def ann_recall(
         .agg(F.count("*").alias("ann_k"), F.count("_hit").alias("hits"))
     )
     return (
-        grid.join(per, ["method", "qid"], "left")
+        grid.join(per, ["method", "qid"], "full_outer")
         .select(
             "method",
             "qid",

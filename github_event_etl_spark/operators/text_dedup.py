@@ -232,12 +232,7 @@ def incremental_dedup_minhash(
         )
 
     def capped(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("band", "bucket")
-        return (
-            df.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+        return _cap_buckets(df, ["band", "bucket"], max_bucket_size)
 
     bb = banded(batch, spread=True)
     cb = banded(corpus, spread=False).join(
@@ -500,6 +495,23 @@ def _ordered_pairs(ids: Column, a_name: str = "doc_a", b_name: str = "doc_b") ->
     )
 
 
+def _cap_buckets(
+    df: DataFrame, key_cols: list, max_bucket_size: int
+) -> DataFrame:
+    """The shared degenerate-bucket guard of every LSH candidate path:
+    drop all rows of buckets larger than `max_bucket_size` BEFORE any
+    member list or pair expansion materializes (see `_bucket_pairs`'
+    docstring for the full quadratic-blowup rationale). The window
+    count partitions on the bucket key itself, so a downstream groupBy
+    on the same key reuses one exchange."""
+    w = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def _bucket_pairs(
     keyed: DataFrame, key_cols: list, max_bucket_size: int = 10_000
 ) -> DataFrame:
@@ -522,12 +534,7 @@ def _bucket_pairs(
     builds. Docs in a dropped bucket still pair through their other
     (band, bucket) keys; true mass-duplicates belong to exact dedup
     upstream, not the near-dup path."""
-    w = Window.partitionBy(*key_cols)
-    bounded = (
-        keyed.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
-    )
+    bounded = _cap_buckets(keyed, key_cols, max_bucket_size)
     return (
         bounded.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -1015,12 +1022,7 @@ def simhash_candidate_pairs(
         .select("doc_id", "fp", F.explode(blocks).alias("kb"))
         .select("doc_id", "fp", "kb.block", "kb.val")
     )
-    wb = Window.partitionBy("block", "val")
-    keyed = (
-        keyed.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-        .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
-    )
+    keyed = _cap_buckets(keyed, ["block", "val"], max_bucket_size)
     return (
         keyed.groupBy("block", "val")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("ms"))

@@ -1699,7 +1699,12 @@ def _funnel_sql() -> str:
       FROM documents
     ),
     t AS (SELECT doc_id, text, {_TOK} AS w, {_TOK_LOWER} AS wl FROM planted),
-    v AS (SELECT doc_id, text, w, wl, {vote_cols} FROM t),
+    v AS (SELECT doc_id, text, w, wl,
+                 CASE WHEN len(wl) >= 2
+                      THEN list_transform(range(1, len(wl)),
+                                          i -> array_to_string(wl[i:i+1], ' '))
+                      ELSE [] END AS bg,
+                 {vote_cols} FROM t),
     e AS (
       SELECT doc_id,
              regexp_extract(text, '{URL_DOMAIN_REGEX}', 1) AS domain,
@@ -1707,7 +1712,12 @@ def _funnel_sql() -> str:
              CASE {whens} ELSE 'und' END AS pred_lang,
              {_QUALITY_SQL} AS quality,
              round(1.0 - len(list_distinct(wl))::DOUBLE
-                       / len(wl)::DOUBLE, 6) AS dup_word_frac
+                       / len(wl)::DOUBLE, 6) AS dup_word_frac,
+             CASE WHEN len(bg) > 0 THEN
+               round(list_max(list_transform(list_distinct(bg),
+                       x -> len(list_filter(bg, y -> y = x))))::DOUBLE
+                     / len(bg)::DOUBLE, 6)
+             END AS top_bigram_frac
       FROM v
     ),
     f AS (
@@ -1716,7 +1726,9 @@ def _funnel_sql() -> str:
                WHEN boiler_hits > {_CURATION_BOILER_MAX} THEN 2
                WHEN pred_lang = 'und' THEN 3
                WHEN quality < {_CURATION_QUALITY_MIN} THEN 4
-               WHEN dup_word_frac > {_REP_DUP_WORD_MAX} THEN 5
+               WHEN dup_word_frac > {_REP_DUP_WORD_MAX}
+                 OR coalesce(top_bigram_frac, 1.0) > {_REP_TOP_BIGRAM_MAX}
+                 THEN 5
                ELSE {_FUNNEL_PASS_ID} END AS fail_stage
       FROM e
     ),
@@ -1778,7 +1790,17 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(boilerplate_hits(t) > _CURATION_BOILER_MAX, F.lit(2))
         .when(lang_id(t) == "und", F.lit(3))
         .when(quality_score(t) < _CURATION_QUALITY_MIN, F.lit(4))
-        .when(dup_word_fraction(t) > _REP_DUP_WORD_MAX, F.lit(5))
+        .when(
+            # BOTH halves of llm_repetition_filter's keep rule; the
+            # coalesce mirrors its NULL-bigram semantics (docs under
+            # two words fail `keep` there, so they drop here too)
+            (dup_word_fraction(t) > _REP_DUP_WORD_MAX)
+            | (
+                F.coalesce(top_bigram_fraction(t), F.lit(1.0))
+                > _REP_TOP_BIGRAM_MAX
+            ),
+            F.lit(5),
+        )
         .otherwise(F.lit(_FUNNEL_PASS_ID))
     )
     g = (

@@ -358,6 +358,23 @@ def test_ann_recall_eval_matches_set_intersections(emb):
         and rows[("absent", q)].recall_r == 0.0
         for q in range(8)
     )
+    # the inverse guarantee: a method tag present in `ann` but NOT
+    # declared must still surface (full-outer grid), not vanish — an
+    # eval harness must never silently drop an evaluated index
+    undeclared = ann_recall(
+        ann,
+        gt.select("qid", "nid"),
+        qs.select(F.col("vec_id").alias("qid")),
+        k=10,
+        methods=("ivf",),
+    ).collect()
+    u = {(r.method, r.qid): r for r in undeclared}
+    lsh_qids = {q for q, _ in lsh}
+    assert lsh_qids, "lsh returned nothing; fixture broken"
+    assert {m for m, _ in u} == {"ivf", "lsh"}
+    assert sum(u[("lsh", q)].hits for q in lsh_qids) == len(bf & lsh)
+    for q in range(8):  # declared grid still pins every query
+        assert ("ivf", q) in u
 
 
 def test_ivf_partitioned_index_equals_in_memory(spark, emb, tmp_path):
