@@ -121,12 +121,13 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # additions, pre-staged for r14: deferred past the r13 window
     # (each would otherwise evict a stale key as never-checked),
     # self-clearing to the front of r14's window once the r13
-    # artifact lands. r14 then carries 4 never-checked + the 32
-    # remaining r11 keys = 36 of 50 slots.
+    # artifact lands. r14 then carries 5 never-checked + the 32
+    # remaining r11 keys = 37 of 50 slots.
     "llm_ann_recall_eval",
     "llm_dedup_incremental",
     "llm_dedup_incremental_minhash",
     "llm_filter_funnel",
+    "llm_stratified_sample",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

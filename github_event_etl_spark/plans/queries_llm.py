@@ -26,6 +26,7 @@ from ..operators.multimodal import (
     resize_media,
     sample_frames,
 )
+from ..operators.sampling import stratified_sample
 from ..operators.similarity import (
     ann_ivf,
     ann_ivf_partitioned,
@@ -1932,6 +1933,53 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.when(u32 < thr, 1).otherwise(0).cast("int").alias("sampled"),
+    )
+
+
+_STRAT_QUOTA = 40
+_STRAT_OVERSAMPLE = 4
+_STRAT_TOTAL = _STRAT_OVERSAMPLE * _STRAT_QUOTA * (1 << 32)
+
+_STRAT_ORACLE = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT lang, ({_STRAT_TOTAL} // n) + 1 AS thr FROM c),
+s AS (
+  SELECT d.doc_id, d.lang, md5(CAST(d.doc_id AS VARCHAR)) AS h
+  FROM documents d JOIN t USING (lang)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < t.thr
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM s
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank_r
+FROM r WHERE rn <= {_STRAT_QUOTA}
+"""
+
+
+@query("llm_stratified_sample", oracle=_STRAT_ORACLE, tags=("llm", "sampling"))
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: the 40 docs with the
+    smallest md5(doc_id) per language — the balanced eval/calibration
+    cut the threshold samplers can't make (llm_split_sample and
+    llm_mixture_sample hit target RATES; an eval set needs exact
+    per-stratum COUNTS from a skewed corpus).
+
+    Scale shape (operators/sampling.py::stratified_sample — never
+    sorts a stratum): per-stratum count → integer keep-threshold
+    broadcast back → map-side prefilter to ~oversample·quota
+    candidates per stratum → row_number over the tiny candidate set.
+    A naive per-stratum rank would sort the full 'en' stratum
+    (billions of rows at 100 TB) to pick 40. The prefilter rule is
+    all-integer ((oversample·quota·2³²) div n + 1, u32 from the md5
+    hex prefix — the cross-engine trick used throughout), so DuckDB
+    re-derives the identical candidate set, ranks, and survivors."""
+    return stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        strata_col="lang",
+        quota=_STRAT_QUOTA,
+        oversample=_STRAT_OVERSAMPLE,
     )
 
 

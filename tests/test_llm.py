@@ -1586,3 +1586,35 @@ def test_incremental_minhash_statuses_and_plants(spark, sf_dir):
         assert r.status == "dup_corpus"
         assert r.matched_doc_id == min(holders)
         assert r.jaccard_r == 1.0
+
+
+def test_stratified_sample_is_true_per_stratum_topk(spark, sf_dir):
+    """The prefilter-then-rank plan must return EXACTLY the quota
+    smallest-md5 docs per language — recomputed here brute force with
+    hashlib over the full table, independently of both engines' SQL.
+    Also pins the contract: ranks are contiguous 1..quota and every
+    stratum with >= quota docs is filled exactly."""
+    import hashlib
+
+    from github_event_etl_spark.plans.queries_llm import (
+        _STRAT_QUOTA,
+        llm_stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    by_lang = {}
+    for r in docs:
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        by_lang.setdefault(r.lang, []).append((h, r.doc_id))
+    expected = {}
+    for lang, members in by_lang.items():
+        top = sorted(members)[: _STRAT_QUOTA]
+        for rank, (_, doc_id) in enumerate(top, start=1):
+            expected[(lang, doc_id)] = rank
+
+    rows = llm_stratified_sample(spark, sf_dir).collect()
+    got = {(r.lang, r.doc_id): r.rank_r for r in rows}
+    assert got == expected
+    for lang, members in by_lang.items():
+        n_got = sum(1 for (lg, _) in got if lg == lang)
+        assert n_got == min(_STRAT_QUOTA, len(members))

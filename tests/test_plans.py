@@ -1668,3 +1668,18 @@ def test_incremental_minhash_corpus_never_shuffles(qmap, spark, sf_dir):
     assert "LeftSemi" in tree
     # corpus 2 + batch subtrees (band index 3x, texts 3x, spine 1)
     assert tree.count("Scan parquet") <= 9
+
+
+def test_stratified_sample_never_sorts_a_stratum(qmap, spark, sf_dir):
+    """stratified_sample's 100 TB contract: the corpus is never
+    globally sorted per stratum — the only Sort feeds the window over
+    the PREFILTERED candidate set (~oversample·quota rows per
+    stratum), the threshold table attaches by broadcast, and the
+    corpus sees exactly two column-pruned scans (count + prefilter).
+    A SortMergeJoin or a third scan means the plan regressed to
+    sorting or re-reading the stratum."""
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_stratified_sample"))
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree
+    assert tree.count("Scan parquet") == 2
