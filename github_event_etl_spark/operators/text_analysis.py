@@ -501,3 +501,73 @@ def bpe_segment(
     return docs.select("doc_id", text_col).mapInPandas(
         seg_batches, schema=schema
     )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    chunk_size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: split each doc into
+    `chunk_size`-token windows starting every `stride` tokens — the
+    context-construction step of a pretraining / RAG pipeline (long
+    docs become overlapping model-sized windows; `stride < chunk_size`
+    gives the overlap that keeps boundary context). One row per chunk:
+    (id, chunk_id, start_tok, n_tok, chunk_text).
+
+    Chunk-count convention: a doc of n <= chunk_size tokens is one
+    chunk; otherwise starts run 0, stride, 2·stride, … up to the first
+    start whose window reaches the end — ceil((n − chunk_size) /
+    stride) + 1 chunks, so the final window always covers the tail and
+    no window is fully contained in its predecessor. Docs whose token
+    array is NULL (null text) produce no rows.
+
+    Scale shape: pure map-side explode — the token array is let-bound
+    (one split per row), the window starts come from a bounded
+    `sequence`, and each output row materializes only its own slice.
+    No shuffle at any corpus size; output volume is ~n/stride rows per
+    doc, the expansion the chunking contract itself demands. The
+    ceil is floor-division written over doubles, exact for any
+    realistic token count (< 2^53)."""
+    from .text_dedup import _let
+
+    def chunks_of(w: Column) -> Column:
+        n = F.size(w)
+        nchunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+            F.floor(
+                (n - chunk_size + stride - 1) / F.lit(stride)
+            ).cast("int")
+            + 1
+        )
+        return F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda k: F.struct(
+                k.cast("long").alias("chunk_id"),
+                (k * stride).cast("long").alias("start_tok"),
+                F.least(F.lit(chunk_size), n - k * stride)
+                .cast("long")
+                .alias("n_tok"),
+                F.concat_ws(
+                    " ", F.slice(w, k * stride + 1, chunk_size)
+                ).alias("chunk_text"),
+            ),
+        )
+
+    return (
+        docs.select(
+            F.col(id_col),
+            # explode(NULL) emits no rows — null-text docs vanish in
+            # both engines (range(0, NULL) unnests to nothing in SQL)
+            F.explode(
+                _let(
+                    words(F.col(text_col)),
+                    lambda w: F.when(w.isNotNull(), chunks_of(w)),
+                )
+            ).alias("c"),
+        )
+        .select(
+            id_col, "c.chunk_id", "c.start_tok", "c.n_tok", "c.chunk_text"
+        )
+    )

@@ -51,6 +51,7 @@ from ..operators.text_analysis import (
     URL_DOMAIN_REGEX,
     boilerplate_hits,
     bow_fingerprint,
+    chunk_tokens,
     dup_word_fraction,
     lang_id,
     mean_word_len,
@@ -2493,6 +2494,58 @@ def llm_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite-key (lang, 100-doc block) window, map-side regexp token
     counting, parallelism growing with the corpus."""
     return llm_pack_offsets(spark, sf_dir).drop("offset_in_shard")
+
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
+n AS (SELECT doc_id, w, len(w) AS n FROM t),
+c AS (
+  SELECT doc_id, w, n,
+         unnest(range(0, CASE WHEN n <= {_CHUNK_SIZE} THEN 1
+                   ELSE (n - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                        // {_CHUNK_STRIDE} + 1 END)) AS k
+  FROM n
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       CAST(k * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_SIZE}, n - k * {_CHUNK_STRIDE}) AS BIGINT) AS n_tok,
+       array_to_string(
+         w[k * {_CHUNK_STRIDE} + 1 : k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}],
+         ' ') AS chunk_text
+FROM c
+"""
+
+
+@query("llm_chunk_overlap", oracle=_CHUNK_ORACLE, tags=("llm", "text"))
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (operators/text_analysis.py::
+    chunk_tokens): every doc split into 32-token windows starting
+    every 24 tokens — the context-construction step a pretraining /
+    RAG pipeline runs to turn long documents into overlapping
+    model-sized inputs (the 8-token overlap preserves boundary
+    context). One row per chunk with its id, token offset, length, and
+    text; the final window always covers the document tail, and no
+    window is fully contained in its predecessor (count convention in
+    the operator docstring).
+
+    The per-doc chunk count, offsets, lengths, and joined chunk texts
+    are all integer/string-deterministic, so the DuckDB oracle
+    re-derives every row verbatim.
+
+    Scale shape: pure map-side explode — one let-bound tokenization
+    per doc, bounded `sequence` of window starts, one slice per output
+    row. Zero shuffle at any corpus size; the ~n/stride-per-doc output
+    expansion is the contract itself. Complements `llm_pack_offsets`
+    (cross-doc packing into fixed shards) — chunking is within-doc."""
+    return chunk_tokens(
+        load_table(spark, sf_dir, "documents"),
+        chunk_size=_CHUNK_SIZE,
+        stride=_CHUNK_STRIDE,
+    )
 
 
 @query(

@@ -1618,3 +1618,45 @@ def test_stratified_sample_is_true_per_stratum_topk(spark, sf_dir):
     for lang, members in by_lang.items():
         n_got = sum(1 for (lg, _) in got if lg == lang)
         assert n_got == min(_STRAT_QUOTA, len(members))
+
+
+def test_chunk_overlap_covers_and_reconstructs(spark, sf_dir):
+    """Chunking invariants the value oracle can't articulate: chunk 0
+    starts at token 0; consecutive starts differ by exactly the
+    stride; the final window reaches the document tail; no window is
+    fully contained in its predecessor; and re-joining each chunk's
+    text equals the corresponding token slice recomputed here with a
+    plain Python split — so offsets, lengths, and text agree."""
+    from github_event_etl_spark.plans.queries_llm import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        llm_chunk_overlap,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    rows = llm_chunk_overlap(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id].strip().split()
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.start_tok == c.chunk_id * _CHUNK_STRIDE
+            assert c.n_tok == min(_CHUNK_SIZE, len(toks) - c.start_tok)
+            assert c.n_tok >= 1
+            expect = " ".join(toks[c.start_tok : c.start_tok + _CHUNK_SIZE])
+            assert c.chunk_text == expect
+        last = chunks[-1]
+        assert last.start_tok + last.n_tok == len(toks), "tail uncovered"
+        if len(chunks) > 1:
+            # no window fully contained in its predecessor
+            prev_end = chunks[-2].start_tok + _CHUNK_SIZE
+            assert last.start_tok + last.n_tok > prev_end - _CHUNK_STRIDE
+            assert len(toks) > _CHUNK_SIZE

@@ -1683,3 +1683,13 @@ def test_stratified_sample_never_sorts_a_stratum(qmap, spark, sf_dir):
     assert "CartesianProduct" not in tree
     assert "BroadcastHashJoin" in tree
     assert tree.count("Scan parquet") == 2
+
+
+def test_chunk_overlap_is_shuffle_free(qmap, spark, sf_dir):
+    """Chunking is a pure map-side explode: one documents scan, no
+    exchange of any kind, no join. A shuffle here would mean the
+    within-doc windowing grew a cross-row dependency."""
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_chunk_overlap"))
+    assert tree.count("Scan parquet") == 1
+    assert "Exchange" not in tree
+    assert "Join" not in tree
