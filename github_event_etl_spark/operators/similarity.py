@@ -1153,14 +1153,20 @@ def ann_recall(
     deriving the tag set from `ann` itself would be a second
     consumption. Declared-but-empty methods still report 0 on every
     query from the grid side; an undeclared tag appears for the
-    queries it actually answered.
+    queries it actually answered. The QUERY dimension stays pinned in
+    both directions: ann rows for qids outside `queries` are
+    semi-filtered out before the aggregate (evaluating recall on a
+    held-out query sample must not let the index's other answers leak
+    into the report), which consumes the query frame twice — it is
+    Q-sized, the one frame here that is cheap by contract.
     """
     spark = ann.sparkSession
     m = spark.createDataFrame([(x,) for x in methods], "method string")
-    grid = queries.select(F.col(qid_col).alias("qid")).crossJoin(F.broadcast(m))
+    q = queries.select(F.col(qid_col).alias("qid"))
+    grid = q.crossJoin(F.broadcast(m))
     a = ann.select(
         "method", F.col(qid_col).alias("qid"), F.col(nid_col).alias("nid")
-    )
+    ).join(F.broadcast(q), "qid", "left_semi")
     g = ground_truth.select(
         F.col(qid_col).alias("qid"),
         F.col(nid_col).alias("nid"),

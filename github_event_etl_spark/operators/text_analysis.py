@@ -530,7 +530,18 @@ def chunk_tokens(
     No shuffle at any corpus size; output volume is ~n/stride rows per
     doc, the expansion the chunking contract itself demands. The
     ceil is floor-division written over doubles, exact for any
-    realistic token count (< 2^53)."""
+    realistic token count (< 2^53).
+
+    Requires 1 <= stride <= chunk_size: the count convention and the
+    tail-coverage/containment guarantees above assume overlapping (or
+    exactly abutting) windows — a gapped stride would emit windows
+    past the document end (negative n_tok) rather than subsample it,
+    so it is rejected instead of silently producing garbage."""
+    if not 1 <= stride <= chunk_size:
+        raise ValueError(
+            f"chunk_tokens requires 1 <= stride <= chunk_size, got "
+            f"stride={stride}, chunk_size={chunk_size}"
+        )
     from .text_dedup import _let
 
     def chunks_of(w: Column) -> Column:

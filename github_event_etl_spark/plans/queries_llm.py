@@ -1478,6 +1478,20 @@ _BOILER_SQL = " + ".join(
     for m in BOILERPLATE_MARKERS
 )
 
+# SQL mirrors of text_analysis.top_bigram_fraction over lowercase ws
+# tokens `wl` (list form) and the bigram list `bg` — shared by the
+# repetition-filter and funnel oracles so the gate the funnel reports
+# can never drift from the filter it mirrors in only one of them.
+_BIGRAM_LIST_SQL = """CASE WHEN len(wl) >= 2
+                  THEN list_transform(range(1, len(wl)),
+                                      i -> array_to_string(wl[i:i+1], ' '))
+                  ELSE [] END"""
+_TOP_BIGRAM_SQL = """CASE WHEN len(bg) > 0 THEN
+               round(list_max(list_transform(list_distinct(bg),
+                       x -> len(list_filter(bg, y -> y = x))))::DOUBLE
+                     / len(bg)::DOUBLE, 6)
+             END"""
+
 
 def _curation_sql() -> str:
     """Oracle for the composite curation pipeline: URL-domain blocklist,
@@ -1609,22 +1623,14 @@ _REP_TOP_BIGRAM_MAX = 0.2
       SELECT doc_id, {_TOK_LOWER} AS wl FROM documents
     ),
     s AS (
-      SELECT doc_id, wl,
-             CASE WHEN len(wl) >= 2
-                  THEN list_transform(range(1, len(wl)),
-                                      i -> array_to_string(wl[i:i+1], ' '))
-                  ELSE [] END AS bg
+      SELECT doc_id, wl, {_BIGRAM_LIST_SQL} AS bg
       FROM t
     ),
     f AS (
       SELECT doc_id,
              round(1.0 - len(list_distinct(wl))::DOUBLE
                        / len(wl)::DOUBLE, 6) AS dup_word_frac,
-             CASE WHEN len(bg) > 0 THEN
-               round(list_max(list_transform(list_distinct(bg),
-                       x -> len(list_filter(bg, y -> y = x))))::DOUBLE
-                     / len(bg)::DOUBLE, 6)
-             END AS top_bigram_frac
+             {_TOP_BIGRAM_SQL} AS top_bigram_frac
       FROM s
     )
     SELECT doc_id, dup_word_frac, top_bigram_frac,
@@ -1701,11 +1707,7 @@ def _funnel_sql() -> str:
       FROM documents
     ),
     t AS (SELECT doc_id, text, {_TOK} AS w, {_TOK_LOWER} AS wl FROM planted),
-    v AS (SELECT doc_id, text, w, wl,
-                 CASE WHEN len(wl) >= 2
-                      THEN list_transform(range(1, len(wl)),
-                                          i -> array_to_string(wl[i:i+1], ' '))
-                      ELSE [] END AS bg,
+    v AS (SELECT doc_id, text, w, wl, {_BIGRAM_LIST_SQL} AS bg,
                  {vote_cols} FROM t),
     e AS (
       SELECT doc_id,
@@ -1715,11 +1717,7 @@ def _funnel_sql() -> str:
              {_QUALITY_SQL} AS quality,
              round(1.0 - len(list_distinct(wl))::DOUBLE
                        / len(wl)::DOUBLE, 6) AS dup_word_frac,
-             CASE WHEN len(bg) > 0 THEN
-               round(list_max(list_transform(list_distinct(bg),
-                       x -> len(list_filter(bg, y -> y = x))))::DOUBLE
-                     / len(bg)::DOUBLE, 6)
-             END AS top_bigram_frac
+             {_TOP_BIGRAM_SQL} AS top_bigram_frac
       FROM v
     ),
     f AS (

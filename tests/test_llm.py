@@ -375,6 +375,20 @@ def test_ann_recall_eval_matches_set_intersections(emb):
     assert sum(u[("lsh", q)].hits for q in lsh_qids) == len(bf & lsh)
     for q in range(8):  # declared grid still pins every query
         assert ("ivf", q) in u
+    # and the query dimension pins in BOTH directions: evaluating on a
+    # held-out subset must not leak the index's other answers
+    subset = ann_recall(
+        ann,
+        gt.select("qid", "nid"),
+        qs.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("qid")),
+        k=10,
+        methods=("ivf", "lsh"),
+    ).collect()
+    assert {r.qid for r in subset} == set(range(4))
+    assert len(subset) == 2 * 4
+    for r in subset:  # counts over the subset match the full run
+        full = rows[(r.method, r.qid)]
+        assert (r.ann_k, r.hits) == (full.ann_k, full.hits)
 
 
 def test_ivf_partitioned_index_equals_in_memory(spark, emb, tmp_path):
@@ -1656,7 +1670,25 @@ def test_chunk_overlap_covers_and_reconstructs(spark, sf_dir):
         last = chunks[-1]
         assert last.start_tok + last.n_tok == len(toks), "tail uncovered"
         if len(chunks) > 1:
-            # no window fully contained in its predecessor
-            prev_end = chunks[-2].start_tok + _CHUNK_SIZE
-            assert last.start_tok + last.n_tok > prev_end - _CHUNK_STRIDE
+            # no window fully contained in its predecessor: the tail
+            # must end strictly past the previous window's end
+            prev = chunks[-2]
+            assert last.start_tok + last.n_tok > prev.start_tok + prev.n_tok
+            assert prev.n_tok == _CHUNK_SIZE, "non-final window not full"
             assert len(toks) > _CHUNK_SIZE
+
+
+def test_chunk_tokens_rejects_gapped_stride(spark):
+    """stride > chunk_size would emit windows past the document end
+    (negative n_tok) instead of subsampling — rejected loudly."""
+    import pytest as _pytest
+
+    from github_event_etl_spark.operators.text_analysis import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_tokens(docs, chunk_size=8, stride=24)
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_tokens(docs, chunk_size=8, stride=0)
