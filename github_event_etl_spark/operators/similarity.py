@@ -1158,7 +1158,13 @@ def ann_recall(
     semi-filtered out before the aggregate (evaluating recall on a
     held-out query sample must not let the index's other answers leak
     into the report), which consumes the query frame twice — it is
-    Q-sized, the one frame here that is cheap by contract.
+    Q-sized, the one frame here that is cheap by contract. Because
+    Catalyst re-executes each consumption, `queries` MUST be a
+    deterministic frame (every catalog query is, by the oracle
+    contract): an unseeded `.sample()` would materialize two different
+    qid sets and the grid and semi-filter would disagree. Derive
+    held-out samples deterministically (hash-threshold on the id, the
+    llm_split_sample pattern), not from RNG.
     """
     spark = ann.sparkSession
     m = spark.createDataFrame([(x,) for x in methods], "method string")

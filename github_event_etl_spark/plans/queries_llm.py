@@ -1478,10 +1478,13 @@ _BOILER_SQL = " + ".join(
     for m in BOILERPLATE_MARKERS
 )
 
-# SQL mirrors of text_analysis.top_bigram_fraction over lowercase ws
-# tokens `wl` (list form) and the bigram list `bg` — shared by the
-# repetition-filter and funnel oracles so the gate the funnel reports
-# can never drift from the filter it mirrors in only one of them.
+# SQL mirrors of text_analysis.dup_word_fraction /
+# top_bigram_fraction over lowercase ws tokens `wl` (list form) and
+# the bigram list `bg` — shared by the repetition-filter and funnel
+# oracles so the gate the funnel reports can never drift from the
+# filter it mirrors in only one of them.
+_DUP_WORD_SQL = """round(1.0 - len(list_distinct(wl))::DOUBLE
+                       / len(wl)::DOUBLE, 6)"""
 _BIGRAM_LIST_SQL = """CASE WHEN len(wl) >= 2
                   THEN list_transform(range(1, len(wl)),
                                       i -> array_to_string(wl[i:i+1], ' '))
@@ -1628,8 +1631,7 @@ _REP_TOP_BIGRAM_MAX = 0.2
     ),
     f AS (
       SELECT doc_id,
-             round(1.0 - len(list_distinct(wl))::DOUBLE
-                       / len(wl)::DOUBLE, 6) AS dup_word_frac,
+             {_DUP_WORD_SQL} AS dup_word_frac,
              {_TOP_BIGRAM_SQL} AS top_bigram_frac
       FROM s
     )
@@ -1715,8 +1717,7 @@ def _funnel_sql() -> str:
              ({_BOILER_SQL}) AS boiler_hits,
              CASE {whens} ELSE 'und' END AS pred_lang,
              {_QUALITY_SQL} AS quality,
-             round(1.0 - len(list_distinct(wl))::DOUBLE
-                       / len(wl)::DOUBLE, 6) AS dup_word_frac,
+             {_DUP_WORD_SQL} AS dup_word_frac,
              {_TOP_BIGRAM_SQL} AS top_bigram_frac
       FROM v
     ),
