@@ -121,13 +121,14 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # additions, pre-staged for r14: deferred past the r13 window
     # (each would otherwise evict a stale key as never-checked),
     # self-clearing to the front of r14's window once the r13
-    # artifact lands. r14 then carries 6 never-checked + the 32
-    # remaining r11 keys = 38 of 50 slots.
+    # artifact lands. r14 then carries 7 never-checked + the 32
+    # remaining r11 keys = 39 of 50 slots.
     "llm_ann_recall_eval",
     "llm_chunk_overlap",
     "llm_dedup_incremental",
     "llm_dedup_incremental_minhash",
     "llm_filter_funnel",
+    "llm_split_leakage_safe",
     "llm_stratified_sample",
 })
 

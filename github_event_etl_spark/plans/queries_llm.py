@@ -17,7 +17,7 @@ SQL). The one rows-only key is the HLL `agg_approx_distinct`
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
@@ -1836,18 +1836,35 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The hex-nibble split rule, shared by llm_split_sample (keyed on the
+# doc id) and llm_split_leakage_safe (keyed on the duplicate-cluster
+# id) so the two assignments can never drift: 0–b → train 75%,
+# c–d → val 12.5%, e–f → test 12.5%. `hx` is the first md5 hex char
+# of the key cast to string.
+_SPLIT_CASE_SQL = """CASE WHEN hx BETWEEN '0' AND 'b' THEN 'train'
+                WHEN hx IN ('c', 'd') THEN 'val'
+                ELSE 'test' END"""
+
+
+def _split_of(key: Column) -> Column:
+    """Spark twin of _SPLIT_CASE_SQL over any integer key column."""
+    hx = F.substring(F.md5(key.cast("string")), 1, 1)
+    return (
+        F.when(hx.between("0", "b"), "train")
+        .when(hx.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+
+
 @query(
     "llm_split_sample",
-    oracle="""
+    oracle=f"""
     WITH h AS (
       SELECT doc_id, lang,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
       FROM documents
     )
-    SELECT doc_id, lang,
-           CASE WHEN hx BETWEEN '0' AND 'b' THEN 'train'
-                WHEN hx IN ('c', 'd') THEN 'val'
-                ELSE 'test' END AS split
+    SELECT doc_id, lang, {_SPLIT_CASE_SQL} AS split
     FROM h
     """,
     tags=("llm", "sampling"),
@@ -1861,14 +1878,8 @@ def llm_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no seed coordination, no shuffle at all (map-side projection;
     re-running on new data never reassigns old docs)."""
     docs = load_table(spark, sf_dir, "documents")
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     return docs.select(
-        "doc_id",
-        "lang",
-        F.when(hx.between("0", "b"), "train")
-        .when(hx.isin("c", "d"), "val")
-        .otherwise("test")
-        .alias("split"),
+        "doc_id", "lang", _split_of(F.col("doc_id")).alias("split")
     )
 
 
@@ -2911,6 +2922,106 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup_clusters(chains, docs.select("doc_id")).select(
         "doc_id", "cluster_id", "is_representative"
+    )
+
+
+# Planted exact-duplicate groups for the leakage-safe split (the
+# documents table has no natural copies): doc_id % 7 == 3 docs share a
+# passage keyed by doc_id % 35 — five groups (35 = 5·7; residues
+# ≡ 3 mod 7), each sweeping the id space, so every group holds many
+# members and genuine multi-hop closure is required to recover it from
+# the path-graph edges.
+_LEAK_PLANT_SQL = """CASE WHEN doc_id % 7 = 3
+              THEN 'leakage split planted passage '
+                   || CAST(doc_id % 35 AS VARCHAR)
+              ELSE text END"""
+
+
+@query(
+    "llm_split_leakage_safe",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, {_LEAK_PLANT_SQL} AS text FROM documents
+    ),
+    h AS (
+      SELECT doc_id, sha256(lower(trim(text))) AS ch FROM planted
+    ),
+    c AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY ch) AS cluster_id
+      FROM h
+    )
+    SELECT doc_id, cluster_id, {_SPLIT_CASE_SQL} AS split
+    FROM (SELECT doc_id, cluster_id,
+                 substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) AS hx
+          FROM c)
+    """,
+    tags=("llm", "sampling", "dedup", "graph"),
+)
+def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the assignment key is the
+    DUPLICATE-CLUSTER id, not the doc id, so copies of the same
+    content can never straddle splits — the eval-contamination failure
+    mode a per-doc hash split (llm_split_sample) cannot prevent (two
+    duplicates hash independently and one lands in test while its twin
+    trains). Composition: exact-dup path-graph edges → connected
+    components (operators/graph.py, the llm_dedup_clusters chain) →
+    every member inherits the split of its cluster's min-id
+    representative via the SAME hex-nibble rule as llm_split_sample
+    (shared `_split_of` / `_SPLIT_CASE_SQL` — singleton docs get
+    exactly their per-doc assignment, so the leakage-safe split is a
+    strict refinement, not a reshuffle).
+
+    The oracle re-derives clusters independently (hash-partition MIN —
+    the llm_dedup_clusters differential: recovering them from the
+    path edges needs genuine multi-hop closure) and the split CASE
+    from the same shared fragment. Planted duplicate groups (header
+    comment) make the inheritance non-trivial at every SF.
+
+    Scale shape: the clusters chain is the audited alternating-star
+    component path (O(E) narrow rows per round, no cartesian); the
+    split itself is one map-side expression on cluster_id — no
+    additional shuffle over llm_dedup_clusters."""
+    from ..operators.graph import dedup_clusters
+    from ..operators.text_dedup import normalized_text_hash
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.lit("leakage split planted passage "),
+                (F.col("doc_id") % 35).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    hashed = docs.select(
+        "doc_id", normalized_text_hash(F.col("text")).alias("ch")
+    )
+    chains = (
+        hashed.groupBy("ch")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.struct(
+                        F.col("ids")[i - 1].alias("doc_a"),
+                        F.col("ids")[i].alias("doc_b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_a", "e.doc_b")
+    )
+    clusters = dedup_clusters(chains, hashed.select("doc_id"))
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        _split_of(F.col("cluster_id")).alias("split"),
     )
 
 

@@ -1692,3 +1692,47 @@ def test_chunk_tokens_rejects_gapped_stride(spark):
         chunk_tokens(docs, chunk_size=8, stride=24)
     with _pytest.raises(ValueError, match="stride"):
         chunk_tokens(docs, chunk_size=8, stride=0)
+
+
+def test_leakage_safe_split_never_straddles(spark, sf_dir):
+    """The leakage-safe split's contract: no duplicate cluster
+    straddles splits; every planted group (doc_id%7==3, keyed %35)
+    resolves to one cluster rooted at its min member with one split;
+    singletons keep exactly their per-doc llm_split_sample assignment
+    (strict refinement); and the key is non-vacuous — at least one
+    planted doc's per-doc assignment differs from its cluster's, i.e.
+    a per-doc split WOULD have leaked that cluster across splits."""
+    import hashlib
+
+    from github_event_etl_spark.plans.queries_llm import (
+        llm_split_leakage_safe,
+        llm_split_sample,
+    )
+
+    rows = llm_split_leakage_safe(spark, sf_dir).collect()
+    per_doc = {r.doc_id: r.split for r in llm_split_sample(spark, sf_dir).collect()}
+    assert len(rows) == len(per_doc)
+
+    def nib_split(key: int) -> str:
+        hx = hashlib.md5(str(key).encode()).hexdigest()[0]
+        return "train" if hx <= "b" else ("val" if hx in "cd" else "test")
+
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+        assert r.split == nib_split(r.cluster_id)
+    for cid, members in by_cluster.items():
+        assert len({m.split for m in members}) == 1, f"cluster {cid} straddles"
+        assert min(m.doc_id for m in members) == cid
+    # planted groups: every %7==3 doc clusters at its %35 residue
+    planted = [r for r in rows if r.doc_id % 7 == 3]
+    assert planted
+    for r in planted:
+        assert r.cluster_id == r.doc_id % 35
+    assert all(len(by_cluster[g]) >= 2 for g in {r.cluster_id for r in planted})
+    # singletons keep the per-doc assignment (refinement, not reshuffle)
+    for r in rows:
+        if len(by_cluster[r.cluster_id]) == 1:
+            assert r.split == per_doc[r.doc_id]
+    # non-vacuous: a per-doc split would have straddled some cluster
+    assert any(per_doc[r.doc_id] != r.split for r in planted)

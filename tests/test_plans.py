@@ -1693,3 +1693,17 @@ def test_chunk_overlap_is_shuffle_free(qmap, spark, sf_dir):
     assert tree.count("Scan parquet") == 1
     assert "Exchange" not in tree
     assert "Join" not in tree
+
+
+def test_leakage_safe_split_adds_no_shuffle_over_clusters(qmap, spark, sf_dir):
+    """The split must be a map-side expression on cluster_id: no
+    cartesian anywhere, and the exchange census equals the audited
+    component path's — hash exchanges for the dup-group aggregate and
+    the star rounds, nothing extra for the split itself."""
+    t_split = tree_of(plan_of(qmap, spark, sf_dir, "llm_split_leakage_safe"))
+    t_clusters = tree_of(plan_of(qmap, spark, sf_dir, "llm_dedup_clusters"))
+    assert "CartesianProduct" not in t_split
+    assert "BroadcastNestedLoopJoin" not in t_split
+    assert t_split.count("Exchange hashpartitioning") == t_clusters.count(
+        "Exchange hashpartitioning"
+    )
