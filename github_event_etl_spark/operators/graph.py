@@ -100,8 +100,12 @@ def connected_components(
     node id of its connected component. Returns (node, component).
 
     Runs alternating star rounds until the edge set is a fixed point
-    (all stars: every edge already (min, other)) or `max_rounds` is
-    hit — O(log n) expected; 12 covers graphs far beyond any test SF.
+    (all stars: every edge already (min, other)) — O(log n) expected;
+    the default `max_rounds` of 12 covers graphs far beyond any test
+    SF. If the edge set is still changing when `max_rounds` runs out,
+    raises RuntimeError rather than returning partial (non-minimal)
+    labels, which would silently break every downstream min-id
+    contract.
     Isolated nodes never appear in `edges` and so are their own
     implicit components (callers union them back if needed).
 
@@ -162,14 +166,27 @@ def connected_components(
             .distinct()
         )
         prev = _sketch(cur)
+        converged = False
         for _ in range(max_rounds):
             nxt = _star_round(cur, large=True)
             cur = _ckpt(_star_round(nxt, large=False))
             sk = _sketch(cur)
             # Fixed point: same edge set (both sides are distinct sets).
             if sk == prev:
+                converged = True
                 break
             prev = sk
+        if not converged:
+            # A partial result here is silently WRONG labels (some
+            # members non-minimal), which downstream contracts —
+            # dedup representatives, the leakage-safe split — must
+            # never receive. Fail loudly instead of returning it.
+            raise RuntimeError(
+                "connected_components did not reach a fixed point "
+                f"within max_rounds={max_rounds} alternating-star "
+                "rounds; raise max_rounds (the edge set was still "
+                "changing on the final round)"
+            )
     finally:
         if checkpoint_dir is not None and prior_dir != sc.getCheckpointDir():
             # Restore through the Scala-side Option setter in BOTH

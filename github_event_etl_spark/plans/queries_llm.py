@@ -2872,6 +2872,35 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- duplicate clustering
 
 
+def _path_graph_edges(hashed: DataFrame) -> DataFrame:
+    """Chain edges over each duplicate group of a (doc_id, ch) frame:
+    consecutive sorted doc_ids sharing a content hash. The
+    differential construction both cluster-backed keys rely on
+    (llm_dedup_clusters, llm_split_leakage_safe): a k-doc group
+    becomes a k−1-edge PATH, not a clique, so recovering the cluster
+    from these edges requires genuine multi-hop transitive closure
+    while the oracle knows the truth independently via GROUP BY hash.
+    Shared so an edit to the edge construction can never land in one
+    key's chain and not the other's."""
+    return (
+        hashed.groupBy("ch")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.struct(
+                        F.col("ids")[i - 1].alias("doc_a"),
+                        F.col("ids")[i].alias("doc_b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_a", "e.doc_b")
+    )
+
+
 @query(
     "llm_dedup_clusters",
     oracle="""
@@ -2903,24 +2932,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", normalized_text_hash(F.col("text")).alias("ch")
     )
-    chains = (
-        docs.groupBy("ch")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ids") - 1),
-                    lambda i: F.struct(
-                        F.col("ids")[i - 1].alias("doc_a"),
-                        F.col("ids")[i].alias("doc_b"),
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.doc_a", "e.doc_b")
-    )
-    return dedup_clusters(chains, docs.select("doc_id")).select(
+    return dedup_clusters(_path_graph_edges(docs), docs.select("doc_id")).select(
         "doc_id", "cluster_id", "is_representative"
     )
 
@@ -3000,24 +3012,7 @@ def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = docs.select(
         "doc_id", normalized_text_hash(F.col("text")).alias("ch")
     )
-    chains = (
-        hashed.groupBy("ch")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ids") - 1),
-                    lambda i: F.struct(
-                        F.col("ids")[i - 1].alias("doc_a"),
-                        F.col("ids")[i].alias("doc_b"),
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.doc_a", "e.doc_b")
-    )
-    clusters = dedup_clusters(chains, hashed.select("doc_id"))
+    clusters = dedup_clusters(_path_graph_edges(hashed), hashed.select("doc_id"))
     return clusters.select(
         "doc_id",
         "cluster_id",

@@ -1184,3 +1184,22 @@ def test_fill_forward_and_interpolate_match_python_model(spark, grid):
         for r in interpolate_linear(df, "grp", "bucket", "val").collect()
     }
     assert got_interp == model("interp")
+
+
+def test_connected_components_raises_when_rounds_exhausted(spark):
+    """Exhausting max_rounds with the edge set still changing must
+    raise, never return partial (non-minimal) labels — a silent
+    partial result would corrupt every downstream min-id contract
+    (dedup representatives, the leakage-safe split)."""
+    import pytest as _pytest
+
+    from github_event_etl_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "u long, v long"
+    )
+    with _pytest.raises(RuntimeError, match="fixed point"):
+        connected_components(chain, max_rounds=0)
+    # and the same graph converges fine with the default bound
+    got = {r.node: r.component for r in connected_components(chain).collect()}
+    assert got == {i: 0 for i in range(13)}
