@@ -102,10 +102,15 @@ def connected_components(
     Runs alternating star rounds until the edge set is a fixed point
     (all stars: every edge already (min, other)) — O(log n) expected;
     the default `max_rounds` of 12 covers graphs far beyond any test
-    SF. If the edge set is still changing when `max_rounds` runs out,
-    raises RuntimeError rather than returning partial (non-minimal)
-    labels, which would silently break every downstream min-id
-    contract.
+    SF. `max_rounds` bounds the number of CHANGING rounds — the
+    comparison round that confirms the fixed point is free, so a graph
+    converging exactly on round `max_rounds` still returns (and an
+    already-converged input returns even with max_rounds=0). If a
+    round beyond the budget still changes the edge set, raises
+    RuntimeError rather than returning partial (non-minimal) labels,
+    which would silently break every downstream min-id contract;
+    `dedup_clusters` plumbs `max_rounds` through for callers that
+    legitimately need deeper closure.
     Isolated nodes never appear in `edges` and so are their own
     implicit components (callers union them back if needed).
 
@@ -166,27 +171,31 @@ def connected_components(
             .distinct()
         )
         prev = _sketch(cur)
-        converged = False
-        for _ in range(max_rounds):
+        changing_rounds = 0
+        while True:
             nxt = _star_round(cur, large=True)
             cur = _ckpt(_star_round(nxt, large=False))
             sk = _sketch(cur)
             # Fixed point: same edge set (both sides are distinct sets).
             if sk == prev:
-                converged = True
                 break
             prev = sk
-        if not converged:
-            # A partial result here is silently WRONG labels (some
-            # members non-minimal), which downstream contracts —
-            # dedup representatives, the leakage-safe split — must
-            # never receive. Fail loudly instead of returning it.
-            raise RuntimeError(
-                "connected_components did not reach a fixed point "
-                f"within max_rounds={max_rounds} alternating-star "
-                "rounds; raise max_rounds (the edge set was still "
-                "changing on the final round)"
-            )
+            changing_rounds += 1
+            if changing_rounds > max_rounds:
+                # A partial result here is silently WRONG labels (some
+                # members non-minimal), which downstream contracts —
+                # dedup representatives, the leakage-safe split — must
+                # never receive. Fail loudly instead of returning it.
+                # This branch only fires when THIS round genuinely
+                # changed the edge set, so the message is always true;
+                # a graph that converges exactly on round max_rounds
+                # spends one extra confirming round and returns fine.
+                raise RuntimeError(
+                    "connected_components exceeded "
+                    f"max_rounds={max_rounds} alternating-star rounds "
+                    "with the edge set still changing; raise "
+                    "max_rounds (dedup_clusters plumbs it through)"
+                )
     finally:
         if checkpoint_dir is not None and prior_dir != sc.getCheckpointDir():
             # Restore through the Scala-side Option setter in BOTH
@@ -212,16 +221,20 @@ def dedup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     checkpoint_dir: Optional[str] = None,
+    max_rounds: int = 12,
 ) -> DataFrame:
     """Resolve near-duplicate pairs into clusters: (doc_id, cluster_id,
     is_representative). `cluster_id` is the minimum doc_id of the
     cluster; docs not in any pair are singleton clusters of themselves.
     `checkpoint_dir` enables reliable per-round checkpointing (see
     connected_components — required for executor-loss tolerance on a
-    real cluster).
+    real cluster); `max_rounds` is the closure's changing-round budget
+    (connected_components raises past it rather than returning partial
+    labels — this is the knob its error message points at).
     """
     comps = connected_components(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+        max_rounds=max_rounds,
         checkpoint_dir=checkpoint_dir,
     )
     ids = all_ids.select(F.col(id_col).alias("node")).distinct()

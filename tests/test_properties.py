@@ -1187,19 +1187,32 @@ def test_fill_forward_and_interpolate_match_python_model(spark, grid):
 
 
 def test_connected_components_raises_when_rounds_exhausted(spark):
-    """Exhausting max_rounds with the edge set still changing must
-    raise, never return partial (non-minimal) labels — a silent
-    partial result would corrupt every downstream min-id contract
-    (dedup representatives, the leakage-safe split)."""
-    import pytest as _pytest
-
-    from github_event_etl_spark.operators.graph import connected_components
+    """Exceeding the changing-round budget must raise, never return
+    partial (non-minimal) labels — a silent partial result would
+    corrupt every downstream min-id contract (dedup representatives,
+    the leakage-safe split). The budget counts CHANGING rounds only:
+    an already-converged star passes even at max_rounds=0, and the
+    knob is plumbed through dedup_clusters so the error's remediation
+    is actionable at every call site."""
+    from github_event_etl_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "u long, v long"
     )
-    with _pytest.raises(RuntimeError, match="fixed point"):
+    with pytest.raises(RuntimeError, match="still changing"):
         connected_components(chain, max_rounds=0)
-    # and the same graph converges fine with the default bound
+    # already at the fixed point: the confirming round is free
+    star = spark.createDataFrame([(0, 1), (0, 2)], "u long, v long")
+    got = {r.node: r.component for r in connected_components(star, max_rounds=0).collect()}
+    assert got == {0: 0, 1: 0, 2: 0}
+    # the same chain converges fine with the default bound
     got = {r.node: r.component for r in connected_components(chain).collect()}
     assert got == {i: 0 for i in range(13)}
+    # and dedup_clusters exposes the knob the error message names
+    pairs = chain.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+    ids = spark.range(13).select(F.col("id").alias("doc_id"))
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        dedup_clusters(pairs, ids, max_rounds=0)
