@@ -32,6 +32,14 @@ _SPOT_KEYS = [
     "agg_quantile_clip",     # discrete-percentile clamp: bound picks are
                              # rank-position-sensitive, so more data is a
                              # real second regime for them
+    "llm_dedup_incremental_minhash",  # r13: planted groups grow to ~250
+                             # members at sf0.1 (vs ~15 at the driver SF)
+                             # — the band-bucket candidate volume and the
+                             # per-side cap windows see a genuinely
+                             # different regime
+    "llm_split_leakage_safe",  # r13: component chains grow linearly with
+                             # SF (~143-edge paths at sf0.1), exercising
+                             # more star rounds than the driver SF does
 ]
 
 
