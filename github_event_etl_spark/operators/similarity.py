@@ -1168,7 +1168,10 @@ def ann_recall(
     """
     spark = ann.sparkSession
     m = spark.createDataFrame([(x,) for x in methods], "method string")
-    q = queries.select(F.col(qid_col).alias("qid"))
+    # defensive distinct: a repeated qid (a union-built query frame)
+    # would otherwise multiply grid rows and double-count the report;
+    # Q-sized, so the dedup is free by the operator's own contract
+    q = queries.select(F.col(qid_col).alias("qid")).distinct()
     grid = q.crossJoin(F.broadcast(m))
     a = ann.select(
         "method", F.col(qid_col).alias("qid"), F.col(nid_col).alias("nid")

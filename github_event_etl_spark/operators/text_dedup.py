@@ -223,12 +223,8 @@ def incremental_dedup_minhash(
         # while the corpus' own input splits already parallelize it —
         # and repartitioning the corpus would be exactly the full
         # shuffle this operator exists to avoid.
-        src = _spread(df) if spread else df
-        return (
-            src.select(
-                F.col(id_col).alias("doc_id"),
-                F.explode(bands_vec(F.col(text_col))).alias("bk"),
-            ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+        return _band_keys(
+            _spread(df) if spread else df, bands_vec, id_col, text_col
         )
 
     def capped(df: DataFrame) -> DataFrame:
@@ -480,6 +476,27 @@ def minhash_band_buckets_vec(num_bands: int = 4, rows_per_band: int = 3, k: int 
     return bands_vec
 
 
+def _band_keys(
+    docs: DataFrame,
+    bands_vec,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band, bucket) keys from the Arrow-fused banding UDF —
+    the single projection BOTH MinHash paths bucket on (the
+    full-corpus `minhash_candidate_pairs` and the incremental
+    `incremental_dedup_minhash`), shared so the bucket definition can
+    never diverge between them."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(bands_vec(F.col(text_col))).alias("bk"),
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+
+
 def _ordered_pairs(ids: Column, a_name: str = "doc_a", b_name: str = "doc_b") -> Column:
     """All (a, b) pairs with a before b from a sorted array — the
     within-bucket candidate expansion. Elements may be scalars or
@@ -584,11 +601,7 @@ def minhash_candidate_pairs(
     against this UDF and mirrored by the DuckDB oracle.
     """
     bands_vec = minhash_band_buckets_vec(num_bands, rows_per_band, k)
-    buckets = (
-        _spread(docs)
-        .select("doc_id", F.explode(bands_vec(F.col(text_col))).alias("bb"))
-        .select("doc_id", "bb.band", "bb.bucket")
-    )
+    buckets = _band_keys(_spread(docs), bands_vec, text_col=text_col)
     return _bucket_pairs(buckets, ["band", "bucket"], max_bucket_size)
 
 

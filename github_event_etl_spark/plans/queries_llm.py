@@ -1679,11 +1679,22 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SEQUENTIAL (a doc is attributed to the FIRST gate it fails), so the
 # whole funnel reduces to one map-side "first failing stage" expression
 # per doc + one tiny aggregate. Gates and thresholds are the curation
-# suite's; plants: the curation URL/boilerplate suffixes, plus a pure
-# stopword-run text on doc_id % 20 == 1 that sails through the
-# language (all-'the' votes en) and quality (stop_ratio 1.0) gates and
-# fails only the repetition gate — so every stage provably fires.
+# suite's; every stage fires BY CONSTRUCTION, not by fixture luck:
+# - doc_id % 10 == 7 → curation URL suffix (stage 1)
+# - doc_id % 10 == 3 → curation boilerplate suffix (stage 2)
+# - doc_id % 20 == 5 → marker-free text: every language vote 0 ⇒ 'und'
+#   (stage 3; no URL, no boilerplate markers, so stages 1–2 pass)
+# - doc_id % 20 == 15 → 'the' + punctuation runs: votes en (passes
+#   stage 3) but quality ≈ 0.42 < 0.5 (short, punct-heavy, stop_ratio
+#   1/3) (stage 4)
+# - doc_id % 20 == 1 → pure stopword run: sails through language
+#   (all-'the' votes en) and quality (stop_ratio 1.0) and fails only
+#   the repetition gate (stage 5)
+# Residues are pairwise disjoint (5, 15 odd ≠ 1 mod 20; 7, 3 mod 10
+# disjoint from all), so WHEN order cannot reassign a plant.
 _FUNNEL_REP_TEXT = " ".join(["the"] * 40)
+_FUNNEL_LANG_TEXT = "zzz qqq xxx www yyy vvv"
+_FUNNEL_QUAL_TEXT = "the ;;;;;;;;;; !!!!"
 _FUNNEL_STAGES: tuple[str, ...] = (
     "url_blocklist",
     "boilerplate",
@@ -1703,6 +1714,8 @@ def _funnel_sql() -> str:
     WITH planted AS (
       SELECT doc_id,
              CASE WHEN doc_id % 20 = 1 THEN '{_FUNNEL_REP_TEXT}'
+                  WHEN doc_id % 20 = 5 THEN '{_FUNNEL_LANG_TEXT}'
+                  WHEN doc_id % 20 = 15 THEN '{_FUNNEL_QUAL_TEXT}'
                   WHEN doc_id % 10 = 7 THEN text || '{_CURATION_URL_SUFFIX}'
                   WHEN doc_id % 10 = 3 THEN text || '{_CURATION_BOILER_SUFFIX}'
                   ELSE text END AS text
@@ -1765,7 +1778,11 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the cascade NEVER materializes per-stage frames — one
     documents scan computes a map-side "first failing gate" CASE per
-    doc (all signals are JVM expressions over one tokenization), the
+    doc (all signals are JVM expressions; the CASE short-circuits, so
+    a doc evaluates only the gates it reaches — each gate expression
+    tokenizes independently, up to ~5 passes for a surviving doc,
+    the deliberate trade for keeping the gates as the operators'
+    public column functions rather than a fused private variant), the
     only corpus-sized exchange is the 6-group fail-stage aggregate, and
     the in/out arithmetic is two window passes over the 6-row report
     joined to a literal stage table. At 100 TB: one pass, one tiny
@@ -1776,6 +1793,8 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ] + [(_FUNNEL_PASS_ID, "pass")]
     t = (
         F.when(F.col("doc_id") % 20 == 1, F.lit(_FUNNEL_REP_TEXT))
+        .when(F.col("doc_id") % 20 == 5, F.lit(_FUNNEL_LANG_TEXT))
+        .when(F.col("doc_id") % 20 == 15, F.lit(_FUNNEL_QUAL_TEXT))
         .when(
             F.col("doc_id") % 10 == 7,
             F.concat(F.col("text"), F.lit(_CURATION_URL_SUFFIX)),

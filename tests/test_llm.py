@@ -1647,6 +1647,13 @@ def test_chunk_overlap_covers_and_reconstructs(spark, sf_dir):
         llm_chunk_overlap,
     )
 
+    import re
+
+    # mirror BOTH engines' tokenization exactly: ASCII-space-only trim
+    # + the Java \s class — .strip().split() would diverge on texts
+    # with leading tabs/newlines (same rule as jaccard_pairs_vec)
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
     docs = {
         r.doc_id: r.text
         for r in load_table(spark, sf_dir, "documents").collect()
@@ -1658,7 +1665,7 @@ def test_chunk_overlap_covers_and_reconstructs(spark, sf_dir):
         by_doc.setdefault(r.doc_id, []).append(r)
     assert set(by_doc) == set(docs)
     for doc_id, chunks in by_doc.items():
-        toks = docs[doc_id].strip().split()
+        toks = ws.split(docs[doc_id].strip(" "))
         chunks.sort(key=lambda r: r.chunk_id)
         assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
         for c in chunks:
