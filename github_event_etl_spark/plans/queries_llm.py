@@ -2900,23 +2900,21 @@ def _path_graph_edges(hashed: DataFrame) -> DataFrame:
     from these edges requires genuine multi-hop transitive closure
     while the oracle knows the truth independently via GROUP BY hash.
     Shared so an edit to the edge construction can never land in one
-    key's chain and not the other's."""
+    key's chain and not the other's.
+
+    Built with `lag(doc_id) OVER (PARTITION BY ch ORDER BY doc_id)`
+    rather than collect_list-then-explode: both shuffle once on `ch`,
+    but the window form streams each group through the sort buffer a
+    row at a time, so a hot duplicate group (empty docs, boilerplate —
+    at 100 TB easily 10^7-10^9 copies of one hash) never has to
+    materialize as a single multi-GB array row in one task. Rows whose
+    lag is null (the first doc of each group, and every singleton
+    group entirely) carry no edge and are filtered out — exactly the
+    `size > 1` rule of the array construction."""
+    prev = F.lag("doc_id").over(Window.partitionBy("ch").orderBy("doc_id"))
     return (
-        hashed.groupBy("ch")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ids") - 1),
-                    lambda i: F.struct(
-                        F.col("ids")[i - 1].alias("doc_a"),
-                        F.col("ids")[i].alias("doc_b"),
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.doc_a", "e.doc_b")
+        hashed.select(prev.alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .filter(F.col("doc_a").isNotNull())
     )
 
 

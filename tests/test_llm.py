@@ -1743,3 +1743,38 @@ def test_leakage_safe_split_never_straddles(spark, sf_dir):
             assert r.split == per_doc[r.doc_id]
     # non-vacuous: a per-doc split would have straddled some cluster
     assert any(per_doc[r.doc_id] != r.split for r in planted)
+
+
+def test_path_graph_edges_survives_hot_duplicate_group(spark):
+    """_path_graph_edges' 100 TB contract: a hot duplicate group (one
+    hash shared by 10^5 docs — empty docs / boilerplate at corpus
+    scale) must stream through as rows, never materialize as one
+    group-sized array on a single task. Asserts the physical plan is
+    the window-lag form (no collect_list aggregate) and that the edge
+    set is exactly the consecutive-sorted-id path per group: k-1 edges
+    for the hot group, 1 for the pair, 0 for singletons."""
+    from github_event_etl_spark.plans.queries_llm import _path_graph_edges
+
+    hot_n = 100_000
+    hot = spark.range(hot_n).select(
+        F.col("id").alias("doc_id"), F.lit("hot").alias("ch")
+    )
+    pair = spark.range(2).select(
+        (F.col("id") + hot_n).alias("doc_id"), F.lit("pair").alias("ch")
+    )
+    single = spark.range(3).select(
+        (F.col("id") + hot_n + 2).alias("doc_id"),
+        F.concat(F.lit("solo"), F.col("id")).alias("ch"),
+    )
+    edges = _path_graph_edges(hot.unionAll(pair).unionAll(single))
+
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "Window" in plan
+
+    assert edges.count() == (hot_n - 1) + 1
+    # the path chains consecutive sorted ids: every edge is (i, i+1)
+    bad = edges.filter(F.col("doc_b") != F.col("doc_a") + 1).count()
+    assert bad == 0
+    lo, hi = edges.agg(F.min("doc_a"), F.max("doc_b")).first()
+    assert (lo, hi) == (0, hot_n + 1)
