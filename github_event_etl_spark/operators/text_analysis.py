@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .text_dedup import word_shingles, words
+from .text_dedup import _let, word_shingles, word_shingles_tokens, words
 
 # Tokens that vote for each language. Deterministic classification with
 # a fixed preference order for ties (first list wins). Real pipelines
@@ -139,6 +139,26 @@ def mean_word_len(text: Column) -> Column:
     return F.round(total.cast("double") / F.size(toks).cast("double"), 6)
 
 
+def quality_score_tokens(text: Column, wl: Column) -> Column:
+    """`quality_score` over a pre-split LOWERCASE token array `wl`
+    (plus the raw text for the length/punctuation terms). Public so a
+    fused multi-gate projection tokenizes once and feeds every gate;
+    `quality_score` is the tokenize-then-delegate wrapper. Lowercase
+    tokens serve both token terms: the count is case-blind and the
+    stopword list is lowercase."""
+    n = F.length(text).cast("double")
+    toks = F.size(wl).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    stops = F.size(F.filter(wl, lambda t: t.isin(*STOPWORDS)))
+    stop_score = F.least(F.lit(4.0) * stops.cast("double") / toks, F.lit(1.0))
+    punct_ratio = punct_count(text).cast("double") / n
+    punct_score = F.lit(1.0) - F.least(F.lit(10.0) * punct_ratio, F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score + F.lit(0.4) * stop_score + F.lit(0.2) * punct_score,
+        6,
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality in [0,1]: rewards reasonable length and
     stopword density, penalizes punctuation soup. The exact formula is
@@ -146,16 +166,20 @@ def quality_score(text: Column) -> Column:
     map-side-only evaluation are the contract.
 
         0.4·min(len/500, 1) + 0.4·min(4·stop_ratio, 1) + 0.2·(1 − min(10·punct_ratio, 1))
-    """
-    n = F.length(text).cast("double")
-    toks = ws_token_count(text).cast("double")
-    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
-    stop_ratio = stopword_count(text).cast("double") / toks
-    stop_score = F.least(F.lit(4.0) * stop_ratio, F.lit(1.0))
-    punct_ratio = punct_count(text).cast("double") / n
-    punct_score = F.lit(1.0) - F.least(F.lit(10.0) * punct_ratio, F.lit(1.0))
+
+    The token array is let-bound so the text splits once per row
+    (token count + stopword scan share it)."""
+    return _let(
+        words(F.lower(text)), lambda wl: quality_score_tokens(text, wl)
+    )
+
+
+def dup_word_fraction_tokens(wl: Column) -> Column:
+    """`dup_word_fraction` over a pre-split lowercase token array."""
     return F.round(
-        F.lit(0.4) * len_score + F.lit(0.4) * stop_score + F.lit(0.2) * punct_score,
+        F.lit(1.0)
+        - F.size(F.array_distinct(wl)).cast("double")
+        / F.size(wl).cast("double"),
         6,
     )
 
@@ -165,14 +189,24 @@ def dup_word_fraction(text: Column) -> Column:
     tokens| / |tokens| over lowercase words. 0 = no repeated word,
     → 1 as the doc degenerates into repetition. Map-side; the token
     array is let-bound so the split happens once per row."""
-    from .text_dedup import _let
+    return _let(words(F.lower(text)), dup_word_fraction_tokens)
 
-    return _let(
-        words(F.lower(text)),
-        lambda w: F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct(w)).cast("double")
-            / F.size(w).cast("double"),
+
+def top_bigram_fraction_tokens(bg: Column) -> Column:
+    """`top_bigram_fraction` over a pre-built 2-gram array (see
+    text_dedup.word_shingles_tokens). Null for empty bigram lists.
+    Quadratic in DISTINCT bigrams per doc, which is bounded by doc
+    length — per-row work, never cross-row."""
+    return F.when(
+        F.size(bg) > 0,
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(bg),
+                    lambda x: F.size(F.filter(bg, lambda y: y == x)),
+                )
+            ).cast("double")
+            / F.size(bg).cast("double"),
             6,
         ),
     )
@@ -181,47 +215,40 @@ def dup_word_fraction(text: Column) -> Column:
 def top_bigram_fraction(text: Column) -> Column:
     """Fraction of word-2-grams taken by the single most frequent one —
     the classic boilerplate detector (a doc dominated by one repeated
-    phrase scores high). Null for docs under two words. Quadratic in
-    DISTINCT bigrams per doc, which is bounded by doc length — per-row
-    work, never cross-row."""
-    from .text_dedup import _let
+    phrase scores high). Null for docs under two words."""
+    return _let(word_shingles(F.lower(text), k=2), top_bigram_fraction_tokens)
 
-    bg = word_shingles(F.lower(text), k=2)
-    return _let(
-        bg,
-        lambda b: F.when(
-            F.size(b) > 0,
-            F.round(
-                F.array_max(
-                    F.transform(
-                        F.array_distinct(b),
-                        lambda x: F.size(F.filter(b, lambda y: y == x)),
-                    )
-                ).cast("double")
-                / F.size(b).cast("double"),
-                6,
-            ),
-        ),
-    )
+
+def lang_votes_tokens(wl: Column, lang: str) -> Column:
+    """Number of tokens in a pre-split lowercase array matching
+    `lang`'s marker list."""
+    return F.size(F.filter(wl, lambda t: t.isin(*LANG_MARKERS[lang])))
 
 
 def lang_votes(text: Column, lang: str) -> Column:
     """Number of tokens matching `lang`'s marker list."""
-    toks = words(F.lower(text))
-    return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+    return lang_votes_tokens(words(F.lower(text)), lang)
 
 
-def lang_id(text: Column) -> Column:
-    """Argmax over marker votes as a first-match-wins CASE chain (ties
-    broken by LANG_MARKERS order); zero votes everywhere ⇒ 'und'
-    (undetermined, BCP-47)."""
-    votes = {lg: lang_votes(text, lg) for lg in LANG_MARKERS}
+def lang_id_tokens(wl: Column) -> Column:
+    """`lang_id` over a pre-split lowercase token array — one marker
+    scan per language over the shared array instead of one tokenize
+    per language."""
+    votes = {lg: lang_votes_tokens(wl, lg) for lg in LANG_MARKERS}
     mx = F.greatest(*votes.values())
     expr = None
     for lg in LANG_MARKERS:
         cond = (votes[lg] > 0) & (votes[lg] == mx)
         expr = F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
     return expr.otherwise(F.lit("und"))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over marker votes as a first-match-wins CASE chain (ties
+    broken by LANG_MARKERS order); zero votes everywhere ⇒ 'und'
+    (undetermined, BCP-47). The lowercase token array is let-bound so
+    the text splits once, not once per candidate language."""
+    return _let(words(F.lower(text)), lang_id_tokens)
 
 
 def winnow_fingerprints(

@@ -58,23 +58,29 @@ def words(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def word_shingles_tokens(w: Column, k: int = 3) -> Column:
+    """Contiguous k-grams over an already-split token array `w`,
+    space-joined. Token lists shorter than k yield an empty array
+    (sequence(1, n-k+1) is empty when n < k). The array-parameterized
+    half of `word_shingles`, public so a caller that already holds the
+    token array (a fused multi-gate projection, e.g. the filter-funnel
+    CASE) never re-splits the text."""
+    return F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Contiguous word k-grams, space-joined. Docs shorter than k words
-    yield an empty array (sequence(1, n-k+1) is empty when n < k).
+    """Contiguous word k-grams of `text`, space-joined.
 
     The token array is let-bound (`_let`, defined below) so the text is
     split once per row, not once per shingle — interpreted higher-order
     lambdas re-evaluate captured sub-expressions per element."""
-    return _let(
-        words(text),
-        lambda w: F.when(
-            F.size(w) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
+    return _let(words(text), lambda w: word_shingles_tokens(w, k))
 
 
 # ------------------------------------------------------------- exact dedup

@@ -53,17 +53,22 @@ from ..operators.text_analysis import (
     bow_fingerprint,
     chunk_tokens,
     dup_word_fraction,
+    dup_word_fraction_tokens,
     lang_id,
+    lang_id_tokens,
     mean_word_len,
     bpe_merge_pairs,
     quality_score,
+    quality_score_tokens,
     regex_token_count,
     top_bigram_fraction,
+    top_bigram_fraction_tokens,
     url_domain,
     winnow_fingerprints,
     ws_token_count,
 )
 from ..operators.text_dedup import (
+    _let,
     dedup_exact,
     duplicated_spans,
     incremental_dedup,
@@ -73,6 +78,7 @@ from ..operators.text_dedup import (
     remove_spans,
     simhash_candidate_pairs,
     verify_pairs_jaccard,
+    word_shingles_tokens,
     words,
 )
 from ..operators.vocab import tfidf_topk, unigram_rarity
@@ -1778,15 +1784,17 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the cascade NEVER materializes per-stage frames — one
     documents scan computes a map-side "first failing gate" CASE per
-    doc (all signals are JVM expressions; the CASE short-circuits, so
-    a doc evaluates only the gates it reaches — each gate expression
-    tokenizes independently, up to ~5 passes for a surviving doc,
-    the deliberate trade for keeping the gates as the operators'
-    public column functions rather than a fused private variant), the
-    only corpus-sized exchange is the 6-group fail-stage aggregate, and
-    the in/out arithmetic is two window passes over the 6-row report
-    joined to a literal stage table. At 100 TB: one pass, one tiny
-    shuffle — adding a gate adds a WHEN, not a scan."""
+    doc (all signals are JVM expressions), the only corpus-sized
+    exchange is the 6-group fail-stage aggregate, and the in/out
+    arithmetic is two window passes over the 6-row report joined to a
+    literal stage table. The doc tokenizes ONCE: a let-bound lowercase
+    token array (and its derived 2-gram array) is shared by the
+    language / quality / repetition CASE arms via the operators'
+    public `*_tokens` variants — the trade is that the split runs even
+    for docs the URL/boilerplate gates would have dropped first, a win
+    on any real corpus where most docs survive the early gates. At
+    100 TB: one pass, one tokenization, one tiny shuffle — adding a
+    gate adds a WHEN, not a scan."""
     docs = load_table(spark, sf_dir, "documents")
     spark_stages = [
         (i, s) for i, s in enumerate(_FUNNEL_STAGES, start=1)
@@ -1805,23 +1813,41 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("text"))
     )
-    fail_stage = (
-        F.when(url_domain(t).isin(*BLOCKED_DOMAINS), F.lit(1))
-        .when(boilerplate_hits(t) > _CURATION_BOILER_MAX, F.lit(2))
-        .when(lang_id(t) == "und", F.lit(3))
-        .when(quality_score(t) < _CURATION_QUALITY_MIN, F.lit(4))
-        .when(
-            # BOTH halves of llm_repetition_filter's keep rule; the
-            # coalesce mirrors its NULL-bigram semantics (docs under
-            # two words fail `keep` there, so they drop here too)
-            (dup_word_fraction(t) > _REP_DUP_WORD_MAX)
-            | (
-                F.coalesce(top_bigram_fraction(t), F.lit(1.0))
-                > _REP_TOP_BIGRAM_MAX
-            ),
-            F.lit(5),
+    def gates(text: Column, wl: Column, bg: Column) -> Column:
+        return (
+            F.when(url_domain(text).isin(*BLOCKED_DOMAINS), F.lit(1))
+            .when(boilerplate_hits(text) > _CURATION_BOILER_MAX, F.lit(2))
+            .when(lang_id_tokens(wl) == "und", F.lit(3))
+            .when(
+                quality_score_tokens(text, wl) < _CURATION_QUALITY_MIN,
+                F.lit(4),
+            )
+            .when(
+                # BOTH halves of llm_repetition_filter's keep rule; the
+                # coalesce mirrors its NULL-bigram semantics (docs under
+                # two words fail `keep` there, so they drop here too)
+                (dup_word_fraction_tokens(wl) > _REP_DUP_WORD_MAX)
+                | (
+                    F.coalesce(top_bigram_fraction_tokens(bg), F.lit(1.0))
+                    > _REP_TOP_BIGRAM_MAX
+                ),
+                F.lit(5),
+            )
+            .otherwise(F.lit(_FUNNEL_PASS_ID))
         )
-        .otherwise(F.lit(_FUNNEL_PASS_ID))
+
+    # One tokenization per doc: bind the planted text, its lowercase
+    # token array, and the derived 2-gram array once; every gate arm
+    # reads the bound arrays.
+    fail_stage = _let(
+        t,
+        lambda text: _let(
+            words(F.lower(text)),
+            lambda wl: _let(
+                word_shingles_tokens(wl, 2),
+                lambda bg: gates(text, wl, bg),
+            ),
+        ),
     )
     g = (
         docs.select(fail_stage.alias("fail_stage"))
