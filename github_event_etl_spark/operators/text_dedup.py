@@ -219,9 +219,12 @@ def incremental_dedup_minhash(
     bucket) (the `_bucket_pairs` guard, which also caps the in-batch
     expansion) — a boilerplate-flooded bucket yields B×C pairs under
     any candidate formulation, and true mass-duplicates belong to
-    exact dedup upstream. The cap never binds at the tested SFs, so
-    the DuckDB oracle (queries_llm) omits it — same convention as the
-    full-corpus MinHash key."""
+    exact dedup upstream. The cap drops WHOLE oversized buckets
+    deterministically, so the DuckDB oracle (queries_llm) mirrors it
+    exactly (b_ok/c_ok HAVING clauses) — unlike the full-corpus
+    MinHash key, whose fixture can't grow a bucket past the cap, this
+    key's planted groups scale ~N/20 with the corpus, so the cap
+    genuinely binds at large SFs and must live in both engines."""
     bands_vec = minhash_band_buckets_vec(num_bands, rows_per_band, k)
 
     def banded(df: DataFrame, spread: bool) -> DataFrame:

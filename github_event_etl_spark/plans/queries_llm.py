@@ -157,6 +157,14 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   % 10 residue — guaranteed corpus members, exercising 'dup_corpus'.
 # Un-planted docs keep their (corpus-unique) text ⇒ 'new'.
 _INCR_BATCH_SPLIT = 8  # doc_id % 10 >= 8 ⇒ incoming batch
+# Degenerate-bucket cap for the incremental MinHash key, passed
+# explicitly to incremental_dedup_minhash AND mirrored in the oracle's
+# b_ok/c_ok HAVING clauses (the cap drops WHOLE oversized buckets
+# deterministically, so the two engines stay value-identical at every
+# SF — the planted dup groups grow ~N/20 with corpus size, so past
+# ~200k docs the cap genuinely binds and an uncapped oracle would
+# diverge).
+_INCR_MAX_BUCKET = 10_000
 _INCR_PLANT = """CASE WHEN doc_id % 20 = 8
          THEN 'planted batch-only passage'
          WHEN doc_id % 3 = 2
@@ -249,7 +257,12 @@ _INCRM_SHARED_WIDE = _INCRM_SHARED.replace("planted ", "planted  ", 1)
 _INCRM_BATCH = "planted minhash batch passage alpha beta gamma delta epsilon"
 _INCRM_BATCH_WIDE = _INCRM_BATCH.replace("planted ", "planted  ", 1)
 
-_INCRM_ORACLE = f"""
+def _incrm_oracle(max_bucket: int) -> str:
+    """The incremental-MinHash oracle with the degenerate-bucket cap
+    interpolated — parameterized so the cap-binding differential test
+    (tests/test_llm.py) can run BOTH engines at a tiny cap and prove
+    the b_ok/c_ok mirror is exact where it actually drops buckets."""
+    return f"""
 WITH planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % 20 = 8 THEN
@@ -282,6 +295,27 @@ bands AS (
              x -> x::VARCHAR), ',')) AS bucket
   FROM sig, (SELECT unnest(range(0, {_NUM_BANDS})) AS band) b
 ),
+-- Degenerate-bucket guard, mirroring _cap_buckets exactly: a bucket
+-- with more than {_INCR_MAX_BUCKET} members ON ITS SIDE is dropped
+-- WHOLE from that side's candidate join (members still pair through
+-- their other bands). Spark caps the corpus side after semi-filtering
+-- it against the batch's band keys, but the semi-filter keeps whole
+-- buckets, so per-bucket counts over the full corpus banding are
+-- identical for every bucket that can produce a candidate.
+bb AS (
+  SELECT d.* FROM bands d
+  JOIN (SELECT band, bucket FROM bands WHERE is_batch
+        GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) k
+  USING (band, bucket)
+  WHERE d.is_batch
+),
+cbk AS (
+  SELECT d.* FROM bands d
+  JOIN (SELECT band, bucket FROM bands WHERE NOT is_batch
+        GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) k
+  USING (band, bucket)
+  WHERE NOT d.is_batch
+),
 sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
 cross_ver AS (
   SELECT * FROM (
@@ -292,8 +326,7 @@ cross_ver AS (
                  ELSE 0.0 END, 6) AS jaccard
     FROM (
       SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-      FROM bands b JOIN bands c ON b.band = c.band AND b.bucket = c.bucket
-      WHERE b.is_batch AND NOT c.is_batch
+      FROM bb b JOIN cbk c ON b.band = c.band AND b.bucket = c.bucket
     ) cc
     JOIN sets x ON cc.batch_id = x.doc_id
     JOIN sets y ON cc.corpus_id = y.doc_id
@@ -308,9 +341,8 @@ intra_ver AS (
                  ELSE 0.0 END, 6) AS jaccard
     FROM (
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
-                               AND l.doc_id < r.doc_id
-      WHERE l.is_batch AND r.is_batch
+      FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+                         AND l.doc_id < r.doc_id
     ) ic
     JOIN sets x ON ic.doc_a = x.doc_id
     JOIN sets y ON ic.doc_b = y.doc_id
@@ -341,6 +373,9 @@ WHERE p.is_batch
 """
 
 
+_INCRM_ORACLE = _incrm_oracle(_INCR_MAX_BUCKET)
+
+
 @query(
     "llm_dedup_incremental_minhash", oracle=_INCRM_ORACLE, tags=("llm", "dedup")
 )
@@ -368,6 +403,16 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     md5 hash family keeps the whole chain engine-portable: DuckDB
     recomputes identical signatures, buckets, candidates, and
     verdicts, so status, matched id, AND Jaccard are value-checked."""
+    return _incrm_classified(spark, sf_dir)
+
+
+def _incrm_classified(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int = _INCR_MAX_BUCKET
+) -> DataFrame:
+    """llm_dedup_incremental_minhash's body with the bucket cap
+    exposed, so the cap-binding differential test can run the SAME
+    fixture at a tiny cap against `_incrm_oracle(cap)` — the fixture
+    lives once; tests must not rebuild it by hand."""
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.select(
         "doc_id",
@@ -399,6 +444,7 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
         threshold=_JACCARD_THRESHOLD,
         num_bands=_NUM_BANDS,
         rows_per_band=_ROWS_PER_BAND,
+        max_bucket_size=max_bucket_size,
     )
 
 

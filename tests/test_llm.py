@@ -1778,3 +1778,46 @@ def test_path_graph_edges_survives_hot_duplicate_group(spark):
     assert bad == 0
     lo, hi = edges.agg(F.min("doc_a"), F.max("doc_b")).first()
     assert (lo, hi) == (0, hot_n + 1)
+
+
+def test_incremental_minhash_cap_mirror_binds_identically(spark, sf_dir):
+    """The degenerate-bucket cap must mean the SAME thing in both
+    engines where it actually drops buckets — the planted dup groups
+    grow with corpus size, so at large SFs the production cap
+    genuinely binds and an unmirrored oracle would report dup where
+    Spark says new. Runs the registered fixture at cap=2 (which the
+    ~n/20-member plants blow through at every SF) through Spark AND
+    `_incrm_oracle(2)`, asserts they still value-match, and that the
+    capped answer differs from the registered uncapped-at-this-SF one
+    (i.e. the test is non-vacuous: the cap fired)."""
+    from github_event_etl_spark.plans.queries_llm import (
+        _incrm_classified,
+        _incrm_oracle,
+        llm_dedup_incremental_minhash,
+    )
+    from .oracle_harness import compare_query, duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    result = compare_query(
+        spark,
+        con,
+        "incrm_cap2",
+        lambda s, d: _incrm_classified(s, d, max_bucket_size=2),
+        _incrm_oracle(2),
+        sf_dir,
+    )
+    assert result.ok, result.detail
+
+    capped = {
+        r.doc_id: (r.status, r.matched_doc_id)
+        for r in _incrm_classified(spark, sf_dir, max_bucket_size=2).collect()
+    }
+    uncapped = {
+        r.doc_id: (r.status, r.matched_doc_id)
+        for r in llm_dedup_incremental_minhash(spark, sf_dir).collect()
+    }
+    assert capped != uncapped, "cap=2 never fired: test is vacuous"
+    # the cap only ever suppresses matches, never invents them
+    rank = {"new": 0, "dup_batch": 1, "dup_corpus": 1}
+    for d, (st, _m) in capped.items():
+        assert rank[st] <= rank[uncapped[d][0]]
