@@ -45,7 +45,14 @@ def stratified_sample(
     engine-portable — a DuckDB oracle applies the identical rule, so
     results match even in the astronomically-unlikely shortfall case.
 
-    Output: (id, stratum, rank_r) with rank_r ∈ 1..quota per stratum.
+    Output: (id, stratum, rank_r, stratum_n) with rank_r ∈ 1..quota
+    per stratum and stratum_n the stratum's TOTAL corpus count (free —
+    it feeds the threshold anyway). stratum_n makes a shortfall
+    detectable from the output alone instead of surfacing downstream
+    as an undersized eval set: a stratum came up short iff its row
+    count is below least(quota, stratum_n) — the recommended
+    post-check is `GROUP BY stratum
+    HAVING count(*) < least(quota, any_value(stratum_n))`.
     """
     h = F.md5(F.col(id_col).cast("string"))
     u32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
@@ -53,7 +60,11 @@ def stratified_sample(
     thresholds = (
         df.groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .select(strata_col, (F.expr(f"{total} div _n") + F.lit(1)).alias("_thr"))
+        .select(
+            strata_col,
+            "_n",
+            (F.expr(f"{total} div _n") + F.lit(1)).alias("_thr"),
+        )
     )
     candidates = (
         df.select(F.col(id_col), F.col(strata_col))
@@ -69,5 +80,6 @@ def stratified_sample(
             F.col(id_col),
             F.col(strata_col),
             F.col("_rn").cast("long").alias("rank_r"),
+            F.col("_n").cast("long").alias("stratum_n"),
         )
     )

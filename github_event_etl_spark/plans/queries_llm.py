@@ -2044,18 +2044,18 @@ _STRAT_TOTAL = _STRAT_OVERSAMPLE * _STRAT_QUOTA * (1 << 32)
 
 _STRAT_ORACLE = f"""
 WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-t AS (SELECT lang, ({_STRAT_TOTAL} // n) + 1 AS thr FROM c),
+t AS (SELECT lang, n, ({_STRAT_TOTAL} // n) + 1 AS thr FROM c),
 s AS (
-  SELECT d.doc_id, d.lang, md5(CAST(d.doc_id AS VARCHAR)) AS h
+  SELECT d.doc_id, d.lang, t.n, md5(CAST(d.doc_id AS VARCHAR)) AS h
   FROM documents d JOIN t USING (lang)
   WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < t.thr
 ),
 r AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, n,
          row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
   FROM s
 )
-SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank_r
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank_r, CAST(n AS BIGINT) AS stratum_n
 FROM r WHERE rn <= {_STRAT_QUOTA}
 """
 
@@ -2076,7 +2076,11 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (billions of rows at 100 TB) to pick 40. The prefilter rule is
     all-integer ((oversample·quota·2³²) div n + 1, u32 from the md5
     hex prefix — the cross-engine trick used throughout), so DuckDB
-    re-derives the identical candidate set, ranks, and survivors."""
+    re-derives the identical candidate set, ranks, and survivors.
+    `stratum_n` (the stratum's total count, free from the threshold
+    aggregate) rides along so a caller can detect the documented
+    exp(−Θ(quota))-unlikely prefilter shortfall from the output
+    itself: short iff rows-per-stratum < least(quota, stratum_n)."""
     return stratified_sample(
         load_table(spark, sf_dir, "documents"),
         strata_col="lang",

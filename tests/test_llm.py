@@ -1632,6 +1632,13 @@ def test_stratified_sample_is_true_per_stratum_topk(spark, sf_dir):
     for lang, members in by_lang.items():
         n_got = sum(1 for (lg, _) in got if lg == lang)
         assert n_got == min(_STRAT_QUOTA, len(members))
+    # stratum_n carries the TRUE stratum size, making the shortfall
+    # post-check (rows < least(quota, stratum_n)) computable from the
+    # output alone; here no stratum is short, so it must come up empty
+    for r in rows:
+        assert r.stratum_n == len(by_lang[r.lang])
+        n_got = sum(1 for (lg, _) in got if lg == r.lang)
+        assert n_got >= min(_STRAT_QUOTA, r.stratum_n)
 
 
 def test_chunk_overlap_covers_and_reconstructs(spark, sf_dir):
