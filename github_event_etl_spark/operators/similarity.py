@@ -799,6 +799,151 @@ def cosine_dup_pairs_lsh(
     )
 
 
+def incremental_dedup_semantic(
+    corpus: DataFrame,
+    batch: DataFrame,
+    dim: int,
+    threshold: float,
+    num_tables: int = 12,
+    planes_per_table: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Embedding-space twin of text_dedup.incremental_dedup_minhash:
+    classify an incoming embedding batch against an indexed corpus by
+    RHP-LSH bucketing + exact-cosine verification — the semantic dedup
+    a continuously-fed pipeline runs daily (checking the increment
+    against the corpus' signature index, never re-clustering 100 TB of
+    vectors). One row per batch vector: `status` is 'dup_corpus' (a
+    verified corpus near-dup exists; `matched_vec_id` is the smallest
+    such corpus id), 'dup_batch' (first-wins within the increment),
+    or 'new'; `cosine_r` is the cosine with the matched vector,
+    rounded to 6 (NULL for 'new').
+
+    Scale shape — the corpus is never pair-expanded and never
+    all-shuffled: its (table, sig) keys are computed map-side (one
+    Arrow numpy matmul per batch, `rhp_signatures`) and immediately
+    semi-filtered against a broadcast of the increment's distinct
+    signature keys, so only corpus vectors colliding with the
+    increment survive to the candidate join; both cross-candidate
+    sides are capped per bucket (`_cap_buckets` — whole oversized
+    buckets dropped) and every remaining shuffle is batch/candidate-
+    sized. The corpus is scanned twice (signature keys + verify
+    vectors, both streamed against broadcast small sides); the batch
+    subtree is planned ~3x (signature index, in-batch pairs, vector
+    re-attach) — the same increment-sized trade as the MinHash twin.
+    In production the corpus signature index (table, sig, vec_id) is a
+    pre-materialized table and the corpus signature scan disappears.
+
+    Precision is exact (every candidate is verified by true cosine);
+    only recall is probabilistic, tuned by tables x planes exactly as
+    in `cosine_dup_pairs_lsh`."""
+    from .text_dedup import _bucket_pairs, _cap_buckets, _spread
+
+    sig_fn = rhp_signatures(dim, num_tables, planes_per_table)
+
+    def banded(df: DataFrame, spread: bool) -> DataFrame:
+        # _spread only the batch: one small increment split would
+        # otherwise pin the signature matmul to a single task, while
+        # repartitioning the corpus is exactly the full shuffle this
+        # operator exists to avoid.
+        src = _spread(df) if spread else df
+        return src.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(sig_fn(F.col(vec_col))).alias("band", "bucket"),
+        )
+
+    def capped(df: DataFrame) -> DataFrame:
+        return _cap_buckets(df, ["band", "bucket"], max_bucket_size)
+
+    bb = banded(batch, spread=True)
+    cb = banded(corpus, spread=False).join(
+        F.broadcast(bb.select("band", "bucket").distinct()),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    cross_cand = (
+        capped(bb)
+        .alias("b")
+        .join(capped(cb).alias("c"), ["band", "bucket"])
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+
+    cand_bt = cross_cand.join(
+        batch.select(F.col(id_col).alias("batch_id"), F.col(vec_col).alias("_vb")),
+        "batch_id",
+    )
+    cross_ver = (
+        # corpus on the streamed side, candidates broadcast: the
+        # corpus vector scan is column-pruned and never shuffles
+        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_vc"))
+        .join(F.broadcast(cand_bt), "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            cosine(F.col("_vb"), F.col("_vc")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    cross_best = cross_ver.groupBy("batch_id").agg(
+        F.min("corpus_id").alias("_cm"),
+        F.min_by("cos", "corpus_id").alias("_cj"),
+    )
+
+    intra_pairs = _bucket_pairs(bb, ["band", "bucket"], max_bucket_size)
+    intra_ver = (
+        intra_pairs.join(
+            batch.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va")),
+            "doc_a",
+        )
+        .join(
+            batch.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", cosine(F.col("_va"), F.col("_vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    intra_best = intra_ver.groupBy("doc_b").agg(
+        F.min("doc_a").alias("_bm"),
+        F.min_by("cos", "doc_a").alias("_bj"),
+    )
+
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(
+            F.broadcast(cross_best.withColumnRenamed("batch_id", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            F.broadcast(intra_best.withColumnRenamed("doc_b", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.when(F.col("_cm").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("_bm").isNotNull(), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("_cm", "_bm").cast("long").alias("matched_vec_id"),
+            F.round(
+                F.when(F.col("_cm").isNotNull(), F.col("_cj")).otherwise(
+                    F.col("_bj")
+                ),
+                6,
+            ).alias("cosine_r"),
+        )
+    )
+
+
 # ------------------------------------------------------- exact near-dup pairs
 
 

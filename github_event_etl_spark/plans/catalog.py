@@ -108,28 +108,17 @@ def staleness_bound_rounds() -> int:
     ceil(registry size / driver window)."""
     n = len(all_specs())
     return -(-n // _DRIVER_KEYS_PER_ROUND)
-_DEFER_NEW_UNTIL_ROUND = 13
+_DEFER_NEW_UNTIL_ROUND = 14
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # Round 11's three deferred keys (gapfill_interp_reading,
-    # agg_quantile_clip, profile_histogram_eqdepth) self-cleared when
-    # their first driver rows landed green in CORRECTNESS_r12.
-    # r13 window arithmetic: 1 never-checked (llm_dedup_semantic) +
-    # 31 r10-stale + 18 oldest-r11 keys fill the 50; the remaining
-    # r11 cohort rotates through r14, inside the
+    # r13's seven over-budget additions self-cleared when the r13
+    # artifact landed (they became ordinary never-checked keys at the
+    # front of the r14 window), so the set is empty again.
+    # r14 window arithmetic: 7 never-checked r13 keys + 1 budgeted
+    # r14 key (llm_dedup_incremental_semantic) + the 32 remaining
+    # r11-stale keys + 10 oldest-r12 keys fill the 50; the r12
+    # cohort's remainder rotates through r15/r16, inside the
     # ceil(len(all_specs()) / 50) staleness bound pinned by
-    # staleness_bound_rounds(). The keys below are r13's over-budget
-    # additions, pre-staged for r14: deferred past the r13 window
-    # (each would otherwise evict a stale key as never-checked),
-    # self-clearing to the front of r14's window once the r13
-    # artifact lands. r14 then carries 7 never-checked + the 32
-    # remaining r11 keys = 39 of 50 slots.
-    "llm_ann_recall_eval",
-    "llm_chunk_overlap",
-    "llm_dedup_incremental",
-    "llm_dedup_incremental_minhash",
-    "llm_filter_funnel",
-    "llm_split_leakage_safe",
-    "llm_stratified_sample",
+    # staleness_bound_rounds().
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

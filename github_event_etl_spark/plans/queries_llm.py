@@ -35,6 +35,7 @@ from ..operators.similarity import (
     ann_recall,
     cosine_dup_pairs,
     cosine_dup_pairs_lsh,
+    incremental_dedup_semantic,
     ann_pq_adc,
     ivf_write_index,
     kmeans_refine_int,
@@ -698,10 +699,11 @@ def _planted_dup_corpus(emb: DataFrame) -> DataFrame:
     """The base embeddings plus one planted near-duplicate per vector:
     component i scaled by 1.05 when (vec_id + i) is even else 0.95
     (deterministic, index-parity — no RNG, expressible identically in
-    SQL). Every planted pair's cosine is ≥ (0.95+0.1α)/√(0.9025+0.2α)
-    ≥ 0.99875 for any even-index mass fraction α, while the corpus'
-    strongest organic pair sits near 0.5 — a clean planted/organic gap
-    for the 0.98 near-dup threshold."""
+    SQL). Every planted pair's cosine is ≈ (0.95+0.1α)/√(0.9025+0.2α)
+    ≈ 0.99875 under the even-index mass-fraction model (observed min
+    0.99874 on the synthetic corpus — the model is a hair loose),
+    while the corpus' strongest organic pair sits near 0.5 — a clean
+    planted/organic gap for the 0.98 near-dup threshold."""
     pert = emb.select(
         (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"),
         F.transform(
@@ -3192,3 +3194,109 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_col="id_a",
         b_col="id_b",
     ).select("vec_id", "cluster_id", "is_representative")
+
+
+# Incremental-semantic split rule, shared text between the Spark
+# filter and the oracle's `split` CTE: per planted pair {original,
+# original + _PLANT_OFFSET}, residue 0 of the base id puts BOTH in the
+# batch (min member 'new', plant 'dup_batch'), residue 1 puts only the
+# plant in the batch ('dup_corpus' matched to the original), residue 2
+# only the original ('dup_corpus' matched to the plant), everything
+# else stays in the corpus — all three statuses fire at every SF with
+# a ~20% increment.
+def _incr_sem_is_batch(vec_id: Column) -> Column:
+    base = vec_id % _PLANT_OFFSET
+    return (
+        (base % 10 == 0)
+        | ((base % 10 == 1) & (vec_id >= _PLANT_OFFSET))
+        | ((base % 10 == 2) & (vec_id < _PLANT_OFFSET))
+    )
+
+
+@query(
+    "llm_dedup_incremental_semantic",
+    oracle=f"""
+    WITH {_PLANTED_CORPUS_CTE},
+    split AS (
+      SELECT vec_id, v,
+             ((vec_id % {_PLANT_OFFSET}) % 10 = 0)
+             OR ((vec_id % {_PLANT_OFFSET}) % 10 = 1
+                 AND vec_id >= {_PLANT_OFFSET})
+             OR ((vec_id % {_PLANT_OFFSET}) % 10 = 2
+                 AND vec_id < {_PLANT_OFFSET}) AS is_batch
+      FROM corpus
+    ),
+    cross_ver AS (
+      SELECT * FROM (
+        SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+               {_cos_sql('b.v', 'c.v')} AS cs
+        FROM split b JOIN split c ON b.is_batch AND NOT c.is_batch
+      ) WHERE cs >= {_LSH_DUP_THRESHOLD}
+    ),
+    intra_ver AS (
+      SELECT * FROM (
+        SELECT l.vec_id AS doc_a, r.vec_id AS doc_b,
+               {_cos_sql('l.v', 'r.v')} AS cs
+        FROM split l JOIN split r
+          ON l.is_batch AND r.is_batch AND l.vec_id < r.vec_id
+      ) WHERE cs >= {_LSH_DUP_THRESHOLD}
+    ),
+    cross_best AS (
+      SELECT batch_id, min(corpus_id) AS cm, arg_min(cs, corpus_id) AS cj
+      FROM cross_ver GROUP BY 1
+    ),
+    intra_best AS (
+      SELECT doc_b, min(doc_a) AS bm, arg_min(cs, doc_a) AS bj
+      FROM intra_ver GROUP BY 1
+    )
+    SELECT s.vec_id,
+           CASE WHEN cb.cm IS NOT NULL THEN 'dup_corpus'
+                WHEN ib.bm IS NOT NULL THEN 'dup_batch'
+                ELSE 'new' END AS status,
+           CAST(coalesce(cb.cm, ib.bm) AS BIGINT) AS matched_vec_id,
+           round(CASE WHEN cb.cm IS NOT NULL THEN cb.cj ELSE ib.bj END, 6)
+             AS cosine_r
+    FROM split s
+    LEFT JOIN cross_best cb ON s.vec_id = cb.batch_id
+    LEFT JOIN intra_best ib ON s.vec_id = ib.doc_b
+    WHERE s.is_batch
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def llm_dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup: classify an incoming embedding
+    increment against the indexed corpus by RHP-LSH signature
+    collision + exact-cosine verification — the embedding-space twin
+    of `llm_dedup_incremental_minhash` (same statuses, same
+    first-wins / min-corpus-match contract), completing the
+    incremental pair: a daily embedding increment is checked against
+    the corpus signature index, never by re-clustering 100 TB of
+    vectors. One row per batch vector: dup_corpus / dup_batch / new
+    with the matched vector's cosine.
+
+    Scale shape (operators/similarity.py::incremental_dedup_semantic):
+    corpus signatures are computed map-side (Arrow numpy matmul) and
+    semi-filtered against a broadcast of the increment's signature
+    keys before anything pairs — the corpus never pair-expands and
+    never fully shuffles; both cross-candidate sides are capped per
+    bucket; every shuffle is increment/candidate-sized.
+
+    Fixture: the shared planted index-parity corpus
+    (`_planted_dup_corpus` — every vector one near-dup at cosine
+    ≥ 0.99875, strongest organic pair ~0.5) under the
+    `_incr_sem_is_batch` split, so all three statuses fire at every
+    SF. With {_SEMANTIC_LSH_TABLES} tables × {_SEMANTIC_LSH_PLANES}
+    planes a planted pair escapes every table with p ≈ 8e-10
+    (llm_dedup_semantic's tuning, same corpus), so LSH recall is 1
+    here and the parameter-free exact all-pairs oracle value-checks
+    status, matched id, AND cosine."""
+    corpus_all = _planted_dup_corpus(load_table(spark, sf_dir, "embeddings"))
+    is_batch = _incr_sem_is_batch(F.col("vec_id"))
+    return incremental_dedup_semantic(
+        corpus=corpus_all.filter(~is_batch),
+        batch=corpus_all.filter(is_batch),
+        dim=64,
+        threshold=_LSH_DUP_THRESHOLD,
+        num_tables=_SEMANTIC_LSH_TABLES,
+        planes_per_table=_SEMANTIC_LSH_PLANES,
+    )

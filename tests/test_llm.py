@@ -1828,3 +1828,62 @@ def test_incremental_minhash_cap_mirror_binds_identically(spark, sf_dir):
     rank = {"new": 0, "dup_batch": 1, "dup_corpus": 1}
     for d, (st, _m) in capped.items():
         assert rank[st] <= rank[uncapped[d][0]]
+
+
+def test_incremental_semantic_statuses_and_plants(spark, sf_dir):
+    """Planted-geometry invariants of llm_dedup_incremental_semantic
+    the value oracle can't articulate: statuses partition the batch
+    against the _incr_sem_is_batch split; matched ids live on the
+    right side per status; every match clears the threshold; and each
+    planted pair behaves per its residue — residue 0 (both members in
+    batch) elects the original 'new' and its plant 'dup_batch' matched
+    to it; residue 1 (plant in batch) and residue 2 (original in
+    batch) report 'dup_corpus' matched to the pair's corpus member —
+    all at a cosine far above the 0.98 threshold (the planted
+    construction floors it around 0.99875; asserted at 0.9987 to
+    absorb the 6-decimal output rounding)."""
+    from github_event_etl_spark.plans.queries_llm import (
+        _LSH_DUP_THRESHOLD,
+        _PLANT_OFFSET,
+        llm_dedup_incremental_semantic,
+    )
+
+    rows = llm_dedup_incremental_semantic(spark, sf_dir).collect()
+    assert rows, "batch empty"
+
+    def is_batch(vid: int) -> bool:
+        base = vid % _PLANT_OFFSET
+        return (
+            base % 10 == 0
+            or (base % 10 == 1 and vid >= _PLANT_OFFSET)
+            or (base % 10 == 2 and vid < _PLANT_OFFSET)
+        )
+
+    by_id = {r.vec_id: r for r in rows}
+    assert all(is_batch(v) for v in by_id), "non-batch vector in output"
+    statuses = {r.status for r in rows}
+    assert statuses == {"new", "dup_batch", "dup_corpus"}
+    for r in rows:
+        if r.status == "new":
+            assert r.matched_vec_id is None and r.cosine_r is None
+            continue
+        assert r.cosine_r >= _LSH_DUP_THRESHOLD
+        if r.status == "dup_corpus":
+            assert not is_batch(r.matched_vec_id)
+        else:
+            assert is_batch(r.matched_vec_id)
+            assert r.matched_vec_id < r.vec_id, "first-wins violated"
+    for vid, r in by_id.items():
+        base, plant = vid % _PLANT_OFFSET, vid % _PLANT_OFFSET + _PLANT_OFFSET
+        res = base % 10
+        if res == 0:
+            if vid == base:  # original: the pair's min member
+                assert r.status == "new"
+            else:  # its plant, first-wins against the original
+                assert r.status == "dup_batch"
+                assert r.matched_vec_id == base
+                assert r.cosine_r >= 0.9987
+        elif res in (1, 2):
+            assert r.status == "dup_corpus"
+            assert r.matched_vec_id == (base if vid != base else plant)
+            assert r.cosine_r >= 0.9987

@@ -1707,3 +1707,24 @@ def test_leakage_safe_split_adds_no_shuffle_over_clusters(qmap, spark, sf_dir):
     assert t_split.count("Exchange hashpartitioning") == t_clusters.count(
         "Exchange hashpartitioning"
     )
+
+
+def test_incremental_semantic_corpus_never_shuffles(qmap, spark, sf_dir):
+    """Incremental semantic dedup's 100 TB contract, the embedding
+    twin of the incremental-minhash gate: the corpus side is signed
+    map-side and semi-filtered against a broadcast of the increment's
+    signature keys — NO sort-merge join, NO cartesian, every join
+    broadcast. The parquet scans are all either streamed corpus
+    consumptions (signature keys + verify vectors) or increment-sized
+    batch subtrees, doubled by the planted-corpus union's two
+    branches; a SortMergeJoin here means the corpus started shuffling
+    for a daily increment."""
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_dedup_incremental_semantic"))
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    # the corpus signature-key semi-filter survived optimization
+    assert "LeftSemi" in tree
+    # corpus 2 + batch-index 3 + batch-vector 3 + spine 1 consumptions,
+    # each doubled by the union fixture
+    assert tree.count("Scan parquet") <= 18
