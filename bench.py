@@ -65,6 +65,7 @@ COMPONENTS = [
     "agg_quantile_clip",
     "profile_histogram_eqdepth",
     "llm_dedup_semantic",
+    "llm_dedup_incremental_semantic",
 ]
 # LLM-pipeline + streaming headliners (import-safe: skipped if absent).
 OPTIONAL = [
