@@ -838,8 +838,11 @@ def incremental_dedup_semantic(
 
     Precision is exact (every candidate is verified by true cosine);
     only recall is probabilistic, tuned by tables x planes exactly as
-    in `cosine_dup_pairs_lsh`."""
-    from .text_dedup import _bucket_pairs, _cap_buckets, _spread
+    in `cosine_dup_pairs_lsh`. The classify skeleton (first-wins / cap
+    / semi-filter / status logic) is `_incremental_classify_lsh`,
+    shared verbatim with the MinHash twin; only the banding (RHP
+    signatures) and the verify metric (cosine) live here."""
+    from .text_dedup import _incremental_classify_lsh, _spread
 
     sig_fn = rhp_signatures(dim, num_tables, planes_per_table)
 
@@ -854,93 +857,18 @@ def incremental_dedup_semantic(
             F.posexplode(sig_fn(F.col(vec_col))).alias("band", "bucket"),
         )
 
-    def capped(df: DataFrame) -> DataFrame:
-        return _cap_buckets(df, ["band", "bucket"], max_bucket_size)
-
-    bb = banded(batch, spread=True)
-    cb = banded(corpus, spread=False).join(
-        F.broadcast(bb.select("band", "bucket").distinct()),
-        ["band", "bucket"],
-        "left_semi",
-    )
-    cross_cand = (
-        capped(bb)
-        .alias("b")
-        .join(capped(cb).alias("c"), ["band", "bucket"])
-        .select(
-            F.col("b.doc_id").alias("batch_id"),
-            F.col("c.doc_id").alias("corpus_id"),
-        )
-        .distinct()
-    )
-
-    cand_bt = cross_cand.join(
-        batch.select(F.col(id_col).alias("batch_id"), F.col(vec_col).alias("_vb")),
-        "batch_id",
-    )
-    cross_ver = (
-        # corpus on the streamed side, candidates broadcast: the
-        # corpus vector scan is column-pruned and never shuffles
-        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_vc"))
-        .join(F.broadcast(cand_bt), "corpus_id")
-        .select(
-            "batch_id",
-            "corpus_id",
-            cosine(F.col("_vb"), F.col("_vc")).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-    )
-    cross_best = cross_ver.groupBy("batch_id").agg(
-        F.min("corpus_id").alias("_cm"),
-        F.min_by("cos", "corpus_id").alias("_cj"),
-    )
-
-    intra_pairs = _bucket_pairs(bb, ["band", "bucket"], max_bucket_size)
-    intra_ver = (
-        intra_pairs.join(
-            batch.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va")),
-            "doc_a",
-        )
-        .join(
-            batch.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a", "doc_b", cosine(F.col("_va"), F.col("_vb")).alias("cos")
-        )
-        .filter(F.col("cos") >= threshold)
-    )
-    intra_best = intra_ver.groupBy("doc_b").agg(
-        F.min("doc_a").alias("_bm"),
-        F.min_by("cos", "doc_a").alias("_bj"),
-    )
-
-    return (
-        batch.select(F.col(id_col).alias("doc_id"))
-        .join(
-            F.broadcast(cross_best.withColumnRenamed("batch_id", "doc_id")),
-            "doc_id",
-            "left",
-        )
-        .join(
-            F.broadcast(intra_best.withColumnRenamed("doc_b", "doc_id")),
-            "doc_id",
-            "left",
-        )
-        .select(
-            F.col("doc_id").alias(id_col),
-            F.when(F.col("_cm").isNotNull(), F.lit("dup_corpus"))
-            .when(F.col("_bm").isNotNull(), F.lit("dup_batch"))
-            .otherwise(F.lit("new"))
-            .alias("status"),
-            F.coalesce("_cm", "_bm").cast("long").alias("matched_vec_id"),
-            F.round(
-                F.when(F.col("_cm").isNotNull(), F.col("_cj")).otherwise(
-                    F.col("_bj")
-                ),
-                6,
-            ).alias("cosine_r"),
-        )
+    return _incremental_classify_lsh(
+        corpus,
+        batch,
+        banded,
+        cosine,
+        threshold,
+        id_col=id_col,
+        payload_col=vec_col,
+        matched_col="matched_vec_id",
+        score_out="cosine_r",
+        max_bucket_size=max_bucket_size,
+        finalize=lambda c: F.round(c, 6),
     )
 
 

@@ -176,6 +176,135 @@ def incremental_dedup(
     )
 
 
+def _incremental_classify_lsh(
+    corpus: DataFrame,
+    batch: DataFrame,
+    banded,
+    score,
+    threshold: float,
+    id_col: str,
+    payload_col: str,
+    matched_col: str,
+    score_out: str,
+    max_bucket_size: int,
+    finalize=None,
+) -> DataFrame:
+    """The shared classify skeleton of `incremental_dedup_minhash` and
+    `similarity.incremental_dedup_semantic` — ONE copy of the
+    first-wins / cap / semi-filter / status logic so a fix can never
+    land in one twin and not the other (the `_path_graph_edges`
+    sharing rule applied to the incremental pair). The twins differ
+    only in how rows are bucketed and verified:
+
+      banded(df, spread) -> (doc_id, band, bucket) exploded LSH keys
+        (MinHash band digests or RHP table signatures); `spread` is
+        True for the increment so a single small split still
+        parallelizes the signature work.
+      score(a, b) -> Column — the exact verification metric (n-gram
+        Jaccard / cosine) over two `payload_col` values.
+      finalize(col) -> Column — optional output formatting of the
+        matched score (e.g. round to 6); default identity.
+
+    Scale contract (shared): the corpus side is banded map-side and
+    immediately semi-filtered against a broadcast of the increment's
+    distinct (band, bucket) keys — never pair-expanded, never fully
+    shuffled; both cross-candidate sides are independently
+    `_cap_buckets`-capped; every remaining shuffle is
+    batch/candidate-sized. See each twin's docstring for its
+    scan-count accounting and production pre-materialization note."""
+
+    def capped(df: DataFrame) -> DataFrame:
+        return _cap_buckets(df, ["band", "bucket"], max_bucket_size)
+
+    bb = banded(batch, True)
+    cb = banded(corpus, False).join(
+        F.broadcast(bb.select("band", "bucket").distinct()),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    cross_cand = (
+        capped(bb)
+        .alias("b")
+        .join(capped(cb).alias("c"), ["band", "bucket"])
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+
+    cand_bt = cross_cand.join(
+        batch.select(
+            F.col(id_col).alias("batch_id"), F.col(payload_col).alias("_pb")
+        ),
+        "batch_id",
+    )
+    cross_ver = (
+        # corpus on the streamed side, candidates broadcast: the
+        # corpus payload scan is column-pruned and never shuffles
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), F.col(payload_col).alias("_pc")
+        )
+        .join(F.broadcast(cand_bt), "corpus_id")
+        .select("batch_id", "corpus_id", score(F.col("_pb"), F.col("_pc")).alias("_s"))
+        .filter(F.col("_s") >= threshold)
+    )
+    cross_best = cross_ver.groupBy("batch_id").agg(
+        F.min("corpus_id").alias("_cm"),
+        F.min_by("_s", "corpus_id").alias("_cj"),
+    )
+
+    intra_ver = (
+        _bucket_pairs(bb, ["band", "bucket"], max_bucket_size)
+        .join(
+            batch.select(
+                F.col(id_col).alias("doc_a"), F.col(payload_col).alias("_pa")
+            ),
+            "doc_a",
+        )
+        .join(
+            batch.select(
+                F.col(id_col).alias("doc_b"), F.col(payload_col).alias("_pb")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", score(F.col("_pa"), F.col("_pb")).alias("_s"))
+        .filter(F.col("_s") >= threshold)
+    )
+    intra_best = intra_ver.groupBy("doc_b").agg(
+        F.min("doc_a").alias("_bm"),
+        F.min_by("_s", "doc_a").alias("_bj"),
+    )
+
+    matched_score = F.when(F.col("_cm").isNotNull(), F.col("_cj")).otherwise(
+        F.col("_bj")
+    )
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(
+            F.broadcast(cross_best.withColumnRenamed("batch_id", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            F.broadcast(intra_best.withColumnRenamed("doc_b", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.when(F.col("_cm").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("_bm").isNotNull(), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("_cm", "_bm").cast("long").alias(matched_col),
+            (finalize(matched_score) if finalize else matched_score).alias(
+                score_out
+            ),
+        )
+    )
+
+
 def incremental_dedup_minhash(
     corpus: DataFrame,
     batch: DataFrame,
@@ -236,75 +365,17 @@ def incremental_dedup_minhash(
             _spread(df) if spread else df, bands_vec, id_col, text_col
         )
 
-    def capped(df: DataFrame) -> DataFrame:
-        return _cap_buckets(df, ["band", "bucket"], max_bucket_size)
-
-    bb = banded(batch, spread=True)
-    cb = banded(corpus, spread=False).join(
-        F.broadcast(bb.select("band", "bucket").distinct()),
-        ["band", "bucket"],
-        "left_semi",
-    )
-    cross_cand = (
-        capped(bb)
-        .alias("b")
-        .join(capped(cb).alias("c"), ["band", "bucket"])
-        .select(
-            F.col("b.doc_id").alias("batch_id"),
-            F.col("c.doc_id").alias("corpus_id"),
-        )
-        .distinct()
-    )
-
-    jac = jaccard_pairs_vec(k)
-    cand_bt = cross_cand.join(
-        batch.select(F.col(id_col).alias("batch_id"), F.col(text_col).alias("_tb")),
-        "batch_id",
-    )
-    cross_ver = (
-        # corpus on the streamed side, candidates broadcast: the
-        # corpus text scan is column-pruned and never shuffles
-        corpus.select(F.col(id_col).alias("corpus_id"), F.col(text_col).alias("_tc"))
-        .join(F.broadcast(cand_bt), "corpus_id")
-        .select(
-            "batch_id",
-            "corpus_id",
-            jac(F.col("_tb"), F.col("_tc")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    cross_best = cross_ver.groupBy("batch_id").agg(
-        F.min("corpus_id").alias("_cm"),
-        F.min_by("jaccard", "corpus_id").alias("_cj"),
-    )
-
-    intra_ver = verify_pairs_jaccard(
-        _bucket_pairs(bb, ["band", "bucket"], max_bucket_size),
-        batch.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+    return _incremental_classify_lsh(
+        corpus,
+        batch,
+        banded,
+        jaccard_pairs_vec(k),
         threshold,
-        text_col=text_col,
-        k=k,
-    )
-    intra_best = intra_ver.groupBy("doc_b").agg(
-        F.min("doc_a").alias("_bm"),
-        F.min_by("jaccard", "doc_a").alias("_bj"),
-    )
-
-    return (
-        batch.select(F.col(id_col).alias("doc_id"))
-        .join(F.broadcast(cross_best.withColumnRenamed("batch_id", "doc_id")), "doc_id", "left")
-        .join(F.broadcast(intra_best.withColumnRenamed("doc_b", "doc_id")), "doc_id", "left")
-        .select(
-            F.col("doc_id").alias(id_col),
-            F.when(F.col("_cm").isNotNull(), F.lit("dup_corpus"))
-            .when(F.col("_bm").isNotNull(), F.lit("dup_batch"))
-            .otherwise(F.lit("new"))
-            .alias("status"),
-            F.coalesce("_cm", "_bm").cast("long").alias("matched_doc_id"),
-            F.when(F.col("_cm").isNotNull(), F.col("_cj"))
-            .otherwise(F.col("_bj"))
-            .alias("jaccard_r"),
-        )
+        id_col=id_col,
+        payload_col=text_col,
+        matched_col="matched_doc_id",
+        score_out="jaccard_r",
+        max_bucket_size=max_bucket_size,
     )
 
 

@@ -297,20 +297,20 @@ bands AS (
   FROM sig, (SELECT unnest(range(0, {_NUM_BANDS})) AS band) b
 ),
 -- Degenerate-bucket guard, mirroring _cap_buckets exactly: a bucket
--- with more than {_INCR_MAX_BUCKET} members ON ITS SIDE is dropped
+-- with more than {max_bucket} members ON ITS SIDE is dropped
 -- WHOLE from that side's candidate join (members still pair through
 -- their other bands). Spark caps the corpus side after semi-filtering
 -- it against the batch's band keys, but the semi-filter keeps whole
 -- buckets, so per-bucket counts over the full corpus banding are
 -- identical for every bucket that can produce a candidate.
-bb AS (
+b_ok AS (
   SELECT d.* FROM bands d
   JOIN (SELECT band, bucket FROM bands WHERE is_batch
         GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) k
   USING (band, bucket)
   WHERE d.is_batch
 ),
-cbk AS (
+c_ok AS (
   SELECT d.* FROM bands d
   JOIN (SELECT band, bucket FROM bands WHERE NOT is_batch
         GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) k
@@ -327,7 +327,7 @@ cross_ver AS (
                  ELSE 0.0 END, 6) AS jaccard
     FROM (
       SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-      FROM bb b JOIN cbk c ON b.band = c.band AND b.bucket = c.bucket
+      FROM b_ok b JOIN c_ok c ON b.band = c.band AND b.bucket = c.bucket
     ) cc
     JOIN sets x ON cc.batch_id = x.doc_id
     JOIN sets y ON cc.corpus_id = y.doc_id
@@ -342,8 +342,8 @@ intra_ver AS (
                  ELSE 0.0 END, 6) AS jaccard
     FROM (
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
-                         AND l.doc_id < r.doc_id
+      FROM b_ok l JOIN b_ok r ON l.band = r.band AND l.bucket = r.bucket
+                           AND l.doc_id < r.doc_id
     ) ic
     JOIN sets x ON ic.doc_a = x.doc_id
     JOIN sets y ON ic.doc_b = y.doc_id
@@ -3196,15 +3196,25 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster_id", "is_representative")
 
 
-# Incremental-semantic split rule, shared text between the Spark
-# filter and the oracle's `split` CTE: per planted pair {original,
-# original + _PLANT_OFFSET}, residue 0 of the base id puts BOTH in the
-# batch (min member 'new', plant 'dup_batch'), residue 1 puts only the
-# plant in the batch ('dup_corpus' matched to the original), residue 2
-# only the original ('dup_corpus' matched to the plant), everything
-# else stays in the corpus — all three statuses fire at every SF with
-# a ~20% increment.
+# Incremental-semantic split rule, a Spark/SQL twin pair (the
+# _SPLIT_CASE_SQL / _split_of convention — ONE SQL copy interpolated
+# into the oracle, ONE Spark copy; tests derive membership from the
+# Spark helper, never a third hand-written rule): per planted pair
+# {original, original + _PLANT_OFFSET}, residue 0 of the base id puts
+# BOTH in the batch (min member 'new', plant 'dup_batch'), residue 1
+# puts only the plant in the batch ('dup_corpus' matched to the
+# original), residue 2 only the original ('dup_corpus' matched to the
+# plant), everything else stays in the corpus — all three statuses
+# fire at every SF with a ~20% increment.
+_INCR_SEM_IS_BATCH_SQL = f"""((vec_id % {_PLANT_OFFSET}) % 10 = 0)
+             OR ((vec_id % {_PLANT_OFFSET}) % 10 = 1
+                 AND vec_id >= {_PLANT_OFFSET})
+             OR ((vec_id % {_PLANT_OFFSET}) % 10 = 2
+                 AND vec_id < {_PLANT_OFFSET})"""
+
+
 def _incr_sem_is_batch(vec_id: Column) -> Column:
+    """Spark twin of _INCR_SEM_IS_BATCH_SQL."""
     base = vec_id % _PLANT_OFFSET
     return (
         (base % 10 == 0)
@@ -3219,11 +3229,7 @@ def _incr_sem_is_batch(vec_id: Column) -> Column:
     WITH {_PLANTED_CORPUS_CTE},
     split AS (
       SELECT vec_id, v,
-             ((vec_id % {_PLANT_OFFSET}) % 10 = 0)
-             OR ((vec_id % {_PLANT_OFFSET}) % 10 = 1
-                 AND vec_id >= {_PLANT_OFFSET})
-             OR ((vec_id % {_PLANT_OFFSET}) % 10 = 2
-                 AND vec_id < {_PLANT_OFFSET}) AS is_batch
+             {_INCR_SEM_IS_BATCH_SQL} AS is_batch
       FROM corpus
     ),
     cross_ver AS (
@@ -3289,7 +3295,17 @@ def llm_dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFram
     planes a planted pair escapes every table with p ≈ 8e-10
     (llm_dedup_semantic's tuning, same corpus), so LSH recall is 1
     here and the parameter-free exact all-pairs oracle value-checks
-    status, matched id, AND cosine."""
+    status, matched id, AND cosine.
+
+    Cap convention: unlike `llm_dedup_incremental_minhash` — whose
+    planted groups grow ~N/20 and force the bucket cap into the oracle
+    — this oracle omits the degenerate-bucket cap (the
+    `llm_dup_cosine_lsh` convention). RHP buckets here grow only
+    ~2N/2^{_SEMANTIC_LSH_PLANES} ≈ N/2048 on this fixture, so the
+    10k cap first binds around N ≈ 2·10⁷ base vectors (~sf20000);
+    before running the key near that scale, raise planes_per_table
+    (the operator's own tuning law) or mirror the cap as the MinHash
+    oracle does."""
     corpus_all = _planted_dup_corpus(load_table(spark, sf_dir, "embeddings"))
     is_batch = _incr_sem_is_batch(F.col("vec_id"))
     return incremental_dedup_semantic(

@@ -1845,19 +1845,26 @@ def test_incremental_semantic_statuses_and_plants(spark, sf_dir):
     from github_event_etl_spark.plans.queries_llm import (
         _LSH_DUP_THRESHOLD,
         _PLANT_OFFSET,
+        _incr_sem_is_batch,
+        _planted_dup_corpus,
         llm_dedup_incremental_semantic,
     )
 
     rows = llm_dedup_incremental_semantic(spark, sf_dir).collect()
     assert rows, "batch empty"
 
+    # membership derived from the PRODUCTION split helper over the
+    # production fixture — never a third hand-written copy of the rule
+    batch_ids = {
+        r.vec_id
+        for r in _planted_dup_corpus(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id")
+        .filter(_incr_sem_is_batch(F.col("vec_id")))
+        .collect()
+    }
+
     def is_batch(vid: int) -> bool:
-        base = vid % _PLANT_OFFSET
-        return (
-            base % 10 == 0
-            or (base % 10 == 1 and vid >= _PLANT_OFFSET)
-            or (base % 10 == 2 and vid < _PLANT_OFFSET)
-        )
+        return vid in batch_ids
 
     by_id = {r.vec_id: r for r in rows}
     assert all(is_batch(v) for v in by_id), "non-batch vector in output"
