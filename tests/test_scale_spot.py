@@ -40,6 +40,10 @@ _SPOT_KEYS = [
     "llm_split_leakage_safe",  # r13: component chains grow linearly with
                              # SF (~143-edge paths at sf0.1), exercising
                              # more star rounds than the driver SF does
+    "llm_dedup_incremental_semantic",  # r14: 10k-vector planted corpus
+                             # at sf0.1 (vs 1k at the driver SF) — RHP
+                             # bucket occupancy and the all-pairs oracle
+                             # both see a genuinely denser regime
 ]
 
 
