@@ -113,9 +113,10 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # r13's seven over-budget additions self-cleared when the r13
     # artifact landed (they became ordinary never-checked keys at the
     # front of the r14 window), so the set is empty again.
-    # r14 window arithmetic: 7 never-checked r13 keys + 1 budgeted
-    # r14 key (llm_dedup_incremental_semantic) + the 32 remaining
-    # r11-stale keys + 10 oldest-r12 keys fill the 50; the r12
+    # r14 window arithmetic: 7 never-checked r13 keys + 2 budgeted
+    # r14 keys (llm_dedup_incremental_semantic,
+    # llm_dedup_threshold_sweep) + the 32 remaining r11-stale keys +
+    # 9 oldest-r12 keys fill the 50; the r12
     # cohort's remainder rotates through r15/r16, inside the
     # ceil(len(all_specs()) / 50) staleness bound pinned by
     # staleness_bound_rounds().

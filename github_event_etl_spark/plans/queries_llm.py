@@ -452,7 +452,12 @@ def _incrm_classified(
 # ----------------------------------------------------------- MinHash + LSH
 
 
-_MINHASH_ORACLE = f"""
+# The candidate+verify CTE chain (tokens → shingles → KM signatures →
+# band buckets → candidate pairs → exact Jaccard), shared by the
+# near-dup key's oracle and the threshold-sweep report's so the SQL
+# pipeline can never drift from itself: `ver` has no threshold filter,
+# each consumer applies its own.
+_MINHASH_VER_CTES = f"""
 WITH tok AS (
   SELECT doc_id, {_TOK} AS w FROM documents
 ),
@@ -497,7 +502,9 @@ ver AS (
   FROM cand c
   JOIN sets x ON c.doc_a = x.doc_id
   JOIN sets y ON c.doc_b = y.doc_id
-)
+)"""
+
+_MINHASH_ORACLE = f"""{_MINHASH_VER_CTES}
 SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= {_JACCARD_THRESHOLD}
 """
 
@@ -519,6 +526,85 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=_ROWS_PER_BAND,
     )
     return verify_pairs_jaccard(pairs, docs, _JACCARD_THRESHOLD)
+
+
+# The verify-threshold grid the sweep report evaluates. The lowest
+# point doubles as the verify filter: banding candidates with Jaccard
+# below it never enter the report.
+_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+_SWEEP_ORACLE = f"""{_MINHASH_VER_CTES},
+grid AS (
+  SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]::DOUBLE[])
+    AS threshold
+),
+members AS (
+  SELECT g.threshold, m.doc_id
+  FROM grid g
+  JOIN ver v ON v.jaccard >= g.threshold
+  CROSS JOIN (SELECT unnest([v.doc_a, v.doc_b]) AS doc_id) m
+),
+rep AS (
+  SELECT threshold,
+         count(*) // 2 AS pairs_kept,
+         count(DISTINCT doc_id) AS docs_flagged
+  FROM members GROUP BY 1
+)
+SELECT g.threshold,
+       CAST(coalesce(r.pairs_kept, 0) AS BIGINT) AS pairs_kept,
+       CAST(coalesce(r.docs_flagged, 0) AS BIGINT) AS docs_flagged
+FROM grid g LEFT JOIN rep r ON g.threshold = r.threshold
+"""
+
+
+@query(
+    "llm_dedup_threshold_sweep", oracle=_SWEEP_ORACLE, tags=("llm", "dedup")
+)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verify-threshold sweep report: pairs kept and distinct docs
+    flagged at each candidate Jaccard threshold (0.5–0.9) — the
+    observability query a pipeline owner runs before moving the
+    near-dup threshold, answering "how much MORE would 0.7 remove than
+    0.8?" without re-running dedup per candidate value. The banding
+    config is held fixed: the sweep tunes the VERIFY threshold for the
+    existing (bands × rows) recall curve; re-banding is a different
+    (and far more expensive) experiment.
+
+    Plan shape — the MinHash candidate+verify machinery runs ONCE, not
+    once per threshold: candidates verified at the grid's minimum, a
+    5-row threshold grid broadcast against the verified pairs (bounded
+    non-equi join: |ver| × ≤5 rows), pairs exploded to member grain so
+    ONE 5-group aggregate yields both counts (pairs = member rows / 2
+    exactly — every pair contributes two members; distinct docs via
+    count_distinct). Adding a grid point adds a literal, not a scan.
+    The oracle shares the `ver` CTE chain with `llm_dedup_minhash_lsh`
+    verbatim and re-derives the same report in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, num_bands=_NUM_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+    ver = verify_pairs_jaccard(pairs, docs, min(_SWEEP_THRESHOLDS))
+    grid = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    members = (
+        ver.join(F.broadcast(grid), F.col("jaccard") >= F.col("threshold"))
+        .select("threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+    )
+    rep = members.groupBy("threshold").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("pairs_kept"),
+        F.count_distinct("doc_id").cast("long").alias("docs_flagged"),
+    )
+    return (
+        grid.join(rep, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("pairs_kept", F.lit(0)).cast("long").alias("pairs_kept"),
+            F.coalesce("docs_flagged", F.lit(0))
+            .cast("long")
+            .alias("docs_flagged"),
+        )
+    )
 
 
 # Mirrors simhash_candidate_pairs(max_bucket_size=...) — the oracle

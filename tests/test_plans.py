@@ -1728,3 +1728,17 @@ def test_incremental_semantic_corpus_never_shuffles(qmap, spark, sf_dir):
     # corpus 2 + batch-index 3 + batch-vector 3 + spine 1 consumptions,
     # each doubled by the union fixture
     assert tree.count("Scan parquet") <= 18
+
+
+def test_threshold_sweep_runs_candidate_machinery_once(qmap, spark, sf_dir):
+    """The sweep report's 100 TB contract: the MinHash candidate+verify
+    pipeline runs ONCE — the sweep's parquet scan census equals the
+    base near-dup key's exactly (banding + two text attaches; adding a
+    grid point must add a literal, not a scan), the only non-equi join
+    is the broadcast of the 5-row threshold grid, and no cartesian
+    anywhere."""
+    t_sweep = tree_of(plan_of(qmap, spark, sf_dir, "llm_dedup_threshold_sweep"))
+    t_base = tree_of(plan_of(qmap, spark, sf_dir, "llm_dedup_minhash_lsh"))
+    assert t_sweep.count("Scan parquet") == t_base.count("Scan parquet")
+    assert "CartesianProduct" not in t_sweep
+    assert t_sweep.count("BroadcastNestedLoopJoin") == 1
