@@ -1216,3 +1216,78 @@ def test_connected_components_raises_when_rounds_exhausted(spark):
     ids = spark.range(13).select(F.col("id").alias("doc_id"))
     with pytest.raises(RuntimeError, match="max_rounds"):
         dedup_clusters(pairs, ids, max_rounds=0)
+
+
+def test_incremental_classify_skeleton_matches_python_model(spark):
+    """Differential check of `_incremental_classify_lsh` — the classify
+    skeleton both incremental dedup twins share — in isolation from
+    any real banding: a trivial one-bucket banding makes candidate
+    recall exhaustive and an equality score makes "duplicate" exact,
+    so the skeleton's whole output (status partition, first-wins
+    within the batch, min-corpus-id matching, matched score) must
+    equal a brute-force Python model on seeded random data. A second
+    pass with the bucket cap below the side sizes pins the cap's
+    whole-bucket-drop semantics: every candidate path dies, everything
+    classifies 'new'."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.operators.text_dedup import (
+        _incremental_classify_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 240
+    values = rng.integers(0, 60, size=n)  # small range forces collisions
+    rows = [(int(i), int(v)) for i, v in enumerate(values)]
+    corpus_rows = [r for r in rows if r[0] % 4 != 0]
+    batch_rows = [r for r in rows if r[0] % 4 == 0]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, val long")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, val long")
+
+    def banded(df, spread):
+        return df.select(
+            "doc_id", F.lit(0).alias("band"), F.lit("x").alias("bucket")
+        )
+
+    def score(a, b):
+        return F.when(a == b, F.lit(1.0)).otherwise(F.lit(0.0))
+
+    out = {
+        r.doc_id: (r.status, r.matched_id, r.score_r)
+        for r in _incremental_classify_lsh(
+            corpus, batch, banded, score, 0.5,
+            id_col="doc_id", payload_col="val",
+            matched_col="matched_id", score_out="score_r",
+            max_bucket_size=10_000,
+        ).collect()
+    }
+
+    corpus_by_val, batch_by_val = {}, {}
+    for i, v in corpus_rows:
+        corpus_by_val.setdefault(v, []).append(i)
+    expected = {}
+    for i, v in sorted(batch_rows):
+        if v in corpus_by_val:
+            expected[i] = ("dup_corpus", min(corpus_by_val[v]), 1.0)
+        elif v in batch_by_val and batch_by_val[v][0] < i:
+            expected[i] = ("dup_batch", batch_by_val[v][0], 1.0)
+        else:
+            expected[i] = ("new", None, None)
+        batch_by_val.setdefault(v, []).append(i)
+    assert out == expected
+    assert {s for s, _, _ in out.values()} == {"new", "dup_batch", "dup_corpus"}
+
+    # cap below both side sizes: the single bucket is dropped WHOLE on
+    # every path, so nothing can match — all 'new'
+    capped = {
+        r.doc_id: r.status
+        for r in _incremental_classify_lsh(
+            corpus, batch, banded, score, 0.5,
+            id_col="doc_id", payload_col="val",
+            matched_col="matched_id", score_out="score_r",
+            max_bucket_size=10,
+        ).collect()
+    }
+    assert set(capped) == set(expected)
+    assert set(capped.values()) == {"new"}
