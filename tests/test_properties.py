@@ -1222,26 +1222,45 @@ def test_incremental_classify_skeleton_matches_python_model(spark):
     """Differential check of `_incremental_classify_lsh` — the classify
     skeleton both incremental dedup twins share — in isolation from
     any real banding: a trivial one-bucket banding makes candidate
-    recall exhaustive and an equality score makes "duplicate" exact,
-    so the skeleton's whole output (status partition, first-wins
-    within the batch, min-corpus-id matching, matched score) must
-    equal a brute-force Python model on seeded random data. A second
-    pass with the bucket cap below the side sizes pins the cap's
-    whole-bucket-drop semantics: every candidate path dies, everything
-    classifies 'new'."""
+    recall exhaustive and a DISTANCE score (1 − |va−vb|/100, distinct
+    per pair) makes every contract observable against a brute-force
+    Python model: status partition, first-wins, min-id matching, the
+    >= threshold boundary (a planted pair scores exactly 0.5 and must
+    match; 0.49 must not), min_by semantics (the reported score is the
+    MIN-ID match's, planted strictly worse than the best match on both
+    the corpus and the batch path), and the finalize hook (a ×4 that
+    a dropped hook would visibly miss). A second pass with the bucket
+    cap below the side sizes pins the whole-bucket-drop semantics:
+    every candidate path dies, everything classifies 'new'."""
     import numpy as np
-    from pyspark.sql import functions as F
 
     from github_event_etl_spark.operators.text_dedup import (
         _incremental_classify_lsh,
     )
 
+    # seeded clustered background (docs within a cluster are mutual
+    # matches at distinct scores; clusters are >100 apart so they
+    # never cross) + planted edge cases. ids: %4 == 0 => batch.
     rng = np.random.default_rng(7)
-    n = 240
-    values = rng.integers(0, 60, size=n)  # small range forces collisions
-    rows = [(int(i), int(v)) for i, v in enumerate(values)]
-    corpus_rows = [r for r in rows if r[0] % 4 != 0]
-    batch_rows = [r for r in rows if r[0] % 4 == 0]
+    rows = [
+        (int(i), int(rng.integers(0, 10) * 500 + rng.integers(0, 40)))
+        for i in range(60)
+    ]
+    rows += [
+        (100, 100_000), (101, 100_010), (102, 100_001),
+        # corpus min-id match (101, s=0.9) is strictly worse than the
+        # best match (102, s=0.99): pins min_by over max/first
+        (104, 101_000), (105, 101_050),   # s exactly 0.50: >= keeps it
+        (108, 102_000), (109, 102_051),   # s=0.49: must NOT match
+        (112, 101_998),                   # first-wins: matches 108
+        # (101_998 is 53 from corpus doc 109's 102_051 — below threshold)
+        (116, 999_999),                   # isolated: new
+        (120, 103_000), (124, 103_004), (128, 103_008),
+        # 128's min-id batch match (120, s=0.92) is worse than its
+        # best (124, s=0.96): pins the intra-path min_by too
+    ]
+    corpus_rows = sorted(r for r in rows if r[0] % 4 != 0)
+    batch_rows = sorted(r for r in rows if r[0] % 4 == 0)
     corpus = spark.createDataFrame(corpus_rows, "doc_id long, val long")
     batch = spark.createDataFrame(batch_rows, "doc_id long, val long")
 
@@ -1251,32 +1270,47 @@ def test_incremental_classify_skeleton_matches_python_model(spark):
         )
 
     def score(a, b):
-        return F.when(a == b, F.lit(1.0)).otherwise(F.lit(0.0))
+        return F.lit(1.0) - F.abs(a - b).cast("double") / F.lit(100.0)
 
+    kwargs = dict(
+        id_col="doc_id", payload_col="val",
+        matched_col="matched_id", score_out="score_r",
+    )
     out = {
         r.doc_id: (r.status, r.matched_id, r.score_r)
         for r in _incremental_classify_lsh(
             corpus, batch, banded, score, 0.5,
-            id_col="doc_id", payload_col="val",
-            matched_col="matched_id", score_out="score_r",
             max_bucket_size=10_000,
+            finalize=lambda c: c * F.lit(4.0),
+            **kwargs,
         ).collect()
     }
 
-    corpus_by_val, batch_by_val = {}, {}
-    for i, v in corpus_rows:
-        corpus_by_val.setdefault(v, []).append(i)
+    # brute-force model: identical float expression, identical order
+    def py_score(va, vb):
+        return 1.0 - abs(va - vb) / 100.0
+
     expected = {}
-    for i, v in sorted(batch_rows):
-        if v in corpus_by_val:
-            expected[i] = ("dup_corpus", min(corpus_by_val[v]), 1.0)
-        elif v in batch_by_val and batch_by_val[v][0] < i:
-            expected[i] = ("dup_batch", batch_by_val[v][0], 1.0)
+    earlier = []
+    for i, v in batch_rows:
+        cm = [(j, w) for j, w in corpus_rows if py_score(v, w) >= 0.5]
+        bm = [(j, w) for j, w in earlier if py_score(v, w) >= 0.5]
+        if cm:
+            j, w = min(cm)
+            expected[i] = ("dup_corpus", j, py_score(v, w) * 4.0)
+        elif bm:
+            j, w = min(bm)
+            expected[i] = ("dup_batch", j, py_score(v, w) * 4.0)
         else:
             expected[i] = ("new", None, None)
-        batch_by_val.setdefault(v, []).append(i)
+        earlier.append((i, v))
     assert out == expected
     assert {s for s, _, _ in out.values()} == {"new", "dup_batch", "dup_corpus"}
+    # the plants landed as designed: boundary kept, min-id over best
+    assert out[104] == ("dup_corpus", 105, 0.5 * 4.0)
+    assert out[108][0] == "new" and out[112] == ("dup_batch", 108, 0.98 * 4.0)
+    assert out[100] == ("dup_corpus", 101, 0.9 * 4.0)  # not 102's 0.99
+    assert out[128] == ("dup_batch", 120, 0.92 * 4.0)  # not 124's 0.96
 
     # cap below both side sizes: the single bucket is dropped WHOLE on
     # every path, so nothing can match — all 'new'
@@ -1284,9 +1318,7 @@ def test_incremental_classify_skeleton_matches_python_model(spark):
         r.doc_id: r.status
         for r in _incremental_classify_lsh(
             corpus, batch, banded, score, 0.5,
-            id_col="doc_id", payload_col="val",
-            matched_col="matched_id", score_out="score_r",
-            max_bucket_size=10,
+            max_bucket_size=10, **kwargs,
         ).collect()
     }
     assert set(capped) == set(expected)
