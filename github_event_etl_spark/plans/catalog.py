@@ -69,15 +69,18 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 # the change). Once the post-change verification lands, the key
 # rejoins normal staleness ordering — a forgotten entry cannot
 # permanently hog the 50-key budget.
-_CHANGED_AFTER_ROUND = 7  # round-8 edits; r01-r07 artifacts predate them
+_CHANGED_AFTER_ROUND = 14  # round-15 edits; r01-r14 artifacts predate them
 
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # round 8: no output-semantics change to any existing key — the
-    # three r8 additions (scan_python_source, stream_interval_join,
-    # llm_multimodal_resize) are never-checked keys and rank ahead of
-    # the stale tail automatically. (Round 7's llm_rarity_score /
-    # llm_tfidf_topk entries self-cleared when their post-change green
-    # rows landed in CORRECTNESS_r07.)
+    # round 15: the llm_dedup_incremental_semantic ORACLE changed from
+    # parameter-free all-pairs cosine to DuckDB-recomputed RHP banding
+    # with the bucket-cap mirror (the VERDICT r14 item 5 / twin-
+    # asymmetry close). The Spark output is unchanged at every tested
+    # SF (the cap never binds below ~sf20000), but the driver compares
+    # against the NEW oracle, so the key must re-verify ahead of the
+    # stale tail. Self-clears when its post-change green row lands in
+    # an artifact newer than r14.
+    "llm_dedup_incremental_semantic",
 })
 
 # Keys added when the current round's 50-key verification window is
@@ -110,16 +113,16 @@ def staleness_bound_rounds() -> int:
     return -(-n // _DRIVER_KEYS_PER_ROUND)
 _DEFER_NEW_UNTIL_ROUND = 14
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # r13's seven over-budget additions self-cleared when the r13
-    # artifact landed (they became ordinary never-checked keys at the
-    # front of the r14 window), so the set is empty again.
-    # r14 window arithmetic: 7 never-checked r13 keys + 2 budgeted
-    # r14 keys (llm_dedup_incremental_semantic,
-    # llm_dedup_threshold_sweep) + the 32 remaining r11-stale keys +
-    # 9 oldest-r12 keys fill the 50; the r12
-    # cohort's remainder rotates through r15/r16, inside the
-    # ceil(len(all_specs()) / 50) staleness bound pinned by
-    # staleness_bound_rounds().
+    # Empty since r13's seven over-budget additions self-cleared.
+    # r15 window arithmetic: 1 changed key (the
+    # llm_dedup_incremental_semantic oracle mirror, see
+    # _CHANGED_THIS_ROUND) + all 41 r12-stale keys + the 8 oldest
+    # r13-stale keys fill the 50; zero new keys this round (the
+    # changed-key admission consumed the budget). After r15 no key's
+    # latest green row predates r13, holding the
+    # ceil(len(all_specs()) / 50) = 3-round staleness bound pinned by
+    # staleness_bound_rounds(); the r13 cohort's remainder (42 keys)
+    # rotates through r16.
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

@@ -789,9 +789,31 @@ def _planted_dup_corpus(emb: DataFrame) -> DataFrame:
     ≈ 0.99875 under the even-index mass-fraction model (observed min
     0.99874 on the synthetic corpus — the model is a hair loose),
     while the corpus' strongest organic pair sits near 0.5 — a clean
-    planted/organic gap for the 0.98 near-dup threshold."""
+    planted/organic gap for the 0.98 near-dup threshold.
+
+    Id-space guard: every rule downstream of this fixture (the
+    `% _PLANT_OFFSET` residue splits, plant-vs-base classification,
+    `matched_vec_id` expectations) assumes base vec_ids never reach
+    _PLANT_OFFSET — a corpus that outgrows it would COLLIDE planted
+    ids with real ones and silently misclassify while both engines
+    agree. The plant branch therefore refuses loudly: any input
+    vec_id ≥ _PLANT_OFFSET raises at run time (one JVM-side
+    comparison per row, codegen-friendly) instead of degrading."""
+    guarded_id = F.when(
+        F.col("vec_id") < _PLANT_OFFSET, F.col("vec_id")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "planted-dup fixture: vec_id %s >= _PLANT_OFFSET "
+                f"{_PLANT_OFFSET} — the planted id space collides with "
+                "real ids at this SF; raise _PLANT_OFFSET past "
+                "max(vec_id)",
+                F.col("vec_id"),
+            )
+        )
+    )
     pert = emb.select(
-        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"),
+        (guarded_id + F.lit(_PLANT_OFFSET)).alias("vec_id"),
         F.transform(
             F.col("embedding").cast("array<double>"),
             lambda x, i: x
@@ -3309,28 +3331,120 @@ def _incr_sem_is_batch(vec_id: Column) -> Column:
     )
 
 
-@query(
-    "llm_dedup_incremental_semantic",
-    oracle=f"""
-    WITH {_PLANTED_CORPUS_CTE},
-    split AS (
+# Degenerate-bucket cap for the incremental-semantic key, passed
+# explicitly to incremental_dedup_semantic AND mirrored in the
+# oracle's bb/cbk HAVING clauses — the same convention as the MinHash
+# twin's _INCR_MAX_BUCKET (commit 73a6423), closing the documented
+# twin asymmetry: before this mirror the oracle was parameter-free
+# all-pairs cosine, correct only while the cap never binds (~sf20000
+# on this fixture); now both engines carry the identical whole-bucket
+# drop rule at every SF.
+_INCR_SEM_MAX_BUCKET = 10_000
+
+
+def _rhp_bucket_exprs() -> list[str]:
+    """One DuckDB bucket expression per RHP table: the 12-char sign-bit
+    string `concat(CASE WHEN list_inner_product(v, plane) > 0 ...)`,
+    with the ±1 hyperplanes interpolated as literals from the SAME
+    `_plane_matrix` the Spark `rhp_signatures` UDF closure-captures —
+    the planes are md5-derived (similarity.py::_hyperplane, no RNG
+    state), so the banding is engine-portable and there is exactly ONE
+    source of truth for the plane constants. Bit order matches the
+    numpy path: bit p of table t is `dot(v, plane[t,p]) > 0`, MSB =
+    plane 0."""
+    from ..operators.similarity import _plane_matrix
+
+    M = _plane_matrix(64, _SEMANTIC_LSH_TABLES, _SEMANTIC_LSH_PLANES)
+    P = _SEMANTIC_LSH_PLANES
+    exprs = []
+    for t in range(_SEMANTIC_LSH_TABLES):
+        bits = []
+        for p in range(P):
+            plane = (
+                "[" + ",".join(str(int(x)) for x in M[t * P + p]) + "]::DOUBLE[]"
+            )
+            bits.append(
+                f"CASE WHEN list_inner_product(v, {plane}) > 0"
+                " THEN '1' ELSE '0' END"
+            )
+        exprs.append("concat(" + ",\n        ".join(bits) + ")")
+    return exprs
+
+
+def _incr_sem_bands_cte() -> str:
+    """The split → sigv → bands CTE chain (batch flag, per-table
+    signature list, exploded (band, bucket) keys) — ONE copy, shared
+    by `_incr_sem_oracle` and the band-parity differential test
+    (tests/test_llm.py), so the test provably exercises the oracle's
+    own banding text rather than a rebuilt twin."""
+    sig_list = "[\n      " + ",\n      ".join(_rhp_bucket_exprs()) + "\n      ]"
+    return f"""split AS (
       SELECT vec_id, v,
              {_INCR_SEM_IS_BATCH_SQL} AS is_batch
       FROM corpus
     ),
+    sigv AS (
+      SELECT vec_id, is_batch, {sig_list} AS sigs
+      FROM split
+    ),
+    bands AS (
+      SELECT vec_id, is_batch, b.band, sigs[b.band + 1] AS bucket
+      FROM sigv, (SELECT unnest(range(0, {_SEMANTIC_LSH_TABLES})) AS band) b
+    )"""
+
+
+def _incr_sem_oracle(max_bucket: int) -> str:
+    """The incremental-semantic oracle with DuckDB-recomputed RHP
+    banding and the degenerate-bucket cap interpolated — parameterized
+    (the `_incrm_oracle` convention) so the cap-binding differential
+    test can run BOTH engines at a tiny cap and prove the bb/cbk
+    mirror exact where it actually drops buckets. Candidates come from
+    capped (band, bucket) collisions exactly as in the engine
+    (`_incremental_classify_lsh`): batch-side counts over the full
+    batch banding, corpus-side counts over the full corpus banding
+    (Spark semi-filters the corpus first, but the semi-filter keeps
+    whole buckets, so per-bucket counts agree for every bucket that
+    can produce a candidate); whole oversized buckets drop per side;
+    verification stays exact cosine, so precision is unchanged and the
+    mirror only has to agree on candidate generation."""
+    return f"""
+    WITH {_PLANTED_CORPUS_CTE},
+    {_incr_sem_bands_cte()},
+    bb AS (
+      SELECT d.* FROM bands d
+      JOIN (SELECT band, bucket FROM bands WHERE is_batch
+            GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) k
+      USING (band, bucket)
+      WHERE d.is_batch
+    ),
+    cbk AS (
+      SELECT d.* FROM bands d
+      JOIN (SELECT band, bucket FROM bands WHERE NOT is_batch
+            GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) k
+      USING (band, bucket)
+      WHERE NOT d.is_batch
+    ),
     cross_ver AS (
       SELECT * FROM (
-        SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
-               {_cos_sql('b.v', 'c.v')} AS cs
-        FROM split b JOIN split c ON b.is_batch AND NOT c.is_batch
+        SELECT cc.batch_id, cc.corpus_id, {_cos_sql('x.v', 'y.v')} AS cs
+        FROM (
+          SELECT DISTINCT b.vec_id AS batch_id, c.vec_id AS corpus_id
+          FROM bb b JOIN cbk c ON b.band = c.band AND b.bucket = c.bucket
+        ) cc
+        JOIN split x ON cc.batch_id = x.vec_id
+        JOIN split y ON cc.corpus_id = y.vec_id
       ) WHERE cs >= {_LSH_DUP_THRESHOLD}
     ),
     intra_ver AS (
       SELECT * FROM (
-        SELECT l.vec_id AS doc_a, r.vec_id AS doc_b,
-               {_cos_sql('l.v', 'r.v')} AS cs
-        FROM split l JOIN split r
-          ON l.is_batch AND r.is_batch AND l.vec_id < r.vec_id
+        SELECT ic.doc_a, ic.doc_b, {_cos_sql('x.v', 'y.v')} AS cs
+        FROM (
+          SELECT DISTINCT l.vec_id AS doc_a, r.vec_id AS doc_b
+          FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+                             AND l.vec_id < r.vec_id
+        ) ic
+        JOIN split x ON ic.doc_a = x.vec_id
+        JOIN split y ON ic.doc_b = y.vec_id
       ) WHERE cs >= {_LSH_DUP_THRESHOLD}
     ),
     cross_best AS (
@@ -3352,7 +3466,12 @@ def _incr_sem_is_batch(vec_id: Column) -> Column:
     LEFT JOIN cross_best cb ON s.vec_id = cb.batch_id
     LEFT JOIN intra_best ib ON s.vec_id = ib.doc_b
     WHERE s.is_batch
-    """,
+    """
+
+
+@query(
+    "llm_dedup_incremental_semantic",
+    oracle=_incr_sem_oracle(_INCR_SEM_MAX_BUCKET),
     tags=("llm", "dedup", "embedding"),
 )
 def llm_dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3383,15 +3502,32 @@ def llm_dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFram
     here and the parameter-free exact all-pairs oracle value-checks
     status, matched id, AND cosine.
 
-    Cap convention: unlike `llm_dedup_incremental_minhash` — whose
-    planted groups grow ~N/20 and force the bucket cap into the oracle
-    — this oracle omits the degenerate-bucket cap (the
-    `llm_dup_cosine_lsh` convention). RHP buckets here grow only
-    ~2N/2^{_SEMANTIC_LSH_PLANES} ≈ N/2048 on this fixture, so the
-    10k cap first binds around N ≈ 2·10⁷ base vectors (~sf20000);
-    before running the key near that scale, raise planes_per_table
-    (the operator's own tuning law) or mirror the cap as the MinHash
-    oracle does."""
+    Cap convention: the oracle mirrors the degenerate-bucket cap
+    (bb/cbk HAVING clauses over DuckDB-recomputed RHP banding — the
+    planes are md5-derived and interpolated from the same
+    `_plane_matrix` Spark uses, see `_rhp_bucket_exprs`), the same
+    convention as `llm_dedup_incremental_minhash` since commit
+    73a6423. RHP buckets grow only ~2N/2^{_SEMANTIC_LSH_PLANES} ≈
+    N/2048 on this fixture, so the 10k cap first binds around
+    N ≈ 2·10⁷ base vectors (~sf20000) — but since both engines now
+    carry the identical whole-bucket drop rule, the key stays
+    value-identical past that scale instead of silently diverging.
+    Band parity and the cap mirror are each pinned by differential
+    pytests (bands set-equality at sf0.001; both engines at cap=1,
+    where the intra path collapses and dup_batch members flip to
+    new)."""
+    return _incr_sem_classified(spark, sf_dir)
+
+
+def _incr_sem_classified(
+    spark: SparkSession, sf_dir: str,
+    max_bucket_size: int = _INCR_SEM_MAX_BUCKET,
+) -> DataFrame:
+    """llm_dedup_incremental_semantic's body with the bucket cap
+    exposed (the `_incrm_classified` convention), so the cap-binding
+    differential test can run the SAME fixture at a tiny cap against
+    `_incr_sem_oracle(cap)` — the fixture lives once; tests must not
+    rebuild it by hand."""
     corpus_all = _planted_dup_corpus(load_table(spark, sf_dir, "embeddings"))
     is_batch = _incr_sem_is_batch(F.col("vec_id"))
     return incremental_dedup_semantic(
@@ -3401,4 +3537,5 @@ def llm_dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFram
         threshold=_LSH_DUP_THRESHOLD,
         num_tables=_SEMANTIC_LSH_TABLES,
         planes_per_table=_SEMANTIC_LSH_PLANES,
+        max_bucket_size=max_bucket_size,
     )

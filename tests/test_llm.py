@@ -1894,3 +1894,129 @@ def test_incremental_semantic_statuses_and_plants(spark, sf_dir):
             assert r.status == "dup_corpus"
             assert r.matched_vec_id == (base if vid != base else plant)
             assert r.cosine_r >= 0.9987
+
+
+def test_incremental_semantic_bands_mirror_exact(spark, sf_dir):
+    """The oracle's DuckDB-recomputed RHP banding (interpolated-plane
+    list_inner_product, queries_llm._incr_sem_bands_cte) must
+    reproduce Spark's numpy banding (similarity.rhp_signatures)
+    BIT-EXACTLY on real data — bucket membership drives both candidate
+    generation and the cap's occupancy counts, so a single disagreeing
+    signature could silently shift which buckets the cap drops. The
+    only cross-engine hazard is float summation order in the dot
+    products (the ±1 planes themselves are md5-derived integers from
+    the shared _plane_matrix), so set-equality over every (vec_id,
+    band, bucket) of the planted corpus is the strongest possible
+    parity check."""
+    from github_event_etl_spark.operators.similarity import rhp_signatures
+    from github_event_etl_spark.plans.queries_llm import (
+        _PLANTED_CORPUS_CTE,
+        _SEMANTIC_LSH_PLANES,
+        _SEMANTIC_LSH_TABLES,
+        _incr_sem_bands_cte,
+        _planted_dup_corpus,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    from .oracle_harness import duckdb_connection
+
+    corpus = _planted_dup_corpus(load_table(spark, sf_dir, "embeddings"))
+    sig_fn = rhp_signatures(64, _SEMANTIC_LSH_TABLES, _SEMANTIC_LSH_PLANES)
+    spark_bands = {
+        (r.vec_id, r.band, r.bucket)
+        for r in corpus.select(
+            "vec_id",
+            F.posexplode(sig_fn(F.col("embedding"))).alias("band", "bucket"),
+        ).collect()
+    }
+    con = duckdb_connection(sf_dir)
+    duck_bands = {
+        (int(v), int(b), s)
+        for v, b, s in con.sql(
+            f"WITH {_PLANTED_CORPUS_CTE}, {_incr_sem_bands_cte()} "
+            "SELECT vec_id, band, bucket FROM bands"
+        ).fetchall()
+    }
+    assert duck_bands == spark_bands
+    # exactly one bucket per (vector, table): nothing collapsed away
+    assert len(spark_bands) == corpus.count() * _SEMANTIC_LSH_TABLES
+
+
+def test_incremental_semantic_cap_mirror_binds_identically(spark, sf_dir):
+    """The degenerate-bucket cap must mean the SAME thing in both
+    engines where it actually drops buckets (the MinHash twin's
+    cap-mirror test applied to the semantic twin). The production cap
+    first binds near ~sf20000 on this fixture, so the test runs the
+    registered fixture at cap=1 — every bucket holding a planted pair
+    is oversized, the intra (dup_batch) path collapses entirely, and
+    dup_corpus survival depends on which (band, bucket) keys are
+    SINGLETON on both sides, i.e. on the mirror's exact occupancy
+    counts — through Spark AND `_incr_sem_oracle(1)`, asserts they
+    still value-match, and that the capped answer differs from the
+    registered uncapped-at-this-SF one (the cap fired)."""
+    from github_event_etl_spark.plans.queries_llm import (
+        _incr_sem_classified,
+        _incr_sem_oracle,
+        llm_dedup_incremental_semantic,
+    )
+
+    from .oracle_harness import compare_query, duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    result = compare_query(
+        spark,
+        con,
+        "incrsem_cap1",
+        lambda s, d: _incr_sem_classified(s, d, max_bucket_size=1),
+        _incr_sem_oracle(1),
+        sf_dir,
+    )
+    assert result.ok, result.detail
+
+    capped = {
+        r.vec_id: (r.status, r.matched_vec_id)
+        for r in _incr_sem_classified(
+            spark, sf_dir, max_bucket_size=1
+        ).collect()
+    }
+    uncapped = {
+        r.vec_id: (r.status, r.matched_vec_id)
+        for r in llm_dedup_incremental_semantic(spark, sf_dir).collect()
+    }
+    assert capped != uncapped, "cap=1 never fired: test is vacuous"
+    # the cap only ever suppresses matches, never invents them
+    rank = {"new": 0, "dup_batch": 1, "dup_corpus": 1}
+    for d, (st, _m) in capped.items():
+        assert rank[st] <= rank[uncapped[d][0]]
+
+
+def test_planted_corpus_guards_id_space(spark):
+    """ADVICE r15: the planted-dup fixture's residue arithmetic assumes
+    every base vec_id < _PLANT_OFFSET; past that the plant-id space
+    collides with real ids and the split rules misclassify while both
+    engines agree (the oracle shares the arithmetic). The fixture must
+    therefore fail LOUDLY, not degrade: a vec_id at the offset raises
+    at run time, and an in-range corpus still plants cleanly."""
+    from github_event_etl_spark.plans.queries_llm import (
+        _PLANT_OFFSET,
+        _planted_dup_corpus,
+    )
+
+    ok = spark.createDataFrame(
+        [(0, [1.0] * 64), (_PLANT_OFFSET - 1, [2.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    ids = {r.vec_id for r in _planted_dup_corpus(ok).collect()}
+    assert ids == {0, _PLANT_OFFSET - 1, _PLANT_OFFSET, 2 * _PLANT_OFFSET - 1}
+
+    bad = spark.createDataFrame(
+        [(0, [1.0] * 64), (_PLANT_OFFSET, [2.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    # collect vec_id specifically: every real consumer reads vec_id
+    # (splits, banding, matched ids), so the guard sits on a column
+    # that cannot be pruned out of a declared query's plan — but a
+    # bare count() WOULD prune it, which is fine (a count alone can't
+    # misclassify anything).
+    with pytest.raises(Exception, match="_PLANT_OFFSET"):
+        _planted_dup_corpus(bad).select("vec_id").collect()
