@@ -41,31 +41,43 @@ HEADLINE = [
 # Newly-landed catalog keys, benched OUTSIDE the fixed headline set so
 # round-over-round baseline comparisons stay apples-to-apples (same
 # policy as `pipelines`). Module-level so tests can pin the census.
+#
+# Graduation policy (r15): the parsed bench line must stay under the
+# driver's tail capture (test_bench_final_line_fits_driver_tail_capture
+# enforces 1,800 chars WITH five-component growth headroom), so
+# components that have been flat for ≥3 rounds and were never flagged
+# by a round's regression scan rotate OUT when the census needs room —
+# their history lives in the committed BENCH_r*.json series; anything a
+# VERDICT actively tracks stays. Retired r15: fn_unpivot,
+# fn_url_extract, llm_bpe_pairs, sessionize_gap, agg_quantile_clip.
 COMPONENTS = [
     "stream_interval_join",
     "stream_interval_join_outer",
     "scan_python_source",
     "stream_python_source",
     "llm_multimodal_resize",
-    "llm_bpe_pairs",
     "profile_table",
     "profile_table_approx",
     "merge_upsert",
     "scd2_history",
-    "sessionize_gap",
     "join_bucketed_colocated",
     "profile_drift",
-    "fn_unpivot",
     "layout_zorder_prune",
     "gapfill_hourly",
     "profile_histogram",
-    "fn_url_extract",
     "gapfill_locf_reading",
     "gapfill_interp_reading",
-    "agg_quantile_clip",
     "profile_histogram_eqdepth",
     "llm_dedup_semantic",
     "llm_dedup_incremental_semantic",
+]
+# Composed end-to-end pipelines (plans/pipelines.py), benched in their
+# own section under job-sized parallelism — OUT of the headline total,
+# same policy as COMPONENTS. Module-level so tests pin the census
+# against the live list instead of rebuilding it by hand.
+PIPELINES = [
+    "dedup_e2e",
+    "incremental_e2e",
 ]
 # LLM-pipeline + streaming headliners (import-safe: skipped if absent).
 OPTIONAL = [
@@ -225,16 +237,30 @@ def main() -> None:
     # force time. Restored after.
     pipelines: dict[str, float] = {}
 
-    def _pipeline_rep():
-        from github_event_etl_spark.plans.pipelines import dedup_e2e_pipeline
+    def _with_pipeline_parallelism(fn):
+        """One rep of a composed pipeline under the job-sized shuffle
+        parallelism described above, conf restored after."""
+        def rep():
+            key = "spark.sql.shuffle.partitions"
+            prev = spark.conf.get(key)
+            spark.conf.set(key, "16")
+            try:
+                _force(fn(spark, sf_dir))
+            finally:
+                spark.conf.set(key, prev)
 
-        key = "spark.sql.shuffle.partitions"
-        prev = spark.conf.get(key)
-        spark.conf.set(key, "16")
-        try:
-            _force(dedup_e2e_pipeline(spark, sf_dir))
-        finally:
-            spark.conf.set(key, prev)
+        return rep
+
+    from github_event_etl_spark.plans.pipelines import (
+        dedup_e2e_pipeline,
+        incremental_e2e_pipeline,
+    )
+
+    _pipeline_fns = {
+        "dedup_e2e": dedup_e2e_pipeline,
+        "incremental_e2e": incremental_e2e_pipeline,
+    }
+    assert set(_pipeline_fns) == set(PIPELINES), "PIPELINES census drifted"
 
     # Pipeline-section warmup (same footing as the JVM/UDF/streaming
     # warmups above): the composite plans dozens of UNIQUE codegen
@@ -245,9 +271,14 @@ def main() -> None:
     # ~6 — the steady state a long-running cluster job actually sees.
     # Two untimed warmup reps move the measured median out of the ramp;
     # BASELINE.md's series notes the policy change at r10.
-    for _ in range(2):
-        _guard("pipeline_warmup", _pipeline_rep)
-    _bench_into(pipelines, "dedup_e2e", _pipeline_rep)
+    # Each pipeline gets its OWN two untimed warmup reps — their stage
+    # chains are disjoint sets of unique codegen stages, so each pays
+    # its own janino + C2 ramp (the dedup_e2e measurement, r10).
+    for pname in PIPELINES:
+        rep = _with_pipeline_parallelism(_pipeline_fns[pname])
+        for _ in range(2):
+            _guard(f"{pname}_warmup", rep)
+        _bench_into(pipelines, pname, rep)
 
     components: dict[str, float] = {}
     for name in [n for n in COMPONENTS if n in qmap]:

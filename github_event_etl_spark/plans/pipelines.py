@@ -42,9 +42,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.graph import dedup_clusters
+from ..operators.similarity import incremental_dedup_semantic
 from ..operators.text_analysis import quality_score, regex_token_count
 from ..operators.text_dedup import (
     duplicated_spans,
+    incremental_dedup,
+    incremental_dedup_minhash,
     minhash_candidate_pairs,
     remove_spans,
     verify_pairs_jaccard,
@@ -155,4 +158,143 @@ def dedup_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_tokens_removed"
         ),
         F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+    )
+
+
+# ------------------------------------------------- incremental e2e pipeline
+
+_INCR_E2E_BATCH_SPLIT = 8  # doc_id % 10 >= 8 → the daily 20% increment
+_INCR_E2E_JACCARD = 0.8
+_INCR_E2E_COSINE = 0.98
+_INCR_E2E_SEM_TABLES = 12
+_INCR_E2E_SEM_PLANES = 12
+
+
+def incremental_e2e_classify(
+    corpus_docs: DataFrame,
+    batch_docs: DataFrame,
+    corpus_emb: DataFrame,
+    batch_emb: DataFrame,
+) -> DataFrame:
+    """The daily-increment waterfall, one composed plan over the three
+    incremental twins (all built on the shared
+    `_incremental_classify_lsh` / broadcast-semi-filter skeleton, so
+    this composition exercises the whole family under one optimizer
+    pass): classify each incoming batch doc
+
+        exact content hash   → 'exact'    dup_corpus / dup_batch
+        else MinHash-LSH     → 'minhash'  dup_corpus / dup_batch
+        else RHP-LSH cosine  → 'semantic' dup_corpus / dup_batch
+        else                 → 'none'     new
+
+    cheapest-test-first, each stage seeing only the docs the previous
+    stage could not resolve — exactly how a production increment runs
+    (nobody MinHashes content an exact hash already matched). Returns
+    one row per batch doc: (doc_id, stage, status, matched_id); the
+    conservation pytest pins "every batch doc exactly one row".
+
+    The semantic stage classifies through the embeddings table
+    (vec_id = doc_id); remaining docs WITHOUT an embedding fall
+    through to 'none'/'new' — at 100 TB the embedding join is a
+    left-semi-shaped id equi-join, never a corpus shuffle.
+
+    Materialization points (the dedup_e2e convention): each stage's
+    verdict frame is eagerly localCheckpoint-ed SCALARS-ONLY (doc_id,
+    status, matched id — never text, never vectors). Without it the
+    next stage's batch subtree — which the classify skeleton
+    deliberately plans ~3× — would nest the ENTIRE previous stage's
+    join tree inside each copy, multiplying corpus scans ~3× per
+    stage; with it each stage replays at most a cheap id equi-join
+    back to the pruned parquet scan. Cluster runs swap localCheckpoint
+    for a checkpoint dir or DISK persist, same as dedup_e2e."""
+    exact_st = incremental_dedup(corpus_docs, batch_docs).select(
+        "doc_id",
+        "status",
+        F.col("first_seen_doc_id").alias("matched_id"),
+    )
+    exact_st = exact_st.localCheckpoint(eager=True)
+    resolved_exact = exact_st.filter(F.col("status") != "new").select(
+        "doc_id", F.lit("exact").alias("stage"), "status", "matched_id"
+    )
+    rem_after_exact = exact_st.filter(F.col("status") == "new").select(
+        "doc_id"
+    )
+
+    batch_near = batch_docs.join(rem_after_exact, "doc_id")
+    near_st = incremental_dedup_minhash(
+        corpus_docs,
+        batch_near,
+        threshold=_INCR_E2E_JACCARD,
+    ).select(
+        "doc_id", "status", F.col("matched_doc_id").alias("matched_id")
+    )
+    near_st = near_st.localCheckpoint(eager=True)
+    resolved_near = near_st.filter(F.col("status") != "new").select(
+        "doc_id", F.lit("minhash").alias("stage"), "status", "matched_id"
+    )
+    rem_after_near = near_st.filter(F.col("status") == "new").select(
+        "doc_id"
+    )
+
+    batch_vec = batch_emb.join(
+        rem_after_near.withColumnRenamed("doc_id", "vec_id"), "vec_id"
+    )
+    sem_resolved = (
+        incremental_dedup_semantic(
+            corpus=corpus_emb,
+            batch=batch_vec,
+            dim=64,
+            threshold=_INCR_E2E_COSINE,
+            num_tables=_INCR_E2E_SEM_TABLES,
+            planes_per_table=_INCR_E2E_SEM_PLANES,
+        )
+        .filter(F.col("status") != "new")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.lit("semantic").alias("stage"),
+            "status",
+            F.col("matched_vec_id").alias("matched_id"),
+        )
+    )
+    # everything stage 3 resolved leaves the remainder; docs with no
+    # embedding never entered stage 3 and stay here too
+    unresolved = rem_after_near.join(
+        sem_resolved.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.lit("none").alias("stage"),
+        F.lit("new").alias("status"),
+        F.lit(None).cast("long").alias("matched_id"),
+    )
+    return (
+        resolved_exact.unionByName(resolved_near)
+        .unionByName(sem_resolved)
+        .unionByName(unresolved)
+    )
+
+
+def incremental_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed daily-increment job over the real tables: split
+    documents (and their embeddings) 80/20 on `doc_id % 10 >=
+    {_INCR_E2E_BATCH_SPLIT}`, run the exact → MinHash → semantic
+    waterfall, and report (stage, status, n_docs) — the merged status
+    report a pipeline operator reads each morning. Benchmarked by
+    bench.py as `pipelines.incremental_e2e` (outside the headline
+    total, the dedup_e2e policy); per-operator correctness is already
+    oracle-pinned by the three llm_dedup_incremental* keys, so this
+    publishes the COMPOSITION's wall-clock, not new semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    doc_is_batch = (F.col("doc_id") % 10) >= _INCR_E2E_BATCH_SPLIT
+    vec_is_batch = (F.col("vec_id") % 10) >= _INCR_E2E_BATCH_SPLIT
+    per_doc = incremental_e2e_classify(
+        corpus_docs=docs.filter(~doc_is_batch),
+        batch_docs=docs.filter(doc_is_batch),
+        corpus_emb=emb.filter(~vec_is_batch),
+        batch_emb=emb.filter(vec_is_batch),
+    )
+    return (
+        per_doc.groupBy("stage", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("stage", "status")
     )

@@ -236,7 +236,7 @@ def test_load_prior_recovers_truncated_spread_line(tmp_path):
         {
             "spread": {
                 n: [9.111, 9.999]
-                for n in names + ["dedup_e2e"] + bench.COMPONENTS
+                for n in names + bench.PIPELINES + bench.COMPONENTS
             }
         }
     )
@@ -248,7 +248,7 @@ def test_load_prior_recovers_truncated_spread_line(tmp_path):
             "queries": {n: 9.5 for n in names},
             "reps": 3,
             "sf": 0.1,
-            "pipelines": {"dedup_e2e": 9.5},
+            "pipelines": {n: 9.5 for n in bench.PIPELINES},
             "components": {n: 9.5 for n in bench.COMPONENTS},
         }
     )
@@ -295,7 +295,7 @@ def test_bench_final_line_fits_driver_tail_capture():
         "queries": {n: val for n in bench.HEADLINE + bench.OPTIONAL},
         "reps": 3,
         "sf": 0.1,
-        "pipelines": {"dedup_e2e": val},
+        "pipelines": {n: val for n in bench.PIPELINES},
         "components": {n: val for n in bench.COMPONENTS + headroom},
         # error DETAILS go on their own line; the parsed line carries
         # only this count, so a failing run stays under the capture too

@@ -2020,3 +2020,120 @@ def test_planted_corpus_guards_id_space(spark):
     # misclassify anything).
     with pytest.raises(Exception, match="_PLANT_OFFSET"):
         _planted_dup_corpus(bad).select("vec_id").collect()
+
+
+def test_incremental_e2e_conservation(spark, sf_dir):
+    """The composed exact → MinHash → semantic increment waterfall must
+    give every batch doc EXACTLY one final (stage, status) row — a doc
+    resolved at one stage must not reappear at a later one, and a doc
+    no stage resolves must still surface as ('none', 'new'). Checked on
+    the real tables at the test SF, plus report-level totals."""
+    from github_event_etl_spark.plans.pipelines import (
+        _INCR_E2E_BATCH_SPLIT,
+        incremental_e2e_classify,
+        incremental_e2e_pipeline,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    doc_is_batch = (F.col("doc_id") % 10) >= _INCR_E2E_BATCH_SPLIT
+    vec_is_batch = (F.col("vec_id") % 10) >= _INCR_E2E_BATCH_SPLIT
+    n_batch = docs.filter(doc_is_batch).count()
+
+    per_doc = incremental_e2e_classify(
+        corpus_docs=docs.filter(~doc_is_batch),
+        batch_docs=docs.filter(doc_is_batch),
+        corpus_emb=emb.filter(~vec_is_batch),
+        batch_emb=emb.filter(vec_is_batch),
+    )
+    rows = per_doc.collect()
+    assert len(rows) == n_batch
+    assert len({r.doc_id for r in rows}) == n_batch
+    valid = {
+        ("exact", "dup_corpus"), ("exact", "dup_batch"),
+        ("minhash", "dup_corpus"), ("minhash", "dup_batch"),
+        ("semantic", "dup_corpus"), ("semantic", "dup_batch"),
+        ("none", "new"),
+    }
+    for r in rows:
+        assert (r.stage, r.status) in valid
+        assert (r.matched_id is None) == (r.status == "new")
+
+    report = incremental_e2e_pipeline(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in report) == n_batch
+
+
+def test_incremental_e2e_planted_stages(spark):
+    """Planted frames fire every (stage, status) cell of the waterfall
+    exactly once, pinning stage ATTRIBUTION (cheapest test wins) and
+    the no-embedding fall-through. Statuses are model-derived from the
+    three twins' already-differentially-tested semantics; only the
+    STRUCTURE (which doc lands where) is hand-specified:
+      - b10 copies corpus text            → exact/dup_corpus
+      - b12 copies b11's (batch) text     → exact/dup_batch, b11 moves on
+      - b13 whitespace-variant of corpus  → minhash/dup_corpus
+      - b15 whitespace-variant of b14     → minhash/dup_batch
+      - b11's embedding ∥ a corpus vector → semantic/dup_corpus
+      - b17's embedding ∥ b16's           → semantic/dup_batch
+      - b14 (no embedding), b16 (orthogonal embedding) → none/new"""
+    from github_event_etl_spark.plans.pipelines import (
+        incremental_e2e_classify,
+    )
+
+    t_c0 = "alpha beta gamma delta epsilon zeta eta theta"
+    t_c1 = "one two three four five six seven eight"
+    t_b11 = "unique text eleven aa bb cc dd ee"
+    t_b14 = "red green blue cyan magenta yellow black white"
+    corpus_docs = spark.createDataFrame(
+        [(0, t_c0), (1, t_c1)], "doc_id long, text string"
+    )
+    batch_docs = spark.createDataFrame(
+        [
+            (10, t_c0),                              # exact dup of corpus
+            (11, t_b11),                             # → semantic stage
+            (12, t_b11),                             # exact dup of b11
+            (13, t_c1.replace("one ", "one  ", 1)),  # near-dup of corpus
+            (14, t_b14),                             # → none (no embedding)
+            (15, t_b14.replace("red ", "red  ", 1)),  # near-dup of b14
+            (16, "totally fresh sixteen ff gg hh ii jj"),   # → none
+            (17, "totally fresh seventeen kk ll mm nn oo"),  # → semantic
+        ],
+        "doc_id long, text string",
+    )
+
+    def basis(i, scale=1.0):
+        v = [0.0] * 64
+        v[i] = scale
+        return v
+
+    corpus_emb = spark.createDataFrame(
+        [(0, basis(1)), (1, basis(0))],
+        "vec_id long, embedding array<double>",
+    )
+    batch_emb = spark.createDataFrame(
+        [
+            (10, basis(0, 5.0)),  # resolved at exact: must be ignored
+            (11, basis(0, 2.0)),  # ∥ corpus vec 1
+            (16, basis(2)),       # orthogonal to everything
+            (17, basis(2, 3.0)),  # ∥ b16
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    got = {
+        r.doc_id: (r.stage, r.status, r.matched_id)
+        for r in incremental_e2e_classify(
+            corpus_docs, batch_docs, corpus_emb, batch_emb
+        ).collect()
+    }
+    assert got == {
+        10: ("exact", "dup_corpus", 0),
+        11: ("semantic", "dup_corpus", 1),
+        12: ("exact", "dup_batch", 11),
+        13: ("minhash", "dup_corpus", 1),
+        14: ("none", "new", None),
+        15: ("minhash", "dup_batch", 14),
+        16: ("none", "new", None),
+        17: ("semantic", "dup_batch", 16),
+    }

@@ -1742,3 +1742,30 @@ def test_threshold_sweep_runs_candidate_machinery_once(qmap, spark, sf_dir):
     assert t_sweep.count("Scan parquet") == t_base.count("Scan parquet")
     assert "CartesianProduct" not in t_sweep
     assert t_sweep.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_incremental_e2e_pipeline_plan_is_scale_safe(spark, sf_dir):
+    """The composed exact→MinHash→semantic increment waterfall must
+    inherit every twin's scale posture in the FINAL composed plan: no
+    cartesian/nested-loop join and no pickled row-at-a-time Python
+    (the MinHash/RHP signature UDFs are Arrow-vectorized —
+    ArrowEvalPython is expected, BatchEvalPython is not). The
+    stage-level scale contracts (corpus-never-shuffles, broadcast
+    semi-filters) are plan-gated per twin by their own tests; this
+    gate guards the composition against a regression that survives
+    only when the stages are chained."""
+    import contextlib as _ctx
+    import io as _io
+
+    from github_event_etl_spark.plans.pipelines import (
+        incremental_e2e_pipeline,
+    )
+
+    df = incremental_e2e_pipeline(spark, sf_dir)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
