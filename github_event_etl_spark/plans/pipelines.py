@@ -34,6 +34,11 @@ graph that is tiny relative to the corpus at any scale. The span stage
 runs AFTER document-level dedup and curation on purpose: it scans only
 the kept corpus (smaller), and dropping whole duplicate documents
 first means their passages never inflate the gram df counts.
+
+`incremental_e2e_pipeline` (r15) is the daily-increment counterpart:
+the three incremental classify twins (exact hash / MinHash-LSH /
+RHP-semantic, one shared skeleton) composed as a cheapest-test-first
+waterfall over an 80/20 split, benched as `pipelines.incremental_e2e`.
 """
 
 from __future__ import annotations
@@ -175,6 +180,7 @@ def incremental_e2e_classify(
     batch_docs: DataFrame,
     corpus_emb: DataFrame,
     batch_emb: DataFrame,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """The daily-increment waterfall, one composed plan over the three
     incremental twins (all built on the shared
@@ -206,40 +212,67 @@ def incremental_e2e_classify(
     join tree inside each copy, multiplying corpus scans ~3× per
     stage; with it each stage replays at most a cheap id equi-join
     back to the pruned parquet scan. Cluster runs swap localCheckpoint
-    for a checkpoint dir or DISK persist, same as dedup_e2e."""
-    exact_st = incremental_dedup(corpus_docs, batch_docs).select(
-        "doc_id",
-        "status",
-        F.col("first_seen_doc_id").alias("matched_id"),
+    for a checkpoint dir or DISK persist, same as dedup_e2e.
+    `checkpoint=False` keeps the whole waterfall ONE lazy plan — the
+    plan gate uses it so its assertions see all three stages, not the
+    ExistingRDD stubs the checkpoints leave behind.
+
+    Remainders are derived by ANTI-JOINING each stage's input ids
+    against that stage's resolved set — never by filtering the
+    stage's own output for 'new'. The two differ exactly on rows a
+    stage cannot emit a verdict for: a NULL-text doc hashes to a NULL
+    content_hash and falls out of the exact twin's equi-join
+    entirely, so an output-filter remainder would drop it from the
+    waterfall (no row at all, breaking the one-status-per-doc
+    conservation contract); the anti-join remainder carries it
+    forward to the later stages and, if nothing resolves it, the
+    'none'/'new' fall-through."""
+    mat = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if checkpoint
+        else (lambda df: df)
     )
-    exact_st = exact_st.localCheckpoint(eager=True)
+    batch_ids = batch_docs.select("doc_id")
+
+    exact_st = mat(
+        incremental_dedup(corpus_docs, batch_docs).select(
+            "doc_id",
+            "status",
+            F.col("first_seen_doc_id").alias("matched_id"),
+        )
+    )
     resolved_exact = exact_st.filter(F.col("status") != "new").select(
         "doc_id", F.lit("exact").alias("stage"), "status", "matched_id"
     )
-    rem_after_exact = exact_st.filter(F.col("status") == "new").select(
-        "doc_id"
+    rem_after_exact = batch_ids.join(
+        resolved_exact.select("doc_id"), "doc_id", "left_anti"
     )
 
     batch_near = batch_docs.join(rem_after_exact, "doc_id")
-    near_st = incremental_dedup_minhash(
-        corpus_docs,
-        batch_near,
-        threshold=_INCR_E2E_JACCARD,
-    ).select(
-        "doc_id", "status", F.col("matched_doc_id").alias("matched_id")
+    near_st = mat(
+        incremental_dedup_minhash(
+            corpus_docs,
+            batch_near,
+            threshold=_INCR_E2E_JACCARD,
+        ).select(
+            "doc_id", "status", F.col("matched_doc_id").alias("matched_id")
+        )
     )
-    near_st = near_st.localCheckpoint(eager=True)
     resolved_near = near_st.filter(F.col("status") != "new").select(
         "doc_id", F.lit("minhash").alias("stage"), "status", "matched_id"
     )
-    rem_after_near = near_st.filter(F.col("status") == "new").select(
-        "doc_id"
+    rem_after_near = rem_after_exact.join(
+        resolved_near.select("doc_id"), "doc_id", "left_anti"
     )
 
     batch_vec = batch_emb.join(
         rem_after_near.withColumnRenamed("doc_id", "vec_id"), "vec_id"
     )
-    sem_resolved = (
+    # stage 3's verdicts feed TWO consumers (the final union and the
+    # remainder anti-join below), so it is materialized like the other
+    # stages — without it the most expensive stage's join tree is
+    # planned, and partially re-executed, once per consumer
+    sem_st = mat(
         incremental_dedup_semantic(
             corpus=corpus_emb,
             batch=batch_vec,
@@ -247,14 +280,14 @@ def incremental_e2e_classify(
             threshold=_INCR_E2E_COSINE,
             num_tables=_INCR_E2E_SEM_TABLES,
             planes_per_table=_INCR_E2E_SEM_PLANES,
-        )
-        .filter(F.col("status") != "new")
-        .select(
+        ).select(
             F.col("vec_id").alias("doc_id"),
-            F.lit("semantic").alias("stage"),
             "status",
             F.col("matched_vec_id").alias("matched_id"),
         )
+    )
+    sem_resolved = sem_st.filter(F.col("status") != "new").select(
+        "doc_id", F.lit("semantic").alias("stage"), "status", "matched_id"
     )
     # everything stage 3 resolved leaves the remainder; docs with no
     # embedding never entered stage 3 and stay here too
@@ -273,7 +306,9 @@ def incremental_e2e_classify(
     )
 
 
-def incremental_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def incremental_e2e_pipeline(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """The composed daily-increment job over the real tables: split
     documents (and their embeddings) 80/20 on `doc_id % 10 >=
     {_INCR_E2E_BATCH_SPLIT}`, run the exact → MinHash → semantic
@@ -282,7 +317,9 @@ def incremental_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench.py as `pipelines.incremental_e2e` (outside the headline
     total, the dedup_e2e policy); per-operator correctness is already
     oracle-pinned by the three llm_dedup_incremental* keys, so this
-    publishes the COMPOSITION's wall-clock, not new semantics."""
+    publishes the COMPOSITION's wall-clock, not new semantics.
+    `checkpoint` passes through to `incremental_e2e_classify` (False =
+    one fully lazy plan, used by the plan gate)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     doc_is_batch = (F.col("doc_id") % 10) >= _INCR_E2E_BATCH_SPLIT
@@ -292,6 +329,7 @@ def incremental_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_docs=docs.filter(doc_is_batch),
         corpus_emb=emb.filter(~vec_is_batch),
         batch_emb=emb.filter(vec_is_batch),
+        checkpoint=checkpoint,
     )
     return (
         per_doc.groupBy("stage", "status")

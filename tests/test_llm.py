@@ -1896,7 +1896,12 @@ def test_incremental_semantic_statuses_and_plants(spark, sf_dir):
             assert r.cosine_r >= 0.9987
 
 
-def test_incremental_semantic_bands_mirror_exact(spark, sf_dir):
+@pytest.mark.parametrize(
+    "band_sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+    ids=["sf0.001", "sf0.01"],
+)
+def test_incremental_semantic_bands_mirror_exact(spark, band_sf_dir):
     """The oracle's DuckDB-recomputed RHP banding (interpolated-plane
     list_inner_product, queries_llm._incr_sem_bands_cte) must
     reproduce Spark's numpy banding (similarity.rhp_signatures)
@@ -1905,7 +1910,14 @@ def test_incremental_semantic_bands_mirror_exact(spark, sf_dir):
     signature could silently shift which buckets the cap drops. The
     only cross-engine hazard is float summation order in the dot
     products (the ±1 planes themselves are md5-derived integers from
-    the shared _plane_matrix), so set-equality over every (vec_id,
+    the shared _plane_matrix): numpy's pairwise matmul summation and
+    DuckDB's sequential list_inner_product could in principle round a
+    near-cancelling dot to opposite signs. Parity is therefore pinned
+    at BOTH the smoke SF and the driver's sf0.01 gate input — a flip
+    would need |dot| within ~1e-13 of zero while typical |dot| is
+    O(1), and a planted pair additionally survives via its other 11
+    tables, so result-level divergence needs compounded
+    astronomically-unlikely flips. Set-equality over every (vec_id,
     band, bucket) of the planted corpus is the strongest possible
     parity check."""
     from github_event_etl_spark.operators.similarity import rhp_signatures
@@ -1920,7 +1932,9 @@ def test_incremental_semantic_bands_mirror_exact(spark, sf_dir):
 
     from .oracle_harness import duckdb_connection
 
-    corpus = _planted_dup_corpus(load_table(spark, sf_dir, "embeddings"))
+    corpus = _planted_dup_corpus(
+        load_table(spark, band_sf_dir, "embeddings")
+    )
     sig_fn = rhp_signatures(64, _SEMANTIC_LSH_TABLES, _SEMANTIC_LSH_PLANES)
     spark_bands = {
         (r.vec_id, r.band, r.bucket)
@@ -1929,7 +1943,7 @@ def test_incremental_semantic_bands_mirror_exact(spark, sf_dir):
             F.posexplode(sig_fn(F.col("embedding"))).alias("band", "bucket"),
         ).collect()
     }
-    con = duckdb_connection(sf_dir)
+    con = duckdb_connection(band_sf_dir)
     duck_bands = {
         (int(v), int(b), s)
         for v, b, s in con.sql(
@@ -2076,7 +2090,11 @@ def test_incremental_e2e_planted_stages(spark):
       - b15 whitespace-variant of b14     → minhash/dup_batch
       - b11's embedding ∥ a corpus vector → semantic/dup_corpus
       - b17's embedding ∥ b16's           → semantic/dup_batch
-      - b14 (no embedding), b16 (orthogonal embedding) → none/new"""
+      - b14 (no embedding), b16 (orthogonal embedding) → none/new
+      - b18 NULL text, no embedding → none/new: a NULL content hash
+        falls out of the exact twin's equi-join entirely, so only the
+        anti-join remainder derivation keeps the doc in the waterfall
+        (the conservation contract this test pins)"""
     from github_event_etl_spark.plans.pipelines import (
         incremental_e2e_classify,
     )
@@ -2098,6 +2116,7 @@ def test_incremental_e2e_planted_stages(spark):
             (15, t_b14.replace("red ", "red  ", 1)),  # near-dup of b14
             (16, "totally fresh sixteen ff gg hh ii jj"),   # → none
             (17, "totally fresh seventeen kk ll mm nn oo"),  # → semantic
+            (18, None),                               # NULL text → none
         ],
         "doc_id long, text string",
     )
@@ -2136,4 +2155,5 @@ def test_incremental_e2e_planted_stages(spark):
         15: ("minhash", "dup_batch", 14),
         16: ("none", "new", None),
         17: ("semantic", "dup_batch", 16),
+        18: ("none", "new", None),
     }

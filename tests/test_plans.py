@@ -1746,14 +1746,18 @@ def test_threshold_sweep_runs_candidate_machinery_once(qmap, spark, sf_dir):
 
 def test_incremental_e2e_pipeline_plan_is_scale_safe(spark, sf_dir):
     """The composed exact→MinHash→semantic increment waterfall must
-    inherit every twin's scale posture in the FINAL composed plan: no
+    inherit every twin's scale posture across ALL THREE stages: no
     cartesian/nested-loop join and no pickled row-at-a-time Python
     (the MinHash/RHP signature UDFs are Arrow-vectorized —
     ArrowEvalPython is expected, BatchEvalPython is not). The
     stage-level scale contracts (corpus-never-shuffles, broadcast
     semi-filters) are plan-gated per twin by their own tests; this
     gate guards the composition against a regression that survives
-    only when the stages are chained."""
+    only when the stages are chained. It explains the
+    `checkpoint=False` form: with checkpoints the exact/MinHash stages
+    execute at construction time and the final plan shows only their
+    ExistingRDD stubs — the gate would silently cover one stage of
+    three."""
     import contextlib as _ctx
     import io as _io
 
@@ -1761,11 +1765,14 @@ def test_incremental_e2e_pipeline_plan_is_scale_safe(spark, sf_dir):
         incremental_e2e_pipeline,
     )
 
-    df = incremental_e2e_pipeline(spark, sf_dir)
+    df = incremental_e2e_pipeline(spark, sf_dir, checkpoint=False)
     buf = _io.StringIO()
     with _ctx.redirect_stdout(buf):
         df.explain(mode="formatted")
     plan = buf.getvalue()
+    # the gate's own premise: nothing was pre-materialized, so the
+    # assertions below really do see all three stages
+    assert "Scan ExistingRDD" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
