@@ -72,15 +72,21 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 _CHANGED_AFTER_ROUND = 14  # round-15 edits; r01-r14 artifacts predate them
 
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # round 15: the llm_dedup_incremental_semantic ORACLE changed from
-    # parameter-free all-pairs cosine to DuckDB-recomputed RHP banding
-    # with the bucket-cap mirror (the VERDICT r14 item 5 / twin-
-    # asymmetry close). The Spark output is unchanged at every tested
-    # SF (the cap never binds below ~sf20000), but the driver compares
-    # against the NEW oracle, so the key must re-verify ahead of the
-    # stale tail. Self-clears when its post-change green row lands in
-    # an artifact newer than r14.
+    # round 15: three ORACLES changed from parameter-free all-pairs
+    # cosine to DuckDB-recomputed RHP banding with the bucket-cap
+    # mirror (VERDICT r14 item 5 closed for the incremental twin, then
+    # extended to the whole RHP family — llm_dup_cosine_lsh at 12×8,
+    # llm_dedup_semantic's pair stage at 12×12, both sharing
+    # _rhp_pairs_cte). Spark outputs are unchanged at every tested SF
+    # (the caps never bind below cap-binding scales), but the driver
+    # compares against the NEW oracles, so the keys must re-verify
+    # ahead of the stale tail. Window cost: 3 changed + 41 r12-stale +
+    # 6 oldest-r13 = 50; all r12 keys still rotate, the bound holds.
+    # Self-clear when post-change green rows land in an artifact newer
+    # than r14.
     "llm_dedup_incremental_semantic",
+    "llm_dup_cosine_lsh",
+    "llm_dedup_semantic",
 })
 
 # Keys added when the current round's 50-key verification window is
@@ -114,14 +120,13 @@ def staleness_bound_rounds() -> int:
 _DEFER_NEW_UNTIL_ROUND = 14
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # Empty since r13's seven over-budget additions self-cleared.
-    # r15 window arithmetic: 1 changed key (the
-    # llm_dedup_incremental_semantic oracle mirror, see
-    # _CHANGED_THIS_ROUND) + all 41 r12-stale keys + the 8 oldest
-    # r13-stale keys fill the 50; zero new keys this round (the
-    # changed-key admission consumed the budget). After r15 no key's
-    # latest green row predates r13, holding the
+    # r15 window arithmetic: 3 changed keys (the RHP-family oracle
+    # cap mirrors, see _CHANGED_THIS_ROUND) + all 41 r12-stale keys +
+    # the 6 oldest r13-stale keys fill the 50; zero new keys this
+    # round (the changed-key admissions consumed the budget). After
+    # r15 no key's latest green row predates r13, holding the
     # ceil(len(all_specs()) / 50) = 3-round staleness bound pinned by
-    # staleness_bound_rounds(); the r13 cohort's remainder (42 keys)
+    # staleness_bound_rounds(); the r13 cohort's remainder (~44 keys)
     # rotates through r16.
 })
 

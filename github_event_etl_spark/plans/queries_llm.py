@@ -827,16 +827,116 @@ def _planted_dup_corpus(emb: DataFrame) -> DataFrame:
     ).unionAll(pert)
 
 
+def _rhp_bucket_exprs(num_tables: int, planes: int) -> list[str]:
+    """One DuckDB bucket expression per RHP table: the `planes`-char
+    sign-bit string `concat(CASE WHEN list_inner_product(v, plane) > 0
+    ...)`, with the ±1 hyperplanes interpolated as literals from the
+    SAME `_plane_matrix` the Spark `rhp_signatures` UDF
+    closure-captures — the planes are md5-derived
+    (similarity.py::_hyperplane, no RNG state), so the banding is
+    engine-portable and there is exactly ONE source of truth for the
+    plane constants. Bit order matches the numpy path: bit p of table
+    t is `dot(v, plane[t,p]) > 0`, MSB = plane 0. Shared by all three
+    RHP-LSH oracles (pair, cluster, incremental) at their respective
+    geometries."""
+    from ..operators.similarity import _plane_matrix
+
+    M = _plane_matrix(64, num_tables, planes)
+    exprs = []
+    for t in range(num_tables):
+        bits = []
+        for p in range(planes):
+            plane = (
+                "["
+                + ",".join(str(int(x)) for x in M[t * planes + p])
+                + "]::DOUBLE[]"
+            )
+            bits.append(
+                f"CASE WHEN list_inner_product(v, {plane}) > 0"
+                " THEN '1' ELSE '0' END"
+            )
+        exprs.append("concat(" + ",\n        ".join(bits) + ")")
+    return exprs
+
+
+def _rhp_sigs_sql(num_tables: int, planes: int) -> str:
+    """The per-vector signature LIST literal (one bucket string per
+    table), indexable as `sigs[band + 1]`."""
+    return (
+        "[\n      "
+        + ",\n      ".join(_rhp_bucket_exprs(num_tables, planes))
+        + "\n      ]"
+    )
+
+
+def _rhp_pairs_cte(num_tables: int, planes: int, max_bucket: int) -> str:
+    """Single-side RHP candidate generation over the planted `corpus`
+    CTE, mirroring `cosine_dup_pairs_lsh` exactly: per-vector
+    signatures → exploded (band, bucket) keys → whole-bucket drop at
+    `max_bucket` (`_bucket_pairs`' `_cap_buckets` rule) → distinct
+    in-bucket (ia < ib) pairs → exact-cosine verification column.
+    Yields the `ver(ia, ib, cs)` CTE; the caller applies its own
+    threshold/projection. ONE copy shared by the `llm_dup_cosine_lsh`
+    oracle and the pair stage of the `llm_dedup_semantic` oracle (at
+    their respective geometries), so the cap mirror can never drift
+    between them."""
+    return f"""sigv AS (
+      SELECT vec_id, {_rhp_sigs_sql(num_tables, planes)} AS sigs
+      FROM corpus
+    ),
+    bands AS (
+      SELECT vec_id, b.band, sigs[b.band + 1] AS bucket
+      FROM sigv, (SELECT unnest(range(0, {num_tables})) AS band) b
+    ),
+    bounded AS (
+      SELECT d.* FROM bands d
+      JOIN (SELECT band, bucket FROM bands
+            GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) k
+      USING (band, bucket)
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS ia, r.vec_id AS ib
+      FROM bounded l JOIN bounded r ON l.band = r.band
+         AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    ),
+    ver AS (
+      SELECT ia, ib, {_cos_sql('x.v', 'y.v')} AS cs
+      FROM cand
+      JOIN corpus x ON cand.ia = x.vec_id
+      JOIN corpus y ON cand.ib = y.vec_id
+    )"""
+
+
+
+
+# llm_dup_cosine_lsh's RHP geometry + degenerate-bucket cap, passed
+# explicitly to cosine_dup_pairs_lsh AND interpolated into the oracle's
+# banding/HAVING mirror (the incremental twins' convention, r15): both
+# engines carry the identical whole-bucket drop rule at every SF, so
+# the key can never silently diverge when the cap first binds.
+_COSINE_LSH_TABLES = 12
+_COSINE_LSH_PLANES = 8
+_COSINE_LSH_MAX_BUCKET = 10_000
+
+
+def _cosine_lsh_oracle(max_bucket: int) -> str:
+    """The near-dup-pairs oracle with DuckDB-recomputed 12×8 RHP
+    banding and the cap interpolated — parameterized so the
+    cap-binding differential test can run BOTH engines at cap=2, where
+    this geometry's occupancy (~4 vectors/bucket at the test SFs)
+    makes survival genuinely per-bucket-count-dependent (simulated:
+    139 of 500 planted pairs drop at sf0.001)."""
+    return f"""
+    WITH {_PLANTED_CORPUS_CTE},
+    {_rhp_pairs_cte(_COSINE_LSH_TABLES, _COSINE_LSH_PLANES, max_bucket)}
+    SELECT ia AS id_a, ib AS id_b, round(cs, 6) AS sim_r
+    FROM ver WHERE cs >= {_LSH_DUP_THRESHOLD}
+    """
+
+
 @query(
     "llm_dup_cosine_lsh",
-    oracle=f"""
-    WITH {_PLANTED_CORPUS_CTE}
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_cos_sql('a.v', 'b.v')}, 6) AS sim_r
-    FROM corpus a, corpus b
-    WHERE a.vec_id < b.vec_id
-      AND {_cos_sql('a.v', 'b.v')} >= {_LSH_DUP_THRESHOLD}
-    """,
+    oracle=_cosine_lsh_oracle(_COSINE_LSH_MAX_BUCKET),
     tags=("llm", "dedup", "embedding"),
 )
 def llm_dup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,18 +948,32 @@ def llm_dup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     index-parity near-duplicate per vector (sim ≥ 0.99875 by
     construction vs ~0.5 for the strongest organic pair).
 
-    The oracle is the EXACT all-pairs answer on the same derived
-    corpus: with 12 tables × 8 planes a planted pair escapes every
-    table with probability ≈ 1e-11, so LSH recall is 1 on this fixture
-    and the full value-hash applies — the approximate path is held to
-    the exact answer, not a weaker rows-only check."""
+    The oracle recomputes the SAME 12×8 RHP banding in DuckDB
+    (md5-derived planes interpolated from the shared `_plane_matrix`)
+    and carries the identical whole-bucket cap (`_rhp_pairs_cte`), so
+    candidates, drops, and verdicts are value-checked engine-to-engine
+    at every SF — since r15, when the cap mirror closed the former
+    all-pairs oracle's silent-divergence window at cap-binding scales.
+    Recall remains a fixture property (a planted pair escapes all 12
+    tables with p ≈ 1e-11), and precision is exact in both engines."""
+    return _dup_cosine_lsh_pairs(spark, sf_dir)
+
+
+def _dup_cosine_lsh_pairs(
+    spark: SparkSession, sf_dir: str,
+    max_bucket_size: int = _COSINE_LSH_MAX_BUCKET,
+) -> DataFrame:
+    """llm_dup_cosine_lsh's body with the bucket cap exposed (the
+    `_incrm_classified` convention) for the cap-binding differential
+    test — the fixture lives once."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_dup_pairs_lsh(
         _planted_dup_corpus(emb),
         dim=64,
         threshold=_LSH_DUP_THRESHOLD,
-        num_tables=12,
-        planes_per_table=8,
+        num_tables=_COSINE_LSH_TABLES,
+        planes_per_table=_COSINE_LSH_PLANES,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -3223,15 +3337,23 @@ def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_dedup_semantic",
-    oracle=f"""
+# llm_dedup_semantic's cap, mirrored in its oracle's pair stage (which
+# shares `_rhp_pairs_cte` verbatim with llm_dup_cosine_lsh, at this
+# key's 12×12 geometry).
+_SEMANTIC_MAX_BUCKET = 10_000
+
+
+def _dedup_semantic_oracle(max_bucket: int) -> str:
+    """The semantic-clusters oracle: the shared capped RHP pair chain
+    (`_rhp_pairs_cte`, 12×12) feeding the WITH RECURSIVE transitive
+    closure — parameterized by cap for the differential test, like
+    every LSH oracle since r15."""
+    return f"""
     WITH RECURSIVE {_PLANTED_CORPUS_CTE},
+    {_rhp_pairs_cte(_SEMANTIC_LSH_TABLES, _SEMANTIC_LSH_PLANES, max_bucket)},
     pairs AS (
-      SELECT a.vec_id AS ua, b.vec_id AS ub
-      FROM corpus a, corpus b
-      WHERE a.vec_id < b.vec_id
-        AND {_cos_sql('a.v', 'b.v')} >= {_LSH_DUP_THRESHOLD}
+      SELECT ia AS ua, ib AS ub FROM ver
+      WHERE cs >= {_LSH_DUP_THRESHOLD}
     ),
     edges AS (
       SELECT ua, ub FROM pairs UNION SELECT ub AS ua, ua AS ub FROM pairs
@@ -3246,7 +3368,12 @@ def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
            (node = MIN(r)) AS is_representative
     FROM reach
     GROUP BY node
-    """,
+    """
+
+
+@query(
+    "llm_dedup_semantic",
+    oracle=_dedup_semantic_oracle(_SEMANTIC_MAX_BUCKET),
     tags=("llm", "dedup", "embedding", "graph"),
 )
 def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3273,18 +3400,31 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's cost — where 12 planes leave ~35k (measured; the
     correlated synthetic dimensions collide more than the isotropic
     estimate) while the planted recall margin stays astronomically
-    safe. Verification cost, not the result, is what the parameter
-    changes — the oracle below is parameter-free exact all-pairs. The oracle recomputes the clusters
-    independently: exact all-pairs cosine in DuckDB feeds a
-    WITH RECURSIVE transitive closure (min label per reachable set) —
-    genuine multi-hop closure, not an assumption of pair-sized
-    clusters, so a future fixture with chained near-dups still
-    oracle-checks.
+    safe.
+
+    The oracle recomputes the clusters independently: the SAME capped
+    12×12 RHP banding in DuckDB (`_rhp_pairs_cte`, shared verbatim
+    with the llm_dup_cosine_lsh oracle — since r15, closing the former
+    all-pairs oracle's silent-divergence window when the bucket cap
+    first binds) feeds a WITH RECURSIVE transitive closure (min label
+    per reachable set) — genuine multi-hop closure, not an assumption
+    of pair-sized clusters, so a future fixture with chained near-dups
+    still oracle-checks.
 
     Scale shape: corpus never self-joins all-pairs (one (table, sig)
     shuffle + capped in-bucket expansion); components shuffle O(E)
     narrow rows per star round; the final labeling is one left join on
     vec_id. No driver-side state anywhere."""
+    return _dedup_semantic_clusters(spark, sf_dir)
+
+
+def _dedup_semantic_clusters(
+    spark: SparkSession, sf_dir: str,
+    max_bucket_size: int = _SEMANTIC_MAX_BUCKET,
+) -> DataFrame:
+    """llm_dedup_semantic's body with the bucket cap exposed (the
+    `_incrm_classified` convention) for the cap-binding differential
+    test — the fixture lives once."""
     from ..operators.graph import dedup_clusters
 
     corpus = _planted_dup_corpus(load_table(spark, sf_dir, "embeddings"))
@@ -3294,6 +3434,7 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_LSH_DUP_THRESHOLD,
         num_tables=_SEMANTIC_LSH_TABLES,
         planes_per_table=_SEMANTIC_LSH_PLANES,
+        max_bucket_size=max_bucket_size,
     )
     return dedup_clusters(
         pairs,
@@ -3342,42 +3483,13 @@ def _incr_sem_is_batch(vec_id: Column) -> Column:
 _INCR_SEM_MAX_BUCKET = 10_000
 
 
-def _rhp_bucket_exprs() -> list[str]:
-    """One DuckDB bucket expression per RHP table: the 12-char sign-bit
-    string `concat(CASE WHEN list_inner_product(v, plane) > 0 ...)`,
-    with the ±1 hyperplanes interpolated as literals from the SAME
-    `_plane_matrix` the Spark `rhp_signatures` UDF closure-captures —
-    the planes are md5-derived (similarity.py::_hyperplane, no RNG
-    state), so the banding is engine-portable and there is exactly ONE
-    source of truth for the plane constants. Bit order matches the
-    numpy path: bit p of table t is `dot(v, plane[t,p]) > 0`, MSB =
-    plane 0."""
-    from ..operators.similarity import _plane_matrix
-
-    M = _plane_matrix(64, _SEMANTIC_LSH_TABLES, _SEMANTIC_LSH_PLANES)
-    P = _SEMANTIC_LSH_PLANES
-    exprs = []
-    for t in range(_SEMANTIC_LSH_TABLES):
-        bits = []
-        for p in range(P):
-            plane = (
-                "[" + ",".join(str(int(x)) for x in M[t * P + p]) + "]::DOUBLE[]"
-            )
-            bits.append(
-                f"CASE WHEN list_inner_product(v, {plane}) > 0"
-                " THEN '1' ELSE '0' END"
-            )
-        exprs.append("concat(" + ",\n        ".join(bits) + ")")
-    return exprs
-
-
 def _incr_sem_bands_cte() -> str:
     """The split → sigv → bands CTE chain (batch flag, per-table
     signature list, exploded (band, bucket) keys) — ONE copy, shared
     by `_incr_sem_oracle` and the band-parity differential test
     (tests/test_llm.py), so the test provably exercises the oracle's
     own banding text rather than a rebuilt twin."""
-    sig_list = "[\n      " + ",\n      ".join(_rhp_bucket_exprs()) + "\n      ]"
+    sig_list = _rhp_sigs_sql(_SEMANTIC_LSH_TABLES, _SEMANTIC_LSH_PLANES)
     return f"""split AS (
       SELECT vec_id, v,
              {_INCR_SEM_IS_BATCH_SQL} AS is_batch

@@ -2157,3 +2157,95 @@ def test_incremental_e2e_planted_stages(spark):
         17: ("semantic", "dup_batch", 16),
         18: ("none", "new", None),
     }
+
+
+def test_cosine_lsh_cap_mirror_binds_identically(spark, sf_dir):
+    """The degenerate-bucket cap must mean the SAME thing in both
+    engines for the pair key (the MinHash/semantic twins' cap-mirror
+    test applied to llm_dup_cosine_lsh). At this key's 12×8 geometry
+    the test SFs give ~4 vectors per bucket, so cap=2 drops a large,
+    occupancy-dependent subset of buckets (simulated: 139 of 500
+    planted pairs at sf0.001) while the survivors still pair through
+    their other tables — survival depends on exact per-bucket counts,
+    the richest possible exercise of the mirror. Runs the registered
+    fixture at cap=2 through Spark AND `_cosine_lsh_oracle(2)`,
+    asserts value-parity, that the capped answer lost pairs (the cap
+    fired), and that it only ever SUPPRESSES pairs."""
+    from github_event_etl_spark.plans.queries_llm import (
+        _cosine_lsh_oracle,
+        _dup_cosine_lsh_pairs,
+        llm_dup_cosine_lsh,
+    )
+
+    from .oracle_harness import compare_query, duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    result = compare_query(
+        spark,
+        con,
+        "coslsh_cap2",
+        lambda s, d: _dup_cosine_lsh_pairs(s, d, max_bucket_size=2),
+        _cosine_lsh_oracle(2),
+        sf_dir,
+    )
+    assert result.ok, result.detail
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in _dup_cosine_lsh_pairs(
+            spark, sf_dir, max_bucket_size=2
+        ).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b) for r in llm_dup_cosine_lsh(spark, sf_dir).collect()
+    }
+    assert capped < uncapped, (
+        "cap=2 must strictly suppress pairs: "
+        f"{len(capped)} capped vs {len(uncapped)} uncapped"
+    )
+
+
+def test_dedup_semantic_cap_mirror_binds_identically(spark, sf_dir):
+    """Cap mirror for the semantic CLUSTERS key: its oracle shares the
+    capped pair chain with llm_dup_cosine_lsh verbatim but feeds the
+    recursive closure, so the differential must hold end-to-end
+    through the clustering. At the 12×12 geometry planted-pair buckets
+    are so sparse that cap=2 drops nothing (simulated), so the test
+    runs cap=1 — every bucket holding any pair is oversized, no
+    candidates survive, and BOTH engines must independently degrade to
+    the all-singletons labeling (every vector its own representative),
+    which differs maximally from the uncapped 500-pair clustering."""
+    from github_event_etl_spark.plans.queries_llm import (
+        _dedup_semantic_clusters,
+        _dedup_semantic_oracle,
+        llm_dedup_semantic,
+    )
+
+    from .oracle_harness import compare_query, duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    result = compare_query(
+        spark,
+        con,
+        "sem_cap1",
+        lambda s, d: _dedup_semantic_clusters(s, d, max_bucket_size=1),
+        _dedup_semantic_oracle(1),
+        sf_dir,
+    )
+    assert result.ok, result.detail
+
+    capped = {
+        r.vec_id: r.cluster_id
+        for r in _dedup_semantic_clusters(
+            spark, sf_dir, max_bucket_size=1
+        ).collect()
+    }
+    assert all(v == c for v, c in capped.items()), (
+        "cap=1 leaves no candidate pairs: every vector must be its own "
+        "cluster representative"
+    )
+    uncapped = {
+        r.vec_id: r.cluster_id
+        for r in llm_dedup_semantic(spark, sf_dir).collect()
+    }
+    assert capped != uncapped, "cap=1 never fired: test is vacuous"
