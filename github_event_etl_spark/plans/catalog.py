@@ -126,8 +126,8 @@ _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # round (the changed-key admissions consumed the budget). After
     # r15 no key's latest green row predates r13, holding the
     # ceil(len(all_specs()) / 50) = 3-round staleness bound pinned by
-    # staleness_bound_rounds(); the r13 cohort's remainder (~44 keys)
-    # rotates through r16.
+    # staleness_bound_rounds(); the r13 cohort's remainder (50 - 1
+    # changed - 6 rotated = 43 keys) rotates through r16.
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

@@ -881,8 +881,13 @@ def _rhp_pairs_cte(num_tables: int, planes: int, max_bucket: int) -> str:
     their respective geometries), so the cap mirror can never drift
     between them."""
     return f"""sigv AS (
+      -- NULL-vector guard, mirroring rhp_signatures' vecs.notna()
+      -- handling: Spark emits NO bands for a NULL embedding, while an
+      -- unguarded CASE chain would put it in the all-zeros bucket
+      -- here (NULL > 0 is not true), inflating that bucket's
+      -- occupancy count in one engine only
       SELECT vec_id, {_rhp_sigs_sql(num_tables, planes)} AS sigs
-      FROM corpus
+      FROM corpus WHERE v IS NOT NULL
     ),
     bands AS (
       SELECT vec_id, b.band, sigs[b.band + 1] AS bucket
@@ -3496,8 +3501,11 @@ def _incr_sem_bands_cte() -> str:
       FROM corpus
     ),
     sigv AS (
+      -- NULL-vector guard, mirroring rhp_signatures' vecs.notna()
+      -- handling (see _rhp_pairs_cte): Spark emits NO bands for a
+      -- NULL embedding; unguarded, DuckDB would band it as all-zeros
       SELECT vec_id, is_batch, {sig_list} AS sigs
-      FROM split
+      FROM split WHERE v IS NOT NULL
     ),
     bands AS (
       SELECT vec_id, is_batch, b.band, sigs[b.band + 1] AS bucket

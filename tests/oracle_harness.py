@@ -25,6 +25,11 @@ class CompareResult:
     name: str
     ok: bool
     detail: str = ""
+    # the Spark side's collected Rows (None for a failed-before-collect
+    # compare) — exposed so differential tests that need the same
+    # frame's contents (e.g. the cap-mirror tests) reuse ONE execution
+    # instead of re-running the whole LSH pipeline per assertion
+    spark_result: list | None = None
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -63,9 +68,12 @@ def compare_query(spark, con, name: str, fn, oracle: str | None,
                   sf_dir: str) -> CompareResult:
     sdf = fn(spark, sf_dir)
     spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    collected = sdf.collect()
+    spark_rows = [tuple(r) for r in collected]
     if oracle is None:
-        return CompareResult(name, True, f"rows-only: {len(spark_rows)} rows")
+        return CompareResult(
+            name, True, f"rows-only: {len(spark_rows)} rows", collected
+        )
 
     res = con.execute(oracle)
     duck_cols = [d[0] for d in res.description]
@@ -75,11 +83,13 @@ def compare_query(spark, con, name: str, fn, oracle: str | None,
         return CompareResult(
             name, False,
             f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}",
+            collected,
         )
     if len(spark_rows) != len(duck_rows):
         return CompareResult(
             name, False,
             f"rowcount mismatch: spark={len(spark_rows)} duck={len(duck_rows)}",
+            collected,
         )
     _, s_norm = _normalize(spark_rows, spark_cols)
     _, d_norm = _normalize(duck_rows, duck_cols)
@@ -87,5 +97,7 @@ def compare_query(spark, con, name: str, fn, oracle: str | None,
         diffs = [
             (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
         ][:3]
-        return CompareResult(name, False, f"value mismatch, first diffs: {diffs}")
-    return CompareResult(name, True, f"{len(spark_rows)} rows match")
+        return CompareResult(
+            name, False, f"value mismatch, first diffs: {diffs}", collected
+        )
+    return CompareResult(name, True, f"{len(spark_rows)} rows match", collected)

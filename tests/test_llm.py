@@ -1816,8 +1816,7 @@ def test_incremental_minhash_cap_mirror_binds_identically(spark, sf_dir):
     assert result.ok, result.detail
 
     capped = {
-        r.doc_id: (r.status, r.matched_doc_id)
-        for r in _incrm_classified(spark, sf_dir, max_bucket_size=2).collect()
+        r.doc_id: (r.status, r.matched_doc_id) for r in result.spark_result
     }
     uncapped = {
         r.doc_id: (r.status, r.matched_doc_id)
@@ -1988,10 +1987,7 @@ def test_incremental_semantic_cap_mirror_binds_identically(spark, sf_dir):
     assert result.ok, result.detail
 
     capped = {
-        r.vec_id: (r.status, r.matched_vec_id)
-        for r in _incr_sem_classified(
-            spark, sf_dir, max_bucket_size=1
-        ).collect()
+        r.vec_id: (r.status, r.matched_vec_id) for r in result.spark_result
     }
     uncapped = {
         r.vec_id: (r.status, r.matched_vec_id)
@@ -2172,6 +2168,7 @@ def test_cosine_lsh_cap_mirror_binds_identically(spark, sf_dir):
     asserts value-parity, that the capped answer lost pairs (the cap
     fired), and that it only ever SUPPRESSES pairs."""
     from github_event_etl_spark.plans.queries_llm import (
+        _PLANT_OFFSET,
         _cosine_lsh_oracle,
         _dup_cosine_lsh_pairs,
         llm_dup_cosine_lsh,
@@ -2190,12 +2187,7 @@ def test_cosine_lsh_cap_mirror_binds_identically(spark, sf_dir):
     )
     assert result.ok, result.detail
 
-    capped = {
-        (r.id_a, r.id_b)
-        for r in _dup_cosine_lsh_pairs(
-            spark, sf_dir, max_bucket_size=2
-        ).collect()
-    }
+    capped = {(r.id_a, r.id_b) for r in result.spark_result}
     uncapped = {
         (r.id_a, r.id_b) for r in llm_dup_cosine_lsh(spark, sf_dir).collect()
     }
@@ -2203,6 +2195,20 @@ def test_cosine_lsh_cap_mirror_binds_identically(spark, sf_dir):
         "cap=2 must strictly suppress pairs: "
         f"{len(capped)} capped vs {len(uncapped)} uncapped"
     )
+    # RECALL floor: the mirrored oracle shares the banding with the
+    # engine, so it can no longer catch a config change that loses
+    # true pairs (the old all-pairs oracle did). This assertion takes
+    # over that duty: at the production cap every planted pair
+    # (v, v + _PLANT_OFFSET) must be found.
+    from github_event_etl_spark.sources.tables import load_table
+
+    base_ids = {
+        r.vec_id
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .collect()
+    }
+    assert {(v, v + _PLANT_OFFSET) for v in base_ids} <= uncapped
 
 
 def test_dedup_semantic_cap_mirror_binds_identically(spark, sf_dir):
@@ -2234,12 +2240,7 @@ def test_dedup_semantic_cap_mirror_binds_identically(spark, sf_dir):
     )
     assert result.ok, result.detail
 
-    capped = {
-        r.vec_id: r.cluster_id
-        for r in _dedup_semantic_clusters(
-            spark, sf_dir, max_bucket_size=1
-        ).collect()
-    }
+    capped = {r.vec_id: r.cluster_id for r in result.spark_result}
     assert all(v == c for v, c in capped.items()), (
         "cap=1 leaves no candidate pairs: every vector must be its own "
         "cluster representative"
