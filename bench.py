@@ -70,6 +70,8 @@ COMPONENTS = [
     "profile_histogram_eqdepth",
     "llm_dedup_semantic",
     "llm_dedup_incremental_semantic",
+    "llm_dedup_incremental_indexed",
+    "llm_mixture_weights",
 ]
 # Composed end-to-end pipelines (plans/pipelines.py), benched in their
 # own section under job-sized parallelism — OUT of the headline total,

@@ -188,6 +188,7 @@ def _incremental_classify_lsh(
     score_out: str,
     max_bucket_size: int,
     finalize=None,
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """The shared classify skeleton of `incremental_dedup_minhash` and
     `similarity.incremental_dedup_semantic` — ONE copy of the
@@ -211,13 +212,27 @@ def _incremental_classify_lsh(
     shuffled; both cross-candidate sides are independently
     `_cap_buckets`-capped; every remaining shuffle is
     batch/candidate-sized. See each twin's docstring for its
-    scan-count accounting and production pre-materialization note."""
+    scan-count accounting and production pre-materialization note.
+
+    `corpus_banded` is that pre-materialization made real: when a
+    (doc_id, band, bucket) frame is supplied (e.g. read from the index
+    `minhash_write_index` wrote), it replaces `banded(corpus, False)`
+    — the per-increment corpus banding (the dominant CPU at scale:
+    shingle + minhash every corpus doc on every daily run) disappears,
+    while the verify stage still re-attaches only candidate-matched
+    corpus payloads, column-pruned as before. Every other contract
+    (semi-filter, caps, first-wins) is unchanged and shared."""
 
     def capped(df: DataFrame) -> DataFrame:
         return _cap_buckets(df, ["band", "bucket"], max_bucket_size)
 
     bb = banded(batch, True)
-    cb = banded(corpus, False).join(
+    cb_src = (
+        corpus_banded.select("doc_id", "band", "bucket")
+        if corpus_banded is not None
+        else banded(corpus, False)
+    )
+    cb = cb_src.join(
         F.broadcast(bb.select("band", "bucket").distinct()),
         ["band", "bucket"],
         "left_semi",
@@ -315,6 +330,7 @@ def incremental_dedup_minhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int = 10_000,
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate flavor of `incremental_dedup`: classify an
     incoming batch against an indexed corpus by MinHash-LSH banding +
@@ -376,6 +392,7 @@ def incremental_dedup_minhash(
         matched_col="matched_doc_id",
         score_out="jaccard_r",
         max_bucket_size=max_bucket_size,
+        corpus_banded=corpus_banded,
     )
 
 
@@ -574,6 +591,37 @@ def _band_keys(
         "doc_id",
         F.col("bk.band").alias("band"),
         F.col("bk.bucket").alias("bucket"),
+    )
+
+
+def minhash_write_index(
+    corpus: DataFrame,
+    path: str,
+    num_bands: int = 4,
+    rows_per_band: int = 3,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the corpus MinHash band-key index — the
+    (doc_id, band, bucket) table both incremental twins' docstrings
+    promise as the production layout ("the corpus band index is a
+    pre-materialized table and the corpus banding scan disappears").
+    One shuffle-free Arrow-banding map pass over the corpus, written
+    partitioned by band (num_bands directories): the classify probes
+    every band, so the partitioning buys scan parallelism and per-band
+    maintenance (re-band one band after a parameter change), not
+    probe-time pruning. At 100 TB this runs on the index's own
+    schedule (per corpus snapshot), not per increment — the daily
+    classify then reads ~corpus/|bands| narrow rows per band instead
+    of re-shingling and re-hashing every document. Feed the read-back
+    frame to `incremental_dedup_minhash(..., corpus_banded=...)`."""
+    bands_vec = minhash_band_buckets_vec(num_bands, rows_per_band, k)
+    (
+        _band_keys(corpus, bands_vec, id_col, text_col)
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
     )
 
 

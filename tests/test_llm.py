@@ -2250,3 +2250,116 @@ def test_dedup_semantic_cap_mirror_binds_identically(spark, sf_dir):
         for r in llm_dedup_semantic(spark, sf_dir).collect()
     }
     assert capped != uncapped, "cap=1 never fired: test is vacuous"
+
+
+def test_incremental_indexed_equals_in_memory(spark, sf_dir):
+    """The indexed classify (pre-materialized band index,
+    `minhash_write_index` → `corpus_banded=`) must return EXACTLY the
+    in-memory twin's answer — same fixture, same skeleton, the index
+    only replaces where the corpus banding comes from. Frame-level
+    set equality over every column pins it directly (the shared
+    oracle alone would pass if both keys drifted together)."""
+    from github_event_etl_spark.plans.queries_llm import (
+        llm_dedup_incremental_indexed,
+        llm_dedup_incremental_minhash,
+    )
+
+    indexed = {
+        tuple(r)
+        for r in llm_dedup_incremental_indexed(spark, sf_dir).collect()
+    }
+    in_mem = {
+        tuple(r)
+        for r in llm_dedup_incremental_minhash(spark, sf_dir).collect()
+    }
+    assert indexed == in_mem
+    assert len(indexed) > 0
+
+
+def test_incremental_indexed_skips_corpus_banding(spark, sf_dir):
+    """The index's entire point at 100 TB: the per-increment corpus
+    banding (Arrow shingle+minhash over every corpus doc) must be GONE
+    from the indexed classify plan — replaced by a scan of the
+    band-partitioned index parquet. Gated structurally: the indexed
+    plan reads the minhash_index path and evaluates strictly fewer
+    Arrow-batched Python stages than the in-memory plan (only the
+    batch side still bands)."""
+    import contextlib as _ctx
+    import io as _io
+
+    from github_event_etl_spark.plans.queries_llm import (
+        llm_dedup_incremental_indexed,
+        llm_dedup_incremental_minhash,
+    )
+
+    def plan_of(df):
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    indexed_plan = plan_of(llm_dedup_incremental_indexed(spark, sf_dir))
+    in_mem_plan = plan_of(llm_dedup_incremental_minhash(spark, sf_dir))
+    assert "minhash_index" in indexed_plan
+    n_indexed = indexed_plan.count("ArrowEvalPython")
+    n_in_mem = in_mem_plan.count("ArrowEvalPython")
+    assert n_indexed < n_in_mem, (indexed_plan.count("ArrowEvalPython"),
+                                  n_in_mem)
+    assert "CartesianProduct" not in indexed_plan
+    assert "BatchEvalPython" not in indexed_plan
+
+
+def test_mixture_weights_properties(spark, sf_dir):
+    """The mixture-weight arithmetic, model-checked against a brute
+    recount: rates are in (0, 1] and equal 1 exactly for under-target
+    groups; expected_tokens = min(lang_tokens, target) (the
+    integer-only capped-rate identity); the target is the uniform
+    per-group share; totals conserve. Plan gate: ONE documents scan —
+    the total must come from the post-aggregate window, never a second
+    corpus pass."""
+    import contextlib as _ctx
+    import io as _io
+
+    from github_event_etl_spark.operators.text_dedup import words
+    from github_event_etl_spark.plans.queries_llm import llm_mixture_weights
+    from github_event_etl_spark.sources.tables import load_table
+
+    df = llm_mixture_weights(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 1
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        F.when(
+            F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
+        )
+        .otherwise(F.size(words(F.col("text"))))
+        .cast("long")
+    )
+    brute = {
+        r.lang: (r.n, r.t)
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(tok).alias("t"))
+        .collect()
+    }
+    total = sum(t for _, t in brute.values())
+    target = total // len(brute)
+    for r in rows:
+        n, t = brute[r.lang]
+        assert (r.n_docs, r.lang_tokens, r.target_tokens) == (n, t, target)
+        assert r.expected_tokens == min(t, target)
+        assert 0.0 < r.sample_rate_r <= 1.0
+        assert (r.sample_rate_r == 1.0) == (t <= target)
+    assert sum(r.expected_tokens for r in rows) <= total
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    # the final-plan TREE only: formatted output under AQE repeats
+    # every node in the initial plan and the per-node details section
+    tree = plan.split("== Initial Plan ==")[0]
+    if "== Final Plan ==" in tree:
+        tree = tree.split("== Final Plan ==")[1]
+    assert tree.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
