@@ -296,6 +296,20 @@ def main() -> None:
         _bench_into(pipelines, pname, rep)
 
     components: dict[str, float] = {}
+    # Fixture-layout warmup (the streaming-warmup rule: one-time
+    # materializations happen OUTSIDE any measured window): the
+    # indexed-dedup key writes its band index on first touch of a
+    # fresh scratch tree — without this, rep 1 on every fresh host
+    # pays the full corpus banding + parquet write and the component's
+    # published [min, max] spread records a spike indistinguishable
+    # from host noise.
+    if "llm_dedup_incremental_indexed" in qmap:
+        _guard(
+            "indexed_fixture_warmup",
+            lambda: _force(
+                qmap["llm_dedup_incremental_indexed"](spark, sf_dir)
+            ),
+        )
     for name in [n for n in COMPONENTS if n in qmap]:
         _bench_into(
             components, name, lambda: _force(qmap[name](spark, sf_dir))

@@ -489,13 +489,26 @@ def llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     import os as _os
 
     corpus, batch = _incrm_split(spark, sf_dir)
-    index = scratch_dir(sf_dir, "minhash_index")
-    # materialize-once per dataset (the replay-dir convention): the
-    # fixture derives deterministically from the immutable sf_dir, so
-    # an existing index is the correct index; the ivf key's
-    # rewrite-every-run convention is for layouts whose parameters the
-    # key itself sweeps
-    if not _os.path.isdir(index):
+    # The banding geometry is baked into the index CONTENT, so it is
+    # folded into the PATH (the events_replay_dir convention: retuning
+    # _NUM_BANDS/_ROWS_PER_BAND gets a fresh tree instead of silently
+    # serving stale band keys); the shingle k rides the same suffix.
+    # Caveat inherited from scratch.py's header: the fixture TEXT
+    # construction (_incrm_split's plants) is code, not a path
+    # component — editing it requires clearing the scratch tree, as
+    # with every materialize-once layout.
+    index = scratch_dir(
+        sf_dir, f"minhash_index_b{_NUM_BANDS}r{_ROWS_PER_BAND}k3"
+    )
+    # materialize-once per dataset, gated on the _SUCCESS marker (the
+    # replay-dir convention, streaming/replay.py) — a bare dir-exists
+    # check would let an interrupted first write permanently poison
+    # the key (the dir appears before the commit). The fixture derives
+    # deterministically from the immutable sf_dir, so a COMMITTED
+    # index is the correct index; the ivf key's rewrite-every-run
+    # convention is for layouts whose parameters the key itself
+    # sweeps.
+    if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
         minhash_write_index(
             corpus, index, num_bands=_NUM_BANDS,
             rows_per_band=_ROWS_PER_BAND,
