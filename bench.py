@@ -49,7 +49,8 @@ HEADLINE = [
 # by a round's regression scan rotate OUT when the census needs room —
 # their history lives in the committed BENCH_r*.json series; anything a
 # VERDICT actively tracks stays. Retired r15: fn_unpivot,
-# fn_url_extract, llm_bpe_pairs, sessionize_gap, agg_quantile_clip.
+# fn_url_extract, llm_bpe_pairs, sessionize_gap, agg_quantile_clip,
+# profile_histogram (the eqdepth sibling stays, covering the family).
 COMPONENTS = [
     "stream_interval_join",
     "stream_interval_join_outer",
@@ -64,13 +65,13 @@ COMPONENTS = [
     "profile_drift",
     "layout_zorder_prune",
     "gapfill_hourly",
-    "profile_histogram",
     "gapfill_locf_reading",
     "gapfill_interp_reading",
     "profile_histogram_eqdepth",
     "llm_dedup_semantic",
     "llm_dedup_incremental_semantic",
     "llm_dedup_incremental_indexed",
+    "llm_dedup_incremental_semantic_indexed",
     "llm_mixture_weights",
 ]
 # Composed end-to-end pipelines (plans/pipelines.py), benched in their

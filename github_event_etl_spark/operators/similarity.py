@@ -809,6 +809,7 @@ def incremental_dedup_semantic(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int = 10_000,
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-space twin of text_dedup.incremental_dedup_minhash:
     classify an incoming embedding batch against an indexed corpus by
@@ -869,6 +870,46 @@ def incremental_dedup_semantic(
         score_out="cosine_r",
         max_bucket_size=max_bucket_size,
         finalize=lambda c: F.round(c, 6),
+        corpus_banded=(
+            corpus_banded.withColumnRenamed(id_col, "doc_id")
+            if corpus_banded is not None and id_col != "doc_id"
+            else corpus_banded
+        ),
+    )
+
+
+def rhp_write_index(
+    vectors: DataFrame,
+    path: str,
+    dim: int,
+    num_tables: int = 12,
+    planes_per_table: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus RHP signature index — the embedding-space
+    twin of `text_dedup.minhash_write_index`, the (vec_id, band,
+    bucket) table `incremental_dedup_semantic`'s docstring promises as
+    the production layout ("the corpus signature index is a
+    pre-materialized table and the corpus signature scan disappears").
+    One shuffle-free Arrow-matmul map pass over the corpus, written
+    partitioned by band (num_tables directories — scan parallelism and
+    per-table maintenance, not probe-time pruning: the classify probes
+    every table). At 100 TB this runs per corpus SNAPSHOT, not per
+    increment; the daily classify then reads narrow index rows instead
+    of re-running the signature matmul over every corpus vector. Feed
+    the read-back frame to `incremental_dedup_semantic(...,
+    corpus_banded=...)` (built at the SAME tables × planes geometry —
+    fold the geometry into `path`, the scratch convention)."""
+    sig_fn = rhp_signatures(dim, num_tables, planes_per_table)
+    (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(sig_fn(F.col(vec_col))).alias("band", "bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
     )
 
 

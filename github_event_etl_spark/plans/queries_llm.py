@@ -36,6 +36,7 @@ from ..operators.similarity import (
     cosine_dup_pairs,
     cosine_dup_pairs_lsh,
     incremental_dedup_semantic,
+    rhp_write_index,
     ann_pq_adc,
     ivf_write_index,
     kmeans_refine_int,
@@ -3714,6 +3715,15 @@ def llm_dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFram
     return _incr_sem_classified(spark, sf_dir)
 
 
+def _incr_sem_split(spark: SparkSession, sf_dir: str):
+    """The incremental-semantic planted fixture's (corpus, batch)
+    split — ONE copy shared by the in-memory key, the indexed key,
+    and the differential tests (the `_incrm_split` convention)."""
+    corpus_all = _planted_dup_corpus(load_table(spark, sf_dir, "embeddings"))
+    is_batch = _incr_sem_is_batch(F.col("vec_id"))
+    return corpus_all.filter(~is_batch), corpus_all.filter(is_batch)
+
+
 def _incr_sem_classified(
     spark: SparkSession, sf_dir: str,
     max_bucket_size: int = _INCR_SEM_MAX_BUCKET,
@@ -3723,16 +3733,69 @@ def _incr_sem_classified(
     differential test can run the SAME fixture at a tiny cap against
     `_incr_sem_oracle(cap)` — the fixture lives once; tests must not
     rebuild it by hand."""
-    corpus_all = _planted_dup_corpus(load_table(spark, sf_dir, "embeddings"))
-    is_batch = _incr_sem_is_batch(F.col("vec_id"))
+    corpus, batch = _incr_sem_split(spark, sf_dir)
     return incremental_dedup_semantic(
-        corpus=corpus_all.filter(~is_batch),
-        batch=corpus_all.filter(is_batch),
+        corpus=corpus,
+        batch=batch,
         dim=64,
         threshold=_LSH_DUP_THRESHOLD,
         num_tables=_SEMANTIC_LSH_TABLES,
         planes_per_table=_SEMANTIC_LSH_PLANES,
         max_bucket_size=max_bucket_size,
+    )
+
+
+@query(
+    "llm_dedup_incremental_semantic_indexed",
+    oracle=_incr_sem_oracle(_INCR_SEM_MAX_BUCKET),
+    tags=("llm", "dedup", "embedding"),
+)
+def llm_dedup_incremental_semantic_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SEMANTIC dedup against a PRE-MATERIALIZED RHP
+    signature index — the embedding-space twin of
+    `llm_dedup_incremental_indexed`, completing the indexed pair: the
+    (vec_id, band, bucket) index is written band-partitioned to the
+    dataset scratch tree (`similarity.rhp_write_index`, one
+    shuffle-free Arrow-matmul pass, run per corpus SNAPSHOT in
+    production) and the classify reads it back through the shared
+    skeleton's `corpus_banded` face — the per-increment corpus
+    signature matmul disappears into a column-pruned narrow-row index
+    scan, exactly the production note in
+    `incremental_dedup_semantic`'s docstring made physical.
+
+    Same fixture (`_incr_sem_split`), same skeleton, same statuses —
+    results IDENTICAL to `llm_dedup_incremental_semantic`, so the key
+    shares its full banded+capped DuckDB oracle; pytest pins the
+    in-memory/indexed frame equality directly and plan-gates the
+    Arrow-stage reduction (only the batch side still runs the
+    signature UDF)."""
+    import os as _os
+
+    corpus, batch = _incr_sem_split(spark, sf_dir)
+    # geometry folded into the path; _SUCCESS-gated materialize-once
+    # (the minhash_index conventions — see that key's comments for the
+    # interrupted-write and stale-retune rationale)
+    index = scratch_dir(
+        sf_dir,
+        f"rhp_index_t{_SEMANTIC_LSH_TABLES}p{_SEMANTIC_LSH_PLANES}",
+    )
+    if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
+        rhp_write_index(
+            corpus, index, dim=64,
+            num_tables=_SEMANTIC_LSH_TABLES,
+            planes_per_table=_SEMANTIC_LSH_PLANES,
+        )
+    return incremental_dedup_semantic(
+        corpus=corpus,
+        batch=batch,
+        dim=64,
+        threshold=_LSH_DUP_THRESHOLD,
+        num_tables=_SEMANTIC_LSH_TABLES,
+        planes_per_table=_SEMANTIC_LSH_PLANES,
+        max_bucket_size=_INCR_SEM_MAX_BUCKET,
+        corpus_banded=spark.read.parquet(index),
     )
 
 

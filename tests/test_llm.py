@@ -2363,3 +2363,39 @@ def test_mixture_weights_properties(spark, sf_dir):
         tree = tree.split("== Final Plan ==")[1]
     assert tree.count("Scan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_semantic_indexed_equals_in_memory(spark, sf_dir):
+    """The RHP-indexed semantic classify must return EXACTLY the
+    in-memory twin's answer (the indexed-MinHash equality test applied
+    to the embedding-space pair), and its plan must carry strictly
+    fewer Arrow stages — the corpus signature matmul is gone, replaced
+    by the rhp_index scan."""
+    import contextlib as _ctx
+    import io as _io
+
+    from github_event_etl_spark.plans.queries_llm import (
+        llm_dedup_incremental_semantic,
+        llm_dedup_incremental_semantic_indexed,
+    )
+
+    indexed_df = llm_dedup_incremental_semantic_indexed(spark, sf_dir)
+    in_mem_df = llm_dedup_incremental_semantic(spark, sf_dir)
+    indexed = {tuple(r) for r in indexed_df.collect()}
+    in_mem = {tuple(r) for r in in_mem_df.collect()}
+    assert indexed == in_mem
+    assert len(indexed) > 0
+
+    def plan_of(df):
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    indexed_plan = plan_of(indexed_df)
+    assert "rhp_index" in indexed_plan
+    assert indexed_plan.count("ArrowEvalPython") < plan_of(in_mem_df).count(
+        "ArrowEvalPython"
+    )
+    assert "CartesianProduct" not in indexed_plan
+    assert "BatchEvalPython" not in indexed_plan
