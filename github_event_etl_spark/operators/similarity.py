@@ -900,11 +900,17 @@ def rhp_write_index(
     of re-running the signature matmul over every corpus vector. Feed
     the read-back frame to `incremental_dedup_semantic(...,
     corpus_banded=...)` (built at the SAME tables × planes geometry —
-    fold the geometry into `path`, the scratch convention)."""
+    fold the geometry into `path`, the scratch convention).
+
+    The id column is written under the classify skeleton's own name,
+    "doc_id" (the `_band_keys` convention), whatever `id_col` the
+    source frame uses — so the read-back frame plugs into
+    `corpus_banded=` for ANY id_col without a rename that could
+    silently no-op."""
     sig_fn = rhp_signatures(dim, num_tables, planes_per_table)
     (
         vectors.select(
-            F.col(id_col).alias("vec_id"),
+            F.col(id_col).alias("doc_id"),
             F.posexplode(sig_fn(F.col(vec_col))).alias("band", "bucket"),
         )
         .write.mode("overwrite")

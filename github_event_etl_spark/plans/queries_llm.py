@@ -3777,9 +3777,12 @@ def llm_dedup_incremental_semantic_indexed(
     # geometry folded into the path; _SUCCESS-gated materialize-once
     # (the minhash_index conventions — see that key's comments for the
     # interrupted-write and stale-retune rationale)
+    # "doc" marks the doc_id-named id column (rhp_write_index's
+    # contract since the id-alias fix) so a pre-fix tree under the old
+    # name can never be served
     index = scratch_dir(
         sf_dir,
-        f"rhp_index_t{_SEMANTIC_LSH_TABLES}p{_SEMANTIC_LSH_PLANES}",
+        f"rhp_doc_index_t{_SEMANTIC_LSH_TABLES}p{_SEMANTIC_LSH_PLANES}",
     )
     if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
         rhp_write_index(

@@ -33,6 +33,20 @@ from github_event_etl_spark.operators.text_dedup import (
 from github_event_etl_spark.sources.tables import load_table
 
 
+def _fmt_plan(df):
+    """Formatted physical plan as text — ONE capture helper for every
+    plan-shape assertion in this module, so a change to how plans are
+    captured can never make two gates silently diverge."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
     # Unpersist at teardown: a lingering cached documents relation gets
@@ -2284,22 +2298,13 @@ def test_incremental_indexed_skips_corpus_banding(spark, sf_dir):
     plan reads the minhash_index path and evaluates strictly fewer
     Arrow-batched Python stages than the in-memory plan (only the
     batch side still bands)."""
-    import contextlib as _ctx
-    import io as _io
-
     from github_event_etl_spark.plans.queries_llm import (
         llm_dedup_incremental_indexed,
         llm_dedup_incremental_minhash,
     )
 
-    def plan_of(df):
-        buf = _io.StringIO()
-        with _ctx.redirect_stdout(buf):
-            df.explain(mode="formatted")
-        return buf.getvalue()
-
-    indexed_plan = plan_of(llm_dedup_incremental_indexed(spark, sf_dir))
-    in_mem_plan = plan_of(llm_dedup_incremental_minhash(spark, sf_dir))
+    indexed_plan = _fmt_plan(llm_dedup_incremental_indexed(spark, sf_dir))
+    in_mem_plan = _fmt_plan(llm_dedup_incremental_minhash(spark, sf_dir))
     assert "minhash_index" in indexed_plan
     n_indexed = indexed_plan.count("ArrowEvalPython")
     n_in_mem = in_mem_plan.count("ArrowEvalPython")
@@ -2371,9 +2376,6 @@ def test_incremental_semantic_indexed_equals_in_memory(spark, sf_dir):
     to the embedding-space pair), and its plan must carry strictly
     fewer Arrow stages — the corpus signature matmul is gone, replaced
     by the rhp_index scan."""
-    import contextlib as _ctx
-    import io as _io
-
     from github_event_etl_spark.plans.queries_llm import (
         llm_dedup_incremental_semantic,
         llm_dedup_incremental_semantic_indexed,
@@ -2386,15 +2388,9 @@ def test_incremental_semantic_indexed_equals_in_memory(spark, sf_dir):
     assert indexed == in_mem
     assert len(indexed) > 0
 
-    def plan_of(df):
-        buf = _io.StringIO()
-        with _ctx.redirect_stdout(buf):
-            df.explain(mode="formatted")
-        return buf.getvalue()
-
-    indexed_plan = plan_of(indexed_df)
-    assert "rhp_index" in indexed_plan
-    assert indexed_plan.count("ArrowEvalPython") < plan_of(in_mem_df).count(
+    indexed_plan = _fmt_plan(indexed_df)
+    assert "rhp_doc_index" in indexed_plan
+    assert indexed_plan.count("ArrowEvalPython") < _fmt_plan(in_mem_df).count(
         "ArrowEvalPython"
     )
     assert "CartesianProduct" not in indexed_plan
