@@ -121,16 +121,18 @@ _DEFER_NEW_UNTIL_ROUND = 15
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # r15 window arithmetic: 3 changed keys (the RHP-family oracle
     # cap mirrors, see _CHANGED_THIS_ROUND) + all 41 r12-stale keys +
-    # the 6 oldest r13-stale keys fill the 50, so the three r15
+    # the 6 oldest r13-stale keys fill the 50, so the four r15
     # additions below ride OVER-BUDGET and defer past the r15 window
     # (rank last; first driver rows run in r16 at the front of its
     # window — the r13 precedent). After r15 no key's latest green
     # row predates r13, holding the ceil(len(all_specs()) / 50)
     # staleness bound pinned by staleness_bound_rounds(); the r13
     # cohort's remainder (50 - 1 changed - 6 rotated = 43 keys)
-    # rotates through r16 alongside these three.
+    # rotates through r16 alongside these four (4 new + 43 r13 = 47 of
+    # r16's 50 — three slots of slack remain).
     "llm_dedup_incremental_indexed",
     "llm_dedup_incremental_semantic_indexed",
+    "llm_incremental_e2e_report",
     "llm_mixture_weights",
 })
 

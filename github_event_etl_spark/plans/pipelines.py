@@ -173,6 +173,11 @@ _INCR_E2E_JACCARD = 0.8
 _INCR_E2E_COSINE = 0.98
 _INCR_E2E_SEM_TABLES = 12
 _INCR_E2E_SEM_PLANES = 12
+# Degenerate-bucket cap for BOTH LSH stages, passed explicitly (not
+# left to operator defaults) because the composition's DuckDB oracle
+# (queries_llm.llm_incremental_e2e_report) mirrors it — the whole-LSH-
+# family cap-mirror discipline, r15.
+_INCR_E2E_MAX_BUCKET = 10_000
 
 
 def incremental_e2e_classify(
@@ -254,6 +259,7 @@ def incremental_e2e_classify(
             corpus_docs,
             batch_near,
             threshold=_INCR_E2E_JACCARD,
+            max_bucket_size=_INCR_E2E_MAX_BUCKET,
         ).select(
             "doc_id", "status", F.col("matched_doc_id").alias("matched_id")
         )
@@ -280,6 +286,7 @@ def incremental_e2e_classify(
             threshold=_INCR_E2E_COSINE,
             num_tables=_INCR_E2E_SEM_TABLES,
             planes_per_table=_INCR_E2E_SEM_PLANES,
+            max_bucket_size=_INCR_E2E_MAX_BUCKET,
         ).select(
             F.col("vec_id").alias("doc_id"),
             "status",

@@ -3881,3 +3881,242 @@ def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sample_rate_r"),
         F.least(F.col("lang_tokens"), target).alias("expected_tokens"),
     )
+
+
+# --------------------------------------------- incremental e2e composition
+
+
+def _incr_e2e_oracle(max_bucket: int) -> str:
+    """DuckDB twin of plans/pipelines.py::incremental_e2e_pipeline —
+    the full exact → MinHash → RHP-semantic waterfall with the SAME
+    cheapest-test-first narrowing, recomputed independently end to
+    end: stage 1 re-derives the content-hash classify, stage 2 the
+    MinHash chain (the `_MINHASH_VER_CTES` signature/band formulas on
+    the narrowed doc sets, per-side cap mirror), stage 3 the RHP
+    banding (`_rhp_sigs_sql`, shared plane literals) over the
+    embeddings of what stage 2 could not resolve. Per-stage verify
+    conventions match each stage's own proven oracle (MinHash:
+    rounded-then-thresholded Jaccard; semantic: unrounded cosine).
+    Parameterized by the shared degenerate-bucket cap, the LSH-family
+    convention."""
+    sem_sigs = _rhp_sigs_sql(_SEMANTIC_LSH_TABLES, _SEMANTIC_LSH_PLANES)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, (doc_id % 10 >= 8) AS is_batch FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, is_batch, sha256(lower(trim(text))) AS h FROM d
+    ),
+    bidx AS (
+      SELECT h, min(doc_id) AS bfirst FROM ch
+      WHERE is_batch GROUP BY h
+    ),
+    cidx AS (
+      SELECT h, min(doc_id) AS cfirst FROM ch
+      WHERE NOT is_batch GROUP BY h
+    ),
+    exact AS (
+      SELECT c.doc_id,
+             CASE WHEN ci.cfirst IS NOT NULL THEN 'dup_corpus'
+                  WHEN c.doc_id > bi.bfirst THEN 'dup_batch'
+                  ELSE 'new' END AS status
+      FROM ch c
+      JOIN bidx bi ON c.h = bi.h
+      LEFT JOIN cidx ci ON c.h = ci.h
+      WHERE c.is_batch
+    ),
+    rem1 AS (
+      SELECT doc_id FROM d WHERE is_batch
+      AND doc_id NOT IN (SELECT doc_id FROM exact WHERE status <> 'new')
+    ),
+    m_src AS (
+      SELECT d.doc_id, d.text, d.is_batch FROM d
+      WHERE NOT d.is_batch OR d.doc_id IN (SELECT doc_id FROM rem1)
+    ),
+    m_tok AS (SELECT doc_id, is_batch, {_TOK} AS w FROM m_src),
+    m_sh AS (SELECT doc_id, is_batch, {_SHINGLES} AS shingles FROM m_tok),
+    m_sig AS (
+      SELECT doc_id, is_batch,
+             list_transform(range(0, {_NUM_HASHES}),
+                 j -> list_aggregate(list_transform(shingles,
+                          s -> ('0x' || substr(md5(s), 1, 14))::BIGINT
+                               + j * ('0x' || substr(md5(s), 15, 14))::BIGINT),
+                      'min')) AS sig
+      FROM m_sh
+    ),
+    m_bands AS (
+      SELECT doc_id, is_batch, b.band,
+             md5(array_to_string(list_transform(
+                 sig[b.band*{_ROWS_PER_BAND}+1
+                     : b.band*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}],
+                 x -> x::VARCHAR), ',')) AS bucket
+      FROM m_sig, (SELECT unnest(range(0, {_NUM_BANDS})) AS band) b
+    ),
+    m_bb AS (
+      SELECT t.* FROM m_bands t
+      JOIN (SELECT band, bucket FROM m_bands WHERE is_batch
+            GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) k
+      USING (band, bucket)
+      WHERE t.is_batch
+    ),
+    m_cbk AS (
+      SELECT t.* FROM m_bands t
+      JOIN (SELECT band, bucket FROM m_bands WHERE NOT is_batch
+            GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) k
+      USING (band, bucket)
+      WHERE NOT t.is_batch
+    ),
+    m_sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM m_sh),
+    m_cross AS (
+      SELECT * FROM (
+        SELECT cc.batch_id, cc.corpus_id,
+               round(CASE WHEN len(list_distinct(x.s || y.s)) > 0
+                     THEN len(list_intersect(x.s, y.s))::DOUBLE
+                          / len(list_distinct(x.s || y.s))::DOUBLE
+                     ELSE 0.0 END, 6) AS j
+        FROM (
+          SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+          FROM m_bb b JOIN m_cbk c ON b.band = c.band AND b.bucket = c.bucket
+        ) cc
+        JOIN m_sets x ON cc.batch_id = x.doc_id
+        JOIN m_sets y ON cc.corpus_id = y.doc_id
+      ) WHERE j >= {_JACCARD_THRESHOLD}
+    ),
+    m_intra AS (
+      SELECT * FROM (
+        SELECT ic.doc_a, ic.doc_b,
+               round(CASE WHEN len(list_distinct(x.s || y.s)) > 0
+                     THEN len(list_intersect(x.s, y.s))::DOUBLE
+                          / len(list_distinct(x.s || y.s))::DOUBLE
+                     ELSE 0.0 END, 6) AS j
+        FROM (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM m_bb l JOIN m_bb r ON l.band = r.band AND l.bucket = r.bucket
+                                 AND l.doc_id < r.doc_id
+        ) ic
+        JOIN m_sets x ON ic.doc_a = x.doc_id
+        JOIN m_sets y ON ic.doc_b = y.doc_id
+      ) WHERE j >= {_JACCARD_THRESHOLD}
+    ),
+    near AS (
+      SELECT r.doc_id,
+             CASE WHEN cb.cm IS NOT NULL THEN 'dup_corpus'
+                  WHEN ib.bm IS NOT NULL THEN 'dup_batch'
+                  ELSE 'new' END AS status
+      FROM rem1 r
+      LEFT JOIN (SELECT batch_id, min(corpus_id) AS cm
+                 FROM m_cross GROUP BY 1) cb ON r.doc_id = cb.batch_id
+      LEFT JOIN (SELECT doc_b, min(doc_a) AS bm
+                 FROM m_intra GROUP BY 1) ib ON r.doc_id = ib.doc_b
+    ),
+    rem2 AS (SELECT doc_id FROM near WHERE status = 'new'),
+    eb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (vec_id % 10 >= 8) AS is_batch
+      FROM embeddings
+      WHERE vec_id % 10 < 8 OR vec_id IN (SELECT doc_id FROM rem2)
+    ),
+    s_sigv AS (
+      SELECT vec_id, is_batch, {sem_sigs} AS sigs
+      FROM eb WHERE v IS NOT NULL
+    ),
+    s_bands AS (
+      SELECT vec_id, is_batch, b.band, sigs[b.band + 1] AS bucket
+      FROM s_sigv, (SELECT unnest(range(0, {_SEMANTIC_LSH_TABLES})) AS band) b
+    ),
+    s_bb AS (
+      SELECT t.* FROM s_bands t
+      JOIN (SELECT band, bucket FROM s_bands WHERE is_batch
+            GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) k
+      USING (band, bucket)
+      WHERE t.is_batch
+    ),
+    s_cbk AS (
+      SELECT t.* FROM s_bands t
+      JOIN (SELECT band, bucket FROM s_bands WHERE NOT is_batch
+            GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) k
+      USING (band, bucket)
+      WHERE NOT t.is_batch
+    ),
+    s_cross AS (
+      SELECT * FROM (
+        SELECT cc.batch_id, cc.corpus_id, {_cos_sql('x.v', 'y.v')} AS cs
+        FROM (
+          SELECT DISTINCT b.vec_id AS batch_id, c.vec_id AS corpus_id
+          FROM s_bb b JOIN s_cbk c ON b.band = c.band AND b.bucket = c.bucket
+        ) cc
+        JOIN eb x ON cc.batch_id = x.vec_id
+        JOIN eb y ON cc.corpus_id = y.vec_id
+      ) WHERE cs >= {_LSH_DUP_THRESHOLD}
+    ),
+    s_intra AS (
+      SELECT * FROM (
+        SELECT ic.doc_a, ic.doc_b, {_cos_sql('x.v', 'y.v')} AS cs
+        FROM (
+          SELECT DISTINCT l.vec_id AS doc_a, r.vec_id AS doc_b
+          FROM s_bb l JOIN s_bb r ON l.band = r.band AND l.bucket = r.bucket
+                                 AND l.vec_id < r.vec_id
+        ) ic
+        JOIN eb x ON ic.doc_a = x.vec_id
+        JOIN eb y ON ic.doc_b = y.vec_id
+      ) WHERE cs >= {_LSH_DUP_THRESHOLD}
+    ),
+    sem AS (
+      SELECT r2.doc_id,
+             CASE WHEN cb.cm IS NOT NULL THEN 'dup_corpus'
+                  WHEN ib.bm IS NOT NULL THEN 'dup_batch' END AS status
+      FROM rem2 r2
+      LEFT JOIN (SELECT batch_id, min(corpus_id) AS cm
+                 FROM s_cross GROUP BY 1) cb ON r2.doc_id = cb.batch_id
+      LEFT JOIN (SELECT doc_b, min(doc_a) AS bm
+                 FROM s_intra GROUP BY 1) ib ON r2.doc_id = ib.doc_b
+    )
+    SELECT stage, status, n_docs FROM (
+      SELECT 'exact' AS stage, status, count(*) AS n_docs
+      FROM exact WHERE status <> 'new' GROUP BY 1, 2
+      UNION ALL
+      SELECT 'minhash', status, count(*)
+      FROM near WHERE status <> 'new' GROUP BY 1, 2
+      UNION ALL
+      SELECT 'semantic', status, count(*)
+      FROM sem WHERE status IS NOT NULL GROUP BY 1, 2
+      UNION ALL
+      SELECT 'none', 'new', count(*)
+      FROM sem WHERE status IS NULL GROUP BY 1, 2
+    )
+    """
+
+
+from .pipelines import _INCR_E2E_MAX_BUCKET  # noqa: E402 — the cap the
+# pipeline passes to both LSH stages; imported here (pipelines has no
+# plans-internal imports, so no cycle) so the oracle mirror can never
+# drift from what the composition actually runs.
+
+
+@query(
+    "llm_incremental_e2e_report",
+    oracle=_incr_e2e_oracle(_INCR_E2E_MAX_BUCKET),
+    tags=("llm", "dedup", "pipeline"),
+)
+def llm_incremental_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed daily-increment waterfall AS A VALUE-CHECKED KEY:
+    exact hash → MinHash-LSH → RHP-semantic classify over the 80/20
+    split, merged (stage, status, n_docs) report — the same
+    composition bench.py times as `pipelines.incremental_e2e`, now
+    held to a full DuckDB oracle that independently re-derives every
+    stage INCLUDING the cheapest-test-first narrowing between them
+    (`_incr_e2e_oracle`: content-hash classify → the proven MinHash
+    signature/band chain on the narrowed sets → the shared-plane RHP
+    banding over what survives — so a wiring regression in the
+    composition, not just in a stage, turns the driver red). Per-stage
+    semantics are the three incremental twins'; stage-level oracles
+    remain with the llm_dedup_incremental* keys.
+
+    Scale shape: plans/pipelines.py::incremental_e2e_classify — each
+    stage sees only what the previous stage could not resolve,
+    scalar-only checkpoints between stages, anti-join remainders so a
+    verdict-less doc (e.g. NULL text) still lands in 'none'/'new'
+    (conservation pytest)."""
+    from .pipelines import incremental_e2e_pipeline
+
+    return incremental_e2e_pipeline(spark, sf_dir)
