@@ -173,10 +173,14 @@ _INCR_E2E_JACCARD = 0.8
 _INCR_E2E_COSINE = 0.98
 _INCR_E2E_SEM_TABLES = 12
 _INCR_E2E_SEM_PLANES = 12
-# Degenerate-bucket cap for BOTH LSH stages, passed explicitly (not
-# left to operator defaults) because the composition's DuckDB oracle
-# (queries_llm.llm_incremental_e2e_report) mirrors it — the whole-LSH-
-# family cap-mirror discipline, r15.
+# MinHash stage geometry + the degenerate-bucket cap for BOTH LSH
+# stages, passed explicitly (never left to operator defaults): the
+# composition's DuckDB oracle (queries_llm.llm_incremental_e2e_report)
+# mirrors EVERY one of these — a default retuned in the operator would
+# otherwise silently desynchronize the composition from its oracle.
+_INCR_E2E_NUM_BANDS = 4
+_INCR_E2E_ROWS_PER_BAND = 3
+_INCR_E2E_SHINGLE_K = 3
 _INCR_E2E_MAX_BUCKET = 10_000
 
 
@@ -259,6 +263,9 @@ def incremental_e2e_classify(
             corpus_docs,
             batch_near,
             threshold=_INCR_E2E_JACCARD,
+            num_bands=_INCR_E2E_NUM_BANDS,
+            rows_per_band=_INCR_E2E_ROWS_PER_BAND,
+            k=_INCR_E2E_SHINGLE_K,
             max_bucket_size=_INCR_E2E_MAX_BUCKET,
         ).select(
             "doc_id", "status", F.col("matched_doc_id").alias("matched_id")

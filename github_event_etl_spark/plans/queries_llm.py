@@ -96,16 +96,49 @@ from .catalog import query
 
 _TOK = r"string_split_regex(trim(text), '\s+')"
 _TOK_LOWER = r"string_split_regex(trim(lower(text)), '\s+')"
+def _shingles_sql(k: int) -> str:
+    """Word k-gram shingles of token list `w` (empty when < k words) —
+    ONE formula, parameterized; `_SHINGLES` is its k=3 instance (the
+    repo-wide shingle size), byte-identical to the literal it
+    replaced so every registered oracle's text is unchanged."""
+    return (
+        f"CASE WHEN len(w) >= {k} THEN list_transform(range(1, len(w)-{k - 2}),"
+        f" i -> array_to_string(w[i:i+{k - 1}], ' ')) ELSE [] END"
+    )
+
+
 # word 3-gram shingles of token list w (empty when < 3 words)
-_SHINGLES = (
-    "CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w)-1),"
-    " i -> array_to_string(w[i:i+2], ' ')) ELSE [] END"
-)
+_SHINGLES = _shingles_sql(3)
 
 _NUM_HASHES = 12
 _NUM_BANDS = 4
 _ROWS_PER_BAND = 3
 _JACCARD_THRESHOLD = 0.8
+
+
+def _minhash_sig_sql(num_hashes: int) -> str:
+    """The Kirsch-Mitzenmacher MinHash signature formula over a
+    `shingles` column — ONE copy shared by every oracle that
+    recomputes MinHash (the full-corpus key, the incremental twin, and
+    the composed e2e report), so a fix to the lane arithmetic can
+    never land in one oracle and silently not the others. Lane j's
+    hash is h1 + j*h2 on the md5 digest's 56-bit hex halves
+    (text_dedup.py minhash_signature); identical hex parse both
+    engines."""
+    return f"""list_transform(range(0, {num_hashes}),
+             j -> list_aggregate(list_transform(shingles,
+                      s -> ('0x' || substr(md5(s), 1, 14))::BIGINT
+                           + j * ('0x' || substr(md5(s), 15, 14))::BIGINT),
+                  'min'))"""
+
+
+def _minhash_bucket_sql(rows_per_band: int) -> str:
+    """The per-band bucket digest over a `sig` column and band index
+    `b.band` — the second half of the shared MinHash formula pair (see
+    `_minhash_sig_sql`)."""
+    return f"""md5(array_to_string(list_transform(
+             sig[b.band*{rows_per_band}+1 : b.band*{rows_per_band}+{rows_per_band}],
+             x -> x::VARCHAR), ','))"""
 _COSINE_THRESHOLD = 0.4
 _KNN_QUERIES = 8
 _KNN_K = 10
@@ -284,18 +317,12 @@ tok AS (SELECT doc_id, is_batch, {_TOK} AS w FROM planted),
 sh AS (SELECT doc_id, is_batch, {_SHINGLES} AS shingles FROM tok),
 sig AS (
   SELECT doc_id, is_batch,
-         list_transform(range(0, {_NUM_HASHES}),
-             j -> list_aggregate(list_transform(shingles,
-                      s -> ('0x' || substr(md5(s), 1, 14))::BIGINT
-                           + j * ('0x' || substr(md5(s), 15, 14))::BIGINT),
-                  'min')) AS sig
+         {_minhash_sig_sql(_NUM_HASHES)} AS sig
   FROM sh
 ),
 bands AS (
   SELECT doc_id, is_batch, b.band,
-         md5(array_to_string(list_transform(
-             sig[b.band*{_ROWS_PER_BAND}+1 : b.band*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}],
-             x -> x::VARCHAR), ',')) AS bucket
+         {_minhash_bucket_sql(_ROWS_PER_BAND)} AS bucket
   FROM sig, (SELECT unnest(range(0, {_NUM_BANDS})) AS band) b
 ),
 -- Degenerate-bucket guard, mirroring _cap_buckets exactly: a bucket
@@ -545,18 +572,12 @@ sig AS (
   -- h1 + j*h2 on the digest's 56-bit hex halves (text_dedup.py
   -- minhash_signature); identical hex parse both engines
   SELECT doc_id,
-         list_transform(range(0, {_NUM_HASHES}),
-             j -> list_aggregate(list_transform(shingles,
-                      s -> ('0x' || substr(md5(s), 1, 14))::BIGINT
-                           + j * ('0x' || substr(md5(s), 15, 14))::BIGINT),
-                  'min')) AS sig
+         {_minhash_sig_sql(_NUM_HASHES)} AS sig
   FROM sh
 ),
 bands AS (
   SELECT doc_id, b.band,
-         md5(array_to_string(list_transform(
-             sig[b.band*{_ROWS_PER_BAND}+1 : b.band*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}],
-             x -> x::VARCHAR), ',')) AS bucket
+         {_minhash_bucket_sql(_ROWS_PER_BAND)} AS bucket
   FROM sig, (SELECT unnest(range(0, {_NUM_BANDS})) AS band) b
 ),
 cand AS (
@@ -3886,6 +3907,24 @@ def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- incremental e2e composition
 
 
+from .pipelines import (  # noqa: E402 — the exact parameters the
+    # composition passes to its stages; imported (pipelines has no
+    # plans-internal imports, so no cycle) so the oracle mirrors what
+    # the pipeline ACTUALLY runs — every parameter, not just the cap;
+    # a retune of any sibling key's constants can no longer silently
+    # desynchronize this oracle from the composition.
+    _INCR_E2E_BATCH_SPLIT,
+    _INCR_E2E_COSINE,
+    _INCR_E2E_JACCARD,
+    _INCR_E2E_MAX_BUCKET,
+    _INCR_E2E_NUM_BANDS,
+    _INCR_E2E_ROWS_PER_BAND,
+    _INCR_E2E_SEM_PLANES,
+    _INCR_E2E_SEM_TABLES,
+    _INCR_E2E_SHINGLE_K,
+)
+
+
 def _incr_e2e_oracle(max_bucket: int) -> str:
     """DuckDB twin of plans/pipelines.py::incremental_e2e_pipeline —
     the full exact → MinHash → RHP-semantic waterfall with the SAME
@@ -3899,10 +3938,13 @@ def _incr_e2e_oracle(max_bucket: int) -> str:
     rounded-then-thresholded Jaccard; semantic: unrounded cosine).
     Parameterized by the shared degenerate-bucket cap, the LSH-family
     convention."""
-    sem_sigs = _rhp_sigs_sql(_SEMANTIC_LSH_TABLES, _SEMANTIC_LSH_PLANES)
+    sem_sigs = _rhp_sigs_sql(_INCR_E2E_SEM_TABLES, _INCR_E2E_SEM_PLANES)
+    lanes = _INCR_E2E_NUM_BANDS * _INCR_E2E_ROWS_PER_BAND
     return f"""
     WITH d AS (
-      SELECT doc_id, text, (doc_id % 10 >= 8) AS is_batch FROM documents
+      SELECT doc_id, text,
+             (doc_id % 10 >= {_INCR_E2E_BATCH_SPLIT}) AS is_batch
+      FROM documents
     ),
     ch AS (
       SELECT doc_id, is_batch, sha256(lower(trim(text))) AS h FROM d
@@ -3934,23 +3976,19 @@ def _incr_e2e_oracle(max_bucket: int) -> str:
       WHERE NOT d.is_batch OR d.doc_id IN (SELECT doc_id FROM rem1)
     ),
     m_tok AS (SELECT doc_id, is_batch, {_TOK} AS w FROM m_src),
-    m_sh AS (SELECT doc_id, is_batch, {_SHINGLES} AS shingles FROM m_tok),
+    m_sh AS (SELECT doc_id, is_batch,
+                    {_shingles_sql(_INCR_E2E_SHINGLE_K)} AS shingles
+             FROM m_tok),
     m_sig AS (
       SELECT doc_id, is_batch,
-             list_transform(range(0, {_NUM_HASHES}),
-                 j -> list_aggregate(list_transform(shingles,
-                          s -> ('0x' || substr(md5(s), 1, 14))::BIGINT
-                               + j * ('0x' || substr(md5(s), 15, 14))::BIGINT),
-                      'min')) AS sig
+         {_minhash_sig_sql(lanes)} AS sig
       FROM m_sh
     ),
     m_bands AS (
       SELECT doc_id, is_batch, b.band,
-             md5(array_to_string(list_transform(
-                 sig[b.band*{_ROWS_PER_BAND}+1
-                     : b.band*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}],
-                 x -> x::VARCHAR), ',')) AS bucket
-      FROM m_sig, (SELECT unnest(range(0, {_NUM_BANDS})) AS band) b
+         {_minhash_bucket_sql(_INCR_E2E_ROWS_PER_BAND)} AS bucket
+      FROM m_sig,
+           (SELECT unnest(range(0, {_INCR_E2E_NUM_BANDS})) AS band) b
     ),
     m_bb AS (
       SELECT t.* FROM m_bands t
@@ -3980,7 +4018,7 @@ def _incr_e2e_oracle(max_bucket: int) -> str:
         ) cc
         JOIN m_sets x ON cc.batch_id = x.doc_id
         JOIN m_sets y ON cc.corpus_id = y.doc_id
-      ) WHERE j >= {_JACCARD_THRESHOLD}
+      ) WHERE j >= {_INCR_E2E_JACCARD}
     ),
     m_intra AS (
       SELECT * FROM (
@@ -3996,7 +4034,7 @@ def _incr_e2e_oracle(max_bucket: int) -> str:
         ) ic
         JOIN m_sets x ON ic.doc_a = x.doc_id
         JOIN m_sets y ON ic.doc_b = y.doc_id
-      ) WHERE j >= {_JACCARD_THRESHOLD}
+      ) WHERE j >= {_INCR_E2E_JACCARD}
     ),
     near AS (
       SELECT r.doc_id,
@@ -4012,9 +4050,10 @@ def _incr_e2e_oracle(max_bucket: int) -> str:
     rem2 AS (SELECT doc_id FROM near WHERE status = 'new'),
     eb AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
-             (vec_id % 10 >= 8) AS is_batch
+             (vec_id % 10 >= {_INCR_E2E_BATCH_SPLIT}) AS is_batch
       FROM embeddings
-      WHERE vec_id % 10 < 8 OR vec_id IN (SELECT doc_id FROM rem2)
+      WHERE vec_id % 10 < {_INCR_E2E_BATCH_SPLIT}
+         OR vec_id IN (SELECT doc_id FROM rem2)
     ),
     s_sigv AS (
       SELECT vec_id, is_batch, {sem_sigs} AS sigs
@@ -4022,7 +4061,8 @@ def _incr_e2e_oracle(max_bucket: int) -> str:
     ),
     s_bands AS (
       SELECT vec_id, is_batch, b.band, sigs[b.band + 1] AS bucket
-      FROM s_sigv, (SELECT unnest(range(0, {_SEMANTIC_LSH_TABLES})) AS band) b
+      FROM s_sigv,
+           (SELECT unnest(range(0, {_INCR_E2E_SEM_TABLES})) AS band) b
     ),
     s_bb AS (
       SELECT t.* FROM s_bands t
@@ -4047,7 +4087,7 @@ def _incr_e2e_oracle(max_bucket: int) -> str:
         ) cc
         JOIN eb x ON cc.batch_id = x.vec_id
         JOIN eb y ON cc.corpus_id = y.vec_id
-      ) WHERE cs >= {_LSH_DUP_THRESHOLD}
+      ) WHERE cs >= {_INCR_E2E_COSINE}
     ),
     s_intra AS (
       SELECT * FROM (
@@ -4059,7 +4099,7 @@ def _incr_e2e_oracle(max_bucket: int) -> str:
         ) ic
         JOIN eb x ON ic.doc_a = x.vec_id
         JOIN eb y ON ic.doc_b = y.vec_id
-      ) WHERE cs >= {_LSH_DUP_THRESHOLD}
+      ) WHERE cs >= {_INCR_E2E_COSINE}
     ),
     sem AS (
       SELECT r2.doc_id,
@@ -4085,12 +4125,6 @@ def _incr_e2e_oracle(max_bucket: int) -> str:
       FROM sem WHERE status IS NULL GROUP BY 1, 2
     )
     """
-
-
-from .pipelines import _INCR_E2E_MAX_BUCKET  # noqa: E402 — the cap the
-# pipeline passes to both LSH stages; imported here (pipelines has no
-# plans-internal imports, so no cycle) so the oracle mirror can never
-# drift from what the composition actually runs.
 
 
 @query(
