@@ -298,19 +298,22 @@ def main() -> None:
 
     components: dict[str, float] = {}
     # Fixture-layout warmup (the streaming-warmup rule: one-time
-    # materializations happen OUTSIDE any measured window): the
-    # indexed-dedup key writes its band index on first touch of a
+    # materializations happen OUTSIDE any measured window): BOTH
+    # indexed-dedup keys write their band index on first touch of a
     # fresh scratch tree — without this, rep 1 on every fresh host
-    # pays the full corpus banding + parquet write and the component's
-    # published [min, max] spread records a spike indistinguishable
-    # from host noise.
-    if "llm_dedup_incremental_indexed" in qmap:
-        _guard(
-            "indexed_fixture_warmup",
-            lambda: _force(
-                qmap["llm_dedup_incremental_indexed"](spark, sf_dir)
-            ),
-        )
+    # pays the full corpus banding/matmul + parquet write and the
+    # component's published [min, max] spread records a spike
+    # indistinguishable from host noise (seen for the semantic twin in
+    # BENCH_r15's [2.867, 4.132]; ADVICE r15 item 1).
+    for idx_name in (
+        "llm_dedup_incremental_indexed",
+        "llm_dedup_incremental_semantic_indexed",
+    ):
+        if idx_name in qmap:
+            _guard(
+                f"indexed_fixture_warmup_{idx_name}",
+                lambda n=idx_name: _force(qmap[n](spark, sf_dir)),
+            )
     for name in [n for n in COMPONENTS if n in qmap]:
         _bench_into(
             components, name, lambda: _force(qmap[name](spark, sf_dir))

@@ -69,24 +69,23 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 # the change). Once the post-change verification lands, the key
 # rejoins normal staleness ordering — a forgotten entry cannot
 # permanently hog the 50-key budget.
-_CHANGED_AFTER_ROUND = 14  # round-15 edits; r01-r14 artifacts predate them
+_CHANGED_AFTER_ROUND = 15  # round-16 edits; r01-r15 artifacts predate them
 
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # round 15: three ORACLES changed from parameter-free all-pairs
-    # cosine to DuckDB-recomputed RHP banding with the bucket-cap
-    # mirror (VERDICT r14 item 5 closed for the incremental twin, then
-    # extended to the whole RHP family — llm_dup_cosine_lsh at 12×8,
-    # llm_dedup_semantic's pair stage at 12×12, both sharing
-    # _rhp_pairs_cte). Spark outputs are unchanged at every tested SF
-    # (the caps never bind below cap-binding scales), but the driver
-    # compares against the NEW oracles, so the keys must re-verify
-    # ahead of the stale tail. Window cost: 3 changed + 41 r12-stale +
-    # 6 oldest-r13 = 50; all r12 keys still rotate, the bound holds.
-    # Self-clear when post-change green rows land in an artifact newer
-    # than r14.
-    "llm_dedup_incremental_semantic",
-    "llm_dup_cosine_lsh",
-    "llm_dedup_semantic",
+    # round 16: the composed key's FIXTURE changed from the natural
+    # tables to the cross-stage plants (queries_llm.py header above
+    # _E2E_EXACT_BATCH_TXT; VERDICT r15 item 5) so its driver hash
+    # exercises minhash/semantic stage attribution, not just the exact
+    # stage + fall-through; the oracle applies the identical plant
+    # CASEs. The key never earned a green row (it is one of the four
+    # r15 over-budget deferrals already riding at the front of r16's
+    # window), so marking it changed reorders it WITHIN the window —
+    # zero extra evictions; the window stays 4 never-checked + 43
+    # r13-stale + 3 oldest-r14 = 50. Self-clears when a post-change
+    # green row lands in an artifact newer than r15.
+    # (r15's three RHP-oracle-cap-mirror entries self-cleared with
+    # their green rows in CORRECTNESS_r15.)
+    "llm_incremental_e2e_report",
 })
 
 # Keys added when the current round's 50-key verification window is
@@ -118,23 +117,16 @@ def staleness_bound_rounds() -> int:
     n = len(all_specs())
     return -(-n // _DRIVER_KEYS_PER_ROUND)
 _DEFER_NEW_UNTIL_ROUND = 15
-_DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # r15 window arithmetic: 3 changed keys (the RHP-family oracle
-    # cap mirrors, see _CHANGED_THIS_ROUND) + all 41 r12-stale keys +
-    # the 6 oldest r13-stale keys fill the 50, so the four r15
-    # additions below ride OVER-BUDGET and defer past the r15 window
-    # (rank last; first driver rows run in r16 at the front of its
-    # window — the r13 precedent). After r15 no key's latest green
-    # row predates r13, holding the ceil(len(all_specs()) / 50)
-    # staleness bound pinned by staleness_bound_rounds(); the r13
-    # cohort's remainder (50 - 1 changed - 6 rotated = 43 keys)
-    # rotates through r16 alongside these four (4 new + 43 r13 = 47 of
-    # r16's 50 — three slots of slack remain).
-    "llm_dedup_incremental_indexed",
-    "llm_dedup_incremental_semantic_indexed",
-    "llm_incremental_e2e_report",
-    "llm_mixture_weights",
-})
+_DEFERRED_NEW_KEYS: frozenset[str] = frozenset(
+    # Empty this round. r15 precedent: its four over-budget additions
+    # (the indexed incremental pair, llm_mixture_weights, and the
+    # composed llm_incremental_e2e_report) deferred here until the r15
+    # artifact landed, then self-cleared into ordinary never-checked
+    # front-riders — they lead r16's window (4 never-checked + 43
+    # r13-stale + 3 oldest-r14 = 50), after which no key's latest
+    # green row predates r14 and the ceil(len(all_specs()) / 50) bound
+    # from staleness_bound_rounds() keeps holding.
+)
 
 # Declared rows-only queries whose correct answer may legitimately be
 # empty. A 0-row result from one of these still earns a green staleness

@@ -320,22 +320,16 @@ def incremental_e2e_classify(
     )
 
 
-def incremental_e2e_pipeline(
-    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+def incremental_e2e_report(
+    docs: DataFrame, emb: DataFrame, checkpoint: bool = True
 ) -> DataFrame:
-    """The composed daily-increment job over the real tables: split
-    documents (and their embeddings) 80/20 on `doc_id % 10 >=
-    {_INCR_E2E_BATCH_SPLIT}`, run the exact → MinHash → semantic
-    waterfall, and report (stage, status, n_docs) — the merged status
-    report a pipeline operator reads each morning. Benchmarked by
-    bench.py as `pipelines.incremental_e2e` (outside the headline
-    total, the dedup_e2e policy); per-operator correctness is already
-    oracle-pinned by the three llm_dedup_incremental* keys, so this
-    publishes the COMPOSITION's wall-clock, not new semantics.
-    `checkpoint` passes through to `incremental_e2e_classify` (False =
-    one fully lazy plan, used by the plan gate)."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    """80/20 split (`doc_id % 10 >= _INCR_E2E_BATCH_SPLIT`) + waterfall
+    classify + the merged (stage, status, n_docs) report, over GIVEN
+    documents/embeddings frames — ONE copy of the split/report wiring,
+    shared by the natural-table benched pipeline below and the catalog
+    key's planted fixture (queries_llm.llm_incremental_e2e_report),
+    the `_incrm_split` fixture-lives-once rule applied to the
+    composition."""
     doc_is_batch = (F.col("doc_id") % 10) >= _INCR_E2E_BATCH_SPLIT
     vec_is_batch = (F.col("vec_id") % 10) >= _INCR_E2E_BATCH_SPLIT
     per_doc = incremental_e2e_classify(
@@ -349,4 +343,27 @@ def incremental_e2e_pipeline(
         per_doc.groupBy("stage", "status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("stage", "status")
+    )
+
+
+def incremental_e2e_pipeline(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """The composed daily-increment job over the real (un-planted)
+    tables: the exact → MinHash → semantic waterfall and its
+    (stage, status, n_docs) report — the merged status report a
+    pipeline operator reads each morning. Benchmarked by bench.py as
+    `pipelines.incremental_e2e` (outside the headline total, the
+    dedup_e2e policy) on the NATURAL tables so the baseline series
+    stays comparable round over round; the value-checked catalog key
+    (queries_llm.llm_incremental_e2e_report) runs the same composition
+    over a cross-stage planted fixture instead, so its driver row
+    exercises every waterfall stage. Per-operator correctness is
+    already oracle-pinned by the three llm_dedup_incremental* keys.
+    `checkpoint` passes through to `incremental_e2e_classify` (False =
+    one fully lazy plan, used by the plan gate)."""
+    return incremental_e2e_report(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        checkpoint=checkpoint,
     )

@@ -17,6 +17,8 @@ SQL). The one rows-only key is the HLL `agg_approx_distinct`
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -88,6 +90,20 @@ from ..operators.vocab import tfidf_topk, unigram_rarity
 from ..scratch import scratch_dir
 from ..sources.tables import load_table
 from .catalog import query
+
+
+def _fixture_token(*parts) -> str:
+    """8-hex fingerprint of a fixture's construction CONSTANTS, folded
+    into materialize-once scratch paths (the indexed-dedup keys) so
+    editing a plant literal automatically keys a fresh index tree
+    instead of serving stale committed content — whose failure mode
+    was a confusing oracle value-mismatch pointing nowhere near the
+    fixture (ADVICE r15 item 3). Covers the literals and residue
+    constants passed in; a structural edit that keeps every literal
+    (e.g. reordering CASE branches) must bump the call site's trailing
+    `...-vN` structure-version part instead."""
+    joined = "|".join(str(p) for p in parts)
+    return hashlib.md5(joined.encode("utf-8")).hexdigest()[:8]
 
 # --------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB dialect), kept in lockstep with the Spark
@@ -520,13 +536,22 @@ def llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     # The banding geometry is baked into the index CONTENT, so it is
     # folded into the PATH (the events_replay_dir convention: retuning
     # _NUM_BANDS/_ROWS_PER_BAND gets a fresh tree instead of silently
-    # serving stale band keys); the shingle k rides the same suffix.
-    # Caveat inherited from scratch.py's header: the fixture TEXT
-    # construction (_incrm_split's plants) is code, not a path
-    # component — editing it requires clearing the scratch tree, as
-    # with every materialize-once layout.
+    # serving stale band keys); the shingle k rides the same suffix,
+    # and the fixture token keys the PLANT constants the index content
+    # equally depends on (_incrm_split's literals + the batch-split
+    # residue) so a fixture edit gets a fresh tree automatically
+    # instead of serving stale committed plants (ADVICE r15 item 3).
     index = scratch_dir(
-        sf_dir, f"minhash_index_b{_NUM_BANDS}r{_ROWS_PER_BAND}k3"
+        sf_dir,
+        f"minhash_index_b{_NUM_BANDS}r{_ROWS_PER_BAND}k3_f"
+        + _fixture_token(
+            _INCRM_BATCH,
+            _INCRM_BATCH_WIDE,
+            _INCRM_SHARED,
+            _INCRM_SHARED_WIDE,
+            _INCR_BATCH_SPLIT,
+            "incrm-split-v1",
+        ),
     )
     # materialize-once per dataset, gated on the _SUCCESS marker (the
     # replay-dir convention, streaming/replay.py) — a bare dir-exists
@@ -3800,10 +3825,17 @@ def llm_dedup_incremental_semantic_indexed(
     # interrupted-write and stale-retune rationale)
     # "doc" marks the doc_id-named id column (rhp_write_index's
     # contract since the id-alias fix) so a pre-fix tree under the old
-    # name can never be served
+    # name can never be served; the fixture token keys the PLANT
+    # constants the index content depends on (_planted_dup_corpus's
+    # offset/perturbation literals + the three-residue batch split) so
+    # a fixture edit gets a fresh tree automatically (ADVICE r15
+    # item 3)
     index = scratch_dir(
         sf_dir,
-        f"rhp_doc_index_t{_SEMANTIC_LSH_TABLES}p{_SEMANTIC_LSH_PLANES}",
+        f"rhp_doc_index_t{_SEMANTIC_LSH_TABLES}p{_SEMANTIC_LSH_PLANES}_f"
+        + _fixture_token(
+            _PLANT_OFFSET, 1.05, 0.95, "planted-dup-corpus-sem-split-v1"
+        ),
     )
     if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
         rhp_write_index(
@@ -3925,6 +3957,148 @@ from .pipelines import (  # noqa: E402 — the exact parameters the
 )
 
 
+# Cross-stage planted fixture for the composed key (r16, VERDICT r15
+# item 5): over the natural tables only the exact stage and the
+# 'none'/'new' fall-through fire (natural text is corpus-unique and
+# natural embeddings have no >= 0.98 cross-split pairs), so the driver
+# hash pinned the composition and conservation but not the minhash /
+# semantic stage attribution — that lived only in the planted pytest.
+# Six residue classes plant one group per (stage, status). Batch-only
+# classes use modulus 200 with residues ≡ 8/9 (mod 10), so every
+# member sits inside the 20% increment; cross-split classes use
+# modulus 53 (53 ⊥ 10 → members sweep every doc_id % 10 residue, so
+# each group has corpus AND batch members at every SF, down to the
+# 500-doc test tables). Text plants:
+#   doc_id % 200 == 8 → shared literal, batch-only → (exact, dup_batch)
+#   doc_id % 53 == 3 → shared literal, cross-split → (exact, dup_corpus)
+#   doc_id % 200 == 9 → 25-token passage + ' u'||doc_id
+#                                         → (minhash, dup_batch)
+#   doc_id % 53 == 7 → 25-token passage + ' v'||doc_id
+#                                         → (minhash, dup_corpus)
+# The unique suffix token keeps every minhash plant EXACT-unique (the
+# exact stage must not resolve it) while k=3 shingling shares 23 of
+# each member's 24 shingles: within-group Jaccard = 23/25 = 0.92 ≥ the
+# 0.8 threshold. Embedding plants — residue classes disjoint from the
+# text plants by the explicit exclusion (a text-planted batch doc
+# resolves BEFORE the semantic stage and would waste its plant):
+#   vec_id % 200 == 19 → base (i % 7) + 1, batch-only
+#                                         → (semantic, dup_batch)
+#   vec_id % 53 == 11 → base (i % 5) + 2, cross-split
+#                                         → (semantic, dup_corpus)
+# each perturbed by the _planted_dup_corpus parity trick (component i
+# × 1.05 when (vec_id + i) even, else × 0.95): same-parity members are
+# IDENTICAL vectors (cosine exactly 1), opposite-parity ≈ 0.9956 —
+# both ≥ the 0.98 threshold — while the two base patterns sit near
+# 0.84 of each other. Semantic-class members ALSO get a planted text:
+# the single unique token 'qse'||doc_id — exact-unique AND below the
+# k=3 shingle floor (one word → empty shingle set → no MinHash
+# candidates), so NO earlier stage can steal them: the natural tables
+# contain genuine near-dup pairs (±4-char templated texts, e.g.
+# doc 329 ↔ 270 at the 500-doc tables) that would otherwise resolve a
+# semantic plant at the minhash stage whenever a class member happens
+# to be one. Un-planted docs keep natural text/embedding →
+# 'none'/'new' (the natural near-dup pairs keep firing extra
+# (minhash, dup_corpus) mass — mirrored by the oracle, which applies
+# these same CASEs and re-derives the stages). All seven
+# (stage, status) rows fire at every tested SF; the SQL CASEs mirror
+# the Spark builders branch for branch, and the value check is pinned
+# by the tests/test_llm.py attribution test plus the all-keys oracle
+# differential.
+_E2E_EXACT_BATCH_TXT = "e2e planted exact batch passage"
+_E2E_EXACT_SHARED_TXT = "e2e planted exact shared passage"
+_E2E_MH_BATCH_TXT = " ".join(f"qmb{i:02d}" for i in range(25))
+_E2E_MH_SHARED_TXT = " ".join(f"qms{i:02d}" for i in range(25))
+
+
+def _e2e_planted_docs(docs: DataFrame) -> DataFrame:
+    """Text plants over documents — Spark twin of the oracle's
+    `_E2E_PLANT_TEXT_SQL` CASE (same branch order: on the measure-zero
+    residue overlaps, first match wins in both engines)."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.when(d % 200 == 8, F.lit(_E2E_EXACT_BATCH_TXT))
+        .when(d % 53 == 3, F.lit(_E2E_EXACT_SHARED_TXT))
+        .when(
+            d % 200 == 9,
+            F.concat(F.lit(_E2E_MH_BATCH_TXT + " u"), d.cast("string")),
+        )
+        .when(
+            d % 53 == 7,
+            F.concat(F.lit(_E2E_MH_SHARED_TXT + " v"), d.cast("string")),
+        )
+        .when(
+            (d % 200 == 19) | (d % 53 == 11),
+            F.concat(F.lit("qse"), d.cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _e2e_sem_base(vec_id: Column, mod: int, add: int) -> Column:
+    """Planted semantic base pattern ((i % mod) + add), parity-
+    perturbed — Spark twin of `_e2e_sem_base_sql` (DuckDB's
+    range(1, 65) is 1-based; its (i - 1) ≙ this 0-based i, the
+    _PLANTED_CORPUS_CTE convention)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: ((i % mod) + add).cast("double")
+        * F.when((vec_id + i) % 2 == 0, F.lit(1.05)).otherwise(F.lit(0.95)),
+    )
+
+
+def _e2e_planted_emb(emb: DataFrame) -> DataFrame:
+    """Embedding plants over embeddings — Spark twin of the oracle's
+    `_E2E_PLANT_EMB_SQL` CASE. Natural embeddings are cast to double
+    up front so both engines run every downstream signature/cosine in
+    identical IEEE double arithmetic (the planted-fixture family
+    convention)."""
+    v = F.col("vec_id")
+    text_planted = (v % 200).isin(8, 9) | (v % 53).isin(3, 7)
+    return emb.select(
+        "vec_id",
+        F.when((v % 200 == 19) & ~text_planted, _e2e_sem_base(v, 7, 1))
+        .when(
+            (v % 53 == 11) & ~text_planted & (v % 200 != 19),
+            _e2e_sem_base(v, 5, 2),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+
+
+def _e2e_sem_base_sql(mod: int, add: int) -> str:
+    """DuckDB spelling of `_e2e_sem_base`."""
+    return (
+        f"list_transform(range(1, 65), i -> "
+        f"(((i - 1) % {mod}) + {add})::DOUBLE * "
+        f"(CASE WHEN (vec_id + i - 1) % 2 = 0 THEN 1.05 ELSE 0.95 END))"
+    )
+
+
+_E2E_TEXT_PLANTED_SQL = "(vec_id % 200 IN (8, 9) OR vec_id % 53 IN (3, 7))"
+
+_E2E_PLANT_TEXT_SQL = f"""CASE
+           WHEN doc_id % 200 = 8 THEN '{_E2E_EXACT_BATCH_TXT}'
+           WHEN doc_id % 53 = 3 THEN '{_E2E_EXACT_SHARED_TXT}'
+           WHEN doc_id % 200 = 9
+           THEN '{_E2E_MH_BATCH_TXT} u' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 53 = 7
+           THEN '{_E2E_MH_SHARED_TXT} v' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 200 = 19 OR doc_id % 53 = 11
+           THEN 'qse' || CAST(doc_id AS VARCHAR)
+           ELSE text END"""
+
+_E2E_PLANT_EMB_SQL = f"""CASE
+           WHEN vec_id % 200 = 19 AND NOT {_E2E_TEXT_PLANTED_SQL}
+           THEN {_e2e_sem_base_sql(7, 1)}
+           WHEN vec_id % 53 = 11 AND NOT {_E2E_TEXT_PLANTED_SQL}
+                AND vec_id % 200 <> 19
+           THEN {_e2e_sem_base_sql(5, 2)}
+           ELSE embedding::DOUBLE[] END"""
+
+
 def _incr_e2e_oracle(max_bucket: int) -> str:
     """DuckDB twin of plans/pipelines.py::incremental_e2e_pipeline —
     the full exact → MinHash → RHP-semantic waterfall with the SAME
@@ -3942,7 +4116,7 @@ def _incr_e2e_oracle(max_bucket: int) -> str:
     lanes = _INCR_E2E_NUM_BANDS * _INCR_E2E_ROWS_PER_BAND
     return f"""
     WITH d AS (
-      SELECT doc_id, text,
+      SELECT doc_id, {_E2E_PLANT_TEXT_SQL} AS text,
              (doc_id % 10 >= {_INCR_E2E_BATCH_SPLIT}) AS is_batch
       FROM documents
     ),
@@ -4049,7 +4223,7 @@ def _incr_e2e_oracle(max_bucket: int) -> str:
     ),
     rem2 AS (SELECT doc_id FROM near WHERE status = 'new'),
     eb AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
+      SELECT vec_id, {_E2E_PLANT_EMB_SQL} AS v,
              (vec_id % 10 >= {_INCR_E2E_BATCH_SPLIT}) AS is_batch
       FROM embeddings
       WHERE vec_id % 10 < {_INCR_E2E_BATCH_SPLIT}
@@ -4135,22 +4309,34 @@ def _incr_e2e_oracle(max_bucket: int) -> str:
 def llm_incremental_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed daily-increment waterfall AS A VALUE-CHECKED KEY:
     exact hash → MinHash-LSH → RHP-semantic classify over the 80/20
-    split, merged (stage, status, n_docs) report — the same
-    composition bench.py times as `pipelines.incremental_e2e`, now
-    held to a full DuckDB oracle that independently re-derives every
-    stage INCLUDING the cheapest-test-first narrowing between them
+    split, merged (stage, status, n_docs) report — the composition
+    bench.py times as `pipelines.incremental_e2e` (there over the
+    natural tables, keeping the baseline series comparable), held to a
+    full DuckDB oracle that independently re-derives every stage
+    INCLUDING the cheapest-test-first narrowing between them
     (`_incr_e2e_oracle`: content-hash classify → the proven MinHash
     signature/band chain on the narrowed sets → the shared-plane RHP
     banding over what survives — so a wiring regression in the
-    composition, not just in a stage, turns the driver red). Per-stage
-    semantics are the three incremental twins'; stage-level oracles
-    remain with the llm_dedup_incremental* keys.
+    composition, not just in a stage, turns the driver red). Since r16
+    the key runs over the cross-stage planted fixture (header comment
+    above `_E2E_EXACT_BATCH_TXT`): the natural tables fire only the
+    exact stage and the fall-through, so the driver hash pinned the
+    composition but not the minhash/semantic attribution (VERDICT r15
+    item 5) — the plants make all seven (stage, status) rows fire at
+    every SF, and the oracle applies the IDENTICAL plant CASEs before
+    its stage chain. Per-stage semantics are the three incremental
+    twins'; stage-level oracles remain with the
+    llm_dedup_incremental* keys.
 
     Scale shape: plans/pipelines.py::incremental_e2e_classify — each
     stage sees only what the previous stage could not resolve,
     scalar-only checkpoints between stages, anti-join remainders so a
     verdict-less doc (e.g. NULL text) still lands in 'none'/'new'
-    (conservation pytest)."""
-    from .pipelines import incremental_e2e_pipeline
+    (conservation pytest). The plants themselves are map-side CASE
+    expressions — zero extra shuffles."""
+    from .pipelines import incremental_e2e_report
 
-    return incremental_e2e_pipeline(spark, sf_dir)
+    return incremental_e2e_report(
+        _e2e_planted_docs(load_table(spark, sf_dir, "documents")),
+        _e2e_planted_emb(load_table(spark, sf_dir, "embeddings")),
+    )
