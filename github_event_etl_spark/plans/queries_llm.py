@@ -93,15 +93,18 @@ from .catalog import query
 
 
 def _fixture_token(*parts) -> str:
-    """8-hex fingerprint of a fixture's construction CONSTANTS, folded
-    into materialize-once scratch paths (the indexed-dedup keys) so
-    editing a plant literal automatically keys a fresh index tree
-    instead of serving stale committed content — whose failure mode
-    was a confusing oracle value-mismatch pointing nowhere near the
-    fixture (ADVICE r15 item 3). Covers the literals and residue
-    constants passed in; a structural edit that keeps every literal
-    (e.g. reordering CASE branches) must bump the call site's trailing
-    `...-vN` structure-version part instead."""
+    """8-hex fingerprint folded into materialize-once scratch paths
+    (the indexed-dedup keys) so editing the fixture automatically keys
+    a fresh index tree instead of serving stale committed content —
+    whose failure mode was a confusing oracle value-mismatch pointing
+    nowhere near the fixture (ADVICE r15 item 3). Call sites pass the
+    key's ORACLE SQL: the oracle is the complete public description of
+    the expected output (plant literals, residue classes, split rule,
+    banding geometry), so any fixture edit either flows through it —
+    new token, fresh tree — or desynchronizes fixture from oracle,
+    which the sf0.001 differential pytest fails loudly on the spot.
+    Hashing hand-picked constants instead was the r16 review's
+    finding: it silently missed the residue moduli."""
     joined = "|".join(str(p) for p in parts)
     return hashlib.md5(joined.encode("utf-8")).hexdigest()[:8]
 
@@ -537,21 +540,16 @@ def llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     # folded into the PATH (the events_replay_dir convention: retuning
     # _NUM_BANDS/_ROWS_PER_BAND gets a fresh tree instead of silently
     # serving stale band keys); the shingle k rides the same suffix,
-    # and the fixture token keys the PLANT constants the index content
-    # equally depends on (_incrm_split's literals + the batch-split
-    # residue) so a fixture edit gets a fresh tree automatically
-    # instead of serving stale committed plants (ADVICE r15 item 3).
+    # and the fixture token fingerprints this key's FULL oracle SQL —
+    # which spells out _incrm_split's plant literals, residue classes,
+    # and split rule — so any fixture edit gets a fresh tree
+    # automatically instead of serving stale committed plants (ADVICE
+    # r15 item 3; widened from hand-picked constants to the whole
+    # oracle per the r16 review).
     index = scratch_dir(
         sf_dir,
         f"minhash_index_b{_NUM_BANDS}r{_ROWS_PER_BAND}k3_f"
-        + _fixture_token(
-            _INCRM_BATCH,
-            _INCRM_BATCH_WIDE,
-            _INCRM_SHARED,
-            _INCRM_SHARED_WIDE,
-            _INCR_BATCH_SPLIT,
-            "incrm-split-v1",
-        ),
+        + _fixture_token(_INCRM_ORACLE),
     )
     # materialize-once per dataset, gated on the _SUCCESS marker (the
     # replay-dir convention, streaming/replay.py) — a bare dir-exists
@@ -3825,17 +3823,16 @@ def llm_dedup_incremental_semantic_indexed(
     # interrupted-write and stale-retune rationale)
     # "doc" marks the doc_id-named id column (rhp_write_index's
     # contract since the id-alias fix) so a pre-fix tree under the old
-    # name can never be served; the fixture token keys the PLANT
-    # constants the index content depends on (_planted_dup_corpus's
-    # offset/perturbation literals + the three-residue batch split) so
-    # a fixture edit gets a fresh tree automatically (ADVICE r15
-    # item 3)
+    # name can never be served; the fixture token fingerprints this
+    # key's FULL oracle SQL — which spells out _planted_dup_corpus's
+    # offset/perturbation literals, the three-residue batch split, and
+    # the banding geometry — so any fixture edit gets a fresh tree
+    # automatically (ADVICE r15 item 3; widened from hand-picked
+    # constants to the whole oracle per the r16 review)
     index = scratch_dir(
         sf_dir,
         f"rhp_doc_index_t{_SEMANTIC_LSH_TABLES}p{_SEMANTIC_LSH_PLANES}_f"
-        + _fixture_token(
-            _PLANT_OFFSET, 1.05, 0.95, "planted-dup-corpus-sem-split-v1"
-        ),
+        + _fixture_token(_incr_sem_oracle(_INCR_SEM_MAX_BUCKET)),
     )
     if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
         rhp_write_index(

@@ -2099,10 +2099,15 @@ def test_incremental_e2e_catalog_fixture_fires_all_stages(spark, sf_dir):
     rows, and each plant class must resolve at ITS stage — the classes
     are re-derived here from doc_ids alone (the same residue rules the
     fixture builders use), so the expected attribution is model-driven
-    rather than hand-written counts. Only structurally-guaranteed
-    cells are asserted per doc: class min-members and the semantic
-    dup_corpus matched ids depend on md5 banding luck across tables,
-    so those stay with the value-checking DuckDB oracle test."""
+    rather than hand-written counts. Matched-id asserts are scaled to
+    what each stage structurally guarantees: exact classes pin the
+    precise first-wins/min-corpus id (hash equality is certain);
+    minhash classes pin only class membership and first-wins ordering
+    (WHICH candidate pairs survive 4×3 md5 banding at Jaccard 0.92 is
+    per-table deterministic but not structural — a testdata
+    regeneration or band retune may shift the specific match);
+    semantic matched ids are banding-luck across 12 tables and stay
+    with the value-checking DuckDB oracle test entirely."""
     from github_event_etl_spark.plans.pipelines import (
         _INCR_E2E_BATCH_SPLIT,
         incremental_e2e_classify,
@@ -2162,7 +2167,12 @@ def test_incremental_e2e_catalog_fixture_fires_all_stages(spark, sf_dir):
         for i in sorted(cls)[1:]:
             r = rows[i]
             assert (r.stage, r.status) == (stage, "dup_batch"), (i, r)
-            assert r.matched_id == min(cls)
+            if stage == "exact":  # hash equality: the exact match set
+                # is the whole class, so first-wins pins the min id
+                assert r.matched_id == min(cls)
+            elif stage == "minhash":  # candidates are banding-
+                # dependent; membership + first-wins are structural
+                assert r.matched_id in cls and r.matched_id < i
     # Batch members of cross classes resolve dup_corpus at their stage
     # (corpus-match precedence over the intra-batch pair).
     for cls, stage in ((exact_c, "exact"), (mh_c, "minhash"),
@@ -2170,9 +2180,10 @@ def test_incremental_e2e_catalog_fixture_fires_all_stages(spark, sf_dir):
         for i in batch(cls):
             r = rows[i]
             assert (r.stage, r.status) == (stage, "dup_corpus"), (i, r)
-            if stage != "semantic":  # semantic matched id is banding-
-                # dependent across tables; value-pinned by the oracle
+            if stage == "exact":
                 assert r.matched_id == min(corpus(cls))
+            elif stage == "minhash":
+                assert r.matched_id in corpus(cls)
 
     # And the published report fires the full grid.
     report = llm_incremental_e2e_report(spark, sf_dir).collect()
