@@ -51,6 +51,10 @@ HEADLINE = [
 # VERDICT actively tracks stays. Retired r15: fn_unpivot,
 # fn_url_extract, llm_bpe_pairs, sessionize_gap, agg_quantile_clip,
 # profile_histogram (the eqdepth sibling stays, covering the family).
+# Retired r16 (making room for the two r16 keys): layout_zorder_prune
+# (0.263/0.253/0.233 across r13-r15) and gapfill_locf_reading
+# (0.339/0.318/0.287 — the hourly + interp siblings stay, covering the
+# family); neither was ever flagged by a regression scan.
 COMPONENTS = [
     "stream_interval_join",
     "stream_interval_join_outer",
@@ -63,9 +67,7 @@ COMPONENTS = [
     "scd2_history",
     "join_bucketed_colocated",
     "profile_drift",
-    "layout_zorder_prune",
     "gapfill_hourly",
-    "gapfill_locf_reading",
     "gapfill_interp_reading",
     "profile_histogram_eqdepth",
     "llm_dedup_semantic",
@@ -73,6 +75,8 @@ COMPONENTS = [
     "llm_dedup_incremental_indexed",
     "llm_dedup_incremental_semantic_indexed",
     "llm_mixture_weights",
+    "llm_corpus_snapshot_diff",
+    "llm_embed_random_projection",
 ]
 # Composed end-to-end pipelines (plans/pipelines.py), benched in their
 # own section under job-sized parallelism — OUT of the headline total,

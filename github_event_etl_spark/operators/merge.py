@@ -130,3 +130,69 @@ def scd2_versions(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def snapshot_diff(
+    prev: DataFrame,
+    cur: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style snapshot diff: classify every key as 'added',
+    'removed', or 'changed' between two snapshots of the same table
+    and list WHICH compared columns changed — the change log a
+    continuously-refreshed training corpus publishes between crawl
+    snapshots (re-embed/re-dedup only the changed docs, drop the
+    removed ones from the index, route the added ones through the
+    incremental classify waterfall). Change-log semantics: unchanged
+    keys emit NO row, so at 100 TB the output is change-sized, never
+    corpus-sized.
+
+    Returns (key, change_type, changed_cols) where changed_cols is the
+    subset of `compare_cols` (in declaration order) whose values
+    differ null-safely; NULL for added/removed rows.
+
+    Scale shape: ONE full-outer equi-join on the key (both sides
+    shuffle-partition by it — co-partitioned, AQE-coalesced; a diff of
+    bucketed snapshot tables is shuffle-free); the per-column
+    comparisons and the changed-cols assembly are map-side codegen
+    expressions over the join output, and unchanged rows are filtered
+    before anything downstream sees them. No driver involvement, no
+    per-row Python. This is the engine shape lakehouse change-data
+    feeds execute underneath, same as `upsert` above is for MERGE.
+    """
+    p = prev.select(
+        key,
+        *[F.col(c).alias(f"_p_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_prev"),
+    )
+    c = cur.select(
+        key,
+        *[F.col(x).alias(f"_c_{x}") for x in compare_cols],
+        F.lit(True).alias("_in_cur"),
+    )
+    j = p.join(c, key, "full_outer")
+    diffs = [
+        ~F.col(f"_p_{x}").eqNullSafe(F.col(f"_c_{x}")) for x in compare_cols
+    ]
+    changed_cols = F.array_compact(
+        F.array(*[F.when(d, F.lit(x)) for d, x in zip(diffs, compare_cols)])
+    )
+    any_diff = diffs[0]
+    for d in diffs[1:]:
+        any_diff = any_diff | d
+    change_type = (
+        F.when(F.col("_in_prev").isNull(), F.lit("added"))
+        .when(F.col("_in_cur").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+    )
+    return (
+        j.select(
+            key,
+            change_type.alias("change_type"),
+            F.when(change_type == "changed", changed_cols).alias(
+                "changed_cols"
+            ),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

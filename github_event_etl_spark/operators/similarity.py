@@ -158,6 +158,50 @@ def rhp_signatures(dim: int, num_tables: int, planes_per_table: int):
     return sigs
 
 
+def jl_plane_rows(dim: int, out_dim: int) -> list[list[int]]:
+    """The ±1 projection matrix for `jl_projection`, row per output
+    dimension — the same md5-derived `_hyperplane` family the RHP
+    buckets use (seed namespace 20000+ keeps it disjoint from the RHP
+    tables' t*1000+p seeds), so the matrix is engine-portable with ONE
+    source of truth: oracles interpolate these exact rows as SQL
+    literals."""
+    return [_hyperplane(20_000 + j, dim) for j in range(out_dim)]
+
+
+def jl_projection(dim: int, out_dim: int):
+    """Johnson-Lindenstrauss random projection as a vectorized pandas
+    UDF: vector (dim floats) → vector (out_dim floats), x → M·x with M
+    the deterministic ±1 matrix above (the database-friendly sparse
+    family of Achlioptas 2001 at density 1 — ±1 entries, no RNG
+    state). JL preserves pairwise angles/distances within (1±ε) at
+    out_dim = O(log n / ε²), which is the 100 TB move for ANN
+    preprocessing: project once map-side, then every downstream
+    index/search pass (IVF training, RHP banding, brute re-rank)
+    touches out_dim/dim of the embedding bytes — at 64→16 that is a 4×
+    cut in the memory AND shuffle width of the similarity family's
+    dominant columns.
+
+    Same shape rationale as `rhp_signatures` (the documented
+    builtin-can't-express-it-efficiently exception): out_dim×dim dot
+    products per row as higher-order-function expressions would run
+    interpreted; one numpy matmul per Arrow batch computes them all.
+    NULL vectors project to NULL (the notna mask), mirroring the
+    signature UDF's guard."""
+    M = np.asarray(jl_plane_rows(dim, out_dim), dtype=np.float64)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def proj(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna()
+        out: list[list[float]] = []
+        if mask.any():
+            V = np.asarray(list(vecs[mask]), dtype=np.float64)  # (n, dim)
+            out = (V @ M.T).tolist()  # (n, out_dim)
+        it = iter(out)
+        return pd.Series([next(it) if ok else None for ok in mask])
+
+    return proj
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,

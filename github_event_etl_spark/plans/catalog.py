@@ -116,17 +116,22 @@ def staleness_bound_rounds() -> int:
     ceil(registry size / driver window)."""
     n = len(all_specs())
     return -(-n // _DRIVER_KEYS_PER_ROUND)
-_DEFER_NEW_UNTIL_ROUND = 15
-_DEFERRED_NEW_KEYS: frozenset[str] = frozenset(
-    # Empty this round. r15 precedent: its four over-budget additions
-    # (the indexed incremental pair, llm_mixture_weights, and the
-    # composed llm_incremental_e2e_report) deferred here until the r15
-    # artifact landed, then self-cleared into ordinary never-checked
-    # front-riders — they lead r16's window (4 never-checked + 43
-    # r13-stale + 3 oldest-r14 = 50), after which no key's latest
-    # green row predates r14 and the ceil(len(all_specs()) / 50) bound
-    # from staleness_bound_rounds() keeps holding.
-)
+_DEFER_NEW_UNTIL_ROUND = 16
+_DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
+    # r16 window arithmetic: the four r15 deferrals self-cleared into
+    # never-checked front-riders and lead r16's window (4 never + 43
+    # r13-stale + 3 oldest-r14 = 50, one of the four re-marked changed
+    # for the planted-fixture edit — reordering within the window, no
+    # eviction), so the two r16 additions below ride OVER-BUDGET and
+    # defer past the r16 window exactly like the r15 cohort did: they
+    # self-clear when CORRECTNESS_r16 lands and lead r17's window
+    # (2 new + 45 r14-stale + 3 oldest-r15 = 50). After r16 no key's
+    # latest green row predates r14; after r17, r15 — the registry
+    # stays at 147 ≤ 150, so ceil(len(all_specs()) / 50) from
+    # staleness_bound_rounds() holds at 3.
+    "llm_corpus_snapshot_diff",
+    "llm_embed_random_projection",
+})
 
 # Declared rows-only queries whose correct answer may legitimately be
 # empty. A 0-row result from one of these still earns a green staleness

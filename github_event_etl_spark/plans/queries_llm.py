@@ -29,15 +29,19 @@ from ..operators.multimodal import (
     sample_frames,
 )
 from ..operators.sampling import stratified_sample
+from ..operators.merge import snapshot_diff
 from ..operators.similarity import (
     ann_ivf,
     ann_ivf_partitioned,
     ann_ivf_pq,
     ann_lsh,
     ann_recall,
+    cosine,
     cosine_dup_pairs,
     cosine_dup_pairs_lsh,
     incremental_dedup_semantic,
+    jl_plane_rows,
+    jl_projection,
     rhp_write_index,
     ann_pq_adc,
     ivf_write_index,
@@ -4336,4 +4340,221 @@ def llm_incremental_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_e2e_report(
         _e2e_planted_docs(load_table(spark, sf_dir, "documents")),
         _e2e_planted_emb(load_table(spark, sf_dir, "embeddings")),
+    )
+
+
+# ------------------------------------------------- r16 additions
+# Two pipeline operators a continuously-refreshed 100 TB corpus needs
+# between crawl snapshots, deferred to r17's driver window
+# (catalog._DEFERRED_NEW_KEYS — the r15 over-budget precedent).
+
+
+# Snapshot-diff fixture: derive "yesterday's snapshot" from the one
+# immutable documents table with three disjoint-by-priority residue
+# classes (the planted-fixture convention — identical CASEs in both
+# engines):
+#   doc_id % 19 == 6 → absent from prev            → 'added'
+#   doc_id % 23 == 8 → absent from cur             → 'removed'
+#   doc_id % 17 == 4 → prev text prefixed 'prior ' → 'changed' (text);
+#     when additionally even, prev lang suffixed '-x' → multi-column
+#     change ('text,lang') so the changed-cols assembly is exercised
+#     beyond the single-column case.
+# A doc in both absence classes exists in neither snapshot and emits
+# no row; a doc in an absence class AND the edit class takes the
+# absence verdict (change_type priority) — all mirrored.
+_SNAP_PREV_TEXT_SQL = (
+    "CASE WHEN doc_id % 17 = 4 THEN 'prior ' || text ELSE text END"
+)
+_SNAP_PREV_LANG_SQL = (
+    "CASE WHEN doc_id % 17 = 4 AND doc_id % 2 = 0"
+    " THEN lang || '-x' ELSE lang END"
+)
+
+
+@query(
+    "llm_corpus_snapshot_diff",
+    oracle=f"""
+    WITH prev AS (
+      SELECT doc_id,
+             {_SNAP_PREV_TEXT_SQL} AS text,
+             {_SNAP_PREV_LANG_SQL} AS lang,
+             source
+      FROM documents WHERE doc_id % 19 <> 6
+    ),
+    cur AS (
+      SELECT doc_id, text, lang, source FROM documents
+      WHERE doc_id % 23 <> 8
+    ),
+    j AS (
+      SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+             p.doc_id IS NOT NULL AS in_prev,
+             c.doc_id IS NOT NULL AS in_cur,
+             p.text IS DISTINCT FROM c.text AS d_text,
+             p.lang IS DISTINCT FROM c.lang AS d_lang,
+             p.source IS DISTINCT FROM c.source AS d_source
+      FROM prev p FULL JOIN cur c ON p.doc_id = c.doc_id
+    ),
+    cls AS (
+      SELECT doc_id, in_prev, in_cur, d_text, d_lang, d_source,
+             CASE WHEN NOT in_prev THEN 'added'
+                  WHEN NOT in_cur THEN 'removed'
+                  WHEN d_text OR d_lang OR d_source THEN 'changed'
+             END AS change_type
+      FROM j
+    )
+    SELECT doc_id, change_type,
+           CASE WHEN change_type = 'changed'
+                THEN concat_ws(',',
+                       CASE WHEN d_text THEN 'text' END,
+                       CASE WHEN d_lang THEN 'lang' END,
+                       CASE WHEN d_source THEN 'source' END)
+           END AS changed_cols
+    FROM cls WHERE change_type IS NOT NULL
+    """,
+    tags=("llm", "pipeline"),
+)
+def llm_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style corpus snapshot diff: classify every doc_id as
+    added / removed / changed between two crawl snapshots, with the
+    changed column list — the change log that lets the daily refresh
+    re-embed, re-dedup, and re-index ONLY what moved instead of
+    re-processing 100 TB (added docs feed the incremental classify
+    waterfall, removed ones leave the indexes, changed ones do both).
+    Fixture: the header's three residue classes derive prev/cur from
+    the immutable table; the oracle applies identical CASEs.
+
+    Scale shape (operators/merge.py::snapshot_diff): ONE co-partitioned
+    full-outer equi-join on doc_id; per-column null-safe comparison and
+    changed-cols assembly are map-side codegen; unchanged keys are
+    filtered before anything downstream — the output is change-sized,
+    never corpus-sized. changed_cols is published as a comma-joined
+    string (concat_ws skips non-changed columns identically in both
+    engines)."""
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    prev = docs.filter(d % 19 != 6).select(
+        "doc_id",
+        F.when(d % 17 == 4, F.concat(F.lit("prior "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when((d % 17 == 4) & (d % 2 == 0), F.concat(F.col("lang"), F.lit("-x")))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+    )
+    cur = docs.filter(d % 23 != 8)
+    diff = snapshot_diff(prev, cur, "doc_id", ["text", "lang", "source"])
+    return diff.select(
+        "doc_id",
+        "change_type",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
+
+
+# JL-projection geometry: 64 → 16 dims, ±1 planes from the shared
+# md5 _hyperplane family (seed namespace 20000+, disjoint from every
+# RHP table's seeds) — similarity.jl_plane_rows is the one source of
+# truth; the oracle interpolates the same rows as SQL literals.
+_JL_OUT_DIM = 16
+
+
+def _dot_sql_dim(a: str, b: str, dim: int) -> str:
+    """`_DOT` at an arbitrary dimensionality (the module constant is
+    pinned to the embedding table's 64)."""
+    return (
+        f"list_aggregate(list_transform(range(1, {dim + 1}),"
+        f" i -> {a}[i]*{b}[i]), 'sum')"
+    )
+
+
+def _cos_sql_dim(a: str, b: str, dim: int) -> str:
+    na = f"sqrt({_dot_sql_dim(a, a, dim)})"
+    nb = f"sqrt({_dot_sql_dim(b, b, dim)})"
+    return f"({_dot_sql_dim(a, b, dim)} / ({na} * {nb}))"
+
+
+def _jl_proj_sql(out_dim: int) -> str:
+    """DuckDB spelling of `similarity.jl_projection`: one
+    list_inner_product per output dimension, planes interpolated from
+    the SAME jl_plane_rows matrix the pandas UDF closure-captures."""
+    comps = []
+    for row in jl_plane_rows(64, out_dim):
+        plane = "[" + ",".join(str(int(x)) for x in row) + "]::DOUBLE[]"
+        comps.append(f"list_inner_product(v, {plane})")
+    return "[" + ",\n        ".join(comps) + "]"
+
+
+@query(
+    "llm_embed_random_projection",
+    oracle=f"""
+    WITH {_PLANTED_CORPUS_CTE},
+    pv AS (
+      SELECT vec_id, v, {_jl_proj_sql(_JL_OUT_DIM)} AS p
+      FROM corpus WHERE v IS NOT NULL
+    )
+    SELECT b.vec_id,
+           round({_cos_sql_dim('b.v', 'q.v', 64)}, 4) AS cos_full_r,
+           round({_cos_sql_dim('b.p', 'q.p', _JL_OUT_DIM)}, 4)
+             AS cos_proj_r,
+           round(abs({_cos_sql_dim('b.p', 'q.p', _JL_OUT_DIM)}
+                     - {_cos_sql_dim('b.v', 'q.v', 64)}), 4) AS abs_err_r
+    FROM pv b JOIN pv q ON q.vec_id = b.vec_id + {_PLANT_OFFSET}
+    WHERE b.vec_id < {_PLANT_OFFSET}
+    """,
+    tags=("llm", "embedding"),
+)
+def llm_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 → 16 dims,
+    deterministic ±1 planes — the database-friendly family of
+    Achlioptas 2001) with a planted-pair distortion report: every
+    planted near-duplicate pair's cosine in full space vs projected
+    space, and the absolute error — the acceptance report a pipeline
+    runs before switching its ANN stack to the projected vectors. At
+    100 TB the projection is the similarity family's memory/shuffle
+    lever: one map-side Arrow matmul pass (operators/similarity.py::
+    jl_projection, the rhp_signatures shape), then every downstream
+    index build, banding pass, and re-rank moves 4× fewer embedding
+    bytes.
+
+    Fixture: the shared planted-dup corpus (`_planted_dup_corpus` —
+    every base vector one ≈0.99875-cosine plant at vec_id +
+    _PLANT_OFFSET); the pair join is a single equi-join on the
+    derived id. Values are rounded to 4 decimals in both engines —
+    the numpy-matmul vs DuckDB-sequential summation gap is O(1e-13),
+    orders below the rounding grain (the band-parity test's argument,
+    applied to values instead of signs)."""
+    proj = jl_projection(64, _JL_OUT_DIM)
+    corpus = _planted_dup_corpus(
+        load_table(spark, sf_dir, "embeddings")
+    ).filter(F.col("embedding").isNotNull())
+    base = corpus.filter(F.col("vec_id") < _PLANT_OFFSET).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    plant = corpus.filter(F.col("vec_id") >= _PLANT_OFFSET).select(
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").cast("array<double>").alias("v2"),
+    )
+    # Join the 64-d vectors FIRST, project after: projecting before the
+    # join plans the UDF once per union branch per join side (4 Arrow
+    # passes over the corpus); projecting the joined row's two vector
+    # columns in one select fuses into a SINGLE ArrowEvalPython stage
+    # (the plan gate pins this).
+    pairs = base.join(
+        plant, F.col("pid") == F.col("vec_id") + F.lit(_PLANT_OFFSET)
+    ).select(
+        "vec_id",
+        "v",
+        "v2",
+        proj(F.col("v")).alias("p"),
+        proj(F.col("v2")).alias("p2"),
+    )
+    cos_full = cosine(F.col("v"), F.col("v2"))
+    cos_proj = cosine(F.col("p"), F.col("p2"))
+    return pairs.select(
+        "vec_id",
+        F.round(cos_full, 4).alias("cos_full_r"),
+        F.round(cos_proj, 4).alias("cos_proj_r"),
+        F.round(F.abs(cos_proj - cos_full), 4).alias("abs_err_r"),
     )

@@ -2503,3 +2503,70 @@ def test_incremental_semantic_indexed_equals_in_memory(spark, sf_dir):
     )
     assert "CartesianProduct" not in indexed_plan
     assert "BatchEvalPython" not in indexed_plan
+
+
+def test_corpus_snapshot_diff_matches_id_model(spark, sf_dir):
+    """The snapshot-diff key against a pure-Python model of its own
+    residue fixture: change_type and changed_cols are both fully
+    determined by doc_id (the fixture edits are id-keyed), so the
+    expected frame is re-derived here from ids alone — unchanged docs
+    must emit no row (change-log semantics)."""
+    from github_event_etl_spark.plans.catalog import get_spec
+    from github_event_etl_spark.sources.tables import load_table
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    expected: dict[int, tuple[str, str | None]] = {}
+    for i in ids:
+        in_prev, in_cur = i % 19 != 6, i % 23 != 8
+        if not in_prev and not in_cur:
+            continue
+        if not in_prev:
+            expected[i] = ("added", None)
+        elif not in_cur:
+            expected[i] = ("removed", None)
+        elif i % 17 == 4:
+            expected[i] = (
+                "changed", "text,lang" if i % 2 == 0 else "text"
+            )
+    got = {
+        r.doc_id: (r.change_type, r.changed_cols)
+        for r in get_spec("llm_corpus_snapshot_diff")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+    assert {t for t, _ in expected.values()} == {
+        "added", "removed", "changed"
+    }, "fixture must fire all three change types at every test SF"
+
+
+def test_embed_random_projection_distortion_bounds(spark, sf_dir):
+    """The JL report key: one row per base vector, full-space cosine at
+    the planted-pair level (≥ 0.998 — the fixture's documented floor),
+    and the 16-dim projected cosine within a loose distortion band of
+    the full-space value (JL at out_dim=16 keeps near-parallel pairs
+    near-parallel; the observed error on this corpus is O(1e-3), the
+    bound leaves 50× headroom before it would mask a real break). The
+    numeric VALUES are pinned by the DuckDB oracle differential; this
+    pins the semantic claim the operator exists for."""
+    from github_event_etl_spark.plans.catalog import get_spec
+    from github_event_etl_spark.sources.tables import load_table
+
+    n_base = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .count()
+    )
+    rows = get_spec("llm_embed_random_projection").fn(spark, sf_dir).collect()
+    assert len(rows) == n_base
+    for r in rows:
+        assert r.cos_full_r >= 0.998, r
+        assert r.abs_err_r <= 0.05, r
+        # the three columns are rounded independently, so the
+        # recomputed error can differ from abs_err_r by two grains
+        assert abs(abs(r.cos_proj_r - r.cos_full_r) - r.abs_err_r) <= 2e-4, r

