@@ -161,6 +161,13 @@ def snapshot_diff(
     per-row Python. This is the engine shape lakehouse change-data
     feeds execute underneath, same as `upsert` above is for MERGE.
     """
+    if not compare_cols:
+        raise ValueError(
+            "snapshot_diff needs at least one compare column — with "
+            "none, every key present in both snapshots is vacuously "
+            "unchanged and only added/removed could ever fire; pass "
+            "the columns whose drift should count as a change"
+        )
     p = prev.select(
         key,
         *[F.col(c).alias(f"_p_{c}") for c in compare_cols],

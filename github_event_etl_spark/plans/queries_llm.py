@@ -166,15 +166,29 @@ _COSINE_THRESHOLD = 0.4
 _KNN_QUERIES = 8
 _KNN_K = 10
 
-_DOT = (
-    "list_aggregate(list_transform(range(1, 65), i -> {a}[i]*{b}[i]), 'sum')"
-)
+def _dot_sql_dim(a: str, b: str, dim: int) -> str:
+    """Sequential-fold dot product of two DuckDB list columns at an
+    arbitrary dimensionality — THE dot spelling every cosine oracle
+    derives from (one source of truth; a stability tweak made here
+    reaches all of them, per the r16 review)."""
+    return (
+        f"list_aggregate(list_transform(range(1, {dim + 1}),"
+        f" i -> {a}[i]*{b}[i]), 'sum')"
+    )
+
+
+def _cos_sql_dim(a: str, b: str, dim: int) -> str:
+    na = f"sqrt({_dot_sql_dim(a, a, dim)})"
+    nb = f"sqrt({_dot_sql_dim(b, b, dim)})"
+    return f"({_dot_sql_dim(a, b, dim)} / ({na} * {nb}))"
+
+
+# the embedding table's native 64-dim forms, used by most oracles
+_DOT = _dot_sql_dim("{a}", "{b}", 64)
 
 
 def _cos_sql(a: str, b: str) -> str:
-    na = f"sqrt({_DOT.format(a=a, b=a)})"
-    nb = f"sqrt({_DOT.format(a=b, b=b)})"
-    return f"({_DOT.format(a=a, b=b)} / ({na} * {nb}))"
+    return _cos_sql_dim(a, b, 64)
 
 
 def _in_list(items) -> str:
@@ -3713,9 +3727,17 @@ def _incr_sem_oracle(max_bucket: int) -> str:
     """
 
 
+# The production-cap instantiation, hoisted to ONE module constant so
+# the two key registrations and the indexed key's scratch-path fixture
+# token can never desynchronize (the r16 review's finding: a token
+# that re-derives the oracle independently stops tracking it the day
+# the registration changes — the _INCRM_ORACLE sharing pattern).
+_INCR_SEM_ORACLE = _incr_sem_oracle(_INCR_SEM_MAX_BUCKET)
+
+
 @query(
     "llm_dedup_incremental_semantic",
-    oracle=_incr_sem_oracle(_INCR_SEM_MAX_BUCKET),
+    oracle=_INCR_SEM_ORACLE,
     tags=("llm", "dedup", "embedding"),
 )
 def llm_dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3795,7 +3817,7 @@ def _incr_sem_classified(
 
 @query(
     "llm_dedup_incremental_semantic_indexed",
-    oracle=_incr_sem_oracle(_INCR_SEM_MAX_BUCKET),
+    oracle=_INCR_SEM_ORACLE,
     tags=("llm", "dedup", "embedding"),
 )
 def llm_dedup_incremental_semantic_indexed(
@@ -3836,7 +3858,7 @@ def llm_dedup_incremental_semantic_indexed(
     index = scratch_dir(
         sf_dir,
         f"rhp_doc_index_t{_SEMANTIC_LSH_TABLES}p{_SEMANTIC_LSH_PLANES}_f"
-        + _fixture_token(_incr_sem_oracle(_INCR_SEM_MAX_BUCKET)),
+        + _fixture_token(_INCR_SEM_ORACLE),
     )
     if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
         rhp_write_index(
@@ -4458,21 +4480,6 @@ def llm_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RHP table's seeds) — similarity.jl_plane_rows is the one source of
 # truth; the oracle interpolates the same rows as SQL literals.
 _JL_OUT_DIM = 16
-
-
-def _dot_sql_dim(a: str, b: str, dim: int) -> str:
-    """`_DOT` at an arbitrary dimensionality (the module constant is
-    pinned to the embedding table's 64)."""
-    return (
-        f"list_aggregate(list_transform(range(1, {dim + 1}),"
-        f" i -> {a}[i]*{b}[i]), 'sum')"
-    )
-
-
-def _cos_sql_dim(a: str, b: str, dim: int) -> str:
-    na = f"sqrt({_dot_sql_dim(a, a, dim)})"
-    nb = f"sqrt({_dot_sql_dim(b, b, dim)})"
-    return f"({_dot_sql_dim(a, b, dim)} / ({na} * {nb}))"
 
 
 def _jl_proj_sql(out_dim: int) -> str:
