@@ -44,6 +44,18 @@ _SPOT_KEYS = [
                              # at sf0.1 (vs 1k at the driver SF) — RHP
                              # bucket occupancy and the all-pairs oracle
                              # both see a genuinely denser regime
+    "llm_incremental_e2e_report",  # r16: the planted cross-stage
+                             # fixture's %53 classes grow to ~94
+                             # members at sf0.1 (vs ~10 at the driver
+                             # SF) and docs 2000-4999 have NO embedding
+                             # row — the missing-vector fall-through
+                             # only exists at this SF
+    "llm_corpus_snapshot_diff",  # r16: ~10x the change volume, and
+                             # the %19/%23/%17 class overlaps (CRT
+                             # collisions) first appear above 500 ids
+    "llm_embed_random_projection",  # r16: 2k planted pairs through the
+                             # Arrow matmul + rounded-float parity at a
+                             # denser regime
 ]
 
 
