@@ -183,11 +183,9 @@ def _cos_sql_dim(a: str, b: str, dim: int) -> str:
     return f"({_dot_sql_dim(a, b, dim)} / ({na} * {nb}))"
 
 
-# the embedding table's native 64-dim forms, used by most oracles
-_DOT = _dot_sql_dim("{a}", "{b}", 64)
-
-
 def _cos_sql(a: str, b: str) -> str:
+    """The embedding table's native 64-dim cosine, used by most
+    oracles."""
     return _cos_sql_dim(a, b, 64)
 
 
@@ -1176,7 +1174,7 @@ def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs AS (
       -- bit p of table t's signature: '1' iff v . plane > 0, MSB = p0
       SELECT e.vec_id, planes.t,
-             string_agg(CASE WHEN {_DOT.format(a='e.v', b='planes.pl')} > 0
+             string_agg(CASE WHEN {_dot_sql_dim('e.v', 'planes.pl', 64)} > 0
                         THEN '1' ELSE '0' END, '' ORDER BY planes.p) AS sig
       FROM e, planes
       GROUP BY e.vec_id, planes.t
@@ -1326,7 +1324,7 @@ _RECALL_ORACLE = f"""
     ),
     sigs AS (
       SELECT e.vec_id, planes.t,
-             string_agg(CASE WHEN {_DOT.format(a='e.v', b='planes.pl')} > 0
+             string_agg(CASE WHEN {_dot_sql_dim('e.v', 'planes.pl', 64)} > 0
                         THEN '1' ELSE '0' END, '' ORDER BY planes.p) AS sig
       FROM e, planes
       GROUP BY e.vec_id, planes.t

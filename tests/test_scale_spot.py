@@ -4,9 +4,10 @@ The driver's correctness gate runs at sf0.01 and the bench at sf0.1 —
 these spot checks close that gap for one representative key per major
 family (agg, window, join, dedup, time-series), asserting the same
 strict row/schema/value-hash comparison holds at the scale the
-performance numbers are quoted at. Five keys, not the full registry
-(len(all_specs()) keys): the full
-matrix belongs to the sf0.01 gate; this is a scale-regression tripwire
+performance numbers are quoted at. A handful of representative keys
+(len(_SPOT_KEYS), grown round over round), not the full registry: the
+full matrix belongs to the sf0.01 gate; this is a scale-regression
+tripwire
 (e.g. an overflow, a skew-triggered plan change, or a float
 re-association that only appears with more data/partitions).
 """
