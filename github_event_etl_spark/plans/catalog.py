@@ -108,6 +108,17 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
 # strict-projection keys into their verified superset's slot (e.g.
 # llm_token_shards is a public projection of llm_pack_offsets and
 # holds no slot of its own).
+#
+# Pre-identified consolidation candidates if admissions ever push the
+# registry past 150 (where the bound flips to 4): the two
+# indexed/in-memory dedup twins are RESULT-IDENTICAL by construction —
+# each pair shares one oracle string verbatim (_INCRM_ORACLE;
+# _INCR_SEM_ORACLE) and is pinned by a frame-equality pytest — so
+# either member of each pair could drop to a slot-less public twin
+# (the llm_token_shards precedent), freeing two slots with zero loss
+# of verified surface:
+#   llm_dedup_incremental_minhash  ↔ llm_dedup_incremental_indexed
+#   llm_dedup_incremental_semantic ↔ llm_dedup_incremental_semantic_indexed
 _DRIVER_KEYS_PER_ROUND = 50
 
 
