@@ -186,7 +186,17 @@ def jl_projection(dim: int, out_dim: int):
     products per row as higher-order-function expressions would run
     interpreted; one numpy matmul per Arrow batch computes them all.
     NULL vectors project to NULL (the notna mask), mirroring the
-    signature UDF's guard."""
+    signature UDF's guard.
+
+    What out_dim buys — measured on the synthetic corpus at 64→16:
+    near-DUPLICATE structure survives fully (every planted ≈0.999-
+    cosine pair stays its base's top-1 neighbor; the ~0.5 cosine gap
+    to organic neighbors dwarfs the ε ≈ sqrt(c/16) distortion), while
+    fine-grained ORDER among near-tie organic neighbors does not
+    (top-10 overlap vs full-dim ≈ 0.1 — their cosine gaps sit far
+    below ε). So 16 dims is a dedup/coarse-filter setting; pick
+    out_dim from the JL bound for the smallest cosine gap the
+    downstream consumer must keep ordered."""
     M = np.asarray(jl_plane_rows(dim, out_dim), dtype=np.float64)
 
     @pandas_udf(T.ArrayType(T.DoubleType()))

@@ -2570,3 +2570,45 @@ def test_embed_random_projection_distortion_bounds(spark, sf_dir):
         # the three columns are rounded independently, so the
         # recomputed error can differ from abs_err_r by two grains
         assert abs(abs(r.cos_proj_r - r.cos_full_r) - r.abs_err_r) <= 2e-4, r
+
+
+def test_jl_projection_preserves_near_dup_top1(spark, sf_dir):
+    """The JL projection's fitness-for-purpose claim, end to end: in
+    PROJECTED space (64 → 16), every sampled base vector's exact top-1
+    neighbor is still its planted ≈0.999-cosine twin — the ~0.5 cosine
+    gap to organic neighbors dwarfs the 16-dim distortion, so the
+    near-dup retrieval the operator exists for survives the 4×
+    memory cut intact. (Fine-grained ORDER among near-tie organic
+    neighbors deliberately does NOT survive at this out_dim — measured
+    top-10 overlap vs full-dim ≈ 0.1 — which is the documented trade;
+    see jl_projection's docstring. Asserting that low overlap would
+    pin noise, so only the preserved property is pinned.)"""
+    from github_event_etl_spark.operators.similarity import (
+        jl_projection,
+        knn_bruteforce,
+    )
+    from github_event_etl_spark.plans.queries_llm import (
+        _JL_OUT_DIM,
+        _PLANT_OFFSET,
+        _planted_dup_corpus,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    proj = jl_projection(64, _JL_OUT_DIM)
+    projected = (
+        _planted_dup_corpus(emb)
+        .select("vec_id", proj("embedding").alias("embedding"))
+        .localCheckpoint()  # one Arrow pass; reused as corpus AND queries
+    )
+    queries = projected.filter(
+        (F.col("vec_id") < _PLANT_OFFSET) & (F.col("vec_id") % 37 == 0)
+    )
+    top1 = knn_bruteforce(projected, queries, k=1).collect()
+    assert len(top1) >= 10, "sample unexpectedly small"
+    for r in top1:
+        assert r.nid == r.qid + _PLANT_OFFSET, (
+            f"projected top-1 of {r.qid} is {r.nid}, not its plant"
+        )
