@@ -137,6 +137,7 @@ def snapshot_diff(
     cur: DataFrame,
     key: str,
     compare_cols: list[str],
+    assert_unique: bool = False,
 ) -> DataFrame:
     """CDC-style snapshot diff: classify every key as 'added',
     'removed', or 'changed' between two snapshots of the same table
@@ -151,6 +152,16 @@ def snapshot_diff(
     Returns (key, change_type, changed_cols) where changed_cols is the
     subset of `compare_cols` (in declaration order) whose values
     differ null-safely; NULL for added/removed rows.
+
+    PRECONDITION: `key` must be unique (per non-null key value) in BOTH
+    snapshots — the same contract as `upsert` above. Duplicate keys fan
+    out through the full-outer join and emit multiple conflicting
+    change rows per key. Snapshot tables are keyed by construction in
+    the intended use (one row per doc_id per crawl), so the check is
+    opt-in: pass `assert_unique=True` to fail fast via one small
+    count-vs-count_distinct aggregate per side before the diff plan is
+    built (at scale that exact distinct is itself a shuffle the caller
+    may know is unnecessary).
 
     Scale shape: ONE full-outer equi-join on the key (both sides
     shuffle-partition by it — co-partitioned, AQE-coalesced; a diff of
@@ -168,6 +179,17 @@ def snapshot_diff(
             "unchanged and only added/removed could ever fire; pass "
             "the columns whose drift should count as a change"
         )
+    if assert_unique:
+        for side, df in (("prev", prev), ("cur", cur)):
+            n, nd = df.agg(F.count(key), F.count_distinct(key)).first()
+            if n != nd:
+                raise ValueError(
+                    f"snapshot_diff: key '{key}' is not unique in the "
+                    f"{side} snapshot ({n} non-null rows, {nd} distinct "
+                    "keys) — duplicate keys would fan out through the "
+                    "full-outer join and emit conflicting change rows; "
+                    "dedup the snapshot first"
+                )
     p = prev.select(
         key,
         *[F.col(c).alias(f"_p_{c}") for c in compare_cols],

@@ -110,10 +110,26 @@ def _hyperplane(seed: int, dim: int) -> list[int]:
     return out
 
 
+# Seed-namespace floor for the JL projection planes. RHP tables seed at
+# t*1000+p; JL rows seed at _JL_SEED_BASE+j. The namespaces must stay
+# disjoint or the projection would share (be correlated with) the
+# banding hyperplanes — _plane_matrix asserts it loudly rather than
+# leaving the disjointness to convention (ADVICE r16).
+_JL_SEED_BASE = 20_000
+
+
 def _plane_matrix(dim: int, num_tables: int, planes_per_table: int):
     """All hyperplanes stacked as one (num_tables·planes_per_table, dim)
     ±1 matrix, row-ordered (table-major) to match signature bit order."""
-
+    max_seed = (num_tables - 1) * 1000 + (planes_per_table - 1)
+    if num_tables > 0 and max_seed >= _JL_SEED_BASE:
+        raise ValueError(
+            f"RHP plane seeds reach {max_seed}, colliding with the JL "
+            f"projection's seed namespace ({_JL_SEED_BASE}+) — an RHP "
+            "retune past num_tables=20 (or planes_per_table=1000) must "
+            "first move _JL_SEED_BASE, or the projection silently "
+            "shares hyperplanes with the banding"
+        )
     rows = [
         _hyperplane(t * 1000 + p, dim)
         for t in range(num_tables)
@@ -161,11 +177,11 @@ def rhp_signatures(dim: int, num_tables: int, planes_per_table: int):
 def jl_plane_rows(dim: int, out_dim: int) -> list[list[int]]:
     """The ±1 projection matrix for `jl_projection`, row per output
     dimension — the same md5-derived `_hyperplane` family the RHP
-    buckets use (seed namespace 20000+ keeps it disjoint from the RHP
-    tables' t*1000+p seeds), so the matrix is engine-portable with ONE
-    source of truth: oracles interpolate these exact rows as SQL
-    literals."""
-    return [_hyperplane(20_000 + j, dim) for j in range(out_dim)]
+    buckets use (seed namespace _JL_SEED_BASE+ keeps it disjoint from
+    the RHP tables' t*1000+p seeds — enforced by _plane_matrix's guard),
+    so the matrix is engine-portable with ONE source of truth: oracles
+    interpolate these exact rows as SQL literals."""
+    return [_hyperplane(_JL_SEED_BASE + j, dim) for j in range(out_dim)]
 
 
 def jl_projection(dim: int, out_dim: int):

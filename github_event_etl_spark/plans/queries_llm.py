@@ -4382,13 +4382,53 @@ def llm_incremental_e2e_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A doc in both absence classes exists in neither snapshot and emits
 # no row; a doc in an absence class AND the edit class takes the
 # absence verdict (change_type priority) — all mirrored.
+#
+# The residue constants and the prev/cur builders below are the ONE
+# source of truth (ADVICE r16 item 3): the oracle f-string, the Spark
+# key body, and tests/test_llm.py's waterfall-routing integration test
+# all consume them, so a retune edits exactly one place.
+_SNAP_ADDED = (19, 6)      # absent from prev
+_SNAP_REMOVED = (23, 8)    # absent from cur
+_SNAP_EDIT = (17, 4)       # prev text prefixed 'prior '
+_SNAP_LANG_EXTRA = (2, 0)  # edit class ∩ this → prev lang suffixed '-x'
+
 _SNAP_PREV_TEXT_SQL = (
-    "CASE WHEN doc_id % 17 = 4 THEN 'prior ' || text ELSE text END"
+    f"CASE WHEN doc_id % {_SNAP_EDIT[0]} = {_SNAP_EDIT[1]}"
+    " THEN 'prior ' || text ELSE text END"
 )
 _SNAP_PREV_LANG_SQL = (
-    "CASE WHEN doc_id % 17 = 4 AND doc_id % 2 = 0"
+    f"CASE WHEN doc_id % {_SNAP_EDIT[0]} = {_SNAP_EDIT[1]}"
+    f" AND doc_id % {_SNAP_LANG_EXTRA[0]} = {_SNAP_LANG_EXTRA[1]}"
     " THEN lang || '-x' ELSE lang END"
 )
+
+
+def _snap_prev(docs: DataFrame) -> DataFrame:
+    """Yesterday's snapshot: drop the 'added' residue class, apply the
+    edit-class text prefix and (edit ∩ lang-extra) lang suffix —
+    the Spark mirror of _SNAP_PREV_TEXT_SQL/_SNAP_PREV_LANG_SQL over
+    the same constants."""
+    d = F.col("doc_id")
+    edit = d % _SNAP_EDIT[0] == _SNAP_EDIT[1]
+    return docs.filter(d % _SNAP_ADDED[0] != _SNAP_ADDED[1]).select(
+        "doc_id",
+        F.when(edit, F.concat(F.lit("prior "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(
+            edit & (d % _SNAP_LANG_EXTRA[0] == _SNAP_LANG_EXTRA[1]),
+            F.concat(F.col("lang"), F.lit("-x")),
+        )
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+    )
+
+
+def _snap_cur(docs: DataFrame) -> DataFrame:
+    """Today's snapshot: the table minus the 'removed' residue class."""
+    d = F.col("doc_id")
+    return docs.filter(d % _SNAP_REMOVED[0] != _SNAP_REMOVED[1])
 
 
 @query(
@@ -4399,11 +4439,11 @@ _SNAP_PREV_LANG_SQL = (
              {_SNAP_PREV_TEXT_SQL} AS text,
              {_SNAP_PREV_LANG_SQL} AS lang,
              source
-      FROM documents WHERE doc_id % 19 <> 6
+      FROM documents WHERE doc_id % {_SNAP_ADDED[0]} <> {_SNAP_ADDED[1]}
     ),
     cur AS (
       SELECT doc_id, text, lang, source FROM documents
-      WHERE doc_id % 23 <> 8
+      WHERE doc_id % {_SNAP_REMOVED[0]} <> {_SNAP_REMOVED[1]}
     ),
     j AS (
       SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
@@ -4441,7 +4481,8 @@ def llm_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-processing 100 TB (added docs feed the incremental classify
     waterfall, removed ones leave the indexes, changed ones do both).
     Fixture: the header's three residue classes derive prev/cur from
-    the immutable table; the oracle applies identical CASEs.
+    the immutable table via the shared _snap_prev/_snap_cur builders;
+    the oracle applies identical CASEs from the same constants.
 
     Scale shape (operators/merge.py::snapshot_diff): ONE co-partitioned
     full-outer equi-join on doc_id; per-column null-safe comparison and
@@ -4450,22 +4491,13 @@ def llm_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     never corpus-sized. changed_cols is published as a comma-joined
     string (concat_ws skips non-changed columns identically in both
     engines)."""
-    d = F.col("doc_id")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    prev = docs.filter(d % 19 != 6).select(
-        "doc_id",
-        F.when(d % 17 == 4, F.concat(F.lit("prior "), F.col("text")))
-        .otherwise(F.col("text"))
-        .alias("text"),
-        F.when((d % 17 == 4) & (d % 2 == 0), F.concat(F.col("lang"), F.lit("-x")))
-        .otherwise(F.col("lang"))
-        .alias("lang"),
-        "source",
+    diff = snapshot_diff(
+        _snap_prev(docs), _snap_cur(docs), "doc_id",
+        ["text", "lang", "source"],
     )
-    cur = docs.filter(d % 23 != 8)
-    diff = snapshot_diff(prev, cur, "doc_id", ["text", "lang", "source"])
     return diff.select(
         "doc_id",
         "change_type",

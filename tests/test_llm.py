@@ -468,6 +468,36 @@ def test_rhp_dot_products_clear_sign_margin():
             )
 
 
+def test_rhp_jl_seed_namespaces_disjoint():
+    """The RHP/JL seed-namespace guard (ADVICE r16): every declared RHP
+    geometry stays below the JL seed floor, and a hypothetical retune
+    past num_tables=20 trips _plane_matrix loudly instead of silently
+    correlating the projection with the banding planes."""
+    import pytest as _pytest
+
+    from github_event_etl_spark.operators.similarity import (
+        _JL_SEED_BASE,
+        _plane_matrix,
+        jl_plane_rows,
+    )
+    from github_event_etl_spark.plans.queries_llm import (
+        _SEMANTIC_LSH_PLANES,
+        _SEMANTIC_LSH_TABLES,
+    )
+
+    for tables, planes in ((12, 6), (12, 8), (12, 12),
+                           (_SEMANTIC_LSH_TABLES, _SEMANTIC_LSH_PLANES)):
+        assert (tables - 1) * 1000 + (planes - 1) < _JL_SEED_BASE
+        _plane_matrix(8, tables, planes)  # must not raise
+    with _pytest.raises(ValueError, match="JL"):
+        _plane_matrix(8, num_tables=21, planes_per_table=2)
+    # the JL rows really live in the guarded namespace: first JL row ==
+    # the hyperplane an RHP table 20 plane 0 WOULD have collided with
+    from github_event_etl_spark.operators.similarity import _hyperplane
+
+    assert jl_plane_rows(8, 1)[0] == _hyperplane(_JL_SEED_BASE, 8)
+
+
 def test_cosine_self_similarity(emb):
     sims = (
         emb.limit(20)
@@ -2627,24 +2657,15 @@ def test_snapshot_diff_routes_increment_into_waterfall(spark, sf_dir):
     from github_event_etl_spark.plans.pipelines import (
         incremental_e2e_classify,
     )
+    from github_event_etl_spark.plans.queries_llm import _snap_cur, _snap_prev
     from github_event_etl_spark.sources.tables import load_table
 
-    d = F.col("doc_id")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    # the catalog fixture's snapshots (one source of truth for the
-    # residues would be ideal, but the key builds them inline; this
-    # test only needs SOME prev/cur pair, so it reuses the same rules)
-    prev = docs.filter(d % 19 != 6).select(
-        "doc_id",
-        F.when(d % 17 == 4, F.concat(F.lit("prior "), F.col("text")))
-        .otherwise(F.col("text"))
-        .alias("text"),
-        "lang",
-        "source",
-    )
-    cur = docs.filter(d % 23 != 8)
+    # the catalog fixture's snapshots, from the same builders the key
+    # and its oracle consume (one source of truth per ADVICE r16)
+    prev, cur = _snap_prev(docs), _snap_cur(docs)
     diff = snapshot_diff(prev, cur, "doc_id", ["text", "lang", "source"])
     routed_ids = {
         r.doc_id

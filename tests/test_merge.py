@@ -215,6 +215,26 @@ def test_snapshot_diff_classifies_and_lists_columns(spark):
     }
 
 
+def test_snapshot_diff_assert_unique_fails_fast(spark):
+    """snapshot_diff shares upsert's unique-key precondition; the
+    opt-in assert_unique=True check fails fast naming the offending
+    snapshot side, and unique inputs diff normally (ADVICE r16)."""
+    from github_event_etl_spark.operators.merge import snapshot_diff
+
+    prev = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dup_cur = spark.createDataFrame([(2, "x"), (2, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="cur snapshot"):
+        snapshot_diff(prev, dup_cur, "k", ["v"], assert_unique=True)
+    dup_prev = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    ok_cur = spark.createDataFrame([(3, "z")], "k long, v string")
+    with pytest.raises(ValueError, match="prev snapshot"):
+        snapshot_diff(dup_prev, ok_cur, "k", ["v"], assert_unique=True)
+    rows = snapshot_diff(prev, ok_cur, "k", ["v"], assert_unique=True).collect()
+    assert sorted((r.k, r.change_type) for r in rows) == [
+        (1, "removed"), (2, "removed"), (3, "added")
+    ]
+
+
 def test_snapshot_diff_multi_column_order(spark):
     """changed_cols preserves compare_cols declaration order when
     several columns move at once (the key's oracle concatenates its
