@@ -55,13 +55,16 @@ HEADLINE = [
 # (0.263/0.253/0.233 across r13-r15) and gapfill_locf_reading
 # (0.339/0.318/0.287 — the hourly + interp siblings stay, covering the
 # family); neither was ever flagged by a regression scan.
+# Retired r17 (making room for llm_index_apply_diff):
+# profile_table (1.628/1.609/1.763 across r14-r16, never flagged;
+# the approx, drift, and histogram_eqdepth siblings stay — the
+# richest-covered family in the census).
 COMPONENTS = [
     "stream_interval_join",
     "stream_interval_join_outer",
     "scan_python_source",
     "stream_python_source",
     "llm_multimodal_resize",
-    "profile_table",
     "profile_table_approx",
     "merge_upsert",
     "scd2_history",
@@ -77,6 +80,7 @@ COMPONENTS = [
     "llm_mixture_weights",
     "llm_corpus_snapshot_diff",
     "llm_embed_random_projection",
+    "llm_index_apply_diff",
 ]
 # Composed end-to-end pipelines (plans/pipelines.py), benched in their
 # own section under job-sized parallelism — OUT of the headline total,
@@ -312,6 +316,8 @@ def main() -> None:
     for idx_name in (
         "llm_dedup_incremental_indexed",
         "llm_dedup_incremental_semantic_indexed",
+        # writes the prev-snapshot band index on first touch, same rule
+        "llm_index_apply_diff",
     ):
         if idx_name in qmap:
             _guard(

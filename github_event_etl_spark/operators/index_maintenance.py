@@ -1,0 +1,214 @@
+"""Band-index maintenance — apply a corpus snapshot diff to a
+materialized LSH band index without rebuilding it.
+
+The reference maintains its stored daily summary incrementally: new
+hourly keys are merged into the existing summary rather than
+recomputing it from all events (update-contributor-scores.js:252-263,
+with the hour-exists idempotency check at :195-204). This module is
+the same pattern one level down the refresh stack: the corpus band
+indexes (`text_dedup.minhash_write_index` / `similarity.rhp_write_index`
+outputs — both the (doc_id, band, bucket) schema, band-partitioned)
+are maintained from a `merge.snapshot_diff` change log instead of
+being re-banded from scratch per corpus snapshot. At 100 TB that is
+the difference between an O(corpus) banding pass per refresh and
+O(changes) work: re-banding is the dominant index CPU, and a daily
+crawl typically touches well under 1% of the corpus.
+
+Two layers:
+
+- `apply_index_diff` — the pure DataFrame shape: drop the stale rows
+  (removed + changed docs) with a broadcast anti-join, band ONLY the
+  upserted docs (added + changed, broadcast semi-filter before the
+  banding UDF ever sees a row), union. The banding CPU and both join
+  builds are change-sized; the index side is a column-pruned narrow
+  scan that never shuffles.
+- `write_index_delta` / `read_index` — the physical merge-on-read
+  layout: each refresh appends one generation under `<index>/_delta/`
+  holding a change-sized tombstone set and change-sized banded
+  appends, and the reader folds committed generations over the base.
+  The base band partitions are never rewritten — the bytes written
+  per refresh are change-sized. This is the engine shape lakehouse
+  formats (delete vectors + appended files, periodic compaction)
+  execute underneath; on a real cluster the generation listing is the
+  table format's commit log. Single-writer per index is assumed, the
+  same contract as the scratch materialize-once layouts.
+
+Read-path cost note: each generation adds one broadcast anti-join +
+one union to the read plan, so generations should be compacted
+periodically (rewrite base from `read_index`, drop `_delta`) — the
+classic log-structured trade. The fold applies the longest COMMITTED
+generation prefix: an interrupted writer leaves a trailing
+uncommitted generation that readers ignore entirely (folding a later
+generation over a missing earlier one would resurrect stale rows).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Diff verdicts that invalidate a doc's existing index rows / require
+# freshly banded rows — `merge.snapshot_diff`'s change_type vocabulary.
+_STALE_TYPES = ("removed", "changed")
+_UPSERT_TYPES = ("added", "changed")
+
+
+def apply_index_diff(
+    prev_index: DataFrame,
+    diff: DataFrame,
+    cur_docs: DataFrame,
+    band_fn: Callable[[DataFrame], DataFrame],
+    key: str = "doc_id",
+) -> DataFrame:
+    """Maintained band index after applying `diff`: equals
+    `band_fn(cur_docs)` whenever `prev_index` was built by the same
+    `band_fn` over the previous snapshot and `diff` is their
+    `snapshot_diff` on the column(s) the index derives from (pinned by
+    frame-equality pytest and the catalog key's oracle, which
+    recomputes the current corpus' banding from scratch).
+
+    `band_fn` maps a docs frame to (key, band, bucket) rows — pass the
+    SAME banding the index was written with (`_band_keys` over
+    `minhash_band_buckets_vec` for the MinHash index, the
+    `rhp_write_index` projection for the RHP one; both indexes share
+    the schema, so this operator serves both).
+
+    Scale shape: the change set is broadcast to BOTH sides — a
+    broadcast LEFT ANTI join drops the stale docs' rows from the index
+    scan (no shuffle of the corpus-sized index), and a broadcast LEFT
+    SEMI join narrows `cur_docs` to the upserted docs BEFORE the
+    banding UDF runs, so the Arrow banding pass — the cost this
+    operator exists to avoid — is change-sized, never corpus-sized.
+    Pass `diff` MATERIALIZED (the published change-log table in
+    production; `localCheckpoint` of an inline `snapshot_diff` in the
+    catalog key — it is change-sized, so materializing is trivially
+    cheap): the change set feeds two consumers here (and the verdict
+    predicates sit build-side, so the planner pushes them below each
+    broadcast exchange — the two exchanges cannot canonicalize to one
+    ReusedExchange), which would recompute an unmaterialized diff plan
+    once per consumer. Plan-gated: broadcast joins only, one
+    ArrowEvalPython stage, no cartesian product, no sort-merge join.
+    """
+    stale = diff.filter(F.col("change_type").isin(*_STALE_TYPES)).select(
+        F.col(key)
+    )
+    upserts = diff.filter(F.col("change_type").isin(*_UPSERT_TYPES)).select(
+        F.col(key)
+    )
+    kept = prev_index.join(F.broadcast(stale), key, "left_anti")
+    fresh = band_fn(cur_docs.join(F.broadcast(upserts), key, "left_semi"))
+    return kept.unionByName(fresh.select(key, "band", "bucket"))
+
+
+def _delta_root(index_path: str) -> str:
+    # Underscore-prefixed so the base `spark.read.parquet(index_path)`
+    # ignores it (the default hidden-path filter, same as _SUCCESS).
+    return os.path.join(index_path, "_delta")
+
+
+def _committed_generations(index_path: str) -> list[str]:
+    """Paths of committed generations in fold order — the longest
+    prefix of gen=1,2,... whose BOTH component writes committed (the
+    parquet _SUCCESS marker, the repo's scratch convention). Stops at
+    the first gap or uncommitted generation: applying gen N+1 without
+    gen N would resurrect rows N tombstoned."""
+    root = _delta_root(index_path)
+    if not os.path.isdir(root):
+        return []
+    present = {
+        int(m.group(1)): os.path.join(root, d)
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"gen=(\d+)", d))
+    }
+    out: list[str] = []
+    g = 1
+    while g in present:
+        p = present[g]
+        if not all(
+            os.path.exists(os.path.join(p, part, "_SUCCESS"))
+            for part in ("tombstones", "appends")
+        ):
+            break
+        out.append(p)
+        g += 1
+    return out
+
+
+def write_index_delta(
+    index_path: str,
+    diff: DataFrame,
+    cur_docs: DataFrame,
+    band_fn: Callable[[DataFrame], DataFrame],
+    key: str = "doc_id",
+) -> int:
+    """Append one maintenance generation to a materialized band index:
+    `<index>/_delta/gen=N/tombstones` (the stale doc keys) and
+    `.../gen=N/appends` (freshly banded rows for the upserted docs,
+    band-partitioned like the base). Returns N. The base partitions
+    are untouched — bytes written are change-sized. The generation
+    becomes visible to `read_index` only once both parquet commits'
+    _SUCCESS markers exist, so an interrupted write is ignored, never
+    half-applied.
+
+    Tombstones are written for changed docs too (their appends carry
+    the re-banded rows), so a reader folds each generation as one
+    anti-join + one union with no per-row reconciliation. As with
+    `apply_index_diff`, pass `diff` materialized: the two component
+    writes are separate jobs, each of which would otherwise recompute
+    an unmaterialized diff plan.
+    """
+    gens = _committed_generations(index_path)
+    n = len(gens) + 1
+    base = os.path.join(_delta_root(index_path), f"gen={n}")
+    stale = diff.filter(F.col("change_type").isin(*_STALE_TYPES)).select(
+        F.col(key)
+    )
+    fresh = band_fn(cur_docs.join(
+        F.broadcast(
+            diff.filter(F.col("change_type").isin(*_UPSERT_TYPES))
+            .select(F.col(key))
+        ),
+        key,
+        "left_semi",
+    )).select(key, "band", "bucket")
+    # tombstones LAST: _committed_generations requires both markers, so
+    # ordering the two commits either way is safe; appends-first keeps
+    # the larger write out of the window where a crash strands a
+    # marker-complete tombstone dir next to a missing appends dir.
+    fresh.write.mode("errorifexists").partitionBy("band").parquet(
+        os.path.join(base, "appends")
+    )
+    stale.write.mode("errorifexists").parquet(
+        os.path.join(base, "tombstones")
+    )
+    return n
+
+
+def read_index(
+    spark: SparkSession, index_path: str, key: str = "doc_id"
+) -> DataFrame:
+    """The maintained index: base parquet with every committed delta
+    generation folded over it in order (anti-join the generation's
+    tombstones — broadcast, change-sized — then union its appends).
+    Equals a from-scratch `*_write_index` of the current corpus, pinned
+    by the end-to-end pytest. Explicit schemas on the delta reads: an
+    all-added or all-removed generation legitimately writes an EMPTY
+    tombstone or append set, which schema inference cannot read back.
+    """
+    df = spark.read.parquet(index_path)
+    tomb_schema = df.select(key).schema
+    for gen in _committed_generations(index_path):
+        tomb = spark.read.schema(tomb_schema).parquet(
+            os.path.join(gen, "tombstones")
+        )
+        app = spark.read.schema(df.schema).parquet(
+            os.path.join(gen, "appends")
+        )
+        df = df.join(F.broadcast(tomb), key, "left_anti").unionByName(
+            app.select(*df.columns)
+        )
+    return df

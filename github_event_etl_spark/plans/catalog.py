@@ -69,23 +69,17 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 # the change). Once the post-change verification lands, the key
 # rejoins normal staleness ordering — a forgotten entry cannot
 # permanently hog the 50-key budget.
-_CHANGED_AFTER_ROUND = 15  # round-16 edits; r01-r15 artifacts predate them
+_CHANGED_AFTER_ROUND = 16  # round-17 edits; r01-r16 artifacts predate them
 
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # round 16: the composed key's FIXTURE changed from the natural
-    # tables to the cross-stage plants (queries_llm.py header above
-    # _E2E_EXACT_BATCH_TXT; VERDICT r15 item 5) so its driver hash
-    # exercises minhash/semantic stage attribution, not just the exact
-    # stage + fall-through; the oracle applies the identical plant
-    # CASEs. The key never earned a green row (it is one of the four
-    # r15 over-budget deferrals already riding at the front of r16's
-    # window), so marking it changed reorders it WITHIN the window —
-    # zero extra evictions; the window stays 4 never-checked + 43
-    # r13-stale + 3 oldest-r14 = 50. Self-clears when a post-change
-    # green row lands in an artifact newer than r15.
-    # (r15's three RHP-oracle-cap-mirror entries self-cleared with
-    # their green rows in CORRECTNESS_r15.)
-    "llm_incremental_e2e_report",
+    # round 17: no output-semantics changes. The r17 diff is additive
+    # (the new llm_index_apply_diff key, a never-checked front-rider)
+    # plus result-identical refactors: llm_corpus_snapshot_diff's
+    # fixture hoisted into shared _snap_prev/_snap_cur builders with a
+    # byte-identical oracle string (checked at edit time), and guards
+    # that only ADD fail-fast paths (snapshot_diff assert_unique,
+    # _plane_matrix seed-namespace). (r16's llm_incremental_e2e_report
+    # entry self-cleared with its green row in CORRECTNESS_r16.)
 })
 
 # Keys added when the current round's 50-key verification window is
@@ -127,21 +121,19 @@ def staleness_bound_rounds() -> int:
     ceil(registry size / driver window)."""
     n = len(all_specs())
     return -(-n // _DRIVER_KEYS_PER_ROUND)
-_DEFER_NEW_UNTIL_ROUND = 16
+_DEFER_NEW_UNTIL_ROUND = 17
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # r16 window arithmetic: the four r15 deferrals self-cleared into
-    # never-checked front-riders and lead r16's window (4 never + 43
-    # r13-stale + 3 oldest-r14 = 50, one of the four re-marked changed
-    # for the planted-fixture edit — reordering within the window, no
-    # eviction), so the two r16 additions below ride OVER-BUDGET and
-    # defer past the r16 window exactly like the r15 cohort did: they
-    # self-clear when CORRECTNESS_r16 lands and lead r17's window
-    # (2 new + 45 r14-stale + 3 oldest-r15 = 50). After r16 no key's
-    # latest green row predates r14; after r17, r15 — the registry
-    # stays at 147 ≤ 150, so ceil(len(all_specs()) / 50) from
-    # staleness_bound_rounds() holds at 3.
-    "llm_corpus_snapshot_diff",
-    "llm_embed_random_projection",
+    # r17 window arithmetic: the two r16 deferrals self-cleared when
+    # CORRECTNESS_r16 landed and lead r17's window as never-checked
+    # front-riders, joined by the one r17 admission
+    # (llm_index_apply_diff) — 3 never-checked + 45 r14-stale +
+    # 2 oldest-r15 = 50, verified against _rounds_checked_green() at
+    # edit time. The single new key rides WITHIN the ~3/round budget
+    # (it displaces one r15 rotation, not a stale r14 key), so nothing
+    # defers this round and after r17 no key's latest green row
+    # predates r15. Registry 148 ≤ 150, so staleness_bound_rounds()
+    # holds at 3; 2 admission slots remain before the bound flips to 4
+    # and the pre-identified indexed-twin consolidation (above) fires.
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

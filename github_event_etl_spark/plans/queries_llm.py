@@ -75,13 +75,16 @@ from ..operators.text_analysis import (
     winnow_fingerprints,
     ws_token_count,
 )
+from ..operators.index_maintenance import apply_index_diff
 from ..operators.text_dedup import (
+    _band_keys,
     _let,
     dedup_exact,
     duplicated_spans,
     incremental_dedup,
     incremental_dedup_minhash,
     jaccard_ngram,
+    minhash_band_buckets_vec,
     minhash_candidate_pairs,
     minhash_write_index,
     remove_spans,
@@ -4503,6 +4506,109 @@ def llm_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "change_type",
         F.array_join("changed_cols", ",").alias("changed_cols"),
     )
+
+
+# The maintained index must equal a from-scratch banding of the
+# CURRENT snapshot — so the oracle simply recomputes cur's banding
+# with the shared MinHash SQL formula pair and never sees prev, the
+# diff, or the maintenance at all. Module constant because the key's
+# scratch path fingerprints it (with the prev-snapshot derivation
+# rules the oracle deliberately omits — see the key's path comment).
+_APPLY_DIFF_ORACLE = f"""
+    WITH cur AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % {_SNAP_REMOVED[0]} <> {_SNAP_REMOVED[1]}
+    ),
+    tok AS (SELECT doc_id, {_TOK} AS w FROM cur),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tok),
+    sig AS (
+      SELECT doc_id, {_minhash_sig_sql(_NUM_HASHES)} AS sig FROM sh
+    )
+    SELECT doc_id, CAST(b.band AS INTEGER) AS band,
+           {_minhash_bucket_sql(_ROWS_PER_BAND)} AS bucket
+    FROM sig, (SELECT unnest(range(0, {_NUM_BANDS})) AS band) b
+    """
+
+
+@query(
+    "llm_index_apply_diff",
+    oracle=_APPLY_DIFF_ORACLE,
+    tags=("llm", "pipeline"),
+)
+def llm_index_apply_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance from a snapshot diff — the refresh loop
+    `llm_corpus_snapshot_diff` opens, closed: yesterday's materialized
+    MinHash band index (`minhash_write_index` over the prev snapshot,
+    the production per-snapshot layout) is brought up to the current
+    snapshot by applying the change log — stale rows (removed/changed
+    docs) anti-joined out, ONLY the added/changed docs re-banded —
+    never by re-banding the corpus
+    (operators/index_maintenance.py::apply_index_diff). The key
+    returns the maintained (doc_id, band, bucket) index; the oracle
+    recomputes the current snapshot's banding from scratch, so a
+    hash-match proves maintenance ≡ rebuild. The diff compares exactly
+    the column the index derives from (text): a doc whose other
+    columns drift keeps its index rows untouched.
+
+    Reference anchor: update-contributor-scores.js:252-263 merges new
+    hourly keys into the stored summary instead of recomputing it —
+    this is that incremental-maintenance pattern applied to the dedup
+    index layer.
+
+    Scale shape: the change set is broadcast both ways (anti-join on
+    the index scan, semi-filter before the Arrow banding UDF), so the
+    banding CPU — the cost the operator exists to avoid — and all join
+    builds are change-sized; the index side is a narrow column-pruned
+    scan with no shuffle. Plan-gated in tests/test_llm.py: broadcast
+    joins only, exactly one ArrowEvalPython stage, no sort-merge join.
+    The physical merge-on-read twin (`write_index_delta`/`read_index`:
+    change-sized tombstone+append generations under the index, base
+    partitions never rewritten) is pinned by an end-to-end
+    frame-equality pytest against a from-scratch rebuild."""
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    # same snapshot builders as the diff key (one fixture); the index
+    # and the diff both derive from text only, so the lang/source
+    # columns are pruned right after the builders apply their rules
+    prev = _snap_prev(docs).select("doc_id", "text")
+    cur = _snap_cur(docs).select("doc_id", "text")
+    # Geometry in the path (retunes re-key, the index convention) plus
+    # a fixture token over this key's oracle AND the prev-snapshot
+    # derivation: the oracle describes only cur's banding, but the
+    # MATERIALIZED tree is prev's — its content also depends on the
+    # 'added' membership class and the prev text-edit rule, so both
+    # are folded in explicitly (the _fixture_token convention widened
+    # exactly as far as the committed content reaches).
+    index = scratch_dir(
+        sf_dir,
+        f"minhash_prev_index_b{_NUM_BANDS}r{_ROWS_PER_BAND}k3_f"
+        + _fixture_token(
+            _APPLY_DIFF_ORACLE, _SNAP_ADDED, _SNAP_PREV_TEXT_SQL
+        ),
+    )
+    if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
+        minhash_write_index(
+            prev, index, num_bands=_NUM_BANDS, rows_per_band=_ROWS_PER_BAND
+        )
+    # lazily checkpointed: the change log feeds two maintenance
+    # consumers (anti + semi), whose build-side verdict predicates are
+    # pushed below each broadcast exchange — unmaterialized, the diff's
+    # full-outer join would execute once per consumer (see
+    # apply_index_diff's contract; production reads the PUBLISHED
+    # change-log table here). Change-sized, so the checkpoint is cheap.
+    diff = snapshot_diff(prev, cur, "doc_id", ["text"]).localCheckpoint(
+        eager=False
+    )
+    bands_vec = minhash_band_buckets_vec(_NUM_BANDS, _ROWS_PER_BAND, k=3)
+    return apply_index_diff(
+        spark.read.parquet(index),
+        diff,
+        cur,
+        band_fn=lambda d: _band_keys(d, bands_vec),
+    ).select("doc_id", "band", "bucket")
 
 
 # JL-projection geometry: 64 → 16 dims, ±1 planes from the shared

@@ -1,0 +1,284 @@
+"""operators/index_maintenance.py — maintaining a materialized band
+index from a snapshot_diff change log instead of rebuilding it.
+
+Covers the pure frame layer (apply_index_diff ≡ from-scratch banding
+of the current snapshot, for BOTH index families — MinHash text and
+RHP embedding), the physical merge-on-read layer (write_index_delta /
+read_index over generations, including empty-sided and uncommitted
+generations), and the change-sized plan shape."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_event_etl_spark.operators.index_maintenance import (
+    _committed_generations,
+    apply_index_diff,
+    read_index,
+    write_index_delta,
+)
+from github_event_etl_spark.operators.merge import snapshot_diff
+from github_event_etl_spark.operators.text_dedup import (
+    _band_keys,
+    minhash_band_buckets_vec,
+    minhash_write_index,
+)
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def _mh_band_fn():
+    vec = minhash_band_buckets_vec(num_bands=2, rows_per_band=2, k=2)
+    return lambda d: _band_keys(d, vec)
+
+
+def _prev_cur(spark):
+    """Hand-built snapshots exercising all verdicts: 1 unchanged,
+    2 changed, 3 removed, 4 added, plus a doc (5) whose text is empty
+    in both (the empty-shingle banding path stays maintained too)."""
+    prev = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "one two three four"),
+            (3, "to be removed entirely"),
+            (5, ""),
+        ],
+        DOCS_SCHEMA,
+    )
+    cur = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "one two three four five six"),
+            (4, "freshly crawled document text"),
+            (5, ""),
+        ],
+        DOCS_SCHEMA,
+    )
+    return prev, cur
+
+
+def _rows(df):
+    return {(r.doc_id, r.band, r.bucket) for r in df.collect()}
+
+
+def test_apply_index_diff_equals_rebuild_minhash(spark):
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    diff = snapshot_diff(prev, cur, "doc_id", ["text"])
+    maintained = apply_index_diff(band_fn(prev), diff, cur, band_fn)
+    assert _rows(maintained) == _rows(band_fn(cur))
+    # the diff genuinely fired every verdict (non-vacuous fixture)
+    kinds = {r.change_type for r in diff.collect()}
+    assert kinds == {"added", "removed", "changed"}
+
+
+def test_apply_index_diff_empty_diff_is_identity(spark):
+    band_fn = _mh_band_fn()
+    prev, _ = _prev_cur(spark)
+    diff = snapshot_diff(prev, prev, "doc_id", ["text"])
+    assert diff.count() == 0
+    maintained = apply_index_diff(band_fn(prev), diff, prev, band_fn)
+    assert _rows(maintained) == _rows(band_fn(prev))
+
+
+def test_apply_index_diff_equals_rebuild_rhp(spark):
+    """The operator is index-family-generic: the RHP embedding index
+    (similarity.rhp_write_index's projection) maintains through the
+    SAME apply_index_diff — only band_fn differs."""
+    from github_event_etl_spark.operators.similarity import rhp_signatures
+
+    dim, tables, planes = 4, 3, 2
+    sig_fn = rhp_signatures(dim, tables, planes)
+
+    def band_fn(d):
+        return d.select(
+            "doc_id",
+            F.posexplode(sig_fn(F.col("v"))).alias("band", "bucket"),
+        )
+
+    def vecs(spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, v array<double>")
+
+    prev = vecs(spark, [
+        (1, [1.0, 0.0, 0.5, -0.25]),
+        (2, [0.0, 1.0, -1.0, 2.0]),
+        (3, [-1.0, -1.0, 0.0, 0.0]),
+    ])
+    cur = vecs(spark, [
+        (1, [1.0, 0.0, 0.5, -0.25]),   # unchanged
+        (2, [9.0, -3.0, 1.0, 0.0]),    # re-embedded
+        (4, [0.25, 0.25, 0.25, 0.25]),  # added
+    ])
+    # vectors diff on the embedding column itself (array eqNullSafe)
+    diff = snapshot_diff(prev, cur, "doc_id", ["v"])
+    maintained = apply_index_diff(band_fn(prev), diff, cur, band_fn)
+    assert _rows(maintained) == _rows(band_fn(cur))
+    assert {r.change_type for r in diff.collect()} == {
+        "added", "removed", "changed",
+    }
+
+
+def test_write_read_index_delta_end_to_end(spark, tmp_path):
+    """The physical loop the snapshot-diff docstring promises: write
+    the prev index, apply TWO successive diffs as delta generations,
+    and the folded read equals a from-scratch index of the final
+    snapshot — base band partitions never rewritten (their files'
+    mtimes are untouched across both maintenance rounds)."""
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    nxt = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "one two three four five six"),
+            (4, "freshly crawled document text, edited again"),
+            (6, "a second brand new doc"),
+        ],  # 5 removed, 4 changed, 6 added vs cur
+        DOCS_SCHEMA,
+    )
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    base_files = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        if "_delta" not in root
+        for f in files
+    }
+
+    g1 = write_index_delta(
+        path, snapshot_diff(prev, cur, "doc_id", ["text"]), cur, band_fn
+    )
+    g2 = write_index_delta(
+        path, snapshot_diff(cur, nxt, "doc_id", ["text"]), nxt, band_fn
+    )
+    assert (g1, g2) == (1, 2)
+    assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
+    after = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        if "_delta" not in root
+        for f in files
+    }
+    assert after == base_files, "maintenance rewrote base partitions"
+
+
+def test_index_delta_empty_sides(spark, tmp_path):
+    """An all-added diff writes an EMPTY tombstone set and an
+    all-removed diff an EMPTY append set — both must read back (the
+    explicit-schema path; inference would throw on the empty dirs)."""
+    band_fn = _mh_band_fn()
+    prev, _ = _prev_cur(spark)
+    added_only = spark.createDataFrame(
+        [(7, "entirely new content here")], DOCS_SCHEMA
+    )
+    grown = prev.unionByName(added_only)
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    write_index_delta(
+        path, snapshot_diff(prev, grown, "doc_id", ["text"]), grown, band_fn
+    )
+    assert _rows(read_index(spark, path)) == _rows(band_fn(grown))
+    # now shrink back: removal-only generation (empty appends)
+    write_index_delta(
+        path, snapshot_diff(grown, prev, "doc_id", ["text"]), prev, band_fn
+    )
+    assert _rows(read_index(spark, path)) == _rows(band_fn(prev))
+
+
+def test_index_delta_uncommitted_generation_ignored(spark, tmp_path):
+    """Crash safety: a generation directory without both _SUCCESS
+    markers is invisible to the reader, and a committed generation
+    BEHIND it stays invisible too (folding over a gap would resurrect
+    tombstoned rows)."""
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    write_index_delta(
+        path, snapshot_diff(prev, cur, "doc_id", ["text"]), cur, band_fn
+    )
+    # simulate an interrupted gen=2: appends committed, tombstones not
+    gen2 = os.path.join(path, "_delta", "gen=2")
+    band_fn(cur).select("doc_id", "band", "bucket").write.partitionBy(
+        "band"
+    ).parquet(os.path.join(gen2, "appends"))
+    os.makedirs(os.path.join(gen2, "tombstones"), exist_ok=True)
+    assert [os.path.basename(p) for p in _committed_generations(path)] == [
+        "gen=1"
+    ]
+    assert _rows(read_index(spark, path)) == _rows(band_fn(cur))
+    # a "committed" gen=3 behind the gap must NOT fold either
+    os.rename(gen2, os.path.join(path, "_delta", "gen=3"))
+    open(
+        os.path.join(path, "_delta", "gen=3", "tombstones", "_SUCCESS"), "w"
+    ).close()
+    assert [os.path.basename(p) for p in _committed_generations(path)] == [
+        "gen=1"
+    ]
+    assert _rows(read_index(spark, path)) == _rows(band_fn(cur))
+
+
+def _simple_plan(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def test_apply_index_diff_plan_is_change_sized(spark, tmp_path):
+    """The scale claim, gated structurally over the PRODUCTION shape —
+    the diff arrives as a materialized change-log table: the
+    maintenance plan joins the broadcast change set on both sides (no
+    shuffle of the corpus-sized index — no SortMergeJoin anywhere),
+    runs EXACTLY one Arrow banding stage (over the semi-filtered
+    upserts, never the corpus), and no row-at-a-time Python or
+    cartesian product appears."""
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    change_log = spark.createDataFrame(
+        [r.asDict() for r in
+         snapshot_diff(prev, cur, "doc_id", ["text"]).collect()]
+    ).select("doc_id", "change_type")
+    maintained = apply_index_diff(
+        spark.read.parquet(path), change_log, cur, band_fn
+    )
+    plan = _simple_plan(maintained)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # both change-set joins build broadcast sides
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_apply_index_diff_materialized_diff_computes_once(spark, tmp_path):
+    """The materialize-the-change-log contract: an inline snapshot_diff
+    plan feeds two maintenance consumers whose build-side predicates
+    are pushed below each broadcast exchange, so WITHOUT
+    materialization the diff's full-outer join appears (and executes)
+    once per consumer; a localCheckpoint'd diff — the catalog key's
+    shape — leaves NO join of the two snapshots in the maintenance
+    plan at all."""
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    inline = snapshot_diff(prev, cur, "doc_id", ["text"])
+    plan_inline = _simple_plan(
+        apply_index_diff(spark.read.parquet(path), inline, cur, band_fn)
+    )
+    assert plan_inline.count("SortMergeJoin") == 2, plan_inline
+
+    ckpt = inline.localCheckpoint(eager=False)
+    maintained = apply_index_diff(
+        spark.read.parquet(path), ckpt, cur, band_fn
+    )
+    plan_ckpt = _simple_plan(maintained)
+    assert "SortMergeJoin" not in plan_ckpt, plan_ckpt
+    # and the value contract holds through the checkpoint
+    assert _rows(maintained) == _rows(band_fn(cur))

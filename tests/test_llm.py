@@ -2542,6 +2542,12 @@ def test_corpus_snapshot_diff_matches_id_model(spark, sf_dir):
     expected frame is re-derived here from ids alone — unchanged docs
     must emit no row (change-log semantics)."""
     from github_event_etl_spark.plans.catalog import get_spec
+    from github_event_etl_spark.plans.queries_llm import (
+        _SNAP_ADDED,
+        _SNAP_EDIT,
+        _SNAP_LANG_EXTRA,
+        _SNAP_REMOVED,
+    )
     from github_event_etl_spark.sources.tables import load_table
 
     ids = [
@@ -2552,16 +2558,20 @@ def test_corpus_snapshot_diff_matches_id_model(spark, sf_dir):
     ]
     expected: dict[int, tuple[str, str | None]] = {}
     for i in ids:
-        in_prev, in_cur = i % 19 != 6, i % 23 != 8
+        in_prev = i % _SNAP_ADDED[0] != _SNAP_ADDED[1]
+        in_cur = i % _SNAP_REMOVED[0] != _SNAP_REMOVED[1]
         if not in_prev and not in_cur:
             continue
         if not in_prev:
             expected[i] = ("added", None)
         elif not in_cur:
             expected[i] = ("removed", None)
-        elif i % 17 == 4:
+        elif i % _SNAP_EDIT[0] == _SNAP_EDIT[1]:
             expected[i] = (
-                "changed", "text,lang" if i % 2 == 0 else "text"
+                "changed",
+                "text,lang"
+                if i % _SNAP_LANG_EXTRA[0] == _SNAP_LANG_EXTRA[1]
+                else "text",
             )
     got = {
         r.doc_id: (r.change_type, r.changed_cols)
@@ -2573,6 +2583,74 @@ def test_corpus_snapshot_diff_matches_id_model(spark, sf_dir):
     assert {t for t, _ in expected.values()} == {
         "added", "removed", "changed"
     }, "fixture must fire all three change types at every test SF"
+
+
+def test_index_apply_diff_equals_rebuild(spark, sf_dir):
+    """The maintenance key's identity, pinned Spark-side (the DuckDB
+    oracle pins the same equality cross-engine): the maintained index
+    equals a from-scratch banding of the current snapshot, and the
+    underlying diff is non-vacuous — it fires all three change types,
+    so rows were really dropped AND really re-banded."""
+    from github_event_etl_spark.operators.merge import snapshot_diff
+    from github_event_etl_spark.operators.text_dedup import (
+        _band_keys,
+        minhash_band_buckets_vec,
+    )
+    from github_event_etl_spark.plans.catalog import get_spec
+    from github_event_etl_spark.plans.queries_llm import (
+        _NUM_BANDS,
+        _ROWS_PER_BAND,
+        _snap_cur,
+        _snap_prev,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    bands_vec = minhash_band_buckets_vec(_NUM_BANDS, _ROWS_PER_BAND, k=3)
+    rebuilt = {
+        tuple(r)
+        for r in _band_keys(
+            _snap_cur(docs).select("doc_id", "text"), bands_vec
+        ).collect()
+    }
+    maintained = {
+        tuple(r)
+        for r in get_spec("llm_index_apply_diff").fn(spark, sf_dir).collect()
+    }
+    assert maintained == rebuilt
+    assert len(maintained) > 0
+    kinds = {
+        r.change_type
+        for r in snapshot_diff(
+            _snap_prev(docs).select("doc_id", "text"),
+            _snap_cur(docs).select("doc_id", "text"),
+            "doc_id",
+            ["text"],
+        ).collect()
+    }
+    assert kinds == {"added", "removed", "changed"}, kinds
+
+
+def test_index_apply_diff_plan_gates(spark, sf_dir):
+    """The key's scale shape: reads the materialized prev index (the
+    scratch minhash_prev_index tree), joins the checkpointed change
+    log via broadcast only (no sort-merge join anywhere — the diff's
+    full-outer join is materialized out of the maintenance plan), and
+    runs exactly ONE Arrow banding stage, over the semi-filtered
+    upserts rather than the corpus."""
+    from github_event_etl_spark.plans.catalog import get_spec
+
+    df = get_spec("llm_index_apply_diff").fn(spark, sf_dir)
+    plan = _fmt_plan(df)
+    assert "minhash_prev_index" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1, tree
+    assert tree.count("BroadcastHashJoin") == 2, tree
 
 
 def test_embed_random_projection_distortion_bounds(spark, sf_dir):
