@@ -58,7 +58,12 @@ HEADLINE = [
 # Retired r17 (making room for llm_index_apply_diff):
 # profile_table (1.628/1.609/1.763 across r14-r16, never flagged;
 # the approx, drift, and histogram_eqdepth siblings stay — the
-# richest-covered family in the census).
+# richest-covered family in the census). Also retired r17 (making
+# room for llm_ivf_apply_diff): scd2_history (0.308/0.37/0.279/0.398
+# across r13-r16, never flagged; the merge-family sibling
+# merge_upsert stays) and gapfill_hourly (0.298/0.319/0.252/0.388,
+# never flagged; gapfill_interp_reading keeps the family's census
+# seat — the line-budget test still counts 5-component headroom).
 COMPONENTS = [
     "stream_interval_join",
     "stream_interval_join_outer",
@@ -67,10 +72,8 @@ COMPONENTS = [
     "llm_multimodal_resize",
     "profile_table_approx",
     "merge_upsert",
-    "scd2_history",
     "join_bucketed_colocated",
     "profile_drift",
-    "gapfill_hourly",
     "gapfill_interp_reading",
     "profile_histogram_eqdepth",
     "llm_dedup_semantic",
@@ -81,6 +84,7 @@ COMPONENTS = [
     "llm_corpus_snapshot_diff",
     "llm_embed_random_projection",
     "llm_index_apply_diff",
+    "llm_ivf_apply_diff",
 ]
 # Composed end-to-end pipelines (plans/pipelines.py), benched in their
 # own section under job-sized parallelism — OUT of the headline total,
@@ -316,8 +320,9 @@ def main() -> None:
     for idx_name in (
         "llm_dedup_incremental_indexed",
         "llm_dedup_incremental_semantic_indexed",
-        # writes the prev-snapshot band index on first touch, same rule
+        # write their prev-snapshot index on first touch, same rule
         "llm_index_apply_diff",
+        "llm_ivf_apply_diff",
     ):
         if idx_name in qmap:
             _guard(

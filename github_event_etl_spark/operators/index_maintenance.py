@@ -9,7 +9,11 @@ the same pattern one level down the refresh stack: the corpus band
 indexes (`text_dedup.minhash_write_index` / `similarity.rhp_write_index`
 outputs — both the (doc_id, band, bucket) schema, band-partitioned)
 are maintained from a `merge.snapshot_diff` change log instead of
-being re-banded from scratch per corpus snapshot. At 100 TB that is
+being re-banded from scratch per corpus snapshot; the IVF assignment
+index (`similarity.ivf_assign_with_centroids` against a frozen coarse
+quantizer — the (key, centroid_id) schema) maintains through the same
+two layers, since both are per-key-independent derivations. At 100 TB
+that is
 the difference between an O(corpus) banding pass per refresh and
 O(changes) work: re-banding is the dominant index CPU, and a daily
 crawl typically touches well under 1% of the corpus.
@@ -35,7 +39,8 @@ Two layers:
 
 Read-path cost note: each generation adds one broadcast anti-join +
 one union to the read plan, so generations should be compacted
-periodically (rewrite base from `read_index`, drop `_delta`) — the
+periodically — `compact_index` below does exactly that (staged
+rewrite of the folded base + rename swap, `_delta` dropped) — the
 classic log-structured trade. The fold applies the longest COMMITTED
 generation prefix: an interrupted writer leaves a trailing
 uncommitted generation that readers ignore entirely (folding a later
@@ -71,11 +76,14 @@ def apply_index_diff(
     frame-equality pytest and the catalog key's oracle, which
     recomputes the current corpus' banding from scratch).
 
-    `band_fn` maps a docs frame to (key, band, bucket) rows — pass the
-    SAME banding the index was written with (`_band_keys` over
-    `minhash_band_buckets_vec` for the MinHash index, the
-    `rhp_write_index` projection for the RHP one; both indexes share
-    the schema, so this operator serves both).
+    `band_fn` maps a docs frame to index rows carrying `prev_index`'s
+    columns — pass the SAME derivation the index was written with
+    (`_band_keys` over `minhash_band_buckets_vec` for the MinHash
+    index, the `rhp_write_index` projection for the RHP one — both the
+    (key, band, bucket) schema — or `ivf_assign_with_centroids`
+    against the frozen centroid table for the IVF (key, centroid_id)
+    assignment index; the union takes its column list from
+    `prev_index`, so any keyed index shape maintains through here).
 
     Scale shape: the change set is broadcast to BOTH sides — a
     broadcast LEFT ANTI join drops the stale docs' rows from the index
@@ -101,7 +109,10 @@ def apply_index_diff(
     )
     kept = prev_index.join(F.broadcast(stale), key, "left_anti")
     fresh = band_fn(cur_docs.join(F.broadcast(upserts), key, "left_semi"))
-    return kept.unionByName(fresh.select(key, "band", "bucket"))
+    # schema-generic: the index's columns come from `prev_index`, so the
+    # same operator maintains the (key, band, bucket) band indexes AND
+    # differently-shaped ones like the IVF (key, centroid_id) assignment
+    return kept.unionByName(fresh.select(*prev_index.columns))
 
 
 def _delta_root(index_path: str) -> str:
@@ -144,6 +155,8 @@ def write_index_delta(
     cur_docs: DataFrame,
     band_fn: Callable[[DataFrame], DataFrame],
     key: str = "doc_id",
+    value_cols: tuple[str, ...] = ("band", "bucket"),
+    partition_col: str = "band",
 ) -> int:
     """Append one maintenance generation to a materialized band index:
     `<index>/_delta/gen=N/tombstones` (the stale doc keys) and
@@ -160,6 +173,14 @@ def write_index_delta(
     `apply_index_diff`, pass `diff` materialized: the two component
     writes are separate jobs, each of which would otherwise recompute
     an unmaterialized diff plan.
+
+    `value_cols`/`partition_col` default to the band-index layout;
+    pass e.g. `value_cols=("centroid_id",), partition_col="centroid_id"`
+    to maintain the IVF assignment index's inverted-list layout (one
+    directory per centroid, the partition-pruned probe shape). The
+    appends must be partitioned the SAME way as the base: `read_index`
+    takes its schema from the base, and a probe prunes delta partitions
+    only if they carry the base's partition key.
     """
     gens = _committed_generations(index_path)
     n = len(gens) + 1
@@ -174,12 +195,12 @@ def write_index_delta(
         ),
         key,
         "left_semi",
-    )).select(key, "band", "bucket")
+    )).select(key, *value_cols)
     # tombstones LAST: _committed_generations requires both markers, so
     # ordering the two commits either way is safe; appends-first keeps
     # the larger write out of the window where a crash strands a
     # marker-complete tombstone dir next to a missing appends dir.
-    fresh.write.mode("errorifexists").partitionBy("band").parquet(
+    fresh.write.mode("errorifexists").partitionBy(partition_col).parquet(
         os.path.join(base, "appends")
     )
     stale.write.mode("errorifexists").parquet(
@@ -212,3 +233,53 @@ def read_index(
             app.select(*df.columns)
         )
     return df
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    key: str = "doc_id",
+    partition_col: str = "band",
+) -> int:
+    """Fold every committed delta generation into a fresh base and drop
+    `_delta` — the periodic compaction the read-path cost note in the
+    module docstring calls for (each generation adds one anti-join +
+    one union to every read; compaction resets that to a plain scan).
+    Returns the number of generations folded (0 = nothing to do, the
+    index is untouched). After compaction the next `write_index_delta`
+    starts again at gen=1.
+
+    Write protocol: the folded index is materialized COMPLETELY to a
+    sibling staging directory (`<index>.compacting`) before anything
+    is removed — Spark cannot overwrite a path it is reading, and
+    rewriting in place would destroy the source mid-job. Then the
+    swap: old tree aside, staging renamed in. Same-filesystem renames,
+    so the vulnerable window is two metadata ops, not a data copy —
+    a crash can never leave a HALF-WRITTEN base, though a crash
+    exactly between the renames leaves the path vacant with BOTH full
+    trees intact (`<index>.precompact` + `<index>.compacting`; recovery
+    is renaming either back in). Single-writer per
+    index, the module's standing contract; on a real cluster this
+    whole dance is the table format's rewrite-and-commit. An
+    uncommitted trailing generation (interrupted writer) is invisible
+    to `read_index`, so compaction DROPS it with the rest of `_delta`
+    — by the crash-safety contract it was never part of the index.
+    """
+    import shutil
+
+    gens = _committed_generations(index_path)
+    if not gens:
+        return 0
+    staging = index_path.rstrip("/") + ".compacting"
+    backup = index_path.rstrip("/") + ".precompact"
+    for leftover in (staging, backup):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    folded = read_index(spark, index_path, key=key)
+    folded.write.mode("errorifexists").partitionBy(partition_col).parquet(
+        staging
+    )
+    os.rename(index_path, backup)
+    os.rename(staging, index_path)
+    shutil.rmtree(backup)
+    return len(gens)

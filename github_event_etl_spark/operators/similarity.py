@@ -306,7 +306,27 @@ def ivf_assign(
 
     At scale the assigned table is written partitioned by `centroid_id`
     so a probe reads only nprobe/C of the data (partition pruning)."""
-    centroids = (
+    centroids = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
+    # assignment delegates to the centroid-table variant so the cosine
+    # argmin + tie-break lives in exactly one place
+    assigned = ivf_assign_with_centroids(corpus, centroids, id_col, vec_col)
+    return assigned, centroids
+
+
+def ivf_seed_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_assign`'s seeding step, standalone: the C deterministic
+    md5-ranked seed vectors as a (centroid_id, c_vec) table. Exposed
+    separately so a FROZEN coarse quantizer can be seeded once from a
+    reference corpus and reused across snapshot refreshes
+    (`queries_llm.llm_ivf_apply_diff`) — re-seeding per snapshot would
+    silently re-list the whole index. Same distributed TakeOrdered
+    shape as documented on `ivf_assign`."""
+    return (
         corpus.orderBy(
             F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
         )
@@ -315,10 +335,6 @@ def ivf_assign(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
         )
     )
-    # assignment delegates to the centroid-table variant so the cosine
-    # argmin + tie-break lives in exactly one place
-    assigned = ivf_assign_with_centroids(corpus, centroids, id_col, vec_col)
-    return assigned, centroids
 
 
 def ann_ivf(

@@ -125,15 +125,24 @@ _DEFER_NEW_UNTIL_ROUND = 17
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
     # r17 window arithmetic: the two r16 deferrals self-cleared when
     # CORRECTNESS_r16 landed and lead r17's window as never-checked
-    # front-riders, joined by the one r17 admission
+    # front-riders, joined by the one in-window r17 admission
     # (llm_index_apply_diff) — 3 never-checked + 45 r14-stale +
     # 2 oldest-r15 = 50, verified against _rounds_checked_green() at
-    # edit time. The single new key rides WITHIN the ~3/round budget
-    # (it displaces one r15 rotation, not a stale r14 key), so nothing
-    # defers this round and after r17 no key's latest green row
-    # predates r15. Registry 148 ≤ 150, so staleness_bound_rounds()
-    # holds at 3; 2 admission slots remain before the bound flips to 4
-    # and the pre-identified indexed-twin consolidation (above) fires.
+    # edit time. That key rides WITHIN the ~3/round budget (it
+    # displaces one r15 rotation, not a stale r14 key), so after r17
+    # no key's latest green row predates r15. The SECOND r17 addition
+    # below arrived with the window already exactly full, so it defers
+    # through r17's driver run (newest artifact r16 < 17) and
+    # SELF-CLEARS when CORRECTNESS_r17 lands, jumping to the front of
+    # r18's window as never-checked — no manual sweep needed (the r16
+    # pair's sweep was needed because their constant said 17 for keys
+    # that should activate on the r16 artifact, i.e. one too high);
+    # it is sf0.01-verified via tools/driver_sim.py this round (see
+    # SURVEY §2's row note).
+    # Registry 149 ≤ 150, so staleness_bound_rounds() holds at 3;
+    # 1 admission slot remains before the bound flips to 4 and the
+    # pre-identified indexed-twin consolidation (above) fires.
+    "llm_ivf_apply_diff",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

@@ -40,6 +40,8 @@ from ..operators.similarity import (
     cosine_dup_pairs,
     cosine_dup_pairs_lsh,
     incremental_dedup_semantic,
+    ivf_assign_with_centroids,
+    ivf_seed_centroids,
     jl_plane_rows,
     jl_projection,
     rhp_write_index,
@@ -4609,6 +4611,137 @@ def llm_index_apply_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur,
         band_fn=lambda d: _band_keys(d, bands_vec),
     ).select("doc_id", "band", "bucket")
+
+
+# IVF maintenance geometry: the frozen coarse quantizer is the same
+# 16-seed md5 ranking as _IVF_ORACLE's cent CTE, deliberately over the
+# FULL immutable embeddings table (the stand-in for a trained centroid
+# artifact, which is versioned separately from corpus snapshots and
+# only re-trained at compaction time) — so both engines derive
+# identical centroids without either seeing the snapshot rules, and a
+# centroid whose SOURCE vector is removed from the corpus keeps
+# serving (the model is a frozen copy, not a view). The maintained
+# index must equal a from-scratch assignment of the CURRENT snapshot,
+# so the oracle recomputes cur's nearest-centroid argmin and never
+# sees prev, the diff, or the maintenance — the _APPLY_DIFF_ORACLE
+# pattern for the (vec_id, centroid_id) index shape.
+_IVF_APPLY_CENTROIDS = 16
+
+_IVF_APPLY_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_IVF_APPLY_CENTROIDS}
+    ),
+    cur AS (
+      SELECT vec_id, v FROM e
+      WHERE vec_id % {_SNAP_REMOVED[0]} <> {_SNAP_REMOVED[1]}
+    )
+    SELECT vec_id, centroid_id FROM (
+      SELECT cur.vec_id, cent.centroid_id,
+             row_number() OVER (PARTITION BY cur.vec_id
+               ORDER BY {_cos_sql('cur.v', 'cent.cv')} DESC,
+                        cent.centroid_id) AS rn
+      FROM cur, cent
+    ) WHERE rn = 1
+    """
+
+
+@query(
+    "llm_ivf_apply_diff",
+    oracle=_IVF_APPLY_ORACLE,
+    tags=("llm", "pipeline"),
+)
+def llm_ivf_apply_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-index maintenance from an embedding snapshot diff — the
+    `llm_index_apply_diff` pattern proven on the SECOND index shape the
+    refresh loop must keep fresh: yesterday's materialized inverted-file
+    assignment (`ivf_assign_with_centroids` over the prev snapshot
+    against the frozen coarse quantizer, written partitioned by
+    centroid_id — the inverted-list layout) is brought up to the
+    current snapshot by applying the change log: removed/re-embedded
+    vectors anti-joined out of the lists, ONLY added/re-embedded
+    vectors re-assigned. The key returns the maintained
+    (vec_id, centroid_id) index; the oracle recomputes the current
+    snapshot's assignment from scratch, so a hash-match proves
+    maintenance ≡ rebuild. Fixture: the shared snapshot residue
+    classes on vec_id — added %{_SNAP_ADDED[0]}=={_SNAP_ADDED[1]},
+    removed %{_SNAP_REMOVED[0]}=={_SNAP_REMOVED[1]}; the edit class
+    (%{_SNAP_EDIT[0]}=={_SNAP_EDIT[1]}) carries a NEGATED prev vector,
+    so a re-embed flips the cosine sign and genuinely moves list
+    membership rather than diffing into a same-centroid no-op.
+
+    Reference anchor: update-contributor-scores.js:252-263 (merge new
+    keys into the stored summary instead of recomputing), the same
+    incremental-maintenance contract as the band-index key above.
+
+    Scale shape: at 100 TB the inverted lists are the ANN serving
+    layout — re-assigning the corpus per crawl would read and shuffle
+    every vector, while a daily diff touches <1%. Here the change set
+    broadcasts both ways (anti-join on the index scan, semi-filter
+    before assignment), the 16-row frozen-centroid table broadcasts
+    into the assignment, and the ONLY shuffle is the change-sized
+    argmin window — the index side is a two-column scan of the
+    partitioned lists, never re-listed. Unlike the band indexes this
+    path is pure JVM end to end (cosine is codegen'd higher-order
+    arithmetic): the plan gate asserts NO Python/Arrow stage at all.
+    The physical twin (write_index_delta with
+    value_cols=('centroid_id',) / partition_col='centroid_id':
+    change-sized tombstone+append generations under the base lists) is
+    pinned by frame-equality pytest in tests/test_index_maintenance.py."""
+    import os as _os
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # frozen quantizer: seeded from the immutable table, shared with
+    # the oracle's cent CTE (see the geometry comment above)
+    centroids = ivf_seed_centroids(emb, _IVF_APPLY_CENTROIDS)
+    d = F.col("vec_id")
+    edit = d % _SNAP_EDIT[0] == _SNAP_EDIT[1]
+    prev = emb.filter(d % _SNAP_ADDED[0] != _SNAP_ADDED[1]).select(
+        "vec_id",
+        F.when(edit, F.transform("embedding", lambda x: -x))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    cur = emb.filter(d % _SNAP_REMOVED[0] != _SNAP_REMOVED[1])
+
+    def assign(docs: DataFrame) -> DataFrame:
+        return ivf_assign_with_centroids(docs, centroids).select(
+            "vec_id", "centroid_id"
+        )
+
+    # geometry + fixture token in the path (the index convention):
+    # the oracle describes cur's assignment only, so the MATERIALIZED
+    # prev tree's extra dependencies — the 'added' membership class
+    # and the edit-class negation rule — are folded in explicitly
+    index = scratch_dir(
+        sf_dir,
+        f"ivf_prev_index_c{_IVF_APPLY_CENTROIDS}_f"
+        + _fixture_token(
+            _IVF_APPLY_ORACLE, _SNAP_ADDED, _SNAP_EDIT, "negate-edit-vec"
+        ),
+    )
+    if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
+        assign(prev).write.partitionBy("centroid_id").parquet(index)
+    # change-sized and twice-consumed — same checkpoint contract as
+    # the band-index key above
+    diff = snapshot_diff(prev, cur, "vec_id", ["embedding"]).localCheckpoint(
+        eager=False
+    )
+    # partition-column discovery narrows centroid_id (small ints on
+    # disk) to INT; cast back so the union with the fresh assignment
+    # (vec_id-typed, i.e. LONG) and the oracle's BIGINT schema agree
+    prev_index = spark.read.parquet(index).select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id")
+    )
+    return apply_index_diff(
+        prev_index, diff, cur, band_fn=assign, key="vec_id"
+    )
 
 
 # JL-projection geometry: 64 → 16 dims, ±1 planes from the shared

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from github_event_etl_spark.operators.index_maintenance import (
     _committed_generations,
     apply_index_diff,
+    compact_index,
     read_index,
     write_index_delta,
 )
@@ -216,6 +217,158 @@ def test_index_delta_uncommitted_generation_ignored(spark, tmp_path):
         "gen=1"
     ]
     assert _rows(read_index(spark, path)) == _rows(band_fn(cur))
+
+
+VECS_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _ivf_fixture(spark):
+    """Hand-built embedding snapshots + a FROZEN caller-supplied
+    centroid table (the trained-quantizer contract): doc 1 unchanged,
+    2 re-embedded ACROSS lists (c2 → c3), 3 removed, 4 added."""
+    from github_event_etl_spark.operators.similarity import (
+        ivf_assign_with_centroids,
+    )
+
+    centroids = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0]), (30, [-1.0, 0.0])],
+        "centroid_id long, c_vec array<double>",
+    )
+    prev = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1]),
+            (2, [0.1, 0.9]),
+            (3, [0.6, 0.4]),
+        ],
+        VECS_SCHEMA,
+    )
+    cur = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1]),
+            (2, [-0.9, 0.1]),
+            (4, [-0.8, -0.1]),
+        ],
+        VECS_SCHEMA,
+    )
+
+    def assign_fn(d):
+        return ivf_assign_with_centroids(d, centroids).select(
+            "vec_id", "centroid_id"
+        )
+
+    return prev, cur, assign_fn
+
+
+def _ivf_rows(df):
+    return {(int(r.vec_id), int(r.centroid_id)) for r in df.collect()}
+
+
+def test_apply_index_diff_equals_rebuild_ivf(spark):
+    """Third index family through the SAME operator: the IVF
+    (vec_id, centroid_id) assignment index — apply_index_diff takes
+    its column list from prev_index, so the two-column shape maintains
+    without any band/bucket assumption. The fixture's re-embed moves
+    doc 2 across inverted lists (c2 → c3), so the anti-join really
+    evicts a list member and the re-assignment really files it
+    elsewhere."""
+    prev, cur, assign_fn = _ivf_fixture(spark)
+    diff = snapshot_diff(prev, cur, "vec_id", ["embedding"])
+    maintained = apply_index_diff(
+        assign_fn(prev), diff, cur, assign_fn, key="vec_id"
+    )
+    assert _ivf_rows(maintained) == _ivf_rows(assign_fn(cur))
+    assert {r.change_type for r in diff.collect()} == {
+        "added", "removed", "changed",
+    }
+    # the re-embed crossed lists: doc 2's assignment differs prev→cur
+    prev_cid = dict(_ivf_rows(assign_fn(prev)))
+    cur_cid = dict(_ivf_rows(assign_fn(cur)))
+    assert prev_cid[2] != cur_cid[2], (prev_cid, cur_cid)
+
+
+def test_write_read_index_delta_ivf_layout(spark, tmp_path):
+    """The physical merge-on-read layer over the inverted-list layout:
+    base and appends both partitioned by centroid_id
+    (value_cols/partition_col generalization), one maintenance
+    generation, folded read equals a from-scratch assignment of the
+    current snapshot — base list directories never rewritten."""
+    prev, cur, assign_fn = _ivf_fixture(spark)
+    path = str(tmp_path / "ivf")
+    assign_fn(prev).write.partitionBy("centroid_id").parquet(path)
+    base_files = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        if "_delta" not in root
+        for f in files
+    }
+    write_index_delta(
+        path,
+        snapshot_diff(prev, cur, "vec_id", ["embedding"]),
+        cur,
+        assign_fn,
+        key="vec_id",
+        value_cols=("centroid_id",),
+        partition_col="centroid_id",
+    )
+    assert _ivf_rows(read_index(spark, path, key="vec_id")) == _ivf_rows(
+        assign_fn(cur)
+    )
+    after = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        if "_delta" not in root
+        for f in files
+    }
+    assert after == base_files, "maintenance rewrote base list dirs"
+    # compaction generalizes to the list layout too: fold the
+    # generation into a fresh centroid-partitioned base
+    assert compact_index(spark, path, key="vec_id",
+                         partition_col="centroid_id") == 1
+    assert not os.path.isdir(os.path.join(path, "_delta"))
+    assert _ivf_rows(read_index(spark, path, key="vec_id")) == _ivf_rows(
+        assign_fn(cur)
+    )
+
+
+def test_compact_index_folds_generations_and_resets(spark, tmp_path):
+    """The log-structured trade's other half: after compaction the
+    read is a plain scan again (no _delta), equals the fully folded
+    state, the generation counter resets to 1 for the next refresh,
+    and an idle compact is a no-op. An UNCOMMITTED trailing generation
+    — invisible to readers by the crash-safety contract — is dropped
+    with the rest of _delta, and no staging/backup trees are left
+    behind."""
+    from github_event_etl_spark.operators.index_maintenance import (
+        compact_index,
+    )
+
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    nxt = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (8, "post compaction content")],
+        DOCS_SCHEMA,
+    )
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    assert compact_index(spark, path) == 0  # nothing to fold: untouched
+    write_index_delta(
+        path, snapshot_diff(prev, cur, "doc_id", ["text"]), cur, band_fn
+    )
+    # strand an uncommitted gen=2 (tombstones dir without _SUCCESS)
+    gen2 = os.path.join(path, "_delta", "gen=2")
+    os.makedirs(os.path.join(gen2, "tombstones"), exist_ok=True)
+
+    assert compact_index(spark, path) == 1  # only the committed gen
+    assert not os.path.isdir(os.path.join(path, "_delta"))
+    assert not os.path.exists(path + ".compacting")
+    assert not os.path.exists(path + ".precompact")
+    assert _rows(read_index(spark, path)) == _rows(band_fn(cur))
+    # the counter reset: next refresh writes gen=1 against the new base
+    g = write_index_delta(
+        path, snapshot_diff(cur, nxt, "doc_id", ["text"]), nxt, band_fn
+    )
+    assert g == 1
+    assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
 
 
 def _simple_plan(df):

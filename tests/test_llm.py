@@ -2653,6 +2653,103 @@ def test_index_apply_diff_plan_gates(spark, sf_dir):
     assert tree.count("BroadcastHashJoin") == 2, tree
 
 
+def test_ivf_apply_diff_equals_rebuild(spark, sf_dir):
+    """The IVF maintenance key's identity, Spark-side (the oracle pins
+    it cross-engine): the maintained (vec_id, centroid_id) index equals
+    a from-scratch assignment of the current snapshot against the SAME
+    frozen centroid table, and the fixture is non-vacuous — the diff
+    fires all three change types AND at least one re-embedded vector
+    genuinely changes its list membership (the negated-vector rule's
+    whole point; a same-centroid re-embed would leave the anti-join
+    and re-assignment paths untested)."""
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.operators.merge import snapshot_diff
+    from github_event_etl_spark.operators.similarity import (
+        ivf_assign_with_centroids,
+        ivf_seed_centroids,
+    )
+    from github_event_etl_spark.plans.catalog import get_spec
+    from github_event_etl_spark.plans.queries_llm import (
+        _IVF_APPLY_CENTROIDS,
+        _SNAP_ADDED,
+        _SNAP_EDIT,
+        _SNAP_REMOVED,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = ivf_seed_centroids(emb, _IVF_APPLY_CENTROIDS)
+    d = F.col("vec_id")
+    edit = d % _SNAP_EDIT[0] == _SNAP_EDIT[1]
+    prev = emb.filter(d % _SNAP_ADDED[0] != _SNAP_ADDED[1]).select(
+        "vec_id",
+        F.when(edit, F.transform("embedding", lambda x: -x))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    cur = emb.filter(d % _SNAP_REMOVED[0] != _SNAP_REMOVED[1])
+    rebuilt = {
+        tuple(r)
+        for r in ivf_assign_with_centroids(cur, centroids)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    maintained = {
+        tuple(r)
+        for r in get_spec("llm_ivf_apply_diff").fn(spark, sf_dir).collect()
+    }
+    assert maintained == rebuilt
+    assert len(maintained) > 0
+    kinds = {
+        r.change_type
+        for r in snapshot_diff(prev, cur, "vec_id", ["embedding"]).collect()
+    }
+    assert kinds == {"added", "removed", "changed"}, kinds
+    # membership really moved: prev's assignment of the edit-class
+    # vectors disagrees with cur's for at least one vec_id
+    prev_asg = ivf_assign_with_centroids(
+        prev.filter(edit), centroids
+    ).select("vec_id", F.col("centroid_id").alias("prev_cid"))
+    cur_asg = ivf_assign_with_centroids(
+        cur.filter(edit), centroids
+    ).select("vec_id", F.col("centroid_id").alias("cur_cid"))
+    moved = (
+        prev_asg.join(cur_asg, "vec_id")
+        .filter(F.col("prev_cid") != F.col("cur_cid"))
+        .count()
+    )
+    assert moved > 0, "edit-class re-embeds never changed a list"
+
+
+def test_ivf_apply_diff_plan_gates(spark, sf_dir):
+    """The IVF maintenance key's scale shape: reads the materialized
+    prev assignment (the scratch ivf_prev_index tree, partitioned by
+    centroid_id), joins the checkpointed change log via broadcast only,
+    and — unlike the band-index twin — runs NO Python/Arrow stage at
+    all: the cosine argmin is codegen'd higher-order arithmetic, so the
+    whole maintenance path stays JVM-side. The only shuffle is the
+    change-sized argmin window; the corpus-sized index side never
+    exchanges."""
+    from github_event_etl_spark.plans.catalog import get_spec
+
+    df = get_spec("llm_ivf_apply_diff").fn(spark, sf_dir)
+    plan = _fmt_plan(df)
+    assert "ivf_prev_index" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert "ArrowEvalPython" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree
+    # anti (stale rows out of the index scan) + semi (upserts into the
+    # assignment) — both broadcast; the 16-row frozen-centroid table
+    # rides the assignment as a broadcast nested-loop (no condition)
+    assert tree.count("BroadcastHashJoin") == 2, tree
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+
+
 def test_embed_random_projection_distortion_bounds(spark, sf_dir):
     """The JL report key: one row per base vector, full-space cosine at
     the planted-pair level (≥ 0.998 — the fixture's documented floor),
