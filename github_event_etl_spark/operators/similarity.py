@@ -349,6 +349,30 @@ def ann_ivf(
     """IVF probe: rank centroids per query, scan only the top-`nprobe`
     centroid partitions, exact-score within them."""
     assigned, centroids = ivf_assign(corpus, num_centroids, id_col, vec_col)
+    return ivf_probe(
+        assigned, centroids, queries, k, nprobe, id_col, vec_col
+    )
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF search shared by every index source — a freshly built
+    assignment (`ann_ivf`), the on-disk partitioned layout
+    (`ann_ivf_partitioned`), or a diff-MAINTAINED index
+    (`index_maintenance.apply_index_diff` / `read_index` output, whose
+    search-equivalence to a rebuild is pinned in pytest): rank
+    centroids per query (broadcast of the tiny centroid table), keep
+    the top-`nprobe` lists, candidate-join the assigned table against
+    the broadcast probe set (partition-pruned when `assigned` is the
+    partitioned scan), exact-score within them with a deterministic
+    (sim DESC, id ASC) tie-break."""
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
     qc = q.join(F.broadcast(centroids)).select(
         "qid", "q_vec", "centroid_id",
@@ -682,33 +706,7 @@ def ann_ivf_partitioned(
     corpus and parameters (asserted in tests/test_llm.py)."""
     assigned = spark.read.parquet(f"{path}/assigned")
     centroids = spark.read.parquet(f"{path}/centroids")
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
-    qc = q.join(F.broadcast(centroids)).select(
-        "qid", "q_vec", "centroid_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("_csim"),
-    )
-    wq = Window.partitionBy("qid").orderBy(F.col("_csim").desc(), F.col("centroid_id"))
-    probes = (
-        qc.withColumn("_r", F.row_number().over(wq))
-        .filter(F.col("_r") <= nprobe)
-        .select("qid", "q_vec", "centroid_id")
-    )
-    cand = (
-        assigned.select(
-            F.col(id_col).alias("nid"), F.col(vec_col).alias("c_vec"), "centroid_id"
-        )
-        .join(F.broadcast(probes), on="centroid_id")
-        .filter(F.col("qid") != F.col("nid"))
-    )
-    scored = cand.select(
-        "qid", "nid", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("qid", "rnk", "nid", F.round("sim", 6).alias("sim_r"))
-    )
+    return ivf_probe(assigned, centroids, queries, k, nprobe, id_col, vec_col)
 
 
 def kmeans_refine_int(

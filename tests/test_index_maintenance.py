@@ -330,6 +330,66 @@ def test_write_read_index_delta_ivf_layout(spark, tmp_path):
     )
 
 
+def test_probe_over_maintained_ivf_index_equals_rebuild(spark, sf_dir):
+    """Maintenance preserves SEARCH, not just index rows: an
+    `ivf_probe` over the diff-MAINTAINED full-column inverted lists
+    (vec_id, embedding, centroid_id — the serving layout
+    `ivf_write_index` materializes) returns exactly the top-k a probe
+    over a from-scratch assignment of the current snapshot returns.
+    Frozen quantizer, real embeddings table, the catalog key's residue
+    snapshots — the end-to-end claim the maintenance keys exist for."""
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.operators.similarity import (
+        ivf_assign_with_centroids,
+        ivf_probe,
+        ivf_seed_centroids,
+    )
+    from github_event_etl_spark.plans.queries_llm import (
+        _IVF_APPLY_CENTROIDS,
+        _SNAP_ADDED,
+        _SNAP_EDIT,
+        _SNAP_REMOVED,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = ivf_seed_centroids(emb, _IVF_APPLY_CENTROIDS)
+    d = F.col("vec_id")
+    edit = d % _SNAP_EDIT[0] == _SNAP_EDIT[1]
+    prev = emb.filter(d % _SNAP_ADDED[0] != _SNAP_ADDED[1]).select(
+        "vec_id",
+        F.when(edit, F.transform("embedding", lambda x: -x))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    cur = emb.filter(d % _SNAP_REMOVED[0] != _SNAP_REMOVED[1])
+
+    def assign(docs):
+        # full serving columns — the union schema follows prev_index
+        return ivf_assign_with_centroids(docs, centroids)
+
+    diff = snapshot_diff(prev, cur, "vec_id", ["embedding"])
+    maintained = apply_index_diff(
+        assign(prev), diff, cur, assign, key="vec_id"
+    )
+    queries = cur.filter(d < 20)
+
+    def topk(assigned):
+        return {
+            tuple(r)
+            for r in ivf_probe(
+                assigned, centroids, queries, k=10, nprobe=4
+            ).collect()
+        }
+
+    got = topk(maintained)
+    assert got == topk(assign(cur))
+    assert len(got) > 0
+
+
 def test_compact_index_folds_generations_and_resets(spark, tmp_path):
     """The log-structured trade's other half: after compaction the
     read is a plain scan again (no _delta), equals the fully folded
