@@ -185,6 +185,15 @@ def write_index_delta(
     gens = _committed_generations(index_path)
     n = len(gens) + 1
     base = os.path.join(_delta_root(index_path), f"gen={n}")
+    # retry safety: a writer that died mid-generation left gen=N
+    # present but uncommitted (readers already ignore it); the retry
+    # recomputes the SAME N and must not trip over the residue — clear
+    # it and write fresh. Only ever removes an uncommitted dir: a
+    # committed gen=N is inside `gens`, so n points past it.
+    if os.path.isdir(base):
+        import shutil
+
+        shutil.rmtree(base)
     stale = diff.filter(F.col("change_type").isin(*_STALE_TYPES)).select(
         F.col(key)
     )
@@ -233,6 +242,62 @@ def read_index(
             app.select(*df.columns)
         )
     return df
+
+
+def refresh_index_from_change_stream(
+    changes_stream: DataFrame,
+    index_path: str,
+    band_fn: Callable[[DataFrame], DataFrame],
+    checkpoint_dir: str,
+    key: str = "doc_id",
+    value_cols: tuple[str, ...] = ("band", "bucket"),
+    partition_col: str = "band",
+) -> None:
+    """Continuous index refresh: a CDC change stream — rows of
+    (key, change_type, <payload columns band_fn derives from>), i.e.
+    `merge.snapshot_diff`'s output joined with the upserted docs'
+    payload — applies ONE maintenance generation per micro-batch via
+    foreachBatch → `write_index_delta`. The batch frame serves as BOTH
+    the diff and the upsert payload (CDC rows carry the new document
+    alongside the verdict), so no corpus-sized side exists anywhere in
+    the stream: per micro-batch the work is change-sized banding plus
+    two change-sized writes, the streaming end state of the same
+    refresh loop the batch keys pin (`llm_index_apply_diff` /
+    `llm_ivf_apply_diff`).
+
+    Delivery semantics: foreachBatch is at-least-once — a crash after
+    the generation commits but before the checkpoint commit redelivers
+    the batch, appending the same change set AGAIN as the next
+    generation. That is safe by the fold's semantics: the duplicate
+    generation tombstones the rows its twin appended and re-appends
+    identical ones, so the folded state is unchanged (pinned in
+    pytest); the wasted generation is reclaimed by `compact_index`. A
+    crash MID-generation leaves an uncommitted dir readers ignore and
+    the retry clears (write_index_delta's retry path). Bounded
+    (AvailableNow) like the repo's replay harness; a deployment swaps
+    the trigger, nothing else."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # two consumers (stale select + upsert semi) — cache the
+        # change-sized batch instead of rescanning the source files
+        batch_df.persist()
+        try:
+            write_index_delta(
+                index_path, batch_df, batch_df, band_fn,
+                key, value_cols, partition_col,
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        changes_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def compact_index(

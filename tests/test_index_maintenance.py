@@ -330,6 +330,94 @@ def test_write_read_index_delta_ivf_layout(spark, tmp_path):
     )
 
 
+def test_write_index_delta_retries_over_stranded_generation(
+    spark, tmp_path
+):
+    """Retry safety: a writer that died mid-generation leaves gen=N
+    present but uncommitted; the retry recomputes the same N and must
+    clear the residue instead of tripping over errorifexists. A
+    COMMITTED generation is never touched — the counter points past
+    it."""
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    # strand gen=1: appends written and committed, tombstones missing
+    gen1 = os.path.join(path, "_delta", "gen=1")
+    band_fn(cur).select("doc_id", "band", "bucket").write.partitionBy(
+        "band"
+    ).parquet(os.path.join(gen1, "appends"))
+    assert _committed_generations(path) == []
+    g = write_index_delta(
+        path, snapshot_diff(prev, cur, "doc_id", ["text"]), cur, band_fn
+    )
+    assert g == 1
+    assert _rows(read_index(spark, path)) == _rows(band_fn(cur))
+
+
+def test_refresh_index_from_change_stream(spark, tmp_path):
+    """The streaming end state of the refresh loop: two micro-batches
+    of CDC change rows (diff verdict + new-doc payload on the SAME
+    row) apply two maintenance generations through foreachBatch, and
+    the folded read equals a from-scratch index of the final snapshot.
+    Then the at-least-once story: re-applying the LAST batch's change
+    set (the redelivery foreachBatch can produce) adds a generation
+    but leaves the folded state unchanged."""
+    from github_event_etl_spark.operators.index_maintenance import (
+        refresh_index_from_change_stream,
+    )
+
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    nxt = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "one two three four five six"),
+            (4, "freshly crawled document text, edited again"),
+            (6, "a second brand new doc"),
+        ],
+        DOCS_SCHEMA,
+    )
+
+    def changes(a, b):
+        # CDC rows: verdict + the new snapshot's payload (null for
+        # removed keys — band_fn never sees them)
+        return (
+            snapshot_diff(a, b, "doc_id", ["text"])
+            .select("doc_id", "change_type")
+            .join(b.select("doc_id", "text"), "doc_id", "left")
+            .select("doc_id", "change_type", "text")
+        )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    f1, f2 = str(src / "b1.json"), str(src / "b2.json")
+    batch1 = changes(prev, cur).toPandas()
+    batch2 = changes(cur, nxt).toPandas()
+    batch1.to_json(f1, orient="records", lines=True)
+    batch2.to_json(f2, orient="records", lines=True)
+    # the file source replays oldest-mtime-first; pin the order
+    os.utime(f1, (1_000_000_000, 1_000_000_000))
+    os.utime(f2, (1_000_000_100, 1_000_000_100))
+
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    stream = (
+        spark.readStream.schema("doc_id long, change_type string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    refresh_index_from_change_stream(
+        stream, path, band_fn, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert len(_committed_generations(path)) == 2
+    assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
+    # redelivery of the last change set: extra generation, same state
+    b2 = spark.createDataFrame(batch2, "doc_id long, change_type string, text string")
+    assert write_index_delta(path, b2, b2, band_fn) == 3
+    assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
+
+
 def test_probe_over_maintained_ivf_index_equals_rebuild(spark, sf_dir):
     """Maintenance preserves SEARCH, not just index rows: an
     `ivf_probe` over the diff-MAINTAINED full-column inverted lists
