@@ -1323,3 +1323,68 @@ def test_incremental_classify_skeleton_matches_python_model(spark):
     }
     assert set(capped) == set(expected)
     assert set(capped.values()) == {"new"}
+
+
+# ---------------------------------------- snapshot diff + index maintenance
+
+
+# doc universe: id → (prev text | None, cur text | None); None = absent
+# from that snapshot. Short texts over a tiny alphabet make shingle
+# collisions (and thus genuinely shared bands) common; the empty string
+# exercises the empty-shingle banding path.
+_snap_doc = st.tuples(
+    st.one_of(st.none(), st.text(alphabet="ab ", max_size=12)),
+    st.one_of(st.none(), st.text(alphabet="ab ", max_size=12)),
+).filter(lambda t: t[0] is not None or t[1] is not None)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=st.lists(_snap_doc, min_size=1, max_size=25))
+def test_snapshot_diff_and_maintenance_model(spark, docs):
+    """Two invariants over ARBITRARY snapshot pairs: (1) snapshot_diff
+    agrees with a direct Python model of the CDC classification
+    (added / removed / changed / silent-when-unchanged), and (2) the
+    maintained band index equals a from-scratch banding of the current
+    snapshot — apply_index_diff's contract holds for every change-set
+    shape hypothesis finds, not just the hand-built and residue-class
+    fixtures."""
+    from github_event_etl_spark.operators.index_maintenance import (
+        apply_index_diff,
+    )
+    from github_event_etl_spark.operators.merge import snapshot_diff
+    from github_event_etl_spark.operators.text_dedup import (
+        _band_keys,
+        minhash_band_buckets_vec,
+    )
+
+    universe = {i: pc for i, pc in enumerate(docs)}
+    prev_rows = [(i, p) for i, (p, _) in universe.items() if p is not None]
+    cur_rows = [(i, c) for i, (_, c) in universe.items() if c is not None]
+    schema = "doc_id long, text string"
+    prev = spark.createDataFrame(prev_rows or [], schema)
+    cur = spark.createDataFrame(cur_rows or [], schema)
+
+    model = {}
+    for i, (p, c) in universe.items():
+        if p is None and c is not None:
+            model[i] = "added"
+        elif p is not None and c is None:
+            model[i] = "removed"
+        elif p != c:
+            model[i] = "changed"
+
+    diff = snapshot_diff(prev, cur, "doc_id", ["text"])
+    got = {r.doc_id: r.change_type for r in diff.collect()}
+    assert got == model
+
+    vec = minhash_band_buckets_vec(num_bands=2, rows_per_band=2, k=2)
+
+    def band_fn(d):
+        return _band_keys(d, vec)
+
+    maintained = {
+        tuple(r)
+        for r in apply_index_diff(band_fn(prev), diff, cur, band_fn).collect()
+    }
+    rebuilt = {tuple(r) for r in band_fn(cur).collect()}
+    assert maintained == rebuilt
