@@ -167,12 +167,19 @@ def write_index_delta(
     _SUCCESS markers exist, so an interrupted write is ignored, never
     half-applied.
 
-    Tombstones are written for changed docs too (their appends carry
-    the re-banded rows), so a reader folds each generation as one
-    anti-join + one union with no per-row reconciliation. As with
-    `apply_index_diff`, pass `diff` materialized: the two component
-    writes are separate jobs, each of which would otherwise recompute
-    an unmaterialized diff plan.
+    Tombstones are written for EVERY diff key — changed docs (their
+    appends carry the re-banded rows), removed docs, and added docs
+    too. For an added key the tombstone is a no-op on first delivery
+    (nothing to drop yet), but it is what makes re-applying the SAME
+    diff idempotent: an at-least-once redelivery (foreachBatch's
+    contract in `refresh_index_from_change_stream`) appends a twin
+    generation whose tombstones drop its predecessor's rows before
+    re-appending identical ones — tombstoning only removed/changed
+    would let a redelivered 'added' key's rows duplicate. A reader
+    folds each generation as one anti-join + one union with no per-row
+    reconciliation. As with `apply_index_diff`, pass `diff`
+    materialized: the two component writes are separate jobs, each of
+    which would otherwise recompute an unmaterialized diff plan.
 
     `value_cols`/`partition_col` default to the band-index layout;
     pass e.g. `value_cols=("centroid_id",), partition_col="centroid_id"`
@@ -194,9 +201,7 @@ def write_index_delta(
         import shutil
 
         shutil.rmtree(base)
-    stale = diff.filter(F.col("change_type").isin(*_STALE_TYPES)).select(
-        F.col(key)
-    )
+    stale = diff.select(F.col(key))  # every diff key — see docstring
     fresh = band_fn(cur_docs.join(
         F.broadcast(
             diff.filter(F.col("change_type").isin(*_UPSERT_TYPES))
@@ -252,6 +257,7 @@ def refresh_index_from_change_stream(
     key: str = "doc_id",
     value_cols: tuple[str, ...] = ("band", "bucket"),
     partition_col: str = "band",
+    assert_unique_keys: bool = True,
 ) -> None:
     """Continuous index refresh: a CDC change stream — rows of
     (key, change_type, <payload columns band_fn derives from>), i.e.
@@ -275,7 +281,20 @@ def refresh_index_from_change_stream(
     crash MID-generation leaves an uncommitted dir readers ignore and
     the retry clears (write_index_delta's retry path). Bounded
     (AvailableNow) like the repo's replay harness; a deployment swaps
-    the trigger, nothing else."""
+    the trigger — and must keep the one-row-per-key-per-batch contract
+    below, which a coalescing trigger can violate.
+
+    PRECONDITION: at most ONE change row per key per micro-batch. A
+    batch that coalesces several change-log drops (larger triggers do)
+    can carry a key twice — conflicting payloads both band, and an
+    add-then-remove pair leaks a null-payload row through the upsert
+    semi-join. Publish one RECONCILED diff per batch (diff of
+    oldest→newest snapshot, the change-log contract), or pre-reconcile
+    last-wins on an ordering column before this sink. The default
+    `assert_unique_keys` guard fails the batch fast (one change-sized
+    aggregate over the already-cached frame — the snapshot_diff
+    `assert_unique` idiom); opt out only when the producer guarantees
+    the contract upstream."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -284,6 +303,19 @@ def refresh_index_from_change_stream(
         # change-sized batch instead of rescanning the source files
         batch_df.persist()
         try:
+            if assert_unique_keys:
+                n, nd = batch_df.agg(
+                    F.count(key), F.count_distinct(key)
+                ).first()
+                if n != nd:
+                    raise ValueError(
+                        f"refresh_index_from_change_stream: batch "
+                        f"{batch_id} carries {n} change rows over {nd} "
+                        f"distinct '{key}' values — a key appears more "
+                        "than once, so payloads conflict; publish one "
+                        "reconciled diff per batch or pre-reconcile "
+                        "last-wins before this sink"
+                    )
             write_index_delta(
                 index_path, batch_df, batch_df, band_fn,
                 key, value_cols, partition_col,
@@ -332,14 +364,19 @@ def compact_index(
     """
     import shutil
 
-    gens = _committed_generations(index_path)
-    if not gens:
-        return 0
     staging = index_path.rstrip("/") + ".compacting"
     backup = index_path.rstrip("/") + ".precompact"
+    # sweep crash leftovers BEFORE the nothing-to-do return: a crash
+    # between the final rename and the backup rmtree leaves a healthy
+    # index plus a full .precompact copy — and no committed generations,
+    # so a post-return sweep would leak that corpus-index-sized tree
+    # until some later compaction happened to have work to do.
     for leftover in (staging, backup):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
+    gens = _committed_generations(index_path)
+    if not gens:
+        return 0
     folded = read_index(spark, index_path, key=key)
     folded.write.mode("errorifexists").partitionBy(partition_col).parquet(
         staging

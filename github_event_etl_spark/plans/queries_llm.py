@@ -4627,6 +4627,31 @@ def llm_index_apply_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pattern for the (vec_id, centroid_id) index shape.
 _IVF_APPLY_CENTROIDS = 16
 
+
+def _emb_snap_prev(emb: DataFrame) -> DataFrame:
+    """Yesterday's embedding snapshot: drop the 'added' residue class;
+    the edit class carries a NEGATED vector, so a re-embed flips the
+    cosine sign and genuinely moves list membership. One source of
+    truth for the key and both maintenance pytests — the _snap_prev
+    convention (ADVICE r16 item 3) on the embeddings table."""
+    d = F.col("vec_id")
+    edit = d % _SNAP_EDIT[0] == _SNAP_EDIT[1]
+    return emb.filter(d % _SNAP_ADDED[0] != _SNAP_ADDED[1]).select(
+        "vec_id",
+        F.when(edit, F.transform("embedding", lambda x: -x))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+
+
+def _emb_snap_cur(emb: DataFrame) -> DataFrame:
+    """Today's embedding snapshot: the table minus the 'removed'
+    residue class."""
+    return emb.filter(
+        F.col("vec_id") % _SNAP_REMOVED[0] != _SNAP_REMOVED[1]
+    )
+
+
 _IVF_APPLY_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -4700,15 +4725,8 @@ def llm_ivf_apply_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frozen quantizer: seeded from the immutable table, shared with
     # the oracle's cent CTE (see the geometry comment above)
     centroids = ivf_seed_centroids(emb, _IVF_APPLY_CENTROIDS)
-    d = F.col("vec_id")
-    edit = d % _SNAP_EDIT[0] == _SNAP_EDIT[1]
-    prev = emb.filter(d % _SNAP_ADDED[0] != _SNAP_ADDED[1]).select(
-        "vec_id",
-        F.when(edit, F.transform("embedding", lambda x: -x))
-        .otherwise(F.col("embedding"))
-        .alias("embedding"),
-    )
-    cur = emb.filter(d % _SNAP_REMOVED[0] != _SNAP_REMOVED[1])
+    prev = _emb_snap_prev(emb)
+    cur = _emb_snap_cur(emb)
 
     def assign(docs: DataFrame) -> DataFrame:
         return ivf_assign_with_centroids(docs, centroids).select(
@@ -4726,8 +4744,15 @@ def llm_ivf_apply_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             _IVF_APPLY_ORACLE, _SNAP_ADDED, _SNAP_EDIT, "negate-edit-vec"
         ),
     )
+    # overwrite, not errorifexists: a first write that crashed mid-job
+    # leaves the dir without _SUCCESS, and the retry must replace the
+    # residue rather than wedge on AnalysisException — the same mode
+    # every index writer uses (minhash_write_index, ivf_write_index,
+    # rhp_write_index)
     if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
-        assign(prev).write.partitionBy("centroid_id").parquet(index)
+        assign(prev).write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(index)
     # change-sized and twice-consumed — same checkpoint contract as
     # the band-index key above
     diff = snapshot_diff(prev, cur, "vec_id", ["embedding"]).localCheckpoint(

@@ -140,7 +140,8 @@ def test_write_read_index_delta_end_to_end(spark, tmp_path):
     path = str(tmp_path / "idx")
     minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
     base_files = {
-        f: os.path.getmtime(os.path.join(root, f))
+        os.path.relpath(os.path.join(root, f), path):
+            os.path.getmtime(os.path.join(root, f))
         for root, _, files in os.walk(path)
         if "_delta" not in root
         for f in files
@@ -155,7 +156,8 @@ def test_write_read_index_delta_end_to_end(spark, tmp_path):
     assert (g1, g2) == (1, 2)
     assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
     after = {
-        f: os.path.getmtime(os.path.join(root, f))
+        os.path.relpath(os.path.join(root, f), path):
+            os.path.getmtime(os.path.join(root, f))
         for root, _, files in os.walk(path)
         if "_delta" not in root
         for f in files
@@ -296,7 +298,8 @@ def test_write_read_index_delta_ivf_layout(spark, tmp_path):
     path = str(tmp_path / "ivf")
     assign_fn(prev).write.partitionBy("centroid_id").parquet(path)
     base_files = {
-        f: os.path.getmtime(os.path.join(root, f))
+        os.path.relpath(os.path.join(root, f), path):
+            os.path.getmtime(os.path.join(root, f))
         for root, _, files in os.walk(path)
         if "_delta" not in root
         for f in files
@@ -314,7 +317,8 @@ def test_write_read_index_delta_ivf_layout(spark, tmp_path):
         assign_fn(cur)
     )
     after = {
-        f: os.path.getmtime(os.path.join(root, f))
+        os.path.relpath(os.path.join(root, f), path):
+            os.path.getmtime(os.path.join(root, f))
         for root, _, files in os.walk(path)
         if "_delta" not in root
         for f in files
@@ -412,10 +416,15 @@ def test_refresh_index_from_change_stream(spark, tmp_path):
     )
     assert len(_committed_generations(path)) == 2
     assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
-    # redelivery of the last change set: extra generation, same state
+    # redelivery of the last change set: extra generation, same state.
+    # EXACT row counts, not just the row set — a fold that duplicated
+    # a redelivered 'added' key's rows (the tombstone-every-diff-key
+    # rule exists to prevent it) would survive a set comparison.
     b2 = spark.createDataFrame(batch2, "doc_id long, change_type string, text string")
     assert write_index_delta(path, b2, b2, band_fn) == 3
-    assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
+    redelivered = read_index(spark, path)
+    assert _rows(redelivered) == _rows(band_fn(nxt))
+    assert redelivered.count() == band_fn(nxt).count()
 
 
 def test_probe_over_maintained_ivf_index_equals_rebuild(spark, sf_dir):
@@ -435,9 +444,8 @@ def test_probe_over_maintained_ivf_index_equals_rebuild(spark, sf_dir):
     )
     from github_event_etl_spark.plans.queries_llm import (
         _IVF_APPLY_CENTROIDS,
-        _SNAP_ADDED,
-        _SNAP_EDIT,
-        _SNAP_REMOVED,
+        _emb_snap_cur,
+        _emb_snap_prev,
     )
     from github_event_etl_spark.sources.tables import load_table
 
@@ -445,15 +453,10 @@ def test_probe_over_maintained_ivf_index_equals_rebuild(spark, sf_dir):
         "vec_id", "embedding"
     )
     centroids = ivf_seed_centroids(emb, _IVF_APPLY_CENTROIDS)
+    # the key's own snapshot builders — one fixture, zero drift
+    prev = _emb_snap_prev(emb)
+    cur = _emb_snap_cur(emb)
     d = F.col("vec_id")
-    edit = d % _SNAP_EDIT[0] == _SNAP_EDIT[1]
-    prev = emb.filter(d % _SNAP_ADDED[0] != _SNAP_ADDED[1]).select(
-        "vec_id",
-        F.when(edit, F.transform("embedding", lambda x: -x))
-        .otherwise(F.col("embedding"))
-        .alias("embedding"),
-    )
-    cur = emb.filter(d % _SNAP_REMOVED[0] != _SNAP_REMOVED[1])
 
     def assign(docs):
         # full serving columns — the union schema follows prev_index

@@ -2672,9 +2672,9 @@ def test_ivf_apply_diff_equals_rebuild(spark, sf_dir):
     from github_event_etl_spark.plans.catalog import get_spec
     from github_event_etl_spark.plans.queries_llm import (
         _IVF_APPLY_CENTROIDS,
-        _SNAP_ADDED,
         _SNAP_EDIT,
-        _SNAP_REMOVED,
+        _emb_snap_cur,
+        _emb_snap_prev,
     )
     from github_event_etl_spark.sources.tables import load_table
 
@@ -2682,15 +2682,10 @@ def test_ivf_apply_diff_equals_rebuild(spark, sf_dir):
         "vec_id", "embedding"
     )
     centroids = ivf_seed_centroids(emb, _IVF_APPLY_CENTROIDS)
-    d = F.col("vec_id")
-    edit = d % _SNAP_EDIT[0] == _SNAP_EDIT[1]
-    prev = emb.filter(d % _SNAP_ADDED[0] != _SNAP_ADDED[1]).select(
-        "vec_id",
-        F.when(edit, F.transform("embedding", lambda x: -x))
-        .otherwise(F.col("embedding"))
-        .alias("embedding"),
-    )
-    cur = emb.filter(d % _SNAP_REMOVED[0] != _SNAP_REMOVED[1])
+    # the key's own snapshot builders — one fixture, zero drift
+    prev = _emb_snap_prev(emb)
+    cur = _emb_snap_cur(emb)
+    edit = F.col("vec_id") % _SNAP_EDIT[0] == _SNAP_EDIT[1]
     rebuilt = {
         tuple(r)
         for r in ivf_assign_with_centroids(cur, centroids)
