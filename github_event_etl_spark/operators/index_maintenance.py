@@ -258,6 +258,7 @@ def refresh_index_from_change_stream(
     value_cols: tuple[str, ...] = ("band", "bucket"),
     partition_col: str = "band",
     assert_unique_keys: bool = True,
+    reconcile_order_col: str | None = None,
 ) -> None:
     """Continuous index refresh: a CDC change stream — rows of
     (key, change_type, <payload columns band_fn derives from>), i.e.
@@ -288,17 +289,29 @@ def refresh_index_from_change_stream(
     batch that coalesces several change-log drops (larger triggers do)
     can carry a key twice — conflicting payloads both band, and an
     add-then-remove pair leaks a null-payload row through the upsert
-    semi-join. Publish one RECONCILED diff per batch (diff of
-    oldest→newest snapshot, the change-log contract), or pre-reconcile
-    last-wins on an ordering column before this sink. The default
-    `assert_unique_keys` guard fails the batch fast (one change-sized
-    aggregate over the already-cached frame — the snapshot_diff
-    `assert_unique` idiom); opt out only when the producer guarantees
-    the contract upstream."""
+    semi-join. Three ways to hold it: publish one RECONCILED diff per
+    batch (diff of oldest→newest snapshot, the change-log contract);
+    pass `reconcile_order_col` (a per-key-unique sequence column on
+    the log rows) and the batch nets itself through
+    `merge.reconcile_change_log` before the generation is written —
+    the coalescing-trigger deployment path; or leave the default
+    `assert_unique_keys` guard to fail the batch fast (one
+    change-sized aggregate over the already-cached frame — the
+    snapshot_diff `assert_unique` idiom). Opt out of the guard only
+    when the producer guarantees the contract upstream."""
+    from .merge import reconcile_change_log
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if reconcile_order_col is not None:
+            payload = [
+                c for c in batch_df.columns
+                if c not in (key, "change_type", reconcile_order_col)
+            ]
+            batch_df = reconcile_change_log(
+                batch_df, key, reconcile_order_col, payload
+            )
         # two consumers (stale select + upsert semi) — cache the
         # change-sized batch instead of rescanning the source files
         batch_df.persist()

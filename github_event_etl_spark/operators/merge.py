@@ -225,3 +225,70 @@ def snapshot_diff(
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def reconcile_change_log(
+    changes: DataFrame,
+    key: str,
+    order_col: str,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse a change log carrying SEVERAL diffs per key into one
+    NET row per key — the composition law `snapshot_diff` obeys:
+    reconcile(diff(a,b) ∪ diff(b,c)) ≡ diff(a,c) on added/removed
+    verdicts and on the final applied STATE, with one documented
+    slack: a key whose content REVERTED across the window (removed
+    then re-added identical, or changed then changed back) nets a
+    spurious 'changed' — the log alone cannot see the revert (that
+    needs the endpoint values), and for every consumer of this
+    contract a spurious 'changed' is a harmless no-op re-derive
+    (tombstone + identical re-append). Pinned exactly in that form by
+    a hypothesis property test over arbitrary snapshot triples.
+    This is what makes a coalescing stream trigger safe for
+    `index_maintenance.refresh_index_from_change_stream`: a micro-batch
+    that picked up N change-log drops reconciles to the one-row-per-key
+    contract the maintenance generation requires, instead of banding
+    conflicting payloads.
+
+    Net-verdict algebra (relative to the state BEFORE the window): the
+    key existed before the window iff its FIRST change is not 'added',
+    and exists after iff its LAST change is not 'removed' —
+      before ∧ after   → 'changed'   (e.g. changed→changed, removed→added)
+      before ∧ ¬after  → 'removed'   (e.g. changed→removed)
+      ¬before ∧ after  → 'added'     (e.g. added→changed)
+      ¬before ∧ ¬after → NO row      (added→removed: never visible)
+    `payload_cols` (the new-document columns riding the log) come from
+    the LAST row per key. `changed_cols` is deliberately NOT emitted:
+    net column drift needs the endpoint snapshots (a column changed
+    a→b and changed back b→c nets to unchanged), so consumers that
+    need it re-diff the endpoints — the index-maintenance consumer
+    needs only the existence verdict + final payload.
+
+    PRECONDITION: `order_col` must order each key's rows totally and
+    uniquely (a batch sequence number, a commit LSN); ties would make
+    first/last — and therefore the verdict — nondeterministic.
+
+    Scale shape: ONE hash aggregation on the key (min_by/max_by are
+    map-side-combinable, so the shuffle carries one partial row per
+    key per input partition, not the log); the verdict CASE is
+    map-side codegen over the aggregate output. Change-log-sized end
+    to end — the corpus is never touched.
+    """
+    payload_cols = payload_cols or []
+    o = F.col(order_col)
+    agg = changes.groupBy(key).agg(
+        F.min_by("change_type", o).alias("_first"),
+        F.max_by("change_type", o).alias("_last"),
+        *[F.max_by(c, o).alias(c) for c in payload_cols],
+    )
+    before = F.col("_first") != "added"
+    after = F.col("_last") != "removed"
+    net = (
+        F.when(before & after, F.lit("changed"))
+        .when(before & ~after, F.lit("removed"))
+        .when(~before & after, F.lit("added"))
+    )
+    return (
+        agg.select(key, net.alias("change_type"), *payload_cols)
+        .filter(F.col("change_type").isNotNull())
+    )

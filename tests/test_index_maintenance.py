@@ -427,6 +427,75 @@ def test_refresh_index_from_change_stream(spark, tmp_path):
     assert redelivered.count() == band_fn(nxt).count()
 
 
+def test_refresh_stream_coalesced_batch_reconciles(spark, tmp_path):
+    """The coalescing-trigger deployment path: BOTH change-log drops
+    land in ONE micro-batch (no maxFilesPerTrigger pin), each row
+    carrying its drop sequence — reconcile_order_col nets the batch to
+    one row per key before the generation is written, so the folded
+    read still equals a from-scratch index of the final snapshot. The
+    same coalesced batch WITHOUT reconciliation trips the uniqueness
+    guard instead of corrupting the index."""
+    from github_event_etl_spark.operators.index_maintenance import (
+        refresh_index_from_change_stream,
+    )
+
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    nxt = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "final text for doc two"),
+            (6, "added then kept"),
+        ],  # vs cur: 2 changed, 4+5 removed, 6 added
+        DOCS_SCHEMA,
+    )
+
+    def changes(a, b, seq):
+        return (
+            snapshot_diff(a, b, "doc_id", ["text"])
+            .select("doc_id", "change_type")
+            .join(b.select("doc_id", "text"), "doc_id", "left")
+            .select(
+                "doc_id", "change_type", "text", F.lit(seq).alias("seq")
+            )
+        )
+
+    src = tmp_path / "coalesced"
+    src.mkdir()
+    changes(prev, cur, 1).toPandas().to_json(
+        str(src / "d1.json"), orient="records", lines=True
+    )
+    changes(cur, nxt, 2).toPandas().to_json(
+        str(src / "d2.json"), orient="records", lines=True
+    )
+    schema = "doc_id long, change_type string, text string, seq int"
+
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    refresh_index_from_change_stream(
+        spark.readStream.schema(schema).json(str(src)),  # ONE batch
+        path,
+        band_fn,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        reconcile_order_col="seq",
+    )
+    assert len(_committed_generations(path)) == 1
+    folded = read_index(spark, path)
+    assert _rows(folded) == _rows(band_fn(nxt))
+    assert folded.count() == band_fn(nxt).count()
+
+    # same coalesced input, no reconciliation: the guard fails fast
+    path2 = str(tmp_path / "idx2")
+    minhash_write_index(prev, path2, num_bands=2, rows_per_band=2, k=2)
+    with pytest.raises(Exception, match="more than once"):
+        refresh_index_from_change_stream(
+            spark.readStream.schema(schema).json(str(src)),
+            path2,
+            band_fn,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+
+
 def test_probe_over_maintained_ivf_index_equals_rebuild(spark, sf_dir):
     """Maintenance preserves SEARCH, not just index rows: an
     `ivf_probe` over the diff-MAINTAINED full-column inverted lists

@@ -249,3 +249,47 @@ def test_snapshot_diff_multi_column_order(spark):
     assert [(r.k, r.change_type, r.changed_cols) for r in rows] == [
         (1, "changed", ["t", "s"])
     ]
+
+
+# ------------------------------------------------------- reconcile (CDC net)
+
+
+def test_reconcile_change_log_verdict_algebra(spark):
+    """Every cell of the net-verdict table, one key each: single
+    verdicts pass through; added→changed nets 'added'; changed→removed
+    nets 'removed'; added→removed vanishes; removed→added nets
+    'changed'; payload is last-wins; a key absent from the log emits
+    nothing."""
+    from github_event_etl_spark.operators.merge import reconcile_change_log
+
+    rows = [
+        # (key, change_type, text payload, seq)
+        (1, "changed", "v2", 1),                      # single changed
+        (2, "added", "new", 1),                       # single added
+        (3, "removed", None, 1),                      # single removed
+        (4, "added", "v1", 1), (4, "changed", "v2", 2),   # → added, v2
+        (5, "changed", "v1", 1), (5, "removed", None, 2),  # → removed
+        (6, "added", "v1", 1), (6, "removed", None, 2),    # → no row
+        (7, "removed", None, 1), (7, "added", "back", 2),  # → changed
+        (8, "changed", "a", 1), (8, "changed", "b", 2),
+        (8, "changed", "c", 3),                       # → changed, c
+    ]
+    log = spark.createDataFrame(
+        rows, "doc_id long, change_type string, text string, seq int"
+    )
+    got = {
+        r.doc_id: (r.change_type, r.text)
+        for r in reconcile_change_log(
+            log, "doc_id", "seq", ["text"]
+        ).collect()
+    }
+    assert got == {
+        1: ("changed", "v2"),
+        2: ("added", "new"),
+        3: ("removed", None),
+        4: ("added", "v2"),
+        5: ("removed", None),
+        7: ("changed", "back"),
+        8: ("changed", "c"),
+    }
+    assert 6 not in got

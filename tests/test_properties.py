@@ -1388,3 +1388,96 @@ def test_snapshot_diff_and_maintenance_model(spark, docs):
     }
     rebuilt = {tuple(r) for r in band_fn(cur).collect()}
     assert maintained == rebuilt
+
+
+# three-snapshot universe: id → (a, b, c) texts, each possibly absent
+_snap3_doc = st.tuples(
+    st.one_of(st.none(), st.text(alphabet="ab", max_size=6)),
+    st.one_of(st.none(), st.text(alphabet="ab", max_size=6)),
+    st.one_of(st.none(), st.text(alphabet="ab", max_size=6)),
+).filter(lambda t: any(x is not None for x in t))
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=st.lists(_snap3_doc, min_size=1, max_size=20))
+def test_reconcile_composes_snapshot_diffs(spark, docs):
+    """The diff-composition law, exactly as reconcile_change_log's
+    docstring states it: over arbitrary snapshot triples (a, b, c),
+    reconcile(diff(a,b) ∪ diff(b,c)) matches diff(a,c) exactly on
+    added/removed verdicts and on upsert payloads, with 'changed'
+    allowed to be spuriously present ONLY for keys whose content
+    reverted (a == c) — and applying the reconciled log yields the
+    same final index state as a from-scratch derivation of c."""
+    from github_event_etl_spark.operators.index_maintenance import (
+        apply_index_diff,
+    )
+    from github_event_etl_spark.operators.merge import (
+        reconcile_change_log,
+        snapshot_diff,
+    )
+    from github_event_etl_spark.operators.text_dedup import (
+        _band_keys,
+        minhash_band_buckets_vec,
+    )
+
+    universe = dict(enumerate(docs))
+    schema = "doc_id long, text string"
+
+    def snap(ix):
+        return spark.createDataFrame(
+            [(i, t[ix]) for i, t in universe.items() if t[ix] is not None],
+            schema,
+        )
+
+    a, b, c = snap(0), snap(1), snap(2)
+
+    def with_payload(diff, snapshot, seq):
+        return (
+            diff.select("doc_id", "change_type")
+            .join(snapshot, "doc_id", "left")
+            .select("doc_id", "change_type", "text", F.lit(seq).alias("seq"))
+        )
+
+    log = with_payload(snapshot_diff(a, b, "doc_id", ["text"]), b, 1).unionByName(
+        with_payload(snapshot_diff(b, c, "doc_id", ["text"]), c, 2)
+    )
+    net = {
+        r.doc_id: (r.change_type, r.text)
+        for r in reconcile_change_log(log, "doc_id", "seq", ["text"]).collect()
+    }
+    direct = {
+        r.doc_id: r.change_type
+        for r in snapshot_diff(a, c, "doc_id", ["text"]).collect()
+    }
+
+    for i, (ta, _, tc) in universe.items():
+        net_t = net.get(i, (None, None))[0]
+        if direct.get(i) in ("added", "removed"):
+            assert net_t == direct[i], (i, net_t, direct.get(i))
+        elif direct.get(i) == "changed":
+            assert net_t == "changed", (i, net_t)
+        elif net_t is not None:
+            # spurious rows: only 'changed', only for reverted content
+            assert net_t == "changed" and ta == tc and ta is not None, (
+                i, net_t, ta, tc,
+            )
+        if net_t in ("added", "changed"):
+            assert net[i][1] == tc  # payload is the final content
+
+    # final-state equivalence: the net log drives the index to c
+    vec = minhash_band_buckets_vec(num_bands=2, rows_per_band=2, k=2)
+
+    def band_fn(d):
+        return _band_keys(d, vec)
+
+    net_df = spark.createDataFrame(
+        [(i, t, x) for i, (t, x) in net.items()],
+        "doc_id long, change_type string, text string",
+    )
+    maintained = {
+        tuple(r)
+        for r in apply_index_diff(
+            band_fn(a), net_df, c, band_fn
+        ).collect()
+    }
+    assert maintained == {tuple(r) for r in band_fn(c).collect()}
