@@ -294,29 +294,44 @@ def refresh_index_from_change_stream(
     pass `reconcile_order_col` (a per-key-unique sequence column on
     the log rows) and the batch nets itself through
     `merge.reconcile_change_log` before the generation is written —
-    the coalescing-trigger deployment path; or leave the default
-    `assert_unique_keys` guard to fail the batch fast (one
-    change-sized aggregate over the already-cached frame — the
-    snapshot_diff `assert_unique` idiom). Opt out of the guard only
-    when the producer guarantees the contract upstream."""
+    the coalescing-trigger deployment path, where a batch that nets to
+    NOTHING (every key added then removed in-window) skips its
+    generation entirely; or leave the default `assert_unique_keys`
+    guard to fail the batch fast (one change-sized aggregate — the
+    snapshot_diff `assert_unique` idiom). With reconciliation on, the
+    same flag instead guards the RECONCILE precondition on the raw
+    rows (non-null, tie-free (key, order) pairs — key uniqueness is
+    vacuous after the net). Opt out of the guard only when the
+    producer guarantees the contract upstream."""
     from .merge import reconcile_change_log
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if reconcile_order_col is not None:
+            # the guard the reconcile path needs is the RECONCILE
+            # precondition on the RAW rows — non-null, tie-free
+            # (key, order) pairs — not key uniqueness, which the
+            # groupBy makes vacuously true post-net
             payload = [
                 c for c in batch_df.columns
                 if c not in (key, "change_type", reconcile_order_col)
             ]
             batch_df = reconcile_change_log(
-                batch_df, key, reconcile_order_col, payload
+                batch_df, key, reconcile_order_col, payload,
+                assert_order=assert_unique_keys,
             )
         # two consumers (stale select + upsert semi) — cache the
         # change-sized batch instead of rescanning the source files
         batch_df.persist()
         try:
-            if assert_unique_keys:
+            if reconcile_order_col is not None:
+                # a window whose every key was added then removed nets
+                # to NOTHING — committing an empty generation would tax
+                # every later read with a no-op fold until compaction
+                if batch_df.isEmpty():
+                    return
+            elif assert_unique_keys:
                 n, nd = batch_df.agg(
                     F.count(key), F.count_distinct(key)
                 ).first()
@@ -326,8 +341,8 @@ def refresh_index_from_change_stream(
                         f"{batch_id} carries {n} change rows over {nd} "
                         f"distinct '{key}' values — a key appears more "
                         "than once, so payloads conflict; publish one "
-                        "reconciled diff per batch or pre-reconcile "
-                        "last-wins before this sink"
+                        "reconciled diff per batch, pre-reconcile "
+                        "last-wins, or pass reconcile_order_col"
                     )
             write_index_delta(
                 index_path, batch_df, batch_df, band_fn,

@@ -232,6 +232,7 @@ def reconcile_change_log(
     key: str,
     order_col: str,
     payload_cols: list[str] | None = None,
+    assert_order: bool = False,
 ) -> DataFrame:
     """Collapse a change log carrying SEVERAL diffs per key into one
     NET row per key — the composition law `snapshot_diff` obeys:
@@ -264,9 +265,19 @@ def reconcile_change_log(
     need it re-diff the endpoints — the index-maintenance consumer
     needs only the existence verdict + final payload.
 
-    PRECONDITION: `order_col` must order each key's rows totally and
-    uniquely (a batch sequence number, a commit LSN); ties would make
-    first/last — and therefore the verdict — nondeterministic.
+    PRECONDITION: `order_col` must be NON-NULL and order each key's
+    rows totally and uniquely (a batch sequence number, a commit LSN).
+    Ties make first/last — and therefore the verdict —
+    nondeterministic (min_by/max_by pick arbitrarily, and the pick
+    varies across partial-aggregation plans), and min_by/max_by IGNORE
+    null-ordering rows, so a key whose rows all carry a null order
+    would silently VANISH from the net log instead of erroring — on a
+    schema-on-read stream source a mistyped field reads as null, which
+    is exactly how that happens. Pass `assert_order=True` to fail fast
+    instead (one eager change-log-sized aggregate: non-null keys,
+    non-null orders, unique (key, order) pairs) — the
+    `snapshot_diff(assert_unique=...)` idiom; the streaming refresh
+    path turns it on by default.
 
     Scale shape: ONE hash aggregation on the key (min_by/max_by are
     map-side-combinable, so the shuffle carries one partial row per
@@ -275,6 +286,27 @@ def reconcile_change_log(
     to end — the corpus is never touched.
     """
     payload_cols = payload_cols or []
+    if assert_order:
+        n, n_key, n_ord, nd = changes.agg(
+            F.count(F.lit(1)),
+            F.count(key),
+            F.count(order_col),
+            F.count_distinct(key, order_col),
+        ).first()
+        if n_key != n or n_ord != n:
+            raise ValueError(
+                f"reconcile_change_log: {n - n_key} null '{key}' and "
+                f"{n - n_ord} null '{order_col}' values in the change "
+                "log — null keys cannot reconcile and null orders make "
+                "min_by/max_by silently drop the key's change"
+            )
+        if nd != n:
+            raise ValueError(
+                f"reconcile_change_log: ({key}, {order_col}) pairs are "
+                f"not unique ({n} rows, {nd} distinct pairs) — ties "
+                "make the first/last verdicts nondeterministic; stamp "
+                "a per-key-unique sequence on the log rows"
+            )
     o = F.col(order_col)
     agg = changes.groupBy(key).agg(
         F.min_by("change_type", o).alias("_first"),

@@ -496,6 +496,48 @@ def test_refresh_stream_coalesced_batch_reconciles(spark, tmp_path):
         )
 
 
+def test_refresh_stream_skips_generation_when_batch_nets_to_nothing(
+    spark, tmp_path
+):
+    """A coalesced window whose every key was added then removed nets
+    to an EMPTY change set — the refresh must skip the generation
+    (an empty gen would tax every later read with a no-op fold until
+    compaction), and the index must read back exactly as written."""
+    from github_event_etl_spark.operators.index_maintenance import (
+        refresh_index_from_change_stream,
+    )
+
+    band_fn = _mh_band_fn()
+    prev, _ = _prev_cur(spark)
+    rows = [
+        (40, "added", "ephemeral doc", 1),
+        (40, "removed", None, 2),
+        (41, "added", "another transient", 1),
+        (41, "removed", None, 2),
+    ]
+    src = tmp_path / "transient"
+    src.mkdir()
+    import pandas as pd
+
+    pd.DataFrame(
+        rows, columns=["doc_id", "change_type", "text", "seq"]
+    ).to_json(str(src / "d.json"), orient="records", lines=True)
+
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    refresh_index_from_change_stream(
+        spark.readStream.schema(
+            "doc_id long, change_type string, text string, seq int"
+        ).json(str(src)),
+        path,
+        band_fn,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        reconcile_order_col="seq",
+    )
+    assert _committed_generations(path) == []
+    assert _rows(read_index(spark, path)) == _rows(band_fn(prev))
+
+
 def test_probe_over_maintained_ivf_index_equals_rebuild(spark, sf_dir):
     """Maintenance preserves SEARCH, not just index rows: an
     `ivf_probe` over the diff-MAINTAINED full-column inverted lists

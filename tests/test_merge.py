@@ -293,3 +293,40 @@ def test_reconcile_change_log_verdict_algebra(spark):
         8: ("changed", "c"),
     }
     assert 6 not in got
+
+
+def test_reconcile_change_log_assert_order_guards(spark):
+    """The opt-in precondition guard: (key, order) ties and null
+    orders/keys fail fast instead of producing a nondeterministic or
+    silently-vanishing verdict; a clean log passes with the guard on."""
+    import pytest
+
+    from github_event_etl_spark.operators.merge import reconcile_change_log
+
+    schema = "doc_id long, change_type string, text string, seq int"
+    clean = spark.createDataFrame(
+        [(1, "changed", "v1", 1), (1, "removed", None, 2)], schema
+    )
+    got = reconcile_change_log(
+        clean, "doc_id", "seq", ["text"], assert_order=True
+    ).collect()
+    assert [(r.doc_id, r.change_type) for r in got] == [(1, "removed")]
+
+    tied = spark.createDataFrame(
+        [(1, "changed", "v1", 7), (1, "removed", None, 7)], schema
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        reconcile_change_log(tied, "doc_id", "seq", ["text"],
+                             assert_order=True)
+
+    null_order = spark.createDataFrame(
+        [(1, "changed", "v1", None)], schema
+    )
+    with pytest.raises(ValueError, match="null"):
+        reconcile_change_log(null_order, "doc_id", "seq", ["text"],
+                             assert_order=True)
+    # unguarded, the null-order key would silently vanish — the
+    # documented hazard the guard exists for
+    assert reconcile_change_log(
+        null_order, "doc_id", "seq", ["text"]
+    ).count() == 0
