@@ -360,6 +360,57 @@ def refresh_index_from_change_stream(
     q.awaitTermination()
 
 
+def index_stats(
+    spark: SparkSession, index_path: str, key: str = "doc_id"
+) -> dict:
+    """Operational snapshot of a maintained index — what a refresh
+    pipeline's monitoring reads to decide WHEN to compact (the
+    log-structured trade is a policy knob; this is its input):
+    committed generation count, an uncommitted-residue flag (a crashed
+    writer's leftovers awaiting the retry), per-layer row volumes, and
+    `read_amplification` — folded-plan reads per surviving row
+    ((base + appends) / live), the number compaction resets to 1.0.
+
+    Row counts run as ONE Spark job per layer over change-sized delta
+    files plus a metadata-only base count (parquet row-group stats —
+    no data pages read); suitable for a per-refresh metrics hook.
+    Driver-side result is a small dict of scalars, not data."""
+    base = spark.read.parquet(index_path)
+    gens = _committed_generations(index_path)
+    tomb_schema = base.select(key).schema
+    tombstones = appends = 0
+    for gen in gens:
+        tombstones += (
+            spark.read.schema(tomb_schema)
+            .parquet(os.path.join(gen, "tombstones"))
+            .count()
+        )
+        appends += (
+            spark.read.schema(base.schema)
+            .parquet(os.path.join(gen, "appends"))
+            .count()
+        )
+    base_rows = base.count()
+    live = read_index(spark, index_path, key=key).count() if gens else base_rows
+    root = _delta_root(index_path)
+    residue = (
+        os.path.isdir(root)
+        and len([d for d in os.listdir(root) if d.startswith("gen=")])
+        > len(gens)
+    )
+    return {
+        "generations": len(gens),
+        "uncommitted_residue": bool(residue),
+        "base_rows": base_rows,
+        "tombstone_rows": tombstones,
+        "append_rows": appends,
+        "live_rows": live,
+        "read_amplification": (
+            round((base_rows + appends) / live, 4) if live else float("inf")
+        ),
+    }
+
+
 def compact_index(
     spark: SparkSession,
     index_path: str,

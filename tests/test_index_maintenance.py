@@ -592,6 +592,46 @@ def test_probe_over_maintained_ivf_index_equals_rebuild(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_index_stats_tracks_generations_and_compaction(spark, tmp_path):
+    """The monitoring face: stats reflect each maintenance generation
+    (counts, volumes, read amplification > 1 once deltas exist,
+    uncommitted residue flagged), and compaction resets them to a
+    plain-scan profile (1 fold per row, no generations)."""
+    from github_event_etl_spark.operators.index_maintenance import (
+        index_stats,
+    )
+
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+
+    s0 = index_stats(spark, path)
+    assert s0["generations"] == 0
+    assert not s0["uncommitted_residue"]
+    assert s0["base_rows"] == s0["live_rows"] > 0
+    assert s0["read_amplification"] == 1.0
+
+    diff = snapshot_diff(prev, cur, "doc_id", ["text"])
+    write_index_delta(path, diff, cur, band_fn)
+    # strand an uncommitted gen=2 next to the committed one
+    os.makedirs(os.path.join(path, "_delta", "gen=2", "tombstones"),
+                exist_ok=True)
+    s1 = index_stats(spark, path)
+    assert s1["generations"] == 1
+    assert s1["uncommitted_residue"]
+    assert s1["tombstone_rows"] > 0 and s1["append_rows"] > 0
+    assert s1["live_rows"] == band_fn(cur).count()
+    assert s1["read_amplification"] > 1.0
+
+    compact_index(spark, path)
+    s2 = index_stats(spark, path)
+    assert s2["generations"] == 0
+    assert not s2["uncommitted_residue"]
+    assert s2["base_rows"] == s2["live_rows"] == s1["live_rows"]
+    assert s2["read_amplification"] == 1.0
+
+
 def test_compact_index_folds_generations_and_resets(spark, tmp_path):
     """The log-structured trade's other half: after compaction the
     read is a plain scan again (no _delta), equals the fully folded
