@@ -57,6 +57,18 @@ _SPOT_KEYS = [
     "llm_embed_random_projection",  # r16: 2k planted pairs through the
                              # Arrow matmul + rounded-float parity at a
                              # denser regime
+    "llm_index_apply_diff",  # r17: ~10x the maintenance volume (5k
+                             # docs), the residue-class CRT overlaps of
+                             # the snapshot fixture, and a 10x larger
+                             # materialized prev index behind the
+                             # anti-join — the fold's row accounting at
+                             # a genuinely denser regime
+    "llm_ivf_apply_diff",    # r17: 2k vectors over 16 frozen lists
+                             # (~125/list vs ~31 at the driver SF) —
+                             # denser list occupancy, more edit-class
+                             # re-assignments, and the cosine argmin
+                             # tie-break exercised across 4x the
+                             # boundary candidates
 ]
 
 
