@@ -259,6 +259,7 @@ def refresh_index_from_change_stream(
     partition_col: str = "band",
     assert_unique_keys: bool = True,
     reconcile_order_col: str | None = None,
+    assert_order: bool = True,
 ) -> None:
     """Continuous index refresh: a CDC change stream — rows of
     (key, change_type, <payload columns band_fn derives from>), i.e.
@@ -298,12 +299,15 @@ def refresh_index_from_change_stream(
     NOTHING (every key added then removed in-window) skips its
     generation entirely; or leave the default `assert_unique_keys`
     guard to fail the batch fast (one change-sized aggregate — the
-    snapshot_diff `assert_unique` idiom). With reconciliation on, the
-    same flag instead guards the RECONCILE precondition on the raw
-    rows (non-null, tie-free (key, order) pairs — key uniqueness is
-    vacuous after the net). Opt out of the guard only when the
-    producer guarantees the contract upstream."""
-    from .merge import reconcile_change_log
+    shared `merge.assert_unique_key` fail-fast). The two guards are
+    SEPARATE knobs because they protect different invariants:
+    `assert_unique_keys` covers the no-reconcile path's
+    one-row-per-key contract (vacuous once a batch is netted), while
+    `assert_order` covers the reconcile path's precondition (non-null,
+    tie-free (key, order) pairs — unguarded, an all-null-order key
+    silently VANISHES from the net log). Opt out of either only when
+    the producer guarantees that contract upstream."""
+    from .merge import assert_unique_key, reconcile_change_log
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -312,14 +316,16 @@ def refresh_index_from_change_stream(
             # the guard the reconcile path needs is the RECONCILE
             # precondition on the RAW rows — non-null, tie-free
             # (key, order) pairs — not key uniqueness, which the
-            # groupBy makes vacuously true post-net
+            # groupBy makes vacuously true post-net; its own knob so
+            # disabling the (here-irrelevant) uniqueness guard cannot
+            # silently disarm the null-order protection
             payload = [
                 c for c in batch_df.columns
                 if c not in (key, "change_type", reconcile_order_col)
             ]
             batch_df = reconcile_change_log(
                 batch_df, key, reconcile_order_col, payload,
-                assert_order=assert_unique_keys,
+                assert_order=assert_order,
             )
         # two consumers (stale select + upsert semi) — cache the
         # change-sized batch instead of rescanning the source files
@@ -332,18 +338,14 @@ def refresh_index_from_change_stream(
                 if batch_df.isEmpty():
                     return
             elif assert_unique_keys:
-                n, nd = batch_df.agg(
-                    F.count(key), F.count_distinct(key)
-                ).first()
-                if n != nd:
-                    raise ValueError(
-                        f"refresh_index_from_change_stream: batch "
-                        f"{batch_id} carries {n} change rows over {nd} "
-                        f"distinct '{key}' values — a key appears more "
-                        "than once, so payloads conflict; publish one "
-                        "reconciled diff per batch, pre-reconcile "
-                        "last-wins, or pass reconcile_order_col"
-                    )
+                assert_unique_key(
+                    batch_df, key,
+                    f"refresh_index_from_change_stream (batch {batch_id})",
+                    "a key appearing more than once makes payloads "
+                    "conflict; publish one reconciled diff per batch, "
+                    "pre-reconcile last-wins, or pass "
+                    "reconcile_order_col",
+                )
             write_index_delta(
                 index_path, batch_df, batch_df, band_fn,
                 key, value_cols, partition_col,
@@ -371,25 +373,30 @@ def index_stats(
     `read_amplification` — folded-plan reads per surviving row
     ((base + appends) / live), the number compaction resets to 1.0.
 
-    Row counts run as ONE Spark job per layer over change-sized delta
-    files plus a metadata-only base count (parquet row-group stats —
-    no data pages read); suitable for a per-refresh metrics hook.
-    Driver-side result is a small dict of scalars, not data."""
+    Cost, honestly: the tombstone/append volumes are ONE unioned
+    change-sized count each (all generations in one job per layer),
+    the base count is column-less (row-group stats, no data pages),
+    and `live_rows` — when generations exist — is a FULL FOLDED COUNT:
+    the same plan a reader pays, which is the point (the stat measures
+    what readers experience) but also means a per-refresh hook on a
+    large index pays one folded scan per call. Driver-side result is a
+    small dict of scalars, not data."""
     base = spark.read.parquet(index_path)
     gens = _committed_generations(index_path)
     tomb_schema = base.select(key).schema
-    tombstones = appends = 0
-    for gen in gens:
-        tombstones += (
+    if gens:
+        tombstones = (
             spark.read.schema(tomb_schema)
-            .parquet(os.path.join(gen, "tombstones"))
+            .parquet(*[os.path.join(g, "tombstones") for g in gens])
             .count()
         )
-        appends += (
+        appends = (
             spark.read.schema(base.schema)
-            .parquet(os.path.join(gen, "appends"))
+            .parquet(*[os.path.join(g, "appends") for g in gens])
             .count()
         )
+    else:
+        tombstones = appends = 0
     base_rows = base.count()
     live = read_index(spark, index_path, key=key).count() if gens else base_rows
     root = _delta_root(index_path)
@@ -433,8 +440,13 @@ def compact_index(
     so the vulnerable window is two metadata ops, not a data copy —
     a crash can never leave a HALF-WRITTEN base, though a crash
     exactly between the renames leaves the path vacant with BOTH full
-    trees intact (`<index>.precompact` + `<index>.compacting`; recovery
-    is renaming either back in). Single-writer per
+    trees intact (`<index>.precompact` + `<index>.compacting`). A
+    RE-RUN recovers that state automatically before doing anything
+    else: the committed staging tree (its _SUCCESS marker present) is
+    renamed in — completing the interrupted swap — else the backup is
+    rolled back; only AFTER the index path is live again are leftover
+    trees swept. Sweeping first would rmtree the only two copies of
+    the index. Single-writer per
     index, the module's standing contract; on a real cluster this
     whole dance is the table format's rewrite-and-commit. An
     uncommitted trailing generation (interrupted writer) is invisible
@@ -445,11 +457,25 @@ def compact_index(
 
     staging = index_path.rstrip("/") + ".compacting"
     backup = index_path.rstrip("/") + ".precompact"
-    # sweep crash leftovers BEFORE the nothing-to-do return: a crash
+    if not os.path.exists(index_path):
+        # mid-swap crash recovery — the index path is vacant and the
+        # surviving trees ARE the index; never sweep in this state
+        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            os.rename(staging, index_path)  # complete the swap
+        elif os.path.isdir(backup):
+            os.rename(backup, index_path)  # roll the old tree back
+        else:
+            raise FileNotFoundError(
+                f"compact_index: no index at {index_path} and no "
+                "recoverable .compacting/.precompact sibling — nothing "
+                "to compact or recover"
+            )
+    # sweep crash leftovers BEFORE the nothing-to-do return (a crash
     # between the final rename and the backup rmtree leaves a healthy
-    # index plus a full .precompact copy — and no committed generations,
-    # so a post-return sweep would leak that corpus-index-sized tree
-    # until some later compaction happened to have work to do.
+    # index plus a full .precompact copy — and no committed
+    # generations, so a post-return sweep would leak that
+    # corpus-index-sized tree), but only now that the index path is
+    # known to be live.
     for leftover in (staging, backup):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)

@@ -28,6 +28,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def assert_unique_key(
+    df: DataFrame, key: str, context: str, consequence: str
+) -> None:
+    """Shared fail-fast for the module's one-row-per-key preconditions
+    (upsert sides, snapshot_diff snapshots, the streaming refresh
+    batch): one small count-vs-count_distinct aggregate over the
+    NON-NULL keys (SQL count semantics — null-key rows are a separate
+    hazard each caller documents). One implementation so the check and
+    its error shape cannot drift across the four call sites that used
+    to hand-roll it."""
+    n, nd = df.agg(F.count(key), F.count_distinct(key)).first()
+    if n != nd:
+        raise ValueError(
+            f"{context}: key '{key}' is not unique ({n} non-null rows, "
+            f"{nd} distinct keys) — {consequence}"
+        )
+
+
 def upsert(
     base: DataFrame,
     changes: DataFrame,
@@ -66,17 +84,12 @@ def upsert(
         )
     if assert_unique:
         for side, df in (("base", base), ("changes", changes)):
-            n, nd = df.agg(
-                F.count(key), F.count_distinct(key)
-            ).first()
-            if n != nd:
-                raise ValueError(
-                    f"upsert: merge key '{key}' is not unique on the "
-                    f"{side} side ({n} non-null rows, {nd} distinct "
-                    "keys) — duplicate keys would fan out through the "
-                    "full-outer join; dedup first (e.g. row_number "
-                    "over a sequence column)"
-                )
+            assert_unique_key(
+                df, key, f"upsert ({side} side)",
+                "duplicate keys would fan out through the full-outer "
+                "join; dedup first (e.g. row_number over a sequence "
+                "column)",
+            )
     # Side-presence markers, not key-nullability: a NULL merge key
     # never matches (SQL null equality), so a null-key change row
     # reaches the output unmatched — key IS NULL would mislabel it
@@ -181,15 +194,12 @@ def snapshot_diff(
         )
     if assert_unique:
         for side, df in (("prev", prev), ("cur", cur)):
-            n, nd = df.agg(F.count(key), F.count_distinct(key)).first()
-            if n != nd:
-                raise ValueError(
-                    f"snapshot_diff: key '{key}' is not unique in the "
-                    f"{side} snapshot ({n} non-null rows, {nd} distinct "
-                    "keys) — duplicate keys would fan out through the "
-                    "full-outer join and emit conflicting change rows; "
-                    "dedup the snapshot first"
-                )
+            assert_unique_key(
+                df, key, f"snapshot_diff ({side} snapshot)",
+                "duplicate keys would fan out through the full-outer "
+                "join and emit conflicting change rows; dedup the "
+                "snapshot first",
+            )
     p = prev.select(
         key,
         *[F.col(c).alias(f"_p_{c}") for c in compare_cols],

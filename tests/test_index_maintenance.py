@@ -592,6 +592,58 @@ def test_probe_over_maintained_ivf_index_equals_rebuild(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_compact_index_recovers_mid_swap_crash(spark, tmp_path):
+    """A compaction that died exactly between the two renames leaves
+    the index path VACANT with both full trees beside it. The re-run
+    must recover — complete the swap when staging committed, roll the
+    backup in otherwise — and must NEVER sweep while the path is
+    vacant (sweeping first would rmtree the only two copies)."""
+    from github_event_etl_spark.operators.index_maintenance import (
+        compact_index,
+        read_index,
+    )
+
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+
+    def build(path):
+        minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+        write_index_delta(
+            path, snapshot_diff(prev, cur, "doc_id", ["text"]), cur, band_fn
+        )
+
+    # case 1: staging committed (crash after the first rename) — the
+    # re-run completes the swap; folded state, no generations left
+    p1 = str(tmp_path / "idx1")
+    build(p1)
+    read_index(spark, p1).write.partitionBy("band").parquet(
+        p1 + ".compacting"
+    )
+    os.rename(p1, p1 + ".precompact")
+    assert compact_index(spark, p1) == 0  # recovered; nothing to fold
+    assert os.path.exists(p1)
+    assert not os.path.exists(p1 + ".compacting")
+    assert not os.path.exists(p1 + ".precompact")
+    assert _rows(spark.read.parquet(p1)) == _rows(band_fn(cur))
+
+    # case 2: staging UNCOMMITTED (no _SUCCESS) — the re-run rolls the
+    # backup in and compacts it normally
+    p2 = str(tmp_path / "idx2")
+    build(p2)
+    os.rename(p2, p2 + ".precompact")
+    os.makedirs(p2 + ".compacting", exist_ok=True)  # junk, no _SUCCESS
+    assert compact_index(spark, p2) == 1  # rolled back, then folded
+    assert _rows(spark.read.parquet(p2)) == _rows(band_fn(cur))
+    assert not os.path.exists(p2 + ".compacting")
+    assert not os.path.exists(p2 + ".precompact")
+
+    # case 3: nothing to recover from — loud error, no silent 0
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no index"):
+        compact_index(spark, str(tmp_path / "never_existed"))
+
+
 def test_index_stats_tracks_generations_and_compaction(spark, tmp_path):
     """The monitoring face: stats reflect each maintenance generation
     (counts, volumes, read amplification > 1 once deltas exist,
