@@ -1390,8 +1390,12 @@ def test_snapshot_diff_and_maintenance_model(spark, docs):
     assert maintained == rebuilt
 
 
-# three-snapshot universe: id → (a, b, c) texts, each possibly absent
-_snap3_doc = st.tuples(
+# snapshot-CHAIN universe: id → one text-or-absent per snapshot in the
+# chain; 3 snapshots compose two diffs, 4 compose three — the law must
+# hold for any chain length, including keys that flap several times
+# (added→removed→added, changed→changed→changed-back) inside one window
+_snap_chain_doc = st.tuples(
+    st.one_of(st.none(), st.text(alphabet="ab", max_size=6)),
     st.one_of(st.none(), st.text(alphabet="ab", max_size=6)),
     st.one_of(st.none(), st.text(alphabet="ab", max_size=6)),
     st.one_of(st.none(), st.text(alphabet="ab", max_size=6)),
@@ -1399,15 +1403,19 @@ _snap3_doc = st.tuples(
 
 
 @settings(max_examples=8, deadline=None)
-@given(docs=st.lists(_snap3_doc, min_size=1, max_size=20))
-def test_reconcile_composes_snapshot_diffs(spark, docs):
+@given(
+    docs=st.lists(_snap_chain_doc, min_size=1, max_size=20),
+    chain_len=st.sampled_from([3, 4]),
+)
+def test_reconcile_composes_snapshot_diffs(spark, docs, chain_len):
     """The diff-composition law, exactly as reconcile_change_log's
-    docstring states it: over arbitrary snapshot triples (a, b, c),
-    reconcile(diff(a,b) ∪ diff(b,c)) matches diff(a,c) exactly on
-    added/removed verdicts and on upsert payloads, with 'changed'
-    allowed to be spuriously present ONLY for keys whose content
-    reverted (a == c) — and applying the reconciled log yields the
-    same final index state as a from-scratch derivation of c."""
+    docstring states it, over arbitrary snapshot CHAINS (2- and 3-diff
+    windows): reconcile(diff(s0,s1) ∪ ... ∪ diff(sN-1,sN)) matches
+    diff(s0,sN) exactly on added/removed verdicts and on upsert
+    payloads, with 'changed' allowed to be spuriously present ONLY for
+    keys whose content reverted (first == last) — and applying the
+    reconciled log yields the same final index state as a from-scratch
+    derivation of the last snapshot."""
     from github_event_etl_spark.operators.index_maintenance import (
         apply_index_diff,
     )
@@ -1429,7 +1437,8 @@ def test_reconcile_composes_snapshot_diffs(spark, docs):
             schema,
         )
 
-    a, b, c = snap(0), snap(1), snap(2)
+    chain = [snap(i) for i in range(chain_len)]
+    a, c = chain[0], chain[-1]
 
     def with_payload(diff, snapshot, seq):
         return (
@@ -1438,9 +1447,14 @@ def test_reconcile_composes_snapshot_diffs(spark, docs):
             .select("doc_id", "change_type", "text", F.lit(seq).alias("seq"))
         )
 
-    log = with_payload(snapshot_diff(a, b, "doc_id", ["text"]), b, 1).unionByName(
-        with_payload(snapshot_diff(b, c, "doc_id", ["text"]), c, 2)
-    )
+    log = None
+    for i in range(chain_len - 1):
+        step = with_payload(
+            snapshot_diff(chain[i], chain[i + 1], "doc_id", ["text"]),
+            chain[i + 1],
+            i + 1,
+        )
+        log = step if log is None else log.unionByName(step)
     net = {
         r.doc_id: (r.change_type, r.text)
         for r in reconcile_change_log(log, "doc_id", "seq", ["text"]).collect()
@@ -1450,7 +1464,8 @@ def test_reconcile_composes_snapshot_diffs(spark, docs):
         for r in snapshot_diff(a, c, "doc_id", ["text"]).collect()
     }
 
-    for i, (ta, _, tc) in universe.items():
+    for i, texts in universe.items():
+        ta, tc = texts[0], texts[chain_len - 1]
         net_t = net.get(i, (None, None))[0]
         if direct.get(i) in ("added", "removed"):
             assert net_t == direct[i], (i, net_t, direct.get(i))
