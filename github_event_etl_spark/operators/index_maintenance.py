@@ -104,15 +104,36 @@ def apply_index_diff(
     stale = diff.filter(F.col("change_type").isin(*_STALE_TYPES)).select(
         F.col(key)
     )
-    upserts = diff.filter(F.col("change_type").isin(*_UPSERT_TYPES)).select(
-        F.col(key)
-    )
     kept = prev_index.join(F.broadcast(stale), key, "left_anti")
-    fresh = band_fn(cur_docs.join(F.broadcast(upserts), key, "left_semi"))
+    fresh = band_fn(_upsert_docs(cur_docs, diff, key))
     # schema-generic: the index's columns come from `prev_index`, so the
     # same operator maintains the (key, band, bucket) band indexes AND
     # differently-shaped ones like the IVF (key, centroid_id) assignment
     return kept.unionByName(fresh.select(*prev_index.columns))
+
+
+def _upsert_docs(cur_docs: DataFrame, diff: DataFrame, key: str) -> DataFrame:
+    """The change-sized doc set the derivation (banding / assignment)
+    must re-run on: `cur_docs` broadcast-semi-filtered to the diff's
+    added/changed keys. ONE implementation for the logical
+    (`apply_index_diff`) and physical (`write_index_delta`) layers —
+    the semi-filter is the guard that keeps the derivation CPU
+    change-sized, so the two paths must never drift apart."""
+    upserts = diff.filter(F.col("change_type").isin(*_UPSERT_TYPES)).select(
+        F.col(key)
+    )
+    return cur_docs.join(F.broadcast(upserts), key, "left_semi")
+
+
+def _base_committed(index_path: str) -> bool:
+    """True when a COMMITTED base parquet tree exists at the index
+    path — the `_SUCCESS` marker every base writer in the repo leaves
+    (minhash/rhp/ivf write_index, compact_index's staging). A bare
+    directory (e.g. one fabricated by a stray `_delta` write, or a
+    half-written base) is NOT an index: maintenance against it would
+    build generations over nothing and — worse — its existence used to
+    disarm compact_index's mid-swap crash recovery."""
+    return os.path.exists(os.path.join(index_path, "_SUCCESS"))
 
 
 def _delta_root(index_path: str) -> str:
@@ -189,6 +210,15 @@ def write_index_delta(
     takes its schema from the base, and a probe prunes delta partitions
     only if they carry the base's partition key.
     """
+    if not _base_committed(index_path):
+        raise FileNotFoundError(
+            f"write_index_delta: no committed base index at "
+            f"{index_path} (missing _SUCCESS) — writing a generation "
+            "against a vacant or half-written base would fabricate an "
+            "unreadable index tree (and a recreated directory is what "
+            "used to disarm compact_index's mid-swap crash recovery); "
+            "write the base with its *_write_index builder first"
+        )
     gens = _committed_generations(index_path)
     n = len(gens) + 1
     base = os.path.join(_delta_root(index_path), f"gen={n}")
@@ -202,14 +232,9 @@ def write_index_delta(
 
         shutil.rmtree(base)
     stale = diff.select(F.col(key))  # every diff key — see docstring
-    fresh = band_fn(cur_docs.join(
-        F.broadcast(
-            diff.filter(F.col("change_type").isin(*_UPSERT_TYPES))
-            .select(F.col(key))
-        ),
-        key,
-        "left_semi",
-    )).select(key, *value_cols)
+    fresh = band_fn(_upsert_docs(cur_docs, diff, key)).select(
+        key, *value_cols
+    )
     # tombstones LAST: _committed_generations requires both markers, so
     # ordering the two commits either way is safe; appends-first keeps
     # the larger write out of the window where a crash strands a
@@ -234,9 +259,26 @@ def read_index(
     all-added or all-removed generation legitimately writes an EMPTY
     tombstone or append set, which schema inference cannot read back.
     """
-    df = spark.read.parquet(index_path)
+    return _fold_generations(
+        spark,
+        spark.read.parquet(index_path),
+        _committed_generations(index_path),
+        key,
+    )
+
+
+def _fold_generations(
+    spark: SparkSession, base: DataFrame, gens: list[str], key: str
+) -> DataFrame:
+    """Fold an EXPLICIT generation list over a base frame — the one
+    fold implementation `read_index` and `index_stats` share. Taking
+    the list (not re-listing the directory) lets index_stats report a
+    CONSISTENT snapshot: a writer committing a generation between two
+    listings would otherwise make live_rows disagree with the volumes
+    counted from the earlier listing."""
+    df = base
     tomb_schema = df.select(key).schema
-    for gen in _committed_generations(index_path):
+    for gen in gens:
         tomb = spark.read.schema(tomb_schema).parquet(
             os.path.join(gen, "tombstones")
         )
@@ -398,7 +440,14 @@ def index_stats(
     else:
         tombstones = appends = 0
     base_rows = base.count()
-    live = read_index(spark, index_path, key=key).count() if gens else base_rows
+    # fold the SAME generation list the volumes were counted from (a
+    # concurrent writer committing a generation between the two reads
+    # would otherwise skew read_amplification)
+    live = (
+        _fold_generations(spark, base, gens, key).count()
+        if gens
+        else base_rows
+    )
     root = _delta_root(index_path)
     residue = (
         os.path.isdir(root)
@@ -457,18 +506,28 @@ def compact_index(
 
     staging = index_path.rstrip("/") + ".compacting"
     backup = index_path.rstrip("/") + ".precompact"
-    if not os.path.exists(index_path):
-        # mid-swap crash recovery — the index path is vacant and the
-        # surviving trees ARE the index; never sweep in this state
+    if not _base_committed(index_path):
+        # Mid-swap crash recovery — no COMMITTED base at the path, so
+        # the surviving sibling trees ARE the index; never sweep in
+        # this state. Gated on the base _SUCCESS marker, not bare path
+        # existence: a stray directory recreated at the vacant path
+        # (historically possible via a delta write racing the retry;
+        # write_index_delta now refuses) must not disarm recovery —
+        # with a committed sibling present it is residue, cleared so
+        # the rename can land.
         if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            if os.path.exists(index_path):
+                shutil.rmtree(index_path)
             os.rename(staging, index_path)  # complete the swap
-        elif os.path.isdir(backup):
+        elif os.path.exists(os.path.join(backup, "_SUCCESS")):
+            if os.path.exists(index_path):
+                shutil.rmtree(index_path)
             os.rename(backup, index_path)  # roll the old tree back
         else:
             raise FileNotFoundError(
-                f"compact_index: no index at {index_path} and no "
-                "recoverable .compacting/.precompact sibling — nothing "
-                "to compact or recover"
+                f"compact_index: no committed index at {index_path} "
+                "and no recoverable .compacting/.precompact sibling — "
+                "nothing to compact or recover"
             )
     # sweep crash leftovers BEFORE the nothing-to-do return (a crash
     # between the final rename and the backup rmtree leaves a healthy
@@ -483,9 +542,20 @@ def compact_index(
     if not gens:
         return 0
     folded = read_index(spark, index_path, key=key)
-    folded.write.mode("errorifexists").partitionBy(partition_col).parquet(
-        staging
-    )
+    if folded.isEmpty():
+        # a fully-tombstoned index folds to ZERO rows; a partitioned
+        # write of an empty frame emits no data files at all, and the
+        # swapped-in base would be schema-less — permanently unreadable
+        # (the schema lived only in the discarded old base). An
+        # UNpartitioned empty write emits one zero-row parquet file
+        # whose footer carries the full schema (partition column
+        # included, as an ordinary column), keeping the empty index
+        # readable and maintainable.
+        folded.write.mode("errorifexists").parquet(staging)
+    else:
+        folded.write.mode("errorifexists").partitionBy(
+            partition_col
+        ).parquet(staging)
     os.rename(index_path, backup)
     os.rename(staging, index_path)
     shutil.rmtree(backup)

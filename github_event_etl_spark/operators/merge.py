@@ -82,6 +82,13 @@ def upsert(
             "upsert: base and changes must share one schema, got "
             f"{sorted(base.columns)} vs {sorted(changes.columns)}"
         )
+    if action_col in base.columns:
+        raise ValueError(
+            f"upsert: action_col '{action_col}' collides with a data "
+            "column — the output would carry two columns of that name "
+            "(silent ambiguous-reference errors downstream); pass a "
+            "different action_col"
+        )
     if assert_unique:
         for side, df in (("base", base), ("changes", changes)):
             assert_unique_key(
@@ -94,26 +101,31 @@ def upsert(
     # never matches (SQL null equality), so a null-key change row
     # reaches the output unmatched — key IS NULL would mislabel it
     # 'keep' when it is an insert. The literal marker is non-null
-    # exactly when that side contributed the row.
+    # exactly when that side contributed the row. The marker NAME is
+    # dodged out of the data namespace: data columns are aliased
+    # `_b_{c}`, so a fixed marker like `_b_present` would be ambiguous
+    # the moment a table carries a column literally named 'present'.
+    marker = "present"
+    while marker in base.columns:
+        marker = "_" + marker
+    b_mark, c_mark = f"_b_{marker}", f"_c_{marker}"
     b = base.select(
         *[F.col(c).alias(f"_b_{c}") for c in base.columns],
-        F.lit(True).alias("_b_present"),
+        F.lit(True).alias(b_mark),
     )
     c = changes.select(
         *[F.col(x).alias(f"_c_{x}") for x in changes.columns],
-        F.lit(True).alias("_c_present"),
+        F.lit(True).alias(c_mark),
     )
     joined = b.join(c, F.col(f"_b_{key}") == F.col(f"_c_{key}"), "full_outer")
-    matched = (
-        F.col("_c_present").isNotNull() & F.col("_b_present").isNotNull()
-    )
+    matched = F.col(c_mark).isNotNull() & F.col(b_mark).isNotNull()
     action = (
         F.when(matched, F.lit("update"))
-        .when(F.col("_c_present").isNotNull(), F.lit("insert"))
+        .when(F.col(c_mark).isNotNull(), F.lit("insert"))
         .otherwise(F.lit("keep"))
     )
     cols = [
-        F.when(F.col("_c_present").isNotNull(), F.col(f"_c_{x}"))
+        F.when(F.col(c_mark).isNotNull(), F.col(f"_c_{x}"))
         .otherwise(F.col(f"_b_{x}"))
         .alias(x)
         for x in base.columns
@@ -134,6 +146,17 @@ def scd2_versions(
     changes produce zero-length intervals in input order — they stay
     in the history rather than silently collapsing).
     """
+    reserved = {"valid_from", "valid_to", "is_current"} & set(
+        changes.columns
+    )
+    if reserved:
+        raise ValueError(
+            f"scd2_versions: input already carries {sorted(reserved)} — "
+            "the output would duplicate those column names (silent "
+            "ambiguous-reference errors downstream); rename them first "
+            "(re-versioning an SCD2 table means versioning its BUSINESS "
+            "columns, not its old validity metadata)"
+        )
     order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
     w = Window.partitionBy(key).orderBy(*order)
     nxt: Column = F.lead(ts_col).over(w)

@@ -592,6 +592,56 @@ def test_probe_over_maintained_ivf_index_equals_rebuild(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_write_index_delta_requires_committed_base(spark, tmp_path):
+    """Maintenance against a vacant or half-written base fails fast:
+    a generation written there would fabricate an unreadable index
+    tree — and the recreated directory is exactly what used to disarm
+    compact_index's mid-swap recovery."""
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    diff = snapshot_diff(prev, cur, "doc_id", ["text"])
+    with pytest.raises(FileNotFoundError, match="no committed base"):
+        write_index_delta(
+            str(tmp_path / "nowhere"), diff, cur, band_fn
+        )
+    # half-written: directory exists, _SUCCESS does not
+    half = tmp_path / "half"
+    half.mkdir()
+    with pytest.raises(FileNotFoundError, match="no committed base"):
+        write_index_delta(str(half), diff, cur, band_fn)
+
+
+def test_compact_index_survives_fully_tombstoned_fold(spark, tmp_path):
+    """An index whose every row is tombstoned folds to ZERO rows;
+    compaction must leave a READABLE empty base (schema preserved in a
+    zero-row unpartitioned file), not a schema-less directory that
+    bricks every later read — and the empty index stays maintainable
+    (a later generation re-grows it)."""
+    from github_event_etl_spark.operators.index_maintenance import (
+        compact_index,
+    )
+
+    band_fn = _mh_band_fn()
+    prev, _ = _prev_cur(spark)
+    empty = prev.filter("doc_id < 0")  # same schema, no rows
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    # remove EVERY doc
+    write_index_delta(
+        path, snapshot_diff(prev, empty, "doc_id", ["text"]), empty, band_fn
+    )
+    assert compact_index(spark, path) == 1
+    folded = read_index(spark, path)
+    assert folded.count() == 0
+    assert set(folded.columns) == {"doc_id", "band", "bucket"}
+    # still maintainable: re-grow from the empty base
+    grown = write_index_delta(
+        path, snapshot_diff(empty, prev, "doc_id", ["text"]), prev, band_fn
+    )
+    assert grown == 1
+    assert _rows(read_index(spark, path)) == _rows(band_fn(prev))
+
+
 def test_compact_index_recovers_mid_swap_crash(spark, tmp_path):
     """A compaction that died exactly between the two renames leaves
     the index path VACANT with both full trees beside it. The re-run
@@ -637,10 +687,24 @@ def test_compact_index_recovers_mid_swap_crash(spark, tmp_path):
     assert not os.path.exists(p2 + ".compacting")
     assert not os.path.exists(p2 + ".precompact")
 
-    # case 3: nothing to recover from — loud error, no silent 0
+    # case 3: a stray UNCOMMITTED directory recreated at the vacant
+    # path (no base _SUCCESS) must not disarm recovery — it is residue,
+    # cleared so the committed staging can land
+    p3 = str(tmp_path / "idx3")
+    build(p3)
+    read_index(spark, p3).write.partitionBy("band").parquet(
+        p3 + ".compacting"
+    )
+    os.rename(p3, p3 + ".precompact")
+    os.makedirs(os.path.join(p3, "_delta", "gen=1"), exist_ok=True)  # stray
+    assert compact_index(spark, p3) == 0
+    assert _rows(spark.read.parquet(p3)) == _rows(band_fn(cur))
+    assert not os.path.exists(p3 + ".precompact")
+
+    # case 4: nothing to recover from — loud error, no silent 0
     import pytest as _pytest
 
-    with _pytest.raises(FileNotFoundError, match="no index"):
+    with _pytest.raises(FileNotFoundError, match="no recoverable"):
         compact_index(spark, str(tmp_path / "never_existed"))
 
 

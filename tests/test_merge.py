@@ -330,3 +330,39 @@ def test_reconcile_change_log_assert_order_guards(spark):
     assert reconcile_change_log(
         null_order, "doc_id", "seq", ["text"]
     ).count() == 0
+
+
+def test_upsert_and_scd2_column_collision_guards(spark):
+    """Name-collision hardening: a data column literally named
+    'present' must not break the presence markers; a colliding
+    action_col and pre-existing SCD2 validity columns fail fast
+    instead of emitting duplicate column names."""
+    import pytest
+
+    from github_event_etl_spark.operators.merge import (
+        scd2_versions,
+        upsert,
+    )
+
+    schema = "k long, present string"
+    base = spark.createDataFrame([(1, "old"), (2, "keep")], schema)
+    changes = spark.createDataFrame([(1, "new"), (3, "ins")], schema)
+    got = {
+        r.k: (r.present, r.action)
+        for r in upsert(base, changes, "k").collect()
+    }
+    assert got == {
+        1: ("new", "update"), 2: ("keep", "keep"), 3: ("ins", "insert"),
+    }
+
+    with pytest.raises(ValueError, match="action_col"):
+        upsert(base, changes, "k", action_col="present")
+
+    versioned = scd2_versions(
+        spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b")], "k long, ts long, v string"
+        ),
+        "k",
+    )
+    with pytest.raises(ValueError, match="valid_from"):
+        scd2_versions(versioned, "k")
