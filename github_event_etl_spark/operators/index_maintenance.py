@@ -33,18 +33,38 @@ Two layers:
   The base band partitions are never rewritten — the bytes written
   per refresh are change-sized. This is the engine shape lakehouse
   formats (delete vectors + appended files, periodic compaction)
-  execute underneath; on a real cluster the generation listing is the
-  table format's commit log. Single-writer per index is assumed, the
-  same contract as the scratch materialize-once layouts.
+  execute underneath. Single-writer per index is the standing
+  contract (the same as the scratch materialize-once layouts), and —
+  unlike the earlier marker-based protocol — a violation is now
+  DETECTED: every commit re-validates the manifest and aborts instead
+  of silently losing a concurrent generation.
+
+Commit protocol — ONE atomic manifest write, the object-storage
+shape: `<index>/_manifest.json` names the committed base tree and the
+committed generation list. Data trees (base rewrites, generation
+tombstones/appends) are staged wherever they land and become visible
+ONLY when a new manifest referencing them replaces the old one
+(same-directory `os.replace` locally; on an object store the manifest
+PUT is the atomic op — no rename of data, no directory listing on the
+read path decides commit state). This is the manifest-commit pattern
+the ndjson sink's manifest mode established (sources/pysource.py
+`_commit_manifest` / `manifested_part_paths`): readers list parts
+FROM the manifest, never by directory walk, and unreferenced trees
+are garbage a later writer sweeps (manifest-anchored GC). Indexes
+built by the `*_write_index` builders before any maintenance carry no
+manifest yet; `_read_manifest` derives an implicit one from the
+legacy parquet `_SUCCESS` markers, and the first commit persists it.
 
 Read-path cost note: each generation adds one broadcast anti-join +
 one union to the read plan, so generations should be compacted
-periodically — `compact_index` below does exactly that (staged
-rewrite of the folded base + rename swap, `_delta` dropped) — the
-classic log-structured trade. The fold applies the longest COMMITTED
-generation prefix: an interrupted writer leaves a trailing
-uncommitted generation that readers ignore entirely (folding a later
-generation over a missing earlier one would resurrect stale rows).
+periodically — `compact_index` folds every committed generation into
+a fresh base tree under `<index>/_base/v<N>/` and flips the manifest
+at it (the classic log-structured trade; `maybe_compact` is the
+policy hook that decides WHEN from observed `index_stats`). A crash
+anywhere leaves either the old manifest (old state fully readable,
+staged work is unreferenced garbage) or the new one (new state fully
+readable, superseded trees are garbage) — there is no vacant window
+at all, which the marker-era two-rename swap could not promise.
 """
 
 from __future__ import annotations
@@ -125,29 +145,59 @@ def _upsert_docs(cur_docs: DataFrame, diff: DataFrame, key: str) -> DataFrame:
     return cur_docs.join(F.broadcast(upserts), key, "left_semi")
 
 
-def _base_committed(index_path: str) -> bool:
-    """True when a COMMITTED base parquet tree exists at the index
-    path — the `_SUCCESS` marker every base writer in the repo leaves
-    (minhash/rhp/ivf write_index, compact_index's staging). A bare
-    directory (e.g. one fabricated by a stray `_delta` write, or a
-    half-written base) is NOT an index: maintenance against it would
-    build generations over nothing and — worse — its existence used to
-    disarm compact_index's mid-swap crash recovery."""
-    return os.path.exists(os.path.join(index_path, "_SUCCESS"))
+_MANIFEST = "_manifest.json"
+
+
+def _manifest_file(index_path: str) -> str:
+    # Underscore-prefixed so a base living at the index root stays
+    # readable by `spark.read.parquet(index_path)` (the default
+    # hidden-path filter skips it, same as _SUCCESS).
+    return os.path.join(index_path, _MANIFEST)
 
 
 def _delta_root(index_path: str) -> str:
-    # Underscore-prefixed so the base `spark.read.parquet(index_path)`
-    # ignores it (the default hidden-path filter, same as _SUCCESS).
     return os.path.join(index_path, "_delta")
 
 
-def _committed_generations(index_path: str) -> list[str]:
-    """Paths of committed generations in fold order — the longest
-    prefix of gen=1,2,... whose BOTH component writes committed (the
-    parquet _SUCCESS marker, the repo's scratch convention). Stops at
-    the first gap or uncommitted generation: applying gen N+1 without
-    gen N would resurrect rows N tombstoned."""
+def _atomic_write_manifest(index_path: str, manifest: dict) -> None:
+    """THE commit op: the new manifest replaces the old in one atomic
+    metadata write. Locally that is a same-directory `os.replace` (a
+    reader never observes a torn manifest — the one rename left in the
+    module, of a ~100-byte file, the pysource `_commit_manifest`
+    pattern); on an object store it is a single manifest PUT."""
+    import json
+
+    path = _manifest_file(index_path)
+    tmp = path + ".inprogress"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _read_manifest_file(index_path: str) -> dict | None:
+    """The persisted manifest, or None when none has been committed
+    yet. Commit-time revalidation reads THIS (never the legacy
+    bootstrap below): mid-call, freshly-written data trees carry
+    parquet _SUCCESS markers of their own, and re-deriving an implicit
+    manifest from markers would mistake the caller's OWN staged work
+    for a concurrent commit."""
+    import json
+
+    path = _manifest_file(index_path)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _listed_marker_generations(index_path: str) -> list[str]:
+    """Legacy-bootstrap generation discovery — the pre-manifest
+    protocol: the longest prefix of gen=1,2,... whose BOTH component
+    writes left parquet _SUCCESS markers. Used ONLY to derive the
+    implicit manifest of an index tree no manifest commit has touched
+    yet; once a manifest exists it is the sole authority (a
+    marker-complete directory the manifest does not name is invisible
+    — a dead writer's residue, never half of the index)."""
     root = _delta_root(index_path)
     if not os.path.isdir(root):
         return []
@@ -170,6 +220,83 @@ def _committed_generations(index_path: str) -> list[str]:
     return out
 
 
+def _read_manifest(index_path: str) -> dict | None:
+    """The index's commit state: the persisted manifest when one
+    exists, else an implicit manifest derived from the legacy marker
+    protocol (base at the index root with its `_SUCCESS`, generations
+    by longest committed-marker prefix) so trees built by the
+    `*_write_index` builders are maintainable with no migration step —
+    the first commit persists the real manifest. None ⇒ no committed
+    index here at all (a bare or half-written directory is NOT an
+    index; maintenance against it would fabricate an unreadable
+    tree)."""
+    m = _read_manifest_file(index_path)
+    if m is not None:
+        return m
+    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        return None
+    gens = _listed_marker_generations(index_path)
+    return {
+        "format": 1,
+        "base": ".",
+        "generations": [os.path.relpath(g, index_path) for g in gens],
+        "next_gen": len(gens) + 1,
+        "next_base": 1,
+    }
+
+
+def _base_path(index_path: str, manifest: dict) -> str:
+    rel = manifest["base"]
+    return index_path if rel == "." else os.path.join(index_path, rel)
+
+
+def _committed_generations(index_path: str) -> list[str]:
+    """Paths of committed generations in fold order — listed FROM the
+    manifest (the reader contract for manifest commits), never by
+    directory walk."""
+    m = _read_manifest(index_path)
+    if m is None:
+        return []
+    return [os.path.join(index_path, rel) for rel in m["generations"]]
+
+
+def _gc(index_path: str, manifest: dict) -> None:
+    """Manifest-anchored garbage collection: sweep every tree the
+    manifest does not reference — superseded bases after a compaction
+    flip, staged generations/bases a dead writer abandoned, torn
+    `.inprogress` manifests. Safe at any point because visibility is
+    decided ONLY by the manifest: nothing swept here was ever part of
+    the committed index. (Under the single-writer contract no OTHER
+    writer has unreferenced work in flight.)"""
+    import shutil
+
+    keep_roots = {_MANIFEST, "_delta", "_base"}
+    tmp = _manifest_file(index_path) + ".inprogress"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    if manifest["base"] != ".":
+        # the base moved off the root: any remaining root entry is the
+        # old "." base's data (parquet parts, _SUCCESS, .crc files)
+        for name in os.listdir(index_path):
+            if name in keep_roots:
+                continue
+            p = os.path.join(index_path, name)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    bdir = os.path.join(index_path, "_base")
+    if os.path.isdir(bdir):
+        for name in os.listdir(bdir):
+            if os.path.join("_base", name) != manifest["base"]:
+                shutil.rmtree(os.path.join(bdir, name))
+    gen_rels = set(manifest["generations"])
+    droot = _delta_root(index_path)
+    if os.path.isdir(droot):
+        for name in os.listdir(droot):
+            if os.path.join("_delta", name) not in gen_rels:
+                shutil.rmtree(os.path.join(droot, name))
+        if not os.listdir(droot):
+            os.rmdir(droot)
+
+
 def write_index_delta(
     index_path: str,
     diff: DataFrame,
@@ -184,9 +311,13 @@ def write_index_delta(
     `.../gen=N/appends` (freshly banded rows for the upserted docs,
     band-partitioned like the base). Returns N. The base partitions
     are untouched — bytes written are change-sized. The generation
-    becomes visible to `read_index` only once both parquet commits'
-    _SUCCESS markers exist, so an interrupted write is ignored, never
-    half-applied.
+    becomes visible to `read_index` only when the COMMIT — one atomic
+    manifest write naming it — lands after both data trees are fully
+    staged, so an interrupted write is ignored, never half-applied.
+    Before committing, the manifest is re-read: if another writer took
+    this generation slot meanwhile, the staged trees are deleted and
+    the call fails loudly — the single-writer contract is enforced,
+    not just documented.
 
     Tombstones are written for EVERY diff key — changed docs (their
     appends carry the re-banded rows), removed docs, and added docs
@@ -210,42 +341,67 @@ def write_index_delta(
     takes its schema from the base, and a probe prunes delta partitions
     only if they carry the base's partition key.
     """
-    if not _base_committed(index_path):
+    import shutil
+
+    m = _read_manifest(index_path)
+    if m is None:
         raise FileNotFoundError(
             f"write_index_delta: no committed base index at "
-            f"{index_path} (missing _SUCCESS) — writing a generation "
-            "against a vacant or half-written base would fabricate an "
-            "unreadable index tree (and a recreated directory is what "
-            "used to disarm compact_index's mid-swap crash recovery); "
-            "write the base with its *_write_index builder first"
+            f"{index_path} (no manifest and no legacy _SUCCESS) — "
+            "writing a generation against a vacant or half-written "
+            "base would fabricate an unreadable index tree; write the "
+            "base with its *_write_index builder first"
         )
-    gens = _committed_generations(index_path)
-    n = len(gens) + 1
-    base = os.path.join(_delta_root(index_path), f"gen={n}")
+    n = m["next_gen"]
+    gen_rel = os.path.join("_delta", f"gen={n}")
+    base = os.path.join(index_path, gen_rel)
     # retry safety: a writer that died mid-generation left gen=N
-    # present but uncommitted (readers already ignore it); the retry
+    # staged but unreferenced (readers already ignore it); the retry
     # recomputes the SAME N and must not trip over the residue — clear
-    # it and write fresh. Only ever removes an uncommitted dir: a
-    # committed gen=N is inside `gens`, so n points past it.
+    # it and write fresh. Only ever removes an unreferenced dir: a
+    # committed gen=N is in the manifest, so next_gen points past it.
     if os.path.isdir(base):
-        import shutil
-
         shutil.rmtree(base)
     stale = diff.select(F.col(key))  # every diff key — see docstring
     fresh = band_fn(_upsert_docs(cur_docs, diff, key)).select(
         key, *value_cols
     )
-    # tombstones LAST: _committed_generations requires both markers, so
-    # ordering the two commits either way is safe; appends-first keeps
-    # the larger write out of the window where a crash strands a
-    # marker-complete tombstone dir next to a missing appends dir.
     fresh.write.mode("errorifexists").partitionBy(partition_col).parquet(
         os.path.join(base, "appends")
     )
     stale.write.mode("errorifexists").parquet(
         os.path.join(base, "tombstones")
     )
+    _commit_generation(index_path, m, n, gen_rel, base)
     return n
+
+
+def _commit_generation(
+    index_path: str, m: dict, n: int, gen_rel: str, staged_dir: str
+) -> None:
+    """Commit a fully-staged generation: re-validate that the manifest
+    still points at slot N (a concurrent commit would have advanced
+    next_gen — appending anyway would interleave two writers' logs),
+    then atomically publish the manifest naming it. A manifest absent
+    at entry AND at commit is the legacy single-writer bootstrap: the
+    entry-time implicit manifest stands, and this commit persists the
+    first real one."""
+    import shutil
+
+    cur = _read_manifest_file(index_path) or m
+    if cur["next_gen"] != n:
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"write_index_delta: generation slot gen={n} at "
+            f"{index_path} was committed by a concurrent writer "
+            f"(manifest next_gen is now {cur['next_gen']}) — the "
+            "single-writer-per-index contract was violated; staged "
+            "trees were discarded, the index is unchanged"
+        )
+    cur = dict(cur)
+    cur["generations"] = list(cur["generations"]) + [gen_rel]
+    cur["next_gen"] = n + 1
+    _atomic_write_manifest(index_path, cur)
 
 
 def read_index(
@@ -255,14 +411,22 @@ def read_index(
     generation folded over it in order (anti-join the generation's
     tombstones — broadcast, change-sized — then union its appends).
     Equals a from-scratch `*_write_index` of the current corpus, pinned
-    by the end-to-end pytest. Explicit schemas on the delta reads: an
-    all-added or all-removed generation legitimately writes an EMPTY
+    by the end-to-end pytest. Base tree and generation list both come
+    FROM the manifest — a data tree on disk that the manifest does not
+    name (dead writer's residue, superseded base) is invisible, no
+    matter how complete it looks. Explicit schemas on the delta reads:
+    an all-added or all-removed generation legitimately writes an EMPTY
     tombstone or append set, which schema inference cannot read back.
     """
+    m = _read_manifest(index_path)
+    if m is None:
+        raise FileNotFoundError(
+            f"read_index: no committed index at {index_path}"
+        )
     return _fold_generations(
         spark,
-        spark.read.parquet(index_path),
-        _committed_generations(index_path),
+        spark.read.parquet(_base_path(index_path, m)),
+        [os.path.join(index_path, rel) for rel in m["generations"]],
         key,
     )
 
@@ -302,6 +466,8 @@ def refresh_index_from_change_stream(
     assert_unique_keys: bool = True,
     reconcile_order_col: str | None = None,
     assert_order: bool = True,
+    max_generations: int | None = None,
+    max_read_amplification: float | None = None,
 ) -> None:
     """Continuous index refresh: a CDC change stream — rows of
     (key, change_type, <payload columns band_fn derives from>), i.e.
@@ -348,7 +514,15 @@ def refresh_index_from_change_stream(
     `assert_order` covers the reconcile path's precondition (non-null,
     tie-free (key, order) pairs — unguarded, an all-null-order key
     silently VANISHES from the net log). Opt out of either only when
-    the producer guarantees that contract upstream."""
+    the producer guarantees that contract upstream.
+
+    Compaction policy: pass `max_generations` and/or
+    `max_read_amplification` and `maybe_compact` runs after each
+    committed generation, so a long-lived refresh stream bounds its
+    own read amplification instead of accreting generations until an
+    operator intervenes. Safe inside the loop: foreachBatch serializes
+    micro-batches, so the compaction is the same single writer — no
+    concurrent-commit abort can fire from this wiring."""
     from .merge import assert_unique_key, reconcile_change_log
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -392,6 +566,16 @@ def refresh_index_from_change_stream(
                 index_path, batch_df, batch_df, band_fn,
                 key, value_cols, partition_col,
             )
+            if (
+                max_generations is not None
+                or max_read_amplification is not None
+            ):
+                maybe_compact(
+                    batch_df.sparkSession, index_path,
+                    key=key, partition_col=partition_col,
+                    max_generations=max_generations,
+                    max_read_amplification=max_read_amplification,
+                )
         finally:
             batch_df.unpersist()
 
@@ -405,54 +589,90 @@ def refresh_index_from_change_stream(
 
 
 def index_stats(
-    spark: SparkSession, index_path: str, key: str = "doc_id"
+    spark: SparkSession,
+    index_path: str,
+    key: str = "doc_id",
+    include_live: bool = False,
 ) -> dict:
     """Operational snapshot of a maintained index — what a refresh
     pipeline's monitoring reads to decide WHEN to compact (the
-    log-structured trade is a policy knob; this is its input):
-    committed generation count, an uncommitted-residue flag (a crashed
-    writer's leftovers awaiting the retry), per-layer row volumes, and
-    `read_amplification` — folded-plan reads per surviving row
-    ((base + appends) / live), the number compaction resets to 1.0.
+    log-structured trade is a policy knob; `maybe_compact` is the
+    consumer): committed generation count, an unreferenced-residue
+    flag (a crashed writer's staged leftovers awaiting retry or GC),
+    per-layer row volumes, and — opt-in — `read_amplification`:
+    folded-plan reads per surviving row ((base + appends) / live), the
+    number compaction resets to 1.0.
 
-    Cost, honestly: the tombstone/append volumes are ONE unioned
-    change-sized count each (all generations in one job per layer),
-    the base count is column-less (row-group stats, no data pages),
-    and `live_rows` — when generations exist — is a FULL FOLDED COUNT:
-    the same plan a reader pays, which is the point (the stat measures
-    what readers experience) but also means a per-refresh hook on a
-    large index pays one folded scan per call. Driver-side result is a
-    small dict of scalars, not data."""
-    base = spark.read.parquet(index_path)
-    gens = _committed_generations(index_path)
+    Cost: the tombstone/append volumes are ONE unioned change-sized
+    count each (all generations in one job per layer) and the base
+    count is column-less (row-group stats, no data pages) — cheap
+    enough for a per-refresh hook. `live_rows` is a FULL FOLDED COUNT
+    — the same plan a reader pays, which is the point (the stat
+    measures what readers experience) but on a large index that is one
+    reader-sized scan per call, so it is OFF by default
+    (`include_live=False` reports live_rows/read_amplification as
+    None); a generation-count policy never needs it. Driver-side
+    result is a small dict of scalars, not data.
+
+    `read_amplification` of a legitimately EMPTY index (zero base
+    rows, zero appends — e.g. freshly compacted after every row was
+    tombstoned) is 1.0, not inf: readers scan nothing to get nothing.
+    inf is reserved for the genuinely anomalous all-rows-tombstoned-
+    but-uncompacted state, where readers scan everything for nothing —
+    the state a compaction policy SHOULD fire on."""
+    m = _read_manifest(index_path)
+    if m is None:
+        raise FileNotFoundError(
+            f"index_stats: no committed index at {index_path}"
+        )
+    base = spark.read.parquet(_base_path(index_path, m))
+    gens = [os.path.join(index_path, rel) for rel in m["generations"]]
     tomb_schema = base.select(key).schema
     if gens:
-        tombstones = (
-            spark.read.schema(tomb_schema)
-            .parquet(*[os.path.join(g, "tombstones") for g in gens])
-            .count()
-        )
-        appends = (
-            spark.read.schema(base.schema)
-            .parquet(*[os.path.join(g, "appends") for g in gens])
-            .count()
-        )
+        # per-generation reads unioned, ONE count job per layer (a
+        # single multi-path read would trip partition discovery on the
+        # conflicting gen=N parent directories)
+        import functools
+
+        def _union_count(part: str, schema) -> int:
+            return functools.reduce(
+                DataFrame.unionByName,
+                [
+                    spark.read.schema(schema).parquet(
+                        os.path.join(g, part)
+                    )
+                    for g in gens
+                ],
+            ).count()
+
+        tombstones = _union_count("tombstones", tomb_schema)
+        appends = _union_count("appends", base.schema)
     else:
         tombstones = appends = 0
     base_rows = base.count()
-    # fold the SAME generation list the volumes were counted from (a
-    # concurrent writer committing a generation between the two reads
-    # would otherwise skew read_amplification)
-    live = (
-        _fold_generations(spark, base, gens, key).count()
-        if gens
-        else base_rows
-    )
+    live: int | None
+    amp: float | None
+    if include_live:
+        # fold the SAME generation list the volumes were counted from
+        # (a concurrent commit between the two reads would otherwise
+        # skew read_amplification)
+        live = (
+            _fold_generations(spark, base, gens, key).count()
+            if gens
+            else base_rows
+        )
+        scanned = base_rows + appends
+        if live:
+            amp = round(scanned / live, 4)
+        else:
+            amp = 1.0 if scanned == 0 else float("inf")
+    else:
+        live = amp = None
+    gen_rels = set(m["generations"])
     root = _delta_root(index_path)
-    residue = (
-        os.path.isdir(root)
-        and len([d for d in os.listdir(root) if d.startswith("gen=")])
-        > len(gens)
+    residue = os.path.isdir(root) and any(
+        d.startswith("gen=") and os.path.join("_delta", d) not in gen_rels
+        for d in os.listdir(root)
     )
     return {
         "generations": len(gens),
@@ -461,92 +681,23 @@ def index_stats(
         "tombstone_rows": tombstones,
         "append_rows": appends,
         "live_rows": live,
-        "read_amplification": (
-            round((base_rows + appends) / live, 4) if live else float("inf")
-        ),
+        "read_amplification": amp,
     }
 
 
-def compact_index(
-    spark: SparkSession,
-    index_path: str,
-    key: str = "doc_id",
-    partition_col: str = "band",
-) -> int:
-    """Fold every committed delta generation into a fresh base and drop
-    `_delta` — the periodic compaction the read-path cost note in the
-    module docstring calls for (each generation adds one anti-join +
-    one union to every read; compaction resets that to a plain scan).
-    Returns the number of generations folded (0 = nothing to do, the
-    index is untouched). After compaction the next `write_index_delta`
-    starts again at gen=1.
-
-    Write protocol: the folded index is materialized COMPLETELY to a
-    sibling staging directory (`<index>.compacting`) before anything
-    is removed — Spark cannot overwrite a path it is reading, and
-    rewriting in place would destroy the source mid-job. Then the
-    swap: old tree aside, staging renamed in. Same-filesystem renames,
-    so the vulnerable window is two metadata ops, not a data copy —
-    a crash can never leave a HALF-WRITTEN base, though a crash
-    exactly between the renames leaves the path vacant with BOTH full
-    trees intact (`<index>.precompact` + `<index>.compacting`). A
-    RE-RUN recovers that state automatically before doing anything
-    else: the committed staging tree (its _SUCCESS marker present) is
-    renamed in — completing the interrupted swap — else the backup is
-    rolled back; only AFTER the index path is live again are leftover
-    trees swept. Sweeping first would rmtree the only two copies of
-    the index. Single-writer per
-    index, the module's standing contract; on a real cluster this
-    whole dance is the table format's rewrite-and-commit. An
-    uncommitted trailing generation (interrupted writer) is invisible
-    to `read_index`, so compaction DROPS it with the rest of `_delta`
-    — by the crash-safety contract it was never part of the index.
-    """
-    import shutil
-
-    staging = index_path.rstrip("/") + ".compacting"
-    backup = index_path.rstrip("/") + ".precompact"
-    if not _base_committed(index_path):
-        # Mid-swap crash recovery — no COMMITTED base at the path, so
-        # the surviving sibling trees ARE the index; never sweep in
-        # this state. Gated on the base _SUCCESS marker, not bare path
-        # existence: a stray directory recreated at the vacant path
-        # (historically possible via a delta write racing the retry;
-        # write_index_delta now refuses) must not disarm recovery —
-        # with a committed sibling present it is residue, cleared so
-        # the rename can land.
-        if os.path.exists(os.path.join(staging, "_SUCCESS")):
-            if os.path.exists(index_path):
-                shutil.rmtree(index_path)
-            os.rename(staging, index_path)  # complete the swap
-        elif os.path.exists(os.path.join(backup, "_SUCCESS")):
-            if os.path.exists(index_path):
-                shutil.rmtree(index_path)
-            os.rename(backup, index_path)  # roll the old tree back
-        else:
-            raise FileNotFoundError(
-                f"compact_index: no committed index at {index_path} "
-                "and no recoverable .compacting/.precompact sibling — "
-                "nothing to compact or recover"
-            )
-    # sweep crash leftovers BEFORE the nothing-to-do return (a crash
-    # between the final rename and the backup rmtree leaves a healthy
-    # index plus a full .precompact copy — and no committed
-    # generations, so a post-return sweep would leak that
-    # corpus-index-sized tree), but only now that the index path is
-    # known to be live.
-    for leftover in (staging, backup):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
-    gens = _committed_generations(index_path)
-    if not gens:
-        return 0
-    folded = read_index(spark, index_path, key=key)
+def _stage_compacted_base(
+    folded: DataFrame, staging: str, partition_col: str
+) -> None:
+    """Materialize the folded index COMPLETELY to its staging tree —
+    unreferenced by the manifest until the commit flips to it, so a
+    crash mid-write strands only garbage the next GC sweeps. Split out
+    so the concurrency pytest can interleave a competing commit
+    between staging and the commit check."""
     if folded.isEmpty():
         # a fully-tombstoned index folds to ZERO rows; a partitioned
         # write of an empty frame emits no data files at all, and the
-        # swapped-in base would be schema-less — permanently unreadable
-        # (the schema lived only in the discarded old base). An
+        # committed base would be schema-less — permanently unreadable
+        # (the schema lived only in the superseded old base). An
         # UNpartitioned empty write emits one zero-row parquet file
         # whose footer carries the full schema (partition column
         # included, as an ordinary column), keeping the empty index
@@ -556,7 +707,128 @@ def compact_index(
         folded.write.mode("errorifexists").partitionBy(
             partition_col
         ).parquet(staging)
-    os.rename(index_path, backup)
-    os.rename(staging, index_path)
-    shutil.rmtree(backup)
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    key: str = "doc_id",
+    partition_col: str = "band",
+) -> int:
+    """Fold every committed delta generation into a fresh base tree
+    and flip the manifest at it — the periodic compaction the
+    read-path cost note in the module docstring calls for (each
+    generation adds one anti-join + one union to every read;
+    compaction resets that to a plain scan). Returns the number of
+    generations folded (0 = nothing to do; the call still sweeps any
+    crash garbage). After compaction the next `write_index_delta`
+    starts again at gen=1 against the new base.
+
+    Write protocol: the folded index is materialized COMPLETELY under
+    `<index>/_base/v<N>/` (unreferenced — readers still fold the old
+    state), then ONE atomic manifest write commits it: new base, empty
+    generation list. There is no vacant window and no rename of data —
+    a crash before the flip leaves the old state fully readable with
+    the staging as garbage; a crash after it leaves the new state
+    fully readable with the old base + `_delta` as garbage; either
+    way the next call's manifest-anchored GC sweeps the residue. An
+    unreferenced trailing generation (interrupted writer) was never
+    part of the index, so it is swept with the rest.
+
+    Single-writer per index is the standing contract, and violations
+    are DETECTED: after staging, the manifest is re-read — if the
+    generation log advanced during the fold (a concurrent
+    `write_index_delta` committed), flipping would silently drop that
+    generation, so the staging is discarded and the call fails loudly
+    with the index untouched."""
+    import shutil
+
+    m = _read_manifest(index_path)
+    if m is None:
+        raise FileNotFoundError(
+            f"compact_index: no committed index at {index_path} — "
+            "nothing to compact"
+        )
+    _gc(index_path, m)  # sweep crash garbage from any prior attempt
+    gens = [os.path.join(index_path, rel) for rel in m["generations"]]
+    if not gens:
+        return 0
+    folded = _fold_generations(
+        spark, spark.read.parquet(_base_path(index_path, m)), gens, key
+    )
+    new_base_rel = os.path.join("_base", f"v{m['next_base']}")
+    staging = os.path.join(index_path, new_base_rel)
+    _stage_compacted_base(folded, staging, partition_col)
+    cur = _read_manifest_file(index_path) or m
+    if cur["generations"] != m["generations"] or cur["base"] != m["base"]:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_index: the generation log at {index_path} "
+            "advanced during the fold (a concurrent writer committed) "
+            "— flipping to the staged base would silently drop that "
+            "generation; staging was discarded, the index is "
+            "unchanged. Re-run compaction, or fix the caller violating "
+            "the single-writer-per-index contract"
+        )
+    new_m = {
+        "format": 1,
+        "base": new_base_rel,
+        "generations": [],
+        "next_gen": 1,
+        "next_base": m["next_base"] + 1,
+    }
+    _atomic_write_manifest(index_path, new_m)
+    _gc(index_path, new_m)  # old base + _delta are unreferenced now
     return len(gens)
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_path: str,
+    key: str = "doc_id",
+    partition_col: str = "band",
+    max_generations: int | None = None,
+    max_read_amplification: float | None = None,
+) -> int:
+    """The compaction POLICY: observe `index_stats`, compact when a
+    threshold is crossed — the "decide from observed state" loop that
+    makes the log-structured trade self-managing instead of a manual
+    chore (the reference's analog is the hourly key-exists idempotence
+    check before recomputing a summary,
+    update-contributor-scores.js:195-204). Returns the generations
+    folded (0 = below thresholds, or nothing to fold).
+
+    Two independent thresholds, either or both:
+    - `max_generations`: fire when committed generations reach N.
+      Costs only the manifest read + two change-sized counts — the
+      per-refresh default.
+    - `max_read_amplification`: fire when folded-plan reads per
+      surviving row reach τ. This needs `live_rows`, so ONLY when set
+      does the check pay the folded count (`include_live=True`) — and
+      only when the cheap generation check hasn't already decided. An
+      all-rows-tombstoned index reads amplification inf, which
+      correctly fires any τ; a legitimately empty compacted index
+      reads 1.0 and never re-fires (the policy converges).
+    """
+    if max_generations is None and max_read_amplification is None:
+        raise ValueError(
+            "maybe_compact: set max_generations and/or "
+            "max_read_amplification — with neither, the policy can "
+            "never fire and the call is a misconfiguration"
+        )
+    stats = index_stats(spark, index_path, key=key, include_live=False)
+    if stats["generations"] == 0:
+        return 0
+    fire = (
+        max_generations is not None
+        and stats["generations"] >= max_generations
+    )
+    if not fire and max_read_amplification is not None:
+        amp = index_stats(
+            spark, index_path, key=key, include_live=True
+        )["read_amplification"]
+        fire = amp >= max_read_amplification
+    if not fire:
+        return 0
+    return compact_index(spark, index_path, key=key,
+                         partition_col=partition_col)

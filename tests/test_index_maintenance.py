@@ -63,6 +63,21 @@ def _rows(df):
     return {(r.doc_id, r.band, r.bucket) for r in df.collect()}
 
 
+def _base_mtimes(path):
+    """mtime snapshot of the BASE data files — `_delta` generations and
+    the `_manifest.json` commit metadata excluded (the manifest is
+    rewritten on every commit by design; the claim under test is that
+    base DATA partitions are never rewritten)."""
+    return {
+        os.path.relpath(os.path.join(root, f), path):
+            os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        if "_delta" not in root
+        for f in files
+        if not f.startswith("_manifest")
+    }
+
+
 def test_apply_index_diff_equals_rebuild_minhash(spark):
     band_fn = _mh_band_fn()
     prev, cur = _prev_cur(spark)
@@ -139,13 +154,7 @@ def test_write_read_index_delta_end_to_end(spark, tmp_path):
     )
     path = str(tmp_path / "idx")
     minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
-    base_files = {
-        os.path.relpath(os.path.join(root, f), path):
-            os.path.getmtime(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        if "_delta" not in root
-        for f in files
-    }
+    base_files = _base_mtimes(path)
 
     g1 = write_index_delta(
         path, snapshot_diff(prev, cur, "doc_id", ["text"]), cur, band_fn
@@ -155,14 +164,9 @@ def test_write_read_index_delta_end_to_end(spark, tmp_path):
     )
     assert (g1, g2) == (1, 2)
     assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
-    after = {
-        os.path.relpath(os.path.join(root, f), path):
-            os.path.getmtime(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        if "_delta" not in root
-        for f in files
-    }
-    assert after == base_files, "maintenance rewrote base partitions"
+    assert _base_mtimes(path) == base_files, (
+        "maintenance rewrote base partitions"
+    )
 
 
 def test_index_delta_empty_sides(spark, tmp_path):
@@ -189,10 +193,11 @@ def test_index_delta_empty_sides(spark, tmp_path):
 
 
 def test_index_delta_uncommitted_generation_ignored(spark, tmp_path):
-    """Crash safety: a generation directory without both _SUCCESS
-    markers is invisible to the reader, and a committed generation
-    BEHIND it stays invisible too (folding over a gap would resurrect
-    tombstoned rows)."""
+    """Crash safety under the manifest protocol: a generation the
+    manifest does not name is invisible to the reader NO MATTER how
+    complete its data trees look — even with parquet _SUCCESS markers
+    present (a dead writer staged it; the atomic manifest write that
+    would have committed it never happened)."""
     band_fn = _mh_band_fn()
     prev, cur = _prev_cur(spark)
     path = str(tmp_path / "idx")
@@ -297,13 +302,7 @@ def test_write_read_index_delta_ivf_layout(spark, tmp_path):
     prev, cur, assign_fn = _ivf_fixture(spark)
     path = str(tmp_path / "ivf")
     assign_fn(prev).write.partitionBy("centroid_id").parquet(path)
-    base_files = {
-        os.path.relpath(os.path.join(root, f), path):
-            os.path.getmtime(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        if "_delta" not in root
-        for f in files
-    }
+    base_files = _base_mtimes(path)
     write_index_delta(
         path,
         snapshot_diff(prev, cur, "vec_id", ["embedding"]),
@@ -316,14 +315,9 @@ def test_write_read_index_delta_ivf_layout(spark, tmp_path):
     assert _ivf_rows(read_index(spark, path, key="vec_id")) == _ivf_rows(
         assign_fn(cur)
     )
-    after = {
-        os.path.relpath(os.path.join(root, f), path):
-            os.path.getmtime(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        if "_delta" not in root
-        for f in files
-    }
-    assert after == base_files, "maintenance rewrote base list dirs"
+    assert _base_mtimes(path) == base_files, (
+        "maintenance rewrote base list dirs"
+    )
     # compaction generalizes to the list layout too: fold the
     # generation into a fresh centroid-partitioned base
     assert compact_index(spark, path, key="vec_id",
@@ -642,13 +636,15 @@ def test_compact_index_survives_fully_tombstoned_fold(spark, tmp_path):
     assert _rows(read_index(spark, path)) == _rows(band_fn(prev))
 
 
-def test_compact_index_recovers_mid_swap_crash(spark, tmp_path):
-    """A compaction that died exactly between the two renames leaves
-    the index path VACANT with both full trees beside it. The re-run
-    must recover — complete the swap when staging committed, roll the
-    backup in otherwise — and must NEVER sweep while the path is
-    vacant (sweeping first would rmtree the only two copies)."""
+def test_compact_crash_windows_are_manifest_visibility(spark, tmp_path):
+    """The manifest protocol's crash story: at EVERY crash point the
+    index is exactly what the manifest names — there is no vacant
+    window. A crash before the flip leaves the old state readable with
+    the staged base as unreferenced garbage; a crash after it leaves
+    the new state readable with the old trees as garbage; the next
+    compaction call's manifest-anchored GC sweeps either residue."""
     from github_event_etl_spark.operators.index_maintenance import (
+        _read_manifest_file,
         compact_index,
         read_index,
     )
@@ -662,50 +658,118 @@ def test_compact_index_recovers_mid_swap_crash(spark, tmp_path):
             path, snapshot_diff(prev, cur, "doc_id", ["text"]), cur, band_fn
         )
 
-    # case 1: staging committed (crash after the first rename) — the
-    # re-run completes the swap; folded state, no generations left
+    # crash point 1: staging fully written, manifest NOT yet flipped —
+    # readers still see base + generation (old state), and the re-run
+    # clears the stale staging, restages, and commits
     p1 = str(tmp_path / "idx1")
     build(p1)
     read_index(spark, p1).write.partitionBy("band").parquet(
-        p1 + ".compacting"
+        os.path.join(p1, "_base", "v1")  # simulated dead compactor
     )
-    os.rename(p1, p1 + ".precompact")
-    assert compact_index(spark, p1) == 0  # recovered; nothing to fold
-    assert os.path.exists(p1)
-    assert not os.path.exists(p1 + ".compacting")
-    assert not os.path.exists(p1 + ".precompact")
-    assert _rows(spark.read.parquet(p1)) == _rows(band_fn(cur))
+    assert len(_committed_generations(p1)) == 1  # staging invisible
+    assert _rows(read_index(spark, p1)) == _rows(band_fn(cur))
+    assert compact_index(spark, p1) == 1
+    m1 = _read_manifest_file(p1)
+    assert m1["base"] == os.path.join("_base", "v1")
+    assert m1["generations"] == []
+    assert _rows(read_index(spark, p1)) == _rows(band_fn(cur))
 
-    # case 2: staging UNCOMMITTED (no _SUCCESS) — the re-run rolls the
-    # backup in and compacts it normally
+    # crash point 2: manifest flipped, GC never ran — new state is
+    # live; the superseded root base files + _delta are garbage the
+    # next call sweeps (returning 0: nothing to fold)
     p2 = str(tmp_path / "idx2")
     build(p2)
-    os.rename(p2, p2 + ".precompact")
-    os.makedirs(p2 + ".compacting", exist_ok=True)  # junk, no _SUCCESS
-    assert compact_index(spark, p2) == 1  # rolled back, then folded
-    assert _rows(spark.read.parquet(p2)) == _rows(band_fn(cur))
-    assert not os.path.exists(p2 + ".compacting")
-    assert not os.path.exists(p2 + ".precompact")
+    assert compact_index(spark, p2) == 1
+    # recreate post-flip garbage a crashed GC would have left
+    os.makedirs(os.path.join(p2, "_delta", "gen=9"), exist_ok=True)
+    os.makedirs(os.path.join(p2, "_base", "v0"), exist_ok=True)
+    open(os.path.join(p2, "_SUCCESS"), "w").close()  # old "." base relic
+    assert _rows(read_index(spark, p2)) == _rows(band_fn(cur))
+    assert compact_index(spark, p2) == 0  # GC-only call
+    assert not os.path.isdir(os.path.join(p2, "_delta"))
+    assert not os.path.isdir(os.path.join(p2, "_base", "v0"))
+    assert not os.path.exists(os.path.join(p2, "_SUCCESS"))
+    assert _rows(read_index(spark, p2)) == _rows(band_fn(cur))
 
-    # case 3: a stray UNCOMMITTED directory recreated at the vacant
-    # path (no base _SUCCESS) must not disarm recovery — it is residue,
-    # cleared so the committed staging can land
+    # crash point 3: a torn manifest write leaves only .inprogress —
+    # the committed manifest still governs; the residue is swept
     p3 = str(tmp_path / "idx3")
     build(p3)
-    read_index(spark, p3).write.partitionBy("band").parquet(
-        p3 + ".compacting"
-    )
-    os.rename(p3, p3 + ".precompact")
-    os.makedirs(os.path.join(p3, "_delta", "gen=1"), exist_ok=True)  # stray
-    assert compact_index(spark, p3) == 0
-    assert _rows(spark.read.parquet(p3)) == _rows(band_fn(cur))
-    assert not os.path.exists(p3 + ".precompact")
+    inprog = os.path.join(p3, "_manifest.json.inprogress")
+    with open(inprog, "w") as f:
+        f.write("{ torn json")
+    assert _rows(read_index(spark, p3)) == _rows(band_fn(cur))
+    assert compact_index(spark, p3) == 1
+    assert not os.path.exists(inprog)
 
-    # case 4: nothing to recover from — loud error, no silent 0
-    import pytest as _pytest
-
-    with _pytest.raises(FileNotFoundError, match="no recoverable"):
+    # no index at all — loud error, no silent 0
+    with pytest.raises(FileNotFoundError, match="no committed index"):
         compact_index(spark, str(tmp_path / "never_existed"))
+
+
+def test_concurrent_writer_detected_not_silently_lost(spark, tmp_path):
+    """The single-writer contract is ENFORCED, not just documented:
+    (a) a compaction that folds gens 1..N while a concurrent
+    write_index_delta commits gen N+1 must ABORT — flipping would
+    silently drop that generation — leaving the index unchanged and
+    the staging discarded; (b) a generation commit whose slot was
+    taken by a concurrent writer must abort the same way."""
+    from unittest import mock
+
+    from github_event_etl_spark.operators import index_maintenance as im
+
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    nxt = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (9, "late concurrent doc")],
+        DOCS_SCHEMA,
+    )
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    write_index_delta(
+        path, snapshot_diff(prev, cur, "doc_id", ["text"]), cur, band_fn
+    )
+
+    # (a) sneak a concurrent generation commit in between compaction's
+    # staging write and its commit check
+    real_stage = im._stage_compacted_base
+
+    def stage_then_race(folded, staging, partition_col):
+        real_stage(folded, staging, partition_col)
+        write_index_delta(
+            path, snapshot_diff(cur, nxt, "doc_id", ["text"]), nxt, band_fn
+        )
+
+    with mock.patch.object(
+        im, "_stage_compacted_base", side_effect=stage_then_race
+    ):
+        with pytest.raises(RuntimeError, match="advanced during the fold"):
+            compact_index(spark, path)
+    # nothing lost, nothing flipped: both generations fold, staging gone
+    assert len(_committed_generations(path)) == 2
+    assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
+    assert not os.path.isdir(os.path.join(path, "_base", "v1"))
+    # and the aborted compaction can simply re-run now
+    assert compact_index(spark, path) == 2
+    assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
+
+    # (b) generation-slot race: entry-time manifest says next_gen=1,
+    # but a concurrent writer commits gen=1 before our commit lands
+    p2 = str(tmp_path / "idx2")
+    minhash_write_index(prev, p2, num_bands=2, rows_per_band=2, k=2)
+    stale_m = im._read_manifest(p2)  # next_gen == 1
+    write_index_delta(
+        p2, snapshot_diff(prev, cur, "doc_id", ["text"]), cur, band_fn
+    )  # the concurrent writer takes slot 1
+    staged = os.path.join(p2, "_delta", "gen=1-loser")
+    os.makedirs(staged, exist_ok=True)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        im._commit_generation(
+            p2, stale_m, 1, os.path.join("_delta", "gen=1-loser"), staged
+        )
+    assert not os.path.isdir(staged)  # loser's staging discarded
+    assert len(_committed_generations(p2)) == 1
+    assert _rows(read_index(spark, p2)) == _rows(band_fn(cur))
 
 
 def test_index_stats_tracks_generations_and_compaction(spark, tmp_path):
@@ -722,7 +786,7 @@ def test_index_stats_tracks_generations_and_compaction(spark, tmp_path):
     path = str(tmp_path / "idx")
     minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
 
-    s0 = index_stats(spark, path)
+    s0 = index_stats(spark, path, include_live=True)
     assert s0["generations"] == 0
     assert not s0["uncommitted_residue"]
     assert s0["base_rows"] == s0["live_rows"] > 0
@@ -730,32 +794,174 @@ def test_index_stats_tracks_generations_and_compaction(spark, tmp_path):
 
     diff = snapshot_diff(prev, cur, "doc_id", ["text"])
     write_index_delta(path, diff, cur, band_fn)
-    # strand an uncommitted gen=2 next to the committed one
+    # strand an unreferenced gen=2 next to the committed one
     os.makedirs(os.path.join(path, "_delta", "gen=2", "tombstones"),
                 exist_ok=True)
-    s1 = index_stats(spark, path)
+    s1 = index_stats(spark, path, include_live=True)
     assert s1["generations"] == 1
     assert s1["uncommitted_residue"]
     assert s1["tombstone_rows"] > 0 and s1["append_rows"] > 0
     assert s1["live_rows"] == band_fn(cur).count()
     assert s1["read_amplification"] > 1.0
 
+    # the default SKIPS the folded count — a per-refresh monitoring
+    # hook must not pay a reader-sized scan; volumes still reported
+    s1_cheap = index_stats(spark, path)
+    assert s1_cheap["live_rows"] is None
+    assert s1_cheap["read_amplification"] is None
+    assert s1_cheap["generations"] == 1
+    assert s1_cheap["tombstone_rows"] == s1["tombstone_rows"]
+    assert s1_cheap["append_rows"] == s1["append_rows"]
+
     compact_index(spark, path)
-    s2 = index_stats(spark, path)
+    s2 = index_stats(spark, path, include_live=True)
     assert s2["generations"] == 0
     assert not s2["uncommitted_residue"]
     assert s2["base_rows"] == s2["live_rows"] == s1["live_rows"]
     assert s2["read_amplification"] == 1.0
 
 
+def test_index_stats_empty_index_amplification_is_finite(spark, tmp_path):
+    """A legitimately EMPTY index — every row tombstoned, then
+    compacted — reads amplification 1.0 (readers scan nothing to get
+    nothing); inf is reserved for the all-rows-tombstoned-but-
+    UNCOMPACTED state, where readers scan everything for nothing. A
+    policy keyed on the metric therefore fires exactly once on the
+    anomalous state and converges after the compaction fixes it."""
+    from github_event_etl_spark.operators.index_maintenance import (
+        index_stats,
+    )
+
+    band_fn = _mh_band_fn()
+    prev, _ = _prev_cur(spark)
+    empty = prev.filter("doc_id < 0")
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    write_index_delta(
+        path, snapshot_diff(prev, empty, "doc_id", ["text"]), empty, band_fn
+    )
+    s_anom = index_stats(spark, path, include_live=True)
+    assert s_anom["live_rows"] == 0
+    assert s_anom["read_amplification"] == float("inf")
+
+    compact_index(spark, path)
+    s_empty = index_stats(spark, path, include_live=True)
+    assert s_empty["base_rows"] == s_empty["live_rows"] == 0
+    assert s_empty["read_amplification"] == 1.0
+
+
+def test_maybe_compact_policy_fires_exactly_at_thresholds(spark, tmp_path):
+    """The closed loop: a change stream with a generation-count policy
+    compacts exactly when the threshold is reached — never before,
+    automatically, with folded state ≡ a from-scratch rebuild — and
+    the amplification policy fires on the inf anomaly then converges.
+    Compactions are counted from the manifest's next_base, which
+    increments once per flip."""
+    from github_event_etl_spark.operators.index_maintenance import (
+        _read_manifest,
+        index_stats,
+        maybe_compact,
+        refresh_index_from_change_stream,
+    )
+
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    nxt = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "one two three four five six"),
+            (4, "freshly crawled document text, edited again"),
+            (6, "a second brand new doc"),
+        ],
+        DOCS_SCHEMA,
+    )
+
+    def changes(a, b):
+        return (
+            snapshot_diff(a, b, "doc_id", ["text"])
+            .select("doc_id", "change_type")
+            .join(b.select("doc_id", "text"), "doc_id", "left")
+            .select("doc_id", "change_type", "text")
+        )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    f1, f2 = str(src / "b1.json"), str(src / "b2.json")
+    changes(prev, cur).toPandas().to_json(
+        f1, orient="records", lines=True
+    )
+    changes(cur, nxt).toPandas().to_json(
+        f2, orient="records", lines=True
+    )
+    os.utime(f1, (1_000_000_000, 1_000_000_000))
+    os.utime(f2, (1_000_000_100, 1_000_000_100))
+
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    refresh_index_from_change_stream(
+        spark.readStream.schema(
+            "doc_id long, change_type string, text string"
+        ).option("maxFilesPerTrigger", 1).json(str(src)),
+        path,
+        band_fn,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_generations=2,
+    )
+    m = _read_manifest(path)
+    # batch 1 → 1 gen (below threshold, no compaction: next_base
+    # still 1 would mean... it is 2 ⇒ exactly ONE flip happened);
+    # batch 2 → 2 gens ≥ threshold → compacted
+    assert m["next_base"] == 2, "compaction fired a wrong number of times"
+    assert m["generations"] == []
+    assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
+
+    # below-threshold call is a no-op; threshold crossing fires
+    assert maybe_compact(spark, path, max_generations=2) == 0
+    b3 = spark.createDataFrame(
+        [(7, "added", "one more doc")],
+        "doc_id long, change_type string, text string",
+    )
+    write_index_delta(path, b3, b3, band_fn)
+    assert maybe_compact(spark, path, max_generations=2) == 0  # 1 < 2
+    assert maybe_compact(spark, path, max_generations=1) == 1
+
+    # amplification policy: all-rows-tombstoned reads inf → any τ
+    # fires; the freshly compacted EMPTY index reads 1.0 → converged
+    empty = prev.filter("doc_id < 0")
+    cur_after = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "one two three four five six"),
+            (4, "freshly crawled document text, edited again"),
+            (6, "a second brand new doc"),
+            (7, "one more doc"),
+        ],
+        DOCS_SCHEMA,
+    )
+    write_index_delta(
+        path,
+        snapshot_diff(cur_after, empty, "doc_id", ["text"]),
+        empty,
+        band_fn,
+    )
+    assert maybe_compact(spark, path, max_read_amplification=2.0) == 1
+    assert index_stats(spark, path, include_live=True)[
+        "read_amplification"
+    ] == 1.0
+    assert maybe_compact(spark, path, max_read_amplification=2.0) == 0
+
+    # neither threshold set is a misconfiguration, not a silent no-op
+    with pytest.raises(ValueError, match="max_generations"):
+        maybe_compact(spark, path)
+
+
 def test_compact_index_folds_generations_and_resets(spark, tmp_path):
     """The log-structured trade's other half: after compaction the
     read is a plain scan again (no _delta), equals the fully folded
     state, the generation counter resets to 1 for the next refresh,
-    and an idle compact is a no-op. An UNCOMMITTED trailing generation
-    — invisible to readers by the crash-safety contract — is dropped
-    with the rest of _delta, and no staging/backup trees are left
-    behind."""
+    and an idle compact is a no-op. An UNREFERENCED trailing
+    generation — invisible to readers by the manifest contract — is
+    swept with the rest of _delta."""
     from github_event_etl_spark.operators.index_maintenance import (
         compact_index,
     )
@@ -778,8 +984,6 @@ def test_compact_index_folds_generations_and_resets(spark, tmp_path):
 
     assert compact_index(spark, path) == 1  # only the committed gen
     assert not os.path.isdir(os.path.join(path, "_delta"))
-    assert not os.path.exists(path + ".compacting")
-    assert not os.path.exists(path + ".precompact")
     assert _rows(read_index(spark, path)) == _rows(band_fn(cur))
     # the counter reset: next refresh writes gen=1 against the new base
     g = write_index_delta(
