@@ -665,6 +665,69 @@ def ann_ivf_pq(
     )
 
 
+def ann_ivf_pq_refine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine_r: int = 30,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-rank refinement after IVF-PQ ADC — the FAISS
+    IVFADC+refine shape (the PAPERS.md similarity-search anchor):
+    ADC's quantized distances choose a candidate SHORTLIST
+    (`refine_r` ≥ k per query), then only those Q·refine_r rows join
+    back to their TRUE embeddings and are re-scored with exact cosine
+    for the final top-k. Returns (qid, rnk, nid, sim_r) — the same
+    shape as `knn_bruteforce`, because the whole point is to close the
+    recall gap toward it: ADC's 4-bit codes blur near-ties, and the
+    exact re-rank reorders (and, vs a straight ADC top-k, recovers)
+    the neighbors the quantization scrambled at the cut line —
+    recall@k(refined) ≥ recall@k(ADC top-k) is pinned in pytest.
+
+    Scale shape: the corpus is touched exactly ONCE beyond the ADC
+    stage — the candidate list (Q·refine_r rows, tiny by construction)
+    is BROADCAST into a semi-sized equi-join against the embedding
+    scan, so no corpus shuffle and no second full read of the packed
+    codes; the query vectors broadcast likewise. Everything is
+    built-in column arithmetic (the shared `cosine` expression), fully
+    deterministic (md5 seeding upstream, (sim DESC, nid) tie-break
+    here), so the composition carries a full value oracle end to end
+    (queries_llm: llm_ann_ivf_pq_refine)."""
+    cands = ann_ivf_pq(
+        corpus, queries, k=refine_r, num_centroids=num_centroids,
+        nprobe=nprobe, num_subspaces=num_subspaces,
+        num_codewords=num_codewords, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    ).select("qid", "nid")
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec")
+    )
+    rescored = (
+        corpus.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("n_vec")
+        )
+        .join(F.broadcast(cands), "nid")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "nid",
+            cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "nid", F.round("sim", 6).alias("sim_r"))
+    )
+
+
 def ivf_write_index(
     corpus: DataFrame,
     path: str,

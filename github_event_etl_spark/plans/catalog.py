@@ -69,17 +69,17 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 # the change). Once the post-change verification lands, the key
 # rejoins normal staleness ordering — a forgotten entry cannot
 # permanently hog the 50-key budget.
-_CHANGED_AFTER_ROUND = 16  # round-17 edits; r01-r16 artifacts predate them
+_CHANGED_AFTER_ROUND = 17  # round-18 edits; r01-r17 artifacts predate them
 
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # round 17: no output-semantics changes. The r17 diff is additive
-    # (the new llm_index_apply_diff key, a never-checked front-rider)
-    # plus result-identical refactors: llm_corpus_snapshot_diff's
-    # fixture hoisted into shared _snap_prev/_snap_cur builders with a
-    # byte-identical oracle string (checked at edit time), and guards
-    # that only ADD fail-fast paths (snapshot_diff assert_unique,
-    # _plane_matrix seed-namespace). (r16's llm_incremental_e2e_report
-    # entry self-cleared with its green row in CORRECTNESS_r16.)
+    # round 18: no output-semantics changes. The r18 diff is additive
+    # (the new llm_ann_ivf_pq_refine key, a never-checked front-rider)
+    # plus result-identical refactors: llm_ann_ivf_pq's oracle CTE
+    # chain hoisted into the shared _ivf_pq_rank_ctes builder with a
+    # byte-identical oracle string (md5-checked at edit time), and the
+    # index-maintenance PHYSICAL layer's commit protocol ported to a
+    # manifest — no catalog key touches that layer (both *_apply_diff
+    # keys run the logical apply_index_diff, unchanged).
 })
 
 # Keys added when the current round's 50-key verification window is
@@ -121,28 +121,24 @@ def staleness_bound_rounds() -> int:
     ceil(registry size / driver window)."""
     n = len(all_specs())
     return -(-n // _DRIVER_KEYS_PER_ROUND)
-_DEFER_NEW_UNTIL_ROUND = 17
+_DEFER_NEW_UNTIL_ROUND = 18
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # r17 window arithmetic: the two r16 deferrals self-cleared when
-    # CORRECTNESS_r16 landed and lead r17's window as never-checked
-    # front-riders, joined by the one in-window r17 admission
-    # (llm_index_apply_diff) — 3 never-checked + 45 r14-stale +
-    # 2 oldest-r15 = 50, verified against _rounds_checked_green() at
-    # edit time. That key rides WITHIN the ~3/round budget (it
-    # displaces one r15 rotation, not a stale r14 key), so after r17
-    # no key's latest green row predates r15. The SECOND r17 addition
-    # below arrived with the window already exactly full, so it defers
-    # through r17's driver run (newest artifact r16 < 17) and
-    # SELF-CLEARS when CORRECTNESS_r17 lands, jumping to the front of
-    # r18's window as never-checked — no manual sweep needed (the r16
-    # pair's sweep was needed because their constant said 17 for keys
-    # that should activate on the r16 artifact, i.e. one too high);
-    # it is sf0.01-verified via tools/driver_sim.py this round (see
-    # SURVEY §2's row note).
-    # Registry 149 ≤ 150, so staleness_bound_rounds() holds at 3;
-    # 1 admission slot remains before the bound flips to 4 and the
-    # pre-identified indexed-twin consolidation (above) fires.
-    "llm_ivf_apply_diff",
+    # r18 window arithmetic: r17's one deferral (llm_ivf_apply_diff)
+    # SELF-CLEARED when CORRECTNESS_r17 landed (17 < 17 is false) and
+    # leads r18's window as the never-checked front-rider, joined by
+    # the one in-window r18 admission (llm_ann_ivf_pq_refine) —
+    # 2 never-checked + 48 r15-stale = 50, verified against
+    # _rounds_checked_green() at edit time. The admission rides WITHIN
+    # the ~3/round budget: it displaces the single oldest-r16 rotation
+    # (re-checked r19 inside the 3-round bound), not a stale r15 key,
+    # so after r18 no key's latest green row predates r16 — the
+    # round's gate. No key needs deferral this round; the set is empty
+    # (kept, with its self-clearing arithmetic, for the next
+    # over-budget admission).
+    # Registry 150 = the bound boundary: staleness_bound_rounds()
+    # holds at 3 with ZERO admission slots left — the NEXT admission
+    # must first execute the pre-identified indexed-twin consolidation
+    # (above) or the bound flips to 4.
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

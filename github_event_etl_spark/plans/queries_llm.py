@@ -34,6 +34,7 @@ from ..operators.similarity import (
     ann_ivf,
     ann_ivf_partitioned,
     ann_ivf_pq,
+    ann_ivf_pq_refine,
     ann_lsh,
     ann_recall,
     cosine,
@@ -1680,11 +1681,15 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivf_pq_oracle() -> str:
+def _ivf_pq_rank_ctes() -> str:
     # IVF probe set composed over the PQ CTE chain: candidates come
     # from the probed inverted lists only, scored by ADC lookups into
     # the query's own precomputed subspace distances (same scalar-
     # subquery form as _ann_pq_oracle, same left-to-right addition).
+    # Shared by the straight ADC top-k oracle (llm_ann_ivf_pq) and the
+    # exact-re-rank refinement oracle (llm_ann_ivf_pq_refine) — one
+    # chain, so the two keys can never drift on the candidate stage;
+    # hoisted byte-identically from the r17 _ann_ivf_pq_oracle body.
     adist = " + ".join(
         f"(SELECT d.d{s} FROM dists d"
         f" WHERE d.vec_id = p.qid AND d.code_rank = c.c{s})"
@@ -1729,9 +1734,47 @@ def _ann_ivf_pq_oracle() -> str:
              row_number() OVER (PARTITION BY qid
                                 ORDER BY adist, nid) AS rnk
       FROM scored
+    )"""
     )
+
+
+def _ann_ivf_pq_oracle() -> str:
+    return (
+        _ivf_pq_rank_ctes()
+        + f"""
     SELECT qid, CAST(rnk AS INTEGER) AS rnk, nid, adist
     FROM r WHERE rnk <= {_KNN_K}
+    """
+    )
+
+
+_REFINE_R = 30  # ADC shortlist per query; 3×k, the FAISS refine habit
+
+
+def _ann_ivf_pq_refine_oracle() -> str:
+    # exact re-rank tail over the SAME ADC ranking chain: the top
+    # refine_r ADC candidates join back to their true embeddings and
+    # re-rank by exact cosine — the knn_bruteforce output convention
+    # (qid, rnk, nid, sim_r), because refinement's claim is measured
+    # against exact search.
+    return (
+        _ivf_pq_rank_ctes()
+        + f""",
+    cand AS (SELECT qid, nid FROM r WHERE rnk <= {_REFINE_R}),
+    rescored AS (
+      SELECT cand.qid, cand.nid, {_cos_sql('a.v', 'b.v')} AS sim
+      FROM cand
+      JOIN e a ON a.vec_id = cand.qid
+      JOIN e b ON b.vec_id = cand.nid
+    ),
+    rr AS (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, nid) AS rnk
+      FROM rescored
+    )
+    SELECT qid, CAST(rnk AS INTEGER) AS rnk, nid, round(sim, 6) AS sim_r
+    FROM rr WHERE rnk <= {_KNN_K}
     """
     )
 
@@ -1753,6 +1796,37 @@ def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         queries,
         k=_KNN_K,
+        num_centroids=16,
+        nprobe=4,
+        num_subspaces=_PQ_SUBSPACES,
+        num_codewords=_PQ_CODEWORDS,
+        dim=_PQ_SUBSPACES * _PQ_DSUB,
+    )
+
+
+@query(
+    "llm_ann_ivf_pq_refine",
+    oracle=_ann_ivf_pq_refine_oracle(),
+    tags=("llm", "similarity"),
+)
+def llm_ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-rank refinement — the FAISS IVFADC+refine
+    deployment shape (operators/similarity.py:ann_ivf_pq_refine):
+    ADC's quantized ranking shortlists the top-30 candidates per
+    query, and ONLY that Q×30 frame joins back to true embeddings for
+    an exact-cosine final top-10. Corpus cost is unchanged from
+    llm_ann_ivf_pq (one probe over the packed inverted lists) plus one
+    broadcast-semi-sized embedding fetch; recall@k moves toward brute
+    force — recall@k(refined) ≥ recall@k(straight ADC top-k), pinned
+    in pytest against llm_knn_bruteforce ground truth. Output is the
+    knn_bruteforce shape (qid, rnk, nid, sim_r), full value oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
+    return ann_ivf_pq_refine(
+        emb,
+        queries,
+        k=_KNN_K,
+        refine_r=_REFINE_R,
         num_centroids=16,
         nprobe=4,
         num_subspaces=_PQ_SUBSPACES,

@@ -1129,6 +1129,58 @@ def test_ann_ivf_pq_recall_floor_and_subset(emb):
         assert dists == sorted(dists), f"adist not ascending for {qid}"
 
 
+def test_ann_ivf_pq_refine_recall_dominates_adc(emb):
+    """Exact re-rank refinement (the FAISS IVFADC+refine shape):
+    (a) recall@k(refined) ≥ recall@k(straight ADC top-k) against
+    brute-force ground truth — guaranteed, not just empirical: a true
+    top-k neighbor that makes the ADC shortlist cannot be outranked by
+    ten shortlist members under EXACT cosine (they would be true
+    top-k themselves), so every ADC-top-k hit survives refinement;
+    (b) the refined set ⊆ the ADC top-refine_r shortlist (refinement
+    reorders candidates, never fabricates them); (c) sim_r values
+    agree with brute force's exact cosine on shared pairs; (d) ranks
+    are dense 1..k with sim descending."""
+    from github_event_etl_spark.operators.similarity import (
+        ann_ivf_pq,
+        ann_ivf_pq_refine,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 8)
+    kw = dict(num_centroids=16, nprobe=4, num_subspaces=8,
+              num_codewords=16, dim=64)
+    bf_rows = knn_bruteforce(emb, qs, k=10).collect()
+    bf = {(r.qid, r.nid) for r in bf_rows}
+    adc = {(r.qid, r.nid) for r in ann_ivf_pq(emb, qs, k=10, **kw).collect()}
+    shortlist = {
+        (r.qid, r.nid) for r in ann_ivf_pq(emb, qs, k=30, **kw).collect()
+    }
+    refined_rows = ann_ivf_pq_refine(
+        emb, qs, k=10, refine_r=30, **kw
+    ).collect()
+    refined = {(r.qid, r.nid) for r in refined_rows}
+
+    assert len(bf & refined) >= len(bf & adc), (
+        "refinement lowered recall vs the straight ADC top-k"
+    )
+    assert len(bf & refined) > 0
+    assert refined <= shortlist, "refinement fabricated candidates"
+    # exact-cosine agreement with brute force on shared pairs
+    bf_sim = {(r.qid, r.nid): r.sim_r for r in bf_rows}
+    for r in refined_rows:
+        if (r.qid, r.nid) in bf_sim:
+            assert abs(r.sim_r - bf_sim[(r.qid, r.nid)]) < 1e-9
+    by_q = {}
+    for r in refined_rows:
+        by_q.setdefault(r.qid, []).append((r.rnk, r.sim_r))
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True), (
+            f"sim not descending for {qid}"
+        )
+
+
 def test_kmeans_refine_matches_python_model(spark, sf_dir):
     """The fixed-point Lloyd refinement must agree exactly with a
     sequential model: same floor-micros quantization, same md5-rank

@@ -291,6 +291,32 @@ def test_ann_ivf_pq_probes_lists_by_equi_join(qmap, spark, sf_dir):
     assert "centroid_id" in plan
 
 
+def test_ann_ivf_pq_refine_fetch_is_broadcast(qmap, spark, sf_dir):
+    """Refinement must add EXACTLY two broadcast hash joins to the ADC
+    plan — the Q×refine_r candidate shortlist broadcast into an
+    equi-join against the embedding scan, and the query-vector attach
+    — and NOTHING else: no additional shuffle join (SortMergeJoin
+    count unchanged from llm_ann_ivf_pq — the base's two are the
+    in-memory flavor's corpus-sized list build, shared by both keys),
+    no cartesian, and the exact-cosine re-rank is plain column
+    arithmetic (no Python of any kind in the plan)."""
+    base = tree_of(plan_of(qmap, spark, sf_dir, "llm_ann_ivf_pq"))
+    tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_ann_ivf_pq_refine"))
+    assert "CartesianProduct" not in tree
+    assert "ArrowEvalPython" not in tree
+    assert "BatchEvalPython" not in tree
+    assert tree.count("SortMergeJoin") == base.count("SortMergeJoin"), (
+        "refinement added a shuffle join"
+    )
+    assert (
+        tree.count("BroadcastHashJoin")
+        == base.count("BroadcastHashJoin") + 2
+    )
+    assert tree.count("BroadcastNestedLoopJoin") == base.count(
+        "BroadcastNestedLoopJoin"
+    )
+
+
 def test_kmeans_assign_is_mapside_struct_min(qmap, spark, sf_dir):
     """Each k-means assignment must be a partial-aggregated struct-min
     (one compact row per vector crosses the shuffle), never a
