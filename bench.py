@@ -64,6 +64,10 @@ HEADLINE = [
 # merge_upsert stays) and gapfill_hourly (0.298/0.319/0.252/0.388,
 # never flagged; gapfill_interp_reading keeps the family's census
 # seat — the line-budget test still counts 5-component headroom).
+# Retired r18 (making room for llm_ann_ivf_pq_refine):
+# profile_drift (0.608/0.492/0.924/0.727 across r14-r17, never
+# flagged; the approx + histogram_eqdepth siblings keep the profile
+# family's census seats).
 COMPONENTS = [
     "stream_interval_join",
     "stream_interval_join_outer",
@@ -73,7 +77,6 @@ COMPONENTS = [
     "profile_table_approx",
     "merge_upsert",
     "join_bucketed_colocated",
-    "profile_drift",
     "gapfill_interp_reading",
     "profile_histogram_eqdepth",
     "llm_dedup_semantic",
@@ -85,6 +88,7 @@ COMPONENTS = [
     "llm_embed_random_projection",
     "llm_index_apply_diff",
     "llm_ivf_apply_diff",
+    "llm_ann_ivf_pq_refine",
 ]
 # Composed end-to-end pipelines (plans/pipelines.py), benched in their
 # own section under job-sized parallelism — OUT of the headline total,
