@@ -10,6 +10,7 @@ generations), and the change-sized plan shape."""
 import os
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from github_event_etl_spark.operators.index_maintenance import (
@@ -991,6 +992,88 @@ def test_compact_index_folds_generations_and_resets(spark, tmp_path):
     )
     assert g == 1
     assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    first=st.dictionaries(
+        keys=st.integers(min_value=0, max_value=6),
+        values=st.integers(min_value=0, max_value=3),
+        min_size=1,  # the *_write_index builders require a non-empty
+        max_size=6,  # corpus (partitioned empty write has no schema);
+        # LATER snapshots may go empty — the all-removed case is the
+        # interesting one and stays covered
+    ),
+    rest=st.lists(
+        st.dictionaries(
+            keys=st.integers(min_value=0, max_value=6),
+            values=st.integers(min_value=0, max_value=3),
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    compact_mask=st.lists(st.booleans(), min_size=3, max_size=3),
+    junk_mask=st.lists(st.booleans(), min_size=3, max_size=3),
+)
+def test_maintenance_sequence_equals_rebuild_property(
+    spark, first, rest, compact_mask, junk_mask
+):
+    """The manifest protocol's global invariant, hypothesis-pinned:
+    for ANY snapshot sequence with ANY interleaving of compactions and
+    crash residue (unreferenced generation dirs and stale staged
+    bases, injected mid-sequence), the folded read after every step
+    equals a from-scratch banding of the step's snapshot — crashes
+    and compaction timing are invisible to readers, only the manifest
+    speaks. Ends with a final compaction whose result must still equal
+    the rebuild (including the all-docs-removed empty-index case the
+    strategy can generate)."""
+    import shutil
+    import tempfile
+
+    band_fn = _mh_band_fn()
+
+    def frame(snap):
+        rows = [
+            (k, f"text variant {v} of document {k}")
+            for k, v in sorted(snap.items())
+        ]
+        return spark.createDataFrame(rows or [], DOCS_SCHEMA)
+
+    root = tempfile.mkdtemp(prefix="idx_prop_")
+    path = os.path.join(root, "idx")
+    try:
+        prev = frame(first)
+        minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+        for i, snap in enumerate(rest):
+            cur = frame(snap)
+            write_index_delta(
+                path,
+                snapshot_diff(prev, cur, "doc_id", ["text"]),
+                cur,
+                band_fn,
+            )
+            if junk_mask[i % 3]:
+                # crash residue: an unreferenced generation staged by a
+                # dead writer and an abandoned compaction staging tree
+                os.makedirs(
+                    os.path.join(path, "_delta", "gen=77", "tombstones"),
+                    exist_ok=True,
+                )
+                os.makedirs(
+                    os.path.join(path, "_base", "v77"), exist_ok=True
+                )
+            if compact_mask[i % 3]:
+                compact_index(spark, path)
+            assert _rows(read_index(spark, path)) == _rows(band_fn(cur)), (
+                f"step {i}: folded state diverged from rebuild"
+            )
+            prev = cur
+        compact_index(spark, path)
+        final = _rows(read_index(spark, path))
+        assert final == _rows(band_fn(prev))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _simple_plan(df):
