@@ -1086,6 +1086,40 @@ def _simple_plan(df):
     return buf.getvalue()
 
 
+def test_read_index_fold_plan_is_broadcast_only(spark, tmp_path):
+    """The merge-on-read READ path's scale gate: each committed
+    generation folds as one BROADCAST anti-join (change-sized
+    tombstones) plus one union — the corpus-sized base never
+    shuffles (no SortMergeJoin, no cartesian), and the fold is pure
+    JVM (no Python stage). Two generations ⇒ exactly THREE broadcast
+    anti-joins: Catalyst pushes gen-2's anti-join below gen-1's union
+    (base⊖t1⊖t2 and a1⊖t2 — correct, each branch still only ever
+    builds a change-sized tombstone side). The triangular growth of
+    this pushed-down shape with generation count is the read-path
+    cost `maybe_compact` exists to bound."""
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    nxt = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (9, "one more snapshot")],
+        DOCS_SCHEMA,
+    )
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    write_index_delta(
+        path, snapshot_diff(prev, cur, "doc_id", ["text"]), cur, band_fn
+    )
+    write_index_delta(
+        path, snapshot_diff(cur, nxt, "doc_id", ["text"]), nxt, band_fn
+    )
+    plan = _simple_plan(read_index(spark, path))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert plan.count("LeftAnti") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_apply_index_diff_plan_is_change_sized(spark, tmp_path):
     """The scale claim, gated structurally over the PRODUCTION shape —
     the diff arrives as a materialized change-log table: the
