@@ -69,6 +69,12 @@ _SPOT_KEYS = [
                              # re-assignments, and the cosine argmin
                              # tie-break exercised across 4x the
                              # boundary candidates
+    "llm_ann_ivf_pq_refine",  # r18: ~10x the list occupancy means the
+                             # ADC shortlist's cut line sits in a far
+                             # denser near-tie band — the exact re-rank
+                             # reorders many more quantization-blurred
+                             # candidates, and the (sim DESC, nid)
+                             # tie-break is exercised where it matters
 ]
 
 
