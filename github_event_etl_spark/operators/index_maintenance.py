@@ -171,7 +171,22 @@ def _atomic_write_manifest(index_path: str, manifest: dict) -> None:
     tmp = path + ".inprogress"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
+        # fsync BEFORE the rename: on journaled filesystems with
+        # delayed allocation the rename metadata can commit ahead of
+        # the data blocks, and a power cut in that window would leave
+        # a present-but-empty manifest — bricking every reader, which
+        # is worse than the crash losing the uncommitted write.
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    try:
+        dfd = os.open(index_path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # persist the rename itself (best-effort)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
 def _read_manifest_file(index_path: str) -> dict | None:
@@ -186,8 +201,17 @@ def _read_manifest_file(index_path: str) -> dict | None:
     path = _manifest_file(index_path)
     if not os.path.exists(path):
         return None
-    with open(path) as f:
-        return json.load(f)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except ValueError as e:
+        raise ValueError(
+            f"corrupt index manifest at {path}: {e}. The atomic "
+            "fsync+rename write makes this unreachable through the "
+            "API; a truncated file means out-of-band damage — restore "
+            "the manifest (or, if the tree predates manifests, delete "
+            "the corrupt file so the legacy-marker bootstrap applies)"
+        ) from e
 
 
 def _listed_marker_generations(index_path: str) -> list[str]:
@@ -260,16 +284,23 @@ def _committed_generations(index_path: str) -> list[str]:
     return [os.path.join(index_path, rel) for rel in m["generations"]]
 
 
-def _gc(index_path: str, manifest: dict) -> None:
+def _gc(index_path: str) -> None:
     """Manifest-anchored garbage collection: sweep every tree the
     manifest does not reference — superseded bases after a compaction
     flip, staged generations/bases a dead writer abandoned, torn
-    `.inprogress` manifests. Safe at any point because visibility is
-    decided ONLY by the manifest: nothing swept here was ever part of
-    the committed index. (Under the single-writer contract no OTHER
-    writer has unreferenced work in flight.)"""
+    `.inprogress` manifests. Reads the manifest FRESH itself (never a
+    caller-held snapshot: a generation committed after the caller's
+    read must not be swept as "unreferenced"), and additionally spares
+    the `gen={next_gen}` slot — the one directory a live writer could
+    be staging into right now — so the sweep cannot destroy in-flight
+    work even mid-race; that slot's residue, if it IS dead, is cleared
+    by the next writer's own retry path. Everything else swept here
+    was never part of the committed index."""
     import shutil
 
+    manifest = _read_manifest(index_path)
+    if manifest is None:
+        return
     keep_roots = {_MANIFEST, "_delta", "_base"}
     tmp = _manifest_file(index_path) + ".inprogress"
     if os.path.exists(tmp):
@@ -287,11 +318,14 @@ def _gc(index_path: str, manifest: dict) -> None:
         for name in os.listdir(bdir):
             if os.path.join("_base", name) != manifest["base"]:
                 shutil.rmtree(os.path.join(bdir, name))
-    gen_rels = set(manifest["generations"])
+    spare = {
+        os.path.join("_delta", rel_or_slot)
+        for rel_or_slot in (f"gen={manifest['next_gen']}",)
+    } | set(manifest["generations"])
     droot = _delta_root(index_path)
     if os.path.isdir(droot):
         for name in os.listdir(droot):
-            if os.path.join("_delta", name) not in gen_rels:
+            if os.path.join("_delta", name) not in spare:
                 shutil.rmtree(os.path.join(droot, name))
         if not os.listdir(droot):
             os.rmdir(droot)
@@ -352,6 +386,14 @@ def write_index_delta(
             "base would fabricate an unreadable index tree; write the "
             "base with its *_write_index builder first"
         )
+    if _read_manifest_file(index_path) is None:
+        # legacy tree: persist the bootstrapped manifest BEFORE any
+        # data is staged, so commit state is manifest-based from the
+        # first write onward. Without this, a crash after both parquet
+        # trees finish but before the manifest commit would let the
+        # marker-based bootstrap count the fully-staged generation as
+        # committed — a phantom commit the caller believes failed.
+        _atomic_write_manifest(index_path, m)
     n = m["next_gen"]
     gen_rel = os.path.join("_delta", f"gen={n}")
     base = os.path.join(index_path, gen_rel)
@@ -747,9 +789,15 @@ def compact_index(
     if m is None:
         raise FileNotFoundError(
             f"compact_index: no committed index at {index_path} — "
-            "nothing to compact"
+            "nothing to compact (a vacant path beside .compacting/"
+            ".precompact sibling trees is a crash from the pre-"
+            "manifest rename-swap protocol: rename the committed "
+            "sibling back in by hand once, then the manifest protocol "
+            "owns it)"
         )
-    _gc(index_path, m)  # sweep crash garbage from any prior attempt
+    if _read_manifest_file(index_path) is None:
+        _atomic_write_manifest(index_path, m)  # legacy tree: persist
+    _gc(index_path)  # sweep crash garbage from any prior attempt
     gens = [os.path.join(index_path, rel) for rel in m["generations"]]
     if not gens:
         return 0
@@ -778,7 +826,13 @@ def compact_index(
         "next_base": m["next_base"] + 1,
     }
     _atomic_write_manifest(index_path, new_m)
-    _gc(index_path, new_m)  # old base + _delta are unreferenced now
+    # the FOLDED generations are superseded by the flip (their content
+    # lives in the new base) — delete them explicitly: the generic GC
+    # below spares the gen={next_gen}=1 slot, which after the counter
+    # reset is exactly where old gen=1 sits
+    for g in gens:
+        shutil.rmtree(g, ignore_errors=True)
+    _gc(index_path)  # old base + remaining _delta residue
     return len(gens)
 
 
@@ -800,15 +854,15 @@ def maybe_compact(
 
     Two independent thresholds, either or both:
     - `max_generations`: fire when committed generations reach N.
-      Costs only the manifest read + two change-sized counts — the
+      Costs ONE driver-side manifest read — zero Spark jobs — the
       per-refresh default.
     - `max_read_amplification`: fire when folded-plan reads per
       surviving row reach τ. This needs `live_rows`, so ONLY when set
-      does the check pay the folded count (`include_live=True`) — and
-      only when the cheap generation check hasn't already decided. An
-      all-rows-tombstoned index reads amplification inf, which
-      correctly fires any τ; a legitimately empty compacted index
-      reads 1.0 and never re-fires (the policy converges).
+      (and only when the free generation check hasn't already
+      decided) does the call pay one `index_stats(include_live=True)`
+      pass. An all-rows-tombstoned index reads amplification inf,
+      which correctly fires any τ; a legitimately empty compacted
+      index reads 1.0 and never re-fires (the policy converges).
     """
     if max_generations is None and max_read_amplification is None:
         raise ValueError(
@@ -816,13 +870,15 @@ def maybe_compact(
             "max_read_amplification — with neither, the policy can "
             "never fire and the call is a misconfiguration"
         )
-    stats = index_stats(spark, index_path, key=key, include_live=False)
-    if stats["generations"] == 0:
+    m = _read_manifest(index_path)
+    if m is None:
+        raise FileNotFoundError(
+            f"maybe_compact: no committed index at {index_path}"
+        )
+    n_gens = len(m["generations"])
+    if n_gens == 0:
         return 0
-    fire = (
-        max_generations is not None
-        and stats["generations"] >= max_generations
-    )
+    fire = max_generations is not None and n_gens >= max_generations
     if not fire and max_read_amplification is not None:
         amp = index_stats(
             spark, index_path, key=key, include_live=True

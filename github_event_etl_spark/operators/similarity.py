@@ -699,6 +699,13 @@ def ann_ivf_pq_refine(
     deterministic (md5 seeding upstream, (sim DESC, nid) tie-break
     here), so the composition carries a full value oracle end to end
     (queries_llm: llm_ann_ivf_pq_refine)."""
+    if refine_r < k:
+        raise ValueError(
+            f"ann_ivf_pq_refine: refine_r ({refine_r}) < k ({k}) — a "
+            "shortlist smaller than the final top-k silently returns "
+            "fewer than k neighbors per query; pass refine_r >= k "
+            "(typically 2-4x)"
+        )
     cands = ann_ivf_pq(
         corpus, queries, k=refine_r, num_centroids=num_centroids,
         nprobe=nprobe, num_subspaces=num_subspaces,

@@ -956,6 +956,89 @@ def test_maybe_compact_policy_fires_exactly_at_thresholds(spark, tmp_path):
         maybe_compact(spark, path)
 
 
+def test_legacy_tree_crash_before_commit_is_not_a_phantom_commit(
+    spark, tmp_path
+):
+    """The legacy-bootstrap hole, closed: on a marker-built tree with
+    no manifest yet, write_index_delta persists the bootstrapped
+    manifest BEFORE staging any data — so a crash after both parquet
+    trees finish but before the generation commit leaves a staged
+    gen the reader does NOT count (the manifest is now the authority
+    and does not list it). Without the eager persist, the marker
+    fallback would resurrect the fully-staged generation as a phantom
+    commit the caller believes failed. The retry then lands normally."""
+    from unittest import mock
+
+    from github_event_etl_spark.operators import index_maintenance as im
+
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    assert im._read_manifest_file(path) is None  # genuinely legacy
+
+    diff = snapshot_diff(prev, cur, "doc_id", ["text"])
+    with mock.patch.object(
+        im, "_commit_generation",
+        side_effect=RuntimeError("simulated crash before commit"),
+    ):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            write_index_delta(path, diff, cur, band_fn)
+    # both staged parquet trees are marker-complete on disk…
+    gen1 = os.path.join(path, "_delta", "gen=1")
+    assert os.path.exists(os.path.join(gen1, "appends", "_SUCCESS"))
+    assert os.path.exists(os.path.join(gen1, "tombstones", "_SUCCESS"))
+    # …yet invisible: the eagerly-persisted manifest does not name them
+    assert _committed_generations(path) == []
+    assert _rows(read_index(spark, path)) == _rows(band_fn(prev))
+    # the retry clears the residue and commits for real
+    assert write_index_delta(path, diff, cur, band_fn) == 1
+    assert _rows(read_index(spark, path)) == _rows(band_fn(cur))
+
+
+def test_gc_spares_live_staging_slot_and_sweeps_the_rest(spark, tmp_path):
+    """GC safety under the enforced single-writer contract's edge: the
+    `gen={next_gen}` slot is the one directory a concurrent (or
+    crashed-and-retrying) writer could be staging into, so a GC-only
+    compaction call must SPARE it while sweeping every other
+    unreferenced generation — and a committed generation is never
+    swept, because GC reads the manifest fresh instead of trusting a
+    caller-held snapshot."""
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+    write_index_delta(
+        path, snapshot_diff(prev, cur, "doc_id", ["text"]), cur, band_fn
+    )
+    compact_index(spark, path)  # manifest now: no gens, next_gen=1
+    # plant possibly-live staging (slot 1) + clearly dead residue
+    os.makedirs(os.path.join(path, "_delta", "gen=1", "appends"),
+                exist_ok=True)
+    os.makedirs(os.path.join(path, "_delta", "gen=5"), exist_ok=True)
+    assert compact_index(spark, path) == 0  # GC-only call
+    assert os.path.isdir(os.path.join(path, "_delta", "gen=1")), (
+        "GC destroyed the live staging slot"
+    )
+    assert not os.path.isdir(os.path.join(path, "_delta", "gen=5"))
+    # the slot's residue does not confuse the next real write
+    nxt = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (8, "fresh after gc")],
+        DOCS_SCHEMA,
+    )
+    assert write_index_delta(
+        path, snapshot_diff(cur, nxt, "doc_id", ["text"]), nxt, band_fn
+    ) == 1
+    assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
+
+    with pytest.raises(FileNotFoundError, match="no committed index"):
+        from github_event_etl_spark.operators.index_maintenance import (
+            maybe_compact,
+        )
+
+        maybe_compact(spark, str(tmp_path / "void"), max_generations=1)
+
+
 def test_compact_index_folds_generations_and_resets(spark, tmp_path):
     """The log-structured trade's other half: after compaction the
     read is a plain scan again (no _delta), equals the fully folded

@@ -1179,6 +1179,11 @@ def test_ann_ivf_pq_refine_recall_dominates_adc(emb):
         assert sims == sorted(sims, reverse=True), (
             f"sim not descending for {qid}"
         )
+    # a shortlist smaller than k silently under-returns — fail fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refine_r"):
+        ann_ivf_pq_refine(emb, qs, k=10, refine_r=5, **kw)
 
 
 def test_kmeans_refine_matches_python_model(spark, sf_dir):
