@@ -632,6 +632,33 @@ def ann_ivf_pq(
     lists = assigned.select(F.col(id_col).alias("nid"), "centroid_id").join(
         codes.select(F.col(id_col).alias("nid"), "pq_code"), "nid"
     )
+    return _ivf_pq_probe_rank(
+        lists, centroids, codebook, queries, k, nprobe,
+        num_subspaces, num_codewords, dim, id_col, vec_col,
+    )
+
+
+def _ivf_pq_probe_rank(
+    lists: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    num_subspaces: int,
+    num_codewords: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The IVF-PQ probe/ADC/rank tail over its three tables —
+    (nid, centroid_id, pq_code) inverted lists, the tiny centroid
+    table, the codebook — ONE implementation shared by the in-memory
+    flagship (`ann_ivf_pq`, which derives the tables inline) and the
+    on-disk serving path (`ann_ivf_pq_partitioned`, which reads them
+    back from the `ivf_pq_write_index` layout), so the two can never
+    drift on probe selection, ADC arithmetic, or tie-breaks — the same
+    sharing rule as the incremental-dedup classify skeleton."""
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
     qc = q.join(F.broadcast(centroids)).select(
         "qid",
@@ -648,7 +675,9 @@ def ann_ivf_pq(
         .select("qid", "centroid_id")
     )
     tables = _adc_tables(q, codebook, num_subspaces, dim)
-    probe_tabs = probes.join(tables, "qid")
+    # both sides are query-sized (Q×nprobe and Q rows) — broadcast the
+    # attach so no sort-merge exchange ever appears on the probe path
+    probe_tabs = probes.join(F.broadcast(tables), "qid")
     scored = lists.join(F.broadcast(probe_tabs), "centroid_id").filter(
         F.col("qid") != F.col("nid")
     )
@@ -712,6 +741,22 @@ def ann_ivf_pq_refine(
         num_codewords=num_codewords, dim=dim,
         id_col=id_col, vec_col=vec_col,
     ).select("qid", "nid")
+    return _exact_rerank(corpus, queries, cands, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cands: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The refinement tail shared by the in-memory and on-disk
+    IVFADC+refine paths: broadcast the (qid, nid) shortlist into an
+    equi-join against the embedding scan (the corpus' ONLY appearance
+    — no shuffle), attach the broadcast query vectors, exact-cosine
+    re-rank to the final top-k in the `knn_bruteforce` output shape."""
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec")
     )
@@ -733,6 +778,109 @@ def ann_ivf_pq_refine(
         .filter(F.col("rnk") <= k)
         .select("qid", "rnk", "nid", F.round("sim", 6).alias("sim_r"))
     )
+
+
+def ivf_pq_write_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ serving layout — the physical shape the
+    `ann_ivf_pq` docstring promises for a billion-vector deployment:
+    packed-code inverted lists (nid, pq_code) written PARTITIONED BY
+    centroid_id (one directory per list, each row ~64× smaller than
+    its float vector), with the tiny centroid and codebook tables
+    beside them. Building it is one broadcast-joined pass over the
+    corpus (assignment + codes are both map-side against broadcast
+    tables; the one corpus-sized equi-join is the code attach) run per
+    corpus SNAPSHOT, not per query; the probe below then reads
+    nprobe/C of the lists and never touches an embedding until the
+    refine fetch. All md5-seeded — rebuilding from the same corpus
+    bit-reproduces the layout."""
+    assigned, centroids = ivf_assign(corpus, num_centroids, id_col, vec_col)
+    codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
+    codes = pq_codes(
+        corpus, num_subspaces, num_codewords, dim, id_col, vec_col,
+        codebook=codebook,
+    )
+    lists = assigned.select(F.col(id_col).alias("nid"), "centroid_id").join(
+        codes.select(F.col(id_col).alias("nid"), "pq_code"), "nid"
+    )
+    lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/lists"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ann_ivf_pq_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search against the on-disk `ivf_pq_write_index` layout: the
+    broadcast (qid, centroid_id, ADC-tables) probe frame equi-joins
+    the partition column of the code lists, so Catalyst inserts a
+    DYNAMIC PARTITION PRUNING subquery — only the probed centroids'
+    directories are opened (plan-gated), and what they hold is packed
+    codes, not vectors. Identical results to the in-memory
+    `ann_ivf_pq` for the same corpus and parameters (the shared
+    `_ivf_pq_probe_rank` tail; frame-equality pytest)."""
+    lists = spark.read.parquet(f"{path}/lists")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    codebook = spark.read.parquet(f"{path}/codebook")
+    return _ivf_pq_probe_rank(
+        lists, centroids, codebook, queries, k, nprobe,
+        num_subspaces, num_codewords, dim, id_col, vec_col,
+    )
+
+
+def ann_ivf_pq_partitioned_refine(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine_r: int = 30,
+    nprobe: int = 4,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC+refine over the on-disk layout — the complete serving
+    read path: DPP-pruned ADC shortlist from the packed-code lists,
+    then the shared exact re-rank fetches ONLY the Q×refine_r true
+    embeddings (broadcast equi-join against the embedding table — the
+    single place vectors are read at all). Identical results to the
+    in-memory `ann_ivf_pq_refine` (shared shortlist + shared
+    `_exact_rerank`; frame-equality pytest)."""
+    if refine_r < k:
+        raise ValueError(
+            f"ann_ivf_pq_partitioned_refine: refine_r ({refine_r}) < "
+            f"k ({k}) — a shortlist smaller than the final top-k "
+            "silently returns fewer than k neighbors per query; pass "
+            "refine_r >= k (typically 2-4x)"
+        )
+    cands = ann_ivf_pq_partitioned(
+        spark, path, queries, k=refine_r, nprobe=nprobe,
+        num_subspaces=num_subspaces, num_codewords=num_codewords,
+        dim=dim, id_col=id_col, vec_col=vec_col,
+    ).select("qid", "nid")
+    return _exact_rerank(corpus, queries, cands, k, id_col, vec_col)
 
 
 def ivf_write_index(

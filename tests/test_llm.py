@@ -1186,6 +1186,69 @@ def test_ann_ivf_pq_refine_recall_dominates_adc(emb):
         ann_ivf_pq_refine(emb, qs, k=10, refine_r=5, **kw)
 
 
+def test_ann_ivf_pq_partitioned_serving_layout(emb, spark, tmp_path):
+    """The on-disk IVF-PQ serving layout (ivf_pq_write_index →
+    ann_ivf_pq_partitioned[+refine]) must return EXACTLY the
+    in-memory flagship's results — same shared probe/ADC/rank and
+    re-rank tails, only the table source differs — and its probe scan
+    must be dynamic-partition-pruned to the probed centroid
+    directories (the whole point of partitioning the packed-code
+    lists) with no shuffle join anywhere in the read path."""
+    import contextlib
+    import io
+
+    from github_event_etl_spark.operators.similarity import (
+        ann_ivf_pq,
+        ann_ivf_pq_partitioned,
+        ann_ivf_pq_partitioned_refine,
+        ann_ivf_pq_refine,
+        ivf_pq_write_index,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_write_index(emb, path)
+    kw = dict(nprobe=4, num_subspaces=8, num_codewords=16, dim=64)
+
+    mem = {
+        tuple(r)
+        for r in ann_ivf_pq(emb, qs, k=10, num_centroids=16, **kw).collect()
+    }
+    disk_df = ann_ivf_pq_partitioned(spark, path, qs, k=10, **kw)
+    disk = {tuple(r) for r in disk_df.collect()}
+    assert disk == mem
+    assert len(disk) == 8 * 10
+
+    mem_r = {
+        tuple(r)
+        for r in ann_ivf_pq_refine(
+            emb, qs, k=10, refine_r=30, num_centroids=16, **kw
+        ).collect()
+    }
+    disk_r = {
+        tuple(r)
+        for r in ann_ivf_pq_partitioned_refine(
+            spark, path, emb, qs, k=10, refine_r=30, **kw
+        ).collect()
+    }
+    assert disk_r == mem_r
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        disk_df.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruning" in l for l in pf), plan
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, tree
+    assert "CartesianProduct" not in tree
+
+    with pytest.raises(ValueError, match="refine_r"):
+        ann_ivf_pq_partitioned_refine(
+            spark, path, emb, qs, k=10, refine_r=3, **kw
+        )
+
+
 def test_kmeans_refine_matches_python_model(spark, sf_dir):
     """The fixed-point Lloyd refinement must agree exactly with a
     sequential model: same floor-micros quantization, same md5-rank
