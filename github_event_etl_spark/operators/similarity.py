@@ -829,18 +829,27 @@ def ann_ivf_pq_partitioned(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    static_prune: bool = False,
 ) -> DataFrame:
     """ADC search against the on-disk `ivf_pq_write_index` layout: the
     broadcast (qid, centroid_id, ADC-tables) probe frame equi-joins
     the partition column of the code lists, so Catalyst inserts a
-    DYNAMIC PARTITION PRUNING subquery — only the probed centroids'
-    directories are opened (plan-gated), and what they hold is packed
-    codes, not vectors. Identical results to the in-memory
-    `ann_ivf_pq` for the same corpus and parameters (the shared
-    `_ivf_pq_probe_rank` tail; frame-equality pytest)."""
+    DYNAMIC PARTITION PRUNING subquery on the scan (plan-gated), and
+    what the probed directories hold is packed codes, not vectors.
+    As with `ann_ivf_partitioned`, the declarative DPP subquery can be
+    dropped by Spark's reuse/benefit machinery (observed at small
+    scale); `static_prune=True` plans the probe driver-side —
+    ≤ Q×nprobe ids, one tiny job — for a static partition filter that
+    ALWAYS prunes (executed-metrics-gated). Identical results either
+    way, and identical to the in-memory `ann_ivf_pq` for the same
+    corpus and parameters (the shared `_ivf_pq_probe_rank` tail;
+    frame-equality pytest)."""
     lists = spark.read.parquet(f"{path}/lists")
     centroids = spark.read.parquet(f"{path}/centroids")
     codebook = spark.read.parquet(f"{path}/codebook")
+    if static_prune:
+        lists = _static_prune_lists(lists, centroids, queries,
+                                    nprobe, id_col, vec_col)
     return _ivf_pq_probe_rank(
         lists, centroids, codebook, queries, k, nprobe,
         num_subspaces, num_codewords, dim, id_col, vec_col,
@@ -860,9 +869,12 @@ def ann_ivf_pq_partitioned_refine(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    static_prune: bool = False,
 ) -> DataFrame:
     """IVFADC+refine over the on-disk layout — the complete serving
-    read path: DPP-pruned ADC shortlist from the packed-code lists,
+    read path: partition-pruned ADC shortlist from the packed-code
+    lists (declarative DPP by default; `static_prune=True` for the
+    guaranteed driver-planned pruning, see `ann_ivf_pq_partitioned`),
     then the shared exact re-rank fetches ONLY the Q×refine_r true
     embeddings (broadcast equi-join against the embedding table — the
     single place vectors are read at all). Identical results to the
@@ -879,6 +891,7 @@ def ann_ivf_pq_partitioned_refine(
         spark, path, queries, k=refine_r, nprobe=nprobe,
         num_subspaces=num_subspaces, num_codewords=num_codewords,
         dim=dim, id_col=id_col, vec_col=vec_col,
+        static_prune=static_prune,
     ).select("qid", "nid")
     return _exact_rerank(corpus, queries, cands, k, id_col, vec_col)
 
@@ -911,20 +924,73 @@ def ann_ivf_partitioned(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    static_prune: bool = False,
 ) -> DataFrame:
     """IVF probe against the on-disk index written by `ivf_write_index`.
 
     The candidate join keys the partition column of the assigned table
     against the broadcast probe set, so Catalyst inserts a DYNAMIC
-    PARTITION PRUNING subquery: the scan opens only the probed
-    centroids' directories (PartitionFilters: [dynamicpruning#...]) —
-    never the whole index. No centroid id ever reaches the driver; the
-    probe list exists only as a broadcast exchange. Same ranking
-    semantics as `ann_ivf`, so results are identical for the same
-    corpus and parameters (asserted in tests/test_llm.py)."""
+    PARTITION PRUNING subquery (PartitionFilters:
+    [dynamicpruning#...]) and no centroid id reaches the driver — the
+    fully declarative default. Honestly measured, though
+    (tests/test_plans.py's executed_scan_metrics): whether that
+    subquery EXECUTES is up to Spark's broadcast-reuse and
+    cost-benefit machinery, and with a window-shaped probe plan it
+    degrades to `dynamicpruningexpression(true)` — a full-index scan —
+    at small scale in both AQE modes (at 100 TB the benefit arithmetic
+    flips, but that is Spark's call, not this operator's).
+    `static_prune=True` is the GUARANTEED path a serving deployment
+    wants: one driver-side job materializes the ≤ Q×nprobe probe pairs
+    (probe planning is driver-side in every production ANN system),
+    and the scan gets a static partition filter that always prunes to
+    the probed directories — executed-metrics-gated in pytest.
+    Results are identical in both modes and identical to `ann_ivf`
+    for the same corpus and parameters (asserted in tests/test_llm.py).
+    """
     assigned = spark.read.parquet(f"{path}/assigned")
     centroids = spark.read.parquet(f"{path}/centroids")
+    if static_prune:
+        assigned = _static_prune_lists(assigned, centroids, queries,
+                                       nprobe, id_col, vec_col)
     return ivf_probe(assigned, centroids, queries, k, nprobe, id_col, vec_col)
+
+
+def _static_prune_lists(
+    lists: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Static probe planning: rank centroids per query (the same
+    broadcast + window derivation the dynamic path embeds), pull the
+    DISTINCT probed centroid ids to the driver — bounded by
+    min(Q×nprobe, C), a handful of longs — and return `lists` filtered
+    by a literal IN on its partition column, which the scan resolves
+    against directory names at plan time. The one deliberate driver
+    action in the ANN stack: it buys pruning that cannot be silently
+    dropped by the DPP cost model. The downstream probe join is
+    unchanged, so results are identical with and without it."""
+    q = queries.select(F.col(id_col).alias("qid"),
+                       F.col(vec_col).alias("q_vec"))
+    qc = q.join(F.broadcast(centroids)).select(
+        "qid",
+        "centroid_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("_csim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("_csim").desc(), F.col("centroid_id")
+    )
+    probed = [
+        r.centroid_id
+        for r in qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    ]
+    return lists.filter(F.col("centroid_id").isin(probed))
 
 
 def kmeans_refine_int(

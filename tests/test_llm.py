@@ -424,6 +424,22 @@ def test_ivf_partitioned_index_equals_in_memory(spark, emb, tmp_path):
     )
     mem = sorted(map(tuple, ann_ivf(emb, qs, k=10, nprobe=4, num_centroids=16).collect()))
     assert disk == mem
+    # static probe planning (guaranteed pruning) is result-identical,
+    # and its lists scan provably opens <= Q*nprobe directories
+    static = sorted(map(tuple, ann_ivf_partitioned(
+        spark, str(tmp_path / "ivf"), qs, k=10, nprobe=4,
+        static_prune=True,
+    ).collect()))
+    assert static == mem
+    from .test_plans import executed_scan_metrics
+
+    df_sp = ann_ivf_partitioned(
+        spark, str(tmp_path / "ivf"), emb.filter(F.col("vec_id") < 2),
+        k=5, nprobe=2, static_prune=True,
+    )
+    pruned = [s for s in executed_scan_metrics(df_sp)
+              if "numPartitions" in s]
+    assert pruned and all(s["numPartitions"] <= 4 for s in pruned), pruned
 
 
 def test_rhp_dot_products_clear_sign_margin():
@@ -1242,6 +1258,39 @@ def test_ann_ivf_pq_partitioned_serving_layout(emb, spark, tmp_path):
     tree = plan.split("\n\n")[0]
     assert "SortMergeJoin" not in tree, tree
     assert "CartesianProduct" not in tree
+
+    # static probe planning: same results through the same tail, and
+    # pruning that CANNOT be dropped by the DPP cost model — the lists
+    # scan provably opens <= Q*nprobe of the 16 list directories
+    # (executed-plan metrics, the honest probe; the declarative DPP
+    # subquery above is plan-gated but Spark may degrade it to a full
+    # scan, which is exactly why this knob exists)
+    disk_static = {
+        tuple(r)
+        for r in ann_ivf_pq_partitioned(
+            spark, path, qs, k=10, static_prune=True, **kw
+        ).collect()
+    }
+    assert disk_static == mem
+    disk_static_r = {
+        tuple(r)
+        for r in ann_ivf_pq_partitioned_refine(
+            spark, path, emb, qs, k=10, refine_r=30,
+            static_prune=True, **kw
+        ).collect()
+    }
+    assert disk_static_r == mem_r
+    from .test_plans import executed_scan_metrics
+
+    qs2 = emb.filter(F.col("vec_id") < 2)
+    df_sp = ann_ivf_pq_partitioned(
+        spark, path, qs2, k=5, nprobe=2, num_subspaces=8,
+        num_codewords=16, dim=64, static_prune=True,
+    )
+    pruned = [s for s in executed_scan_metrics(df_sp)
+              if "numPartitions" in s]
+    assert pruned, "no partitioned scan found in the executed plan"
+    assert all(s["numPartitions"] <= 4 for s in pruned), pruned
 
     with pytest.raises(ValueError, match="refine_r"):
         ann_ivf_pq_partitioned_refine(
