@@ -623,6 +623,32 @@ def ann_ivf_pq(
     q × n. Fully deterministic (md5 seeding, id tie-breaks), so the
     whole composition carries a value oracle (queries_llm).
     """
+    lists, centroids, codebook = _ivf_pq_build_tables(
+        corpus, num_centroids, num_subspaces, num_codewords, dim,
+        id_col, vec_col,
+    )
+    return _ivf_pq_probe_rank(
+        lists, centroids, codebook, queries, k, nprobe,
+        num_subspaces, num_codewords, dim, id_col, vec_col,
+    )
+
+
+def _ivf_pq_build_tables(
+    corpus: DataFrame,
+    num_centroids: int,
+    num_subspaces: int,
+    num_codewords: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+):
+    """The IVF-PQ table-build head — (nid, centroid_id, pq_code)
+    inverted lists plus the centroid and codebook tables — ONE copy
+    shared by the in-memory flagship (`ann_ivf_pq`) and the index
+    writer (`ivf_pq_write_index`), the same no-drift rule as the
+    probe tail: an edit to the lists join or the code derivation in
+    one consumer and not the other would silently break the
+    disk ≡ memory equality the serving layout depends on."""
     assigned, centroids = ivf_assign(corpus, num_centroids, id_col, vec_col)
     codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
     codes = pq_codes(
@@ -632,10 +658,7 @@ def ann_ivf_pq(
     lists = assigned.select(F.col(id_col).alias("nid"), "centroid_id").join(
         codes.select(F.col(id_col).alias("nid"), "pq_code"), "nid"
     )
-    return _ivf_pq_probe_rank(
-        lists, centroids, codebook, queries, k, nprobe,
-        num_subspaces, num_codewords, dim, id_col, vec_col,
-    )
+    return lists, centroids, codebook
 
 
 def _ivf_pq_probe_rank(
@@ -728,13 +751,7 @@ def ann_ivf_pq_refine(
     deterministic (md5 seeding upstream, (sim DESC, nid) tie-break
     here), so the composition carries a full value oracle end to end
     (queries_llm: llm_ann_ivf_pq_refine)."""
-    if refine_r < k:
-        raise ValueError(
-            f"ann_ivf_pq_refine: refine_r ({refine_r}) < k ({k}) — a "
-            "shortlist smaller than the final top-k silently returns "
-            "fewer than k neighbors per query; pass refine_r >= k "
-            "(typically 2-4x)"
-        )
+    _require_shortlist("ann_ivf_pq_refine", refine_r, k)
     cands = ann_ivf_pq(
         corpus, queries, k=refine_r, num_centroids=num_centroids,
         nprobe=nprobe, num_subspaces=num_subspaces,
@@ -742,6 +759,18 @@ def ann_ivf_pq_refine(
         id_col=id_col, vec_col=vec_col,
     ).select("qid", "nid")
     return _exact_rerank(corpus, queries, cands, k, id_col, vec_col)
+
+
+def _require_shortlist(fn: str, refine_r: int, k: int) -> None:
+    """The one copy of the refine contract check, shared by both
+    refine entry points so the message and semantics cannot drift."""
+    if refine_r < k:
+        raise ValueError(
+            f"{fn}: refine_r ({refine_r}) < k ({k}) — a shortlist "
+            "smaller than the final top-k silently returns fewer than "
+            "k neighbors per query; pass refine_r >= k (typically "
+            "2-4x)"
+        )
 
 
 def _exact_rerank(
@@ -801,21 +830,88 @@ def ivf_pq_write_index(
     corpus SNAPSHOT, not per query; the probe below then reads
     nprobe/C of the lists and never touches an embedding until the
     refine fetch. All md5-seeded — rebuilding from the same corpus
-    bit-reproduces the layout."""
-    assigned, centroids = ivf_assign(corpus, num_centroids, id_col, vec_col)
-    codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
-    codes = pq_codes(
-        corpus, num_subspaces, num_codewords, dim, id_col, vec_col,
-        codebook=codebook,
+    bit-reproduces the layout.
+
+    The PQ geometry (subspaces, codewords, dim, centroids) is baked
+    into the packed codes, so it is persisted in a `_params.json`
+    sidecar the readers VALIDATE against: probing with mismatched
+    parameters would unpack codes at the wrong base — silently wrong
+    distances, no error — which the sidecar turns into a loud
+    ValueError. The three writes are one corpus pass plus two
+    cached-table flushes: the tiny centroid/codebook frames are
+    cache()'d so the lists write populates them and their own writes
+    reuse the cached rows instead of re-scanning the corpus (Catalyst
+    does not dedupe identically-derived subtrees across actions —
+    the pq_codes caching note)."""
+    import json
+    import os
+
+    lists, centroids, codebook = _ivf_pq_build_tables(
+        corpus, num_centroids, num_subspaces, num_codewords, dim,
+        id_col, vec_col,
     )
-    lists = assigned.select(F.col(id_col).alias("nid"), "centroid_id").join(
-        codes.select(F.col(id_col).alias("nid"), "pq_code"), "nid"
-    )
-    lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{path}/lists"
-    )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    centroids = centroids.cache()
+    codebook = codebook.cache()
+    try:
+        lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{path}/lists"
+        )
+        centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    finally:
+        centroids.unpersist()
+        codebook.unpersist()
+    tmp = os.path.join(path, "_params.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "num_centroids": num_centroids,
+                "num_subspaces": num_subspaces,
+                "num_codewords": num_codewords,
+                "dim": dim,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(path, "_params.json"))
+
+
+def _check_ivf_pq_params(
+    path: str, num_subspaces: int, num_codewords: int, dim: int
+) -> None:
+    """Fail fast on PQ-geometry mismatch between an on-disk index and
+    the probe call: codes packed under one (subspaces, codewords, dim)
+    unpack as garbage under another — NULL or wrong ADC distances that
+    sort into the top-k with no exception. Indexes written before the
+    sidecar existed skip the check (nothing to validate against)."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, "_params.json")
+    if not os.path.exists(sidecar):
+        return
+    with open(sidecar) as f:
+        params = json.load(f)
+    got = {
+        "num_subspaces": num_subspaces,
+        "num_codewords": num_codewords,
+        "dim": dim,
+    }
+    bad = {
+        k: (params[k], got[k])
+        for k in got
+        if k in params and params[k] != got[k]
+    }
+    if bad:
+        raise ValueError(
+            f"ann_ivf_pq_partitioned: PQ geometry mismatch vs the "
+            f"index at {path} — "
+            + ", ".join(
+                f"{k}: index={w} call={g}" for k, (w, g) in bad.items()
+            )
+            + ". Codes packed under the index's geometry unpack as "
+            "garbage under the call's; pass the parameters the index "
+            "was written with (_params.json)"
+        )
 
 
 def ann_ivf_pq_partitioned(
@@ -839,11 +935,15 @@ def ann_ivf_pq_partitioned(
     As with `ann_ivf_partitioned`, the declarative DPP subquery can be
     dropped by Spark's reuse/benefit machinery (observed at small
     scale); `static_prune=True` plans the probe driver-side —
-    ≤ Q×nprobe ids, one tiny job — for a static partition filter that
-    ALWAYS prunes (executed-metrics-gated). Identical results either
-    way, and identical to the in-memory `ann_ivf_pq` for the same
-    corpus and parameters (the shared `_ivf_pq_probe_rank` tail;
-    frame-equality pytest)."""
+    ≤ Q×nprobe ids, ONE EAGER job at call time (the returned frame is
+    otherwise lazy) — for a static partition filter that ALWAYS
+    prunes (executed-metrics-gated). Identical results either way,
+    and identical to the in-memory `ann_ivf_pq` for the same corpus
+    and parameters (the shared `_ivf_pq_probe_rank` tail;
+    frame-equality pytest). PQ geometry arguments are validated
+    against the index's `_params.json` sidecar — a mismatch would
+    unpack codes at the wrong base, silently corrupting distances."""
+    _check_ivf_pq_params(path, num_subspaces, num_codewords, dim)
     lists = spark.read.parquet(f"{path}/lists")
     centroids = spark.read.parquet(f"{path}/centroids")
     codebook = spark.read.parquet(f"{path}/codebook")
@@ -880,13 +980,7 @@ def ann_ivf_pq_partitioned_refine(
     single place vectors are read at all). Identical results to the
     in-memory `ann_ivf_pq_refine` (shared shortlist + shared
     `_exact_rerank`; frame-equality pytest)."""
-    if refine_r < k:
-        raise ValueError(
-            f"ann_ivf_pq_partitioned_refine: refine_r ({refine_r}) < "
-            f"k ({k}) — a shortlist smaller than the final top-k "
-            "silently returns fewer than k neighbors per query; pass "
-            "refine_r >= k (typically 2-4x)"
-        )
+    _require_shortlist("ann_ivf_pq_partitioned_refine", refine_r, k)
     cands = ann_ivf_pq_partitioned(
         spark, path, queries, k=refine_r, nprobe=nprobe,
         num_subspaces=num_subspaces, num_codewords=num_codewords,

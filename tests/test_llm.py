@@ -1297,6 +1297,15 @@ def test_ann_ivf_pq_partitioned_serving_layout(emb, spark, tmp_path):
             spark, path, emb, qs, k=10, refine_r=3, **kw
         )
 
+    # PQ geometry is baked into the packed codes: probing with the
+    # wrong parameters must fail LOUDLY against the _params.json
+    # sidecar, not silently unpack garbage distances
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        ann_ivf_pq_partitioned(
+            spark, path, qs, k=10, nprobe=4,
+            num_subspaces=8, num_codewords=32, dim=64,
+        )
+
 
 def test_kmeans_refine_matches_python_model(spark, sf_dir):
     """The fixed-point Lloyd refinement must agree exactly with a
