@@ -36,8 +36,14 @@ Two layers:
   execute underneath. Single-writer per index is the standing
   contract (the same as the scratch materialize-once layouts), and —
   unlike the earlier marker-based protocol — a violation is now
-  DETECTED: every commit re-validates the manifest and aborts instead
-  of silently losing a concurrent generation.
+  DETECTED (best-effort): every commit re-validates the manifest's
+  FULL commit identity (`_manifest_drift`: base, generation list, the
+  counters, and the monotone `commit_seq` that makes even a
+  commit-then-compaction ABA interleave visible) and aborts instead
+  of silently losing a concurrent generation. The revalidate-then-
+  replace is not a CAS, so a commit landing inside that window can
+  still be lost — the single-writer contract is the guarantee;
+  detection is the tripwire for violating it.
 
 Commit protocol — ONE atomic manifest write, the object-storage
 shape: `<index>/_manifest.json` names the committed base tree and the
@@ -418,31 +424,64 @@ def write_index_delta(
     return n
 
 
+#: Manifest fields whose ENSEMBLE identifies a commit state. next_gen
+#: alone is NOT enough: a compaction resets it to 1, so a stale writer
+#: that read next_gen=1, lost the race to a commit AND a compaction,
+#: could see next_gen=1 again (the ABA case) — but any commit grows
+#: `generations` or bumps `commit_seq`, and any compaction moves `base`
+#: and increments the never-reset `next_base`, so comparing the full
+#: ensemble cannot alias across intervening commits.
+_IDENTITY_FIELDS = ("base", "generations", "next_gen", "next_base",
+                    "commit_seq")
+
+
+def _manifest_drift(m: dict, cur: dict) -> dict:
+    """Identity fields on which two manifest snapshots disagree —
+    empty when `cur` is the same commit state `m` was read as. The one
+    comparison both commit paths (`_commit_generation`,
+    `compact_index`) run, so they cannot drift on what counts as a
+    concurrent commit."""
+    return {
+        k: (m.get(k), cur.get(k))
+        for k in _IDENTITY_FIELDS
+        if m.get(k, 0 if k == "commit_seq" else None)
+        != cur.get(k, 0 if k == "commit_seq" else None)
+    }
+
+
 def _commit_generation(
     index_path: str, m: dict, n: int, gen_rel: str, staged_dir: str
 ) -> None:
     """Commit a fully-staged generation: re-validate that the manifest
-    still points at slot N (a concurrent commit would have advanced
-    next_gen — appending anyway would interleave two writers' logs),
-    then atomically publish the manifest naming it. A manifest absent
-    at entry AND at commit is the legacy single-writer bootstrap: the
-    entry-time implicit manifest stands, and this commit persists the
-    first real one."""
+    is STILL the exact commit state read at entry — full identity
+    (`_manifest_drift`), not next_gen alone, which a commit-then-
+    compaction interleave can return to its old value (the ABA case:
+    commit_seq is the monotone tiebreaker that can never recur) —
+    then atomically publish the manifest naming the generation. A
+    manifest absent at entry AND at commit is the legacy single-writer
+    bootstrap: the entry-time implicit manifest stands, and this
+    commit persists the first real one. Best-effort by construction:
+    the revalidate-then-replace is not a CAS, so a commit landing
+    INSIDE that window can still be lost — single-writer-per-index
+    remains the contract; this check turns every violation wider than
+    the window into a loud abort instead of silent loss."""
     import shutil
 
     cur = _read_manifest_file(index_path) or m
-    if cur["next_gen"] != n:
+    drift = _manifest_drift(m, cur)
+    if drift:
         shutil.rmtree(staged_dir, ignore_errors=True)
         raise RuntimeError(
-            f"write_index_delta: generation slot gen={n} at "
-            f"{index_path} was committed by a concurrent writer "
-            f"(manifest next_gen is now {cur['next_gen']}) — the "
-            "single-writer-per-index contract was violated; staged "
+            f"write_index_delta: the manifest at {index_path} changed "
+            f"between read and commit of gen={n} (drifted fields: "
+            f"{drift}) — a concurrent writer committed; the "
+            "single-writer-per-index contract was violated. Staged "
             "trees were discarded, the index is unchanged"
         )
     cur = dict(cur)
     cur["generations"] = list(cur["generations"]) + [gen_rel]
     cur["next_gen"] = n + 1
+    cur["commit_seq"] = cur.get("commit_seq", 0) + 1
     _atomic_write_manifest(index_path, cur)
 
 
@@ -808,15 +847,16 @@ def compact_index(
     staging = os.path.join(index_path, new_base_rel)
     _stage_compacted_base(folded, staging, partition_col)
     cur = _read_manifest_file(index_path) or m
-    if cur["generations"] != m["generations"] or cur["base"] != m["base"]:
+    if _manifest_drift(m, cur):
         shutil.rmtree(staging, ignore_errors=True)
         raise RuntimeError(
-            f"compact_index: the generation log at {index_path} "
-            "advanced during the fold (a concurrent writer committed) "
-            "— flipping to the staged base would silently drop that "
-            "generation; staging was discarded, the index is "
-            "unchanged. Re-run compaction, or fix the caller violating "
-            "the single-writer-per-index contract"
+            f"compact_index: the commit state at {index_path} changed "
+            "during the fold (a concurrent writer committed; drifted "
+            f"fields: {_manifest_drift(m, cur)}) — flipping to the "
+            "staged base would silently drop that work; staging was "
+            "discarded, the index is unchanged. Re-run compaction, or "
+            "fix the caller violating the single-writer-per-index "
+            "contract"
         )
     new_m = {
         "format": 1,
@@ -824,6 +864,7 @@ def compact_index(
         "generations": [],
         "next_gen": 1,
         "next_base": m["next_base"] + 1,
+        "commit_seq": cur.get("commit_seq", 0) + 1,
     }
     _atomic_write_manifest(index_path, new_m)
     # the FOLDED generations are superseded by the flip (their content

@@ -837,15 +837,29 @@ def ivf_pq_write_index(
     sidecar the readers VALIDATE against: probing with mismatched
     parameters would unpack codes at the wrong base — silently wrong
     distances, no error — which the sidecar turns into a loud
-    ValueError. The three writes are one corpus pass plus two
-    cached-table flushes: the tiny centroid/codebook frames are
-    cache()'d so the lists write populates them and their own writes
-    reuse the cached rows instead of re-scanning the corpus (Catalyst
-    does not dedupe identically-derived subtrees across actions —
-    the pq_codes caching note)."""
+    ValueError. Commit ordering makes a TORN REBUILD detectable too:
+    any existing sidecar is DELETED before the first table overwrite
+    and the fresh one lands LAST, so the sidecar's presence certifies
+    that every table beside it finished under that geometry — an
+    in-place rebuild that crashes mid-overwrite leaves no sidecar, and
+    `_check_ivf_pq_params` (which REQUIRES one) fails the probe loudly
+    instead of unpacking half-new codes against a stale geometry. The
+    three writes are one corpus pass plus two cached-table flushes:
+    the tiny centroid/codebook frames are cache()'d so the lists write
+    populates them and their own writes reuse the cached rows instead
+    of re-scanning the corpus (Catalyst does not dedupe
+    identically-derived subtrees across actions — the pq_codes
+    caching note)."""
+    import contextlib
     import json
     import os
 
+    # sidecar-first delete (ADVICE r18): from here until the final
+    # atomic sidecar replace, the layout is officially "no committed
+    # index" — a crash anywhere in between is detected at read time
+    # rather than validated against the OLD geometry.
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(path, "_params.json"))
     lists, centroids, codebook = _ivf_pq_build_tables(
         corpus, num_centroids, num_subspaces, num_codewords, dim,
         id_col, vec_col,
@@ -881,14 +895,25 @@ def _check_ivf_pq_params(
     """Fail fast on PQ-geometry mismatch between an on-disk index and
     the probe call: codes packed under one (subspaces, codewords, dim)
     unpack as garbage under another — NULL or wrong ADC distances that
-    sort into the top-k with no exception. Indexes written before the
-    sidecar existed skip the check (nothing to validate against)."""
+    sort into the top-k with no exception. The sidecar is REQUIRED:
+    `ivf_pq_write_index` has written one since the layout existed and
+    commits it LAST (after deleting any stale one first), so a missing
+    sidecar means either a rebuild died mid-overwrite (the tables may
+    be a geometry mix) or the path is not this layout at all — both
+    must fail loudly, not skip validation (ADVICE r18)."""
     import json
     import os
 
     sidecar = os.path.join(path, "_params.json")
     if not os.path.exists(sidecar):
-        return
+        raise ValueError(
+            f"ann_ivf_pq_partitioned: no _params.json sidecar at "
+            f"{path} — either this is not an ivf_pq_write_index "
+            "layout, or an in-place rebuild was interrupted between "
+            "the table overwrites and the sidecar commit (the tables "
+            "may mix two geometries). Rebuild the index with "
+            "ivf_pq_write_index"
+        )
     with open(sidecar) as f:
         params = json.load(f)
     got = {

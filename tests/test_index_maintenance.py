@@ -744,7 +744,7 @@ def test_concurrent_writer_detected_not_silently_lost(spark, tmp_path):
     with mock.patch.object(
         im, "_stage_compacted_base", side_effect=stage_then_race
     ):
-        with pytest.raises(RuntimeError, match="advanced during the fold"):
+        with pytest.raises(RuntimeError, match="during the fold"):
             compact_index(spark, path)
     # nothing lost, nothing flipped: both generations fold, staging gone
     assert len(_committed_generations(path)) == 2
@@ -771,6 +771,63 @@ def test_concurrent_writer_detected_not_silently_lost(spark, tmp_path):
     assert not os.path.isdir(staged)  # loser's staging discarded
     assert len(_committed_generations(p2)) == 1
     assert _rows(read_index(spark, p2)) == _rows(band_fn(cur))
+
+
+def test_commit_aba_across_compaction_detected(spark, tmp_path):
+    """The ABA hole next_gen-only revalidation left (ADVICE r18): a
+    stale writer reads next_gen=1, a concurrent writer commits gen 1,
+    and a compaction then resets next_gen BACK to 1 — slot-number
+    equality would let the stale writer commit a generation computed
+    against the superseded base onto the new base. Full manifest
+    identity (base / generations / next_base / the monotone
+    commit_seq) must abort it instead, and commit_seq must strictly
+    increase across every commit AND compaction so no interleaving of
+    them can ever alias back to a prior state."""
+    from github_event_etl_spark.operators import index_maintenance as im
+
+    band_fn = _mh_band_fn()
+    prev, cur = _prev_cur(spark)
+    path = str(tmp_path / "idx")
+    minhash_write_index(prev, path, num_bands=2, rows_per_band=2, k=2)
+
+    def seq():
+        return (im._read_manifest_file(path) or {}).get("commit_seq", 0)
+
+    # one commit + one compaction so the stale read starts from a
+    # compacted state (base already off the root)
+    write_index_delta(
+        path, snapshot_diff(prev, cur, "doc_id", ["text"]), cur, band_fn
+    )
+    s1 = seq()
+    compact_index(spark, path)
+    s2 = seq()
+    assert s2 > s1 > 0
+
+    stale_m = im._read_manifest(path)  # next_gen == 1, base == _base/v1
+    assert stale_m["next_gen"] == 1
+    # the interleaving: a concurrent writer takes gen=1, then a
+    # compaction folds it — next_gen is 1 AGAIN at our commit time
+    nxt = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (9, "late concurrent doc")],
+        DOCS_SCHEMA,
+    )
+    write_index_delta(
+        path, snapshot_diff(cur, nxt, "doc_id", ["text"]), nxt, band_fn
+    )
+    compact_index(spark, path)
+    now = im._read_manifest(path)
+    assert now["next_gen"] == stale_m["next_gen"] == 1  # the ABA shape
+    assert seq() > s2  # ...but the sequence moved on
+
+    staged = os.path.join(path, "_delta", "gen=1-stale")
+    os.makedirs(staged, exist_ok=True)
+    with pytest.raises(RuntimeError, match="changed between read and commit"):
+        im._commit_generation(
+            path, stale_m, 1, os.path.join("_delta", "gen=1-stale"), staged
+        )
+    assert not os.path.isdir(staged)  # stale writer's staging discarded
+    # the committed state is exactly the concurrent writers' work
+    assert _rows(read_index(spark, path)) == _rows(band_fn(nxt))
 
 
 def test_index_stats_tracks_generations_and_compaction(spark, tmp_path):

@@ -1307,6 +1307,49 @@ def test_ann_ivf_pq_partitioned_serving_layout(emb, spark, tmp_path):
         )
 
 
+def test_ivf_pq_sidecar_commit_ordering_detects_torn_rebuild(
+    emb, spark, tmp_path
+):
+    """The sidecar is the layout's commit record (ADVICE r18): an
+    in-place rebuild deletes it FIRST and rewrites it LAST, so a
+    rebuild that crashes between the table overwrites and the sidecar
+    commit leaves a layout that probes REFUSE (no sidecar ⇒ the tables
+    may mix two geometries) instead of one that validates against the
+    OLD geometry and unpacks half-new codes at the wrong base — the
+    silent-garbage-distance failure the sidecar exists to prevent."""
+    import os
+    from unittest import mock
+
+    from github_event_etl_spark.operators import similarity as sim
+
+    path = str(tmp_path / "ivfpq")
+    sim.ivf_pq_write_index(emb, path)
+    sidecar = os.path.join(path, "_params.json")
+    assert os.path.exists(sidecar)
+    qs = emb.filter(F.col("vec_id") < 2)
+
+    # a rebuild with DIFFERENT geometry that dies mid-build: the old
+    # sidecar must already be gone (deleted before any table write)
+    with mock.patch.object(
+        sim,
+        "_ivf_pq_build_tables",
+        side_effect=RuntimeError("rebuild crashed mid-overwrite"),
+    ):
+        with pytest.raises(RuntimeError, match="crashed"):
+            sim.ivf_pq_write_index(
+                emb, path, num_subspaces=4, num_codewords=16, dim=64
+            )
+    assert not os.path.exists(sidecar)
+    # the torn layout fails LOUDLY at probe time, under either geometry
+    with pytest.raises(ValueError, match="no _params.json"):
+        sim.ann_ivf_pq_partitioned(spark, path, qs, k=5, nprobe=2)
+    # a completed re-run recommits the sidecar and the layout serves
+    sim.ivf_pq_write_index(emb, path)
+    assert os.path.exists(sidecar)
+    got = sim.ann_ivf_pq_partitioned(spark, path, qs, k=5, nprobe=2)
+    assert got.count() == 2 * 5
+
+
 def test_kmeans_refine_matches_python_model(spark, sf_dir):
     """The fixed-point Lloyd refinement must agree exactly with a
     sequential model: same floor-micros quantization, same md5-rank
