@@ -139,6 +139,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qmap = query_map()
+    # Slot-less public twins (the r19 indexed-twin catalog
+    # consolidation): demoted from the registry — their in-memory
+    # twins hold the verified slots and a frame-equality pytest pins
+    # identity — but they keep their component census seats, benched
+    # via the module functions so the round-over-round component
+    # series stays unbroken.
+    from github_event_etl_spark.plans import queries_llm as _qllm
+
+    for _twin in (
+        "llm_dedup_incremental_indexed",
+        "llm_dedup_incremental_semantic_indexed",
+    ):
+        qmap.setdefault(_twin, getattr(_qllm, _twin))
     names = [n for n in HEADLINE if n in qmap]
     names += [n for n in OPTIONAL if n in qmap]
 

@@ -69,17 +69,21 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 # the change). Once the post-change verification lands, the key
 # rejoins normal staleness ordering — a forgotten entry cannot
 # permanently hog the 50-key budget.
-_CHANGED_AFTER_ROUND = 17  # round-18 edits; r01-r17 artifacts predate them
+_CHANGED_AFTER_ROUND = 18  # round-19 edits; r01-r18 artifacts predate them
 
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # round 18: no output-semantics changes. The r18 diff is additive
-    # (the new llm_ann_ivf_pq_refine key, a never-checked front-rider)
-    # plus result-identical refactors: llm_ann_ivf_pq's oracle CTE
-    # chain hoisted into the shared _ivf_pq_rank_ctes builder with a
-    # byte-identical oracle string (md5-checked at edit time), and the
-    # index-maintenance PHYSICAL layer's commit protocol ported to a
-    # manifest — no catalog key touches that layer (both *_apply_diff
-    # keys run the logical apply_index_diff, unchanged).
+    # round 19: llm_ann_recall_eval gained a third evaluated method —
+    # the IVFADC+refine path joins IVF and RHP-LSH in the recall
+    # harness (VERDICT r18 item 6) — so its output grew from 2×Q to
+    # 3×Q rows and both the Spark body and the oracle changed
+    # together; the key must re-hash-verify inside the r19 window.
+    # Every other r19 edit is result-identical for registered keys:
+    # the indexed-twin consolidation DEMOTES two slots (see below),
+    # the IVF-PQ serving-layout maintenance extends slot-less
+    # components, and ann_ivf_pq_partitioned's lists read moved to
+    # read_index (identical frame when no maintenance generations
+    # exist — no catalog key maintains its layout in-key).
+    "llm_ann_recall_eval",
 })
 
 # Keys added when the current round's 50-key verification window is
@@ -103,16 +107,20 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
 # llm_token_shards is a public projection of llm_pack_offsets and
 # holds no slot of its own).
 #
-# Pre-identified consolidation candidates if admissions ever push the
-# registry past 150 (where the bound flips to 4): the two
-# indexed/in-memory dedup twins are RESULT-IDENTICAL by construction —
-# each pair shares one oracle string verbatim (_INCRM_ORACLE;
-# _INCR_SEM_ORACLE) and is pinned by a frame-equality pytest — so
-# either member of each pair could drop to a slot-less public twin
-# (the llm_token_shards precedent), freeing two slots with zero loss
-# of verified surface:
-#   llm_dedup_incremental_minhash  ↔ llm_dedup_incremental_indexed
-#   llm_dedup_incremental_semantic ↔ llm_dedup_incremental_semantic_indexed
+# Indexed-twin consolidation — EXECUTED r19 (VERDICT r18 item 2): the
+# registry sat at exactly 150 keys (the bound-3 boundary, zero
+# admission slots), and the two indexed/in-memory dedup pairs were
+# RESULT-IDENTICAL by construction — each pair shared one oracle
+# string verbatim (_INCRM_ORACLE; _INCR_SEM_ORACLE) and is pinned by a
+# frame-equality pytest — so the indexed member of each dropped to a
+# slot-less public twin (the llm_token_shards precedent), freeing two
+# slots with zero loss of verified surface:
+#   llm_dedup_incremental_indexed           (slot-less since r19)
+#   llm_dedup_incremental_semantic_indexed  (slot-less since r19)
+# Both remain public API, frame-equality- and plan-gate-pinned in
+# tests/test_llm.py, and keep their bench.py component census seats
+# (benched via the module functions, not the catalog). Registry after
+# consolidation: 148 keys, staleness bound 3, two admission slots.
 _DRIVER_KEYS_PER_ROUND = 50
 
 
@@ -121,24 +129,18 @@ def staleness_bound_rounds() -> int:
     ceil(registry size / driver window)."""
     n = len(all_specs())
     return -(-n // _DRIVER_KEYS_PER_ROUND)
-_DEFER_NEW_UNTIL_ROUND = 18
+_DEFER_NEW_UNTIL_ROUND = 19
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # r18 window arithmetic: r17's one deferral (llm_ivf_apply_diff)
-    # SELF-CLEARED when CORRECTNESS_r17 landed (17 < 17 is false) and
-    # leads r18's window as the never-checked front-rider, joined by
-    # the one in-window r18 admission (llm_ann_ivf_pq_refine) —
-    # 2 never-checked + 48 r15-stale = 50, verified against
-    # _rounds_checked_green() at edit time. The admission rides WITHIN
-    # the ~3/round budget: it displaces the single oldest-r16 rotation
-    # (re-checked r19 inside the 3-round bound), not a stale r15 key,
-    # so after r18 no key's latest green row predates r16 — the
-    # round's gate. No key needs deferral this round; the set is empty
-    # (kept, with its self-clearing arithmetic, for the next
-    # over-budget admission).
-    # Registry 150 = the bound boundary: staleness_bound_rounds()
-    # holds at 3 with ZERO admission slots left — the NEXT admission
-    # must first execute the pre-identified indexed-twin consolidation
-    # (above) or the bound flips to 4.
+    # r19 window arithmetic (no new keys, no deferrals): registry
+    # 148 after the indexed-twin consolidation (150 − 2 demotions,
+    # both demoted keys last green r16). Cohorts among the 148:
+    # 48 × r16 / 50 × r17 / 50 × r18 (recomputed from the artifacts at
+    # edit time). Window = 1 changed (llm_ann_recall_eval, rank (0,0))
+    # + all 48 r16-stale keys + 1 earliest-registered r17 key = 50 —
+    # the entire r16 cohort rotates, so after r19 no key's latest
+    # green row predates r17 (the round's gate), with one r17 key
+    # re-checked a round early. The set is empty (kept, with its
+    # self-clearing arithmetic, for the next over-budget admission).
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

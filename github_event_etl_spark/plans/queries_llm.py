@@ -527,11 +527,6 @@ def _incrm_classified(
     )
 
 
-@query(
-    "llm_dedup_incremental_indexed",
-    oracle=_INCRM_ORACLE,
-    tags=("llm", "dedup"),
-)
 def llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash near-dedup against a PRE-MATERIALIZED
     signature index — the production layout every incremental twin's
@@ -550,11 +545,17 @@ def llm_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     Same fixture (`_incrm_split`), same skeleton (the shared
     `_incremental_classify_lsh` with `corpus_banded` supplied), same
     statuses and first-wins/min-corpus contract — so results are
-    IDENTICAL to `llm_dedup_incremental_minhash` and the key shares
-    its full DuckDB oracle (`_INCRM_ORACLE`, cap mirror included);
-    pytest additionally pins the in-memory/indexed frame equality
-    directly and plan-gates that the indexed classify carries strictly
-    fewer Arrow banding UDF evaluations (the corpus banding is gone)."""
+    IDENTICAL to `llm_dedup_incremental_minhash`, whose catalog slot
+    (full `_INCRM_ORACLE` DuckDB oracle, cap mirror included) verifies
+    this computation too. Public API but deliberately NOT a catalog
+    slot since r19 (the `llm_token_shards` precedent, executed per the
+    catalog's indexed-twin consolidation note): the pair held two slots
+    for one verified result, and the registry sat at the 150-key
+    staleness boundary. Pytest pins the in-memory/indexed frame
+    equality directly (so this path cannot drift from the verified
+    slot) and plan-gates that the indexed classify carries strictly
+    fewer Arrow banding UDF evaluations (the corpus banding is gone);
+    bench.py keeps its component census seat."""
     import os as _os
 
     corpus, batch = _incrm_split(spark, sf_dir)
@@ -3892,11 +3893,6 @@ def _incr_sem_classified(
     )
 
 
-@query(
-    "llm_dedup_incremental_semantic_indexed",
-    oracle=_INCR_SEM_ORACLE,
-    tags=("llm", "dedup", "embedding"),
-)
 def llm_dedup_incremental_semantic_indexed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3913,11 +3909,14 @@ def llm_dedup_incremental_semantic_indexed(
     `incremental_dedup_semantic`'s docstring made physical.
 
     Same fixture (`_incr_sem_split`), same skeleton, same statuses —
-    results IDENTICAL to `llm_dedup_incremental_semantic`, so the key
-    shares its full banded+capped DuckDB oracle; pytest pins the
+    results IDENTICAL to `llm_dedup_incremental_semantic`, whose
+    catalog slot (the full banded+capped `_INCR_SEM_ORACLE`) verifies
+    this computation too. Public API but deliberately NOT a catalog
+    slot since r19 (the `llm_token_shards` precedent — see the MinHash
+    twin above for the consolidation rationale); pytest pins the
     in-memory/indexed frame equality directly and plan-gates the
     Arrow-stage reduction (only the batch side still runs the
-    signature UDF)."""
+    signature UDF); bench.py keeps its component census seat."""
     import os as _os
 
     corpus, batch = _incr_sem_split(spark, sf_dir)

@@ -2647,6 +2647,13 @@ def test_incremental_indexed_equals_in_memory(spark, sf_dir):
     }
     assert indexed == in_mem
     assert len(indexed) > 0
+    # slot-less public twin since the r19 indexed-twin consolidation:
+    # the in-memory member holds the verified catalog slot; THIS
+    # equality is what certifies the indexed path (catalog.py note)
+    from github_event_etl_spark.plans.catalog import all_specs
+
+    assert "llm_dedup_incremental_indexed" not in all_specs()
+    assert "llm_dedup_incremental_minhash" in all_specs()
 
 
 def test_incremental_indexed_skips_corpus_banding(spark, sf_dir):
@@ -2754,6 +2761,12 @@ def test_incremental_semantic_indexed_equals_in_memory(spark, sf_dir):
     )
     assert "CartesianProduct" not in indexed_plan
     assert "BatchEvalPython" not in indexed_plan
+    # slot-less public twin since the r19 consolidation (see the
+    # MinHash twin's test for the contract)
+    from github_event_etl_spark.plans.catalog import all_specs
+
+    assert "llm_dedup_incremental_semantic_indexed" not in all_specs()
+    assert "llm_dedup_incremental_semantic" in all_specs()
 
 
 def test_corpus_snapshot_diff_matches_id_model(spark, sf_dir):
