@@ -12,8 +12,12 @@ are maintained from a `merge.snapshot_diff` change log instead of
 being re-banded from scratch per corpus snapshot; the IVF assignment
 index (`similarity.ivf_assign_with_centroids` against a frozen coarse
 quantizer — the (key, centroid_id) schema) maintains through the same
-two layers, since both are per-key-independent derivations. At 100 TB
-that is
+two layers, since both are per-key-independent derivations; and the
+IVF-PQ packed-code SERVING lists (the (nid, pq_code) inverted-list
+layout of `similarity.ivf_pq_write_index`) maintain through
+`ivf_pq_write_index_delta` below, which re-assigns AND re-encodes
+only the changed vectors against the layout's frozen centroid and
+codebook artifacts. At 100 TB that is
 the difference between an O(corpus) banding pass per refresh and
 O(changes) work: re-banding is the dominant index CPU, and a daily
 crawl typically touches well under 1% of the corpus.
@@ -483,6 +487,74 @@ def _commit_generation(
     cur["next_gen"] = n + 1
     cur["commit_seq"] = cur.get("commit_seq", 0) + 1
     _atomic_write_manifest(index_path, cur)
+
+
+def ivf_pq_write_index_delta(
+    spark: SparkSession,
+    index_path: str,
+    diff: DataFrame,
+    cur_corpus: DataFrame,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Apply a corpus snapshot diff to the on-disk IVF-PQ SERVING
+    layout (`similarity.ivf_pq_write_index` — packed-code inverted
+    lists partitioned by centroid_id): the one index family that was
+    outside the maintenance contract until r19, closed. Added and
+    re-embedded vectors are re-ASSIGNED (cosine argmin over the
+    layout's frozen centroid table) and re-ENCODED (per-subspace
+    argmin against its frozen codebook) — `similarity.ivf_pq_encode_fn`
+    is the code-recompute hook — and land as one change-sized
+    maintenance generation under `<index>/lists` via
+    `write_index_delta` (value_cols=('pq_code','centroid_id'),
+    partitioned like the base); removed/re-embedded ids are
+    tombstoned. Returns the generation number.
+
+    The serving read path (`similarity.ann_ivf_pq_partitioned`[+refine],
+    both prune modes) folds committed generations automatically
+    (`read_index`), so a refresh is change-sized INSTEAD of the full
+    `ivf_pq_write_index` rebuild the layout previously required —
+    at a billion vectors that is the difference between re-encoding
+    <1% of the corpus per crawl and re-reading all of it. Pinned by
+    pytest: probe-over-maintained ≡ probe-over-rebuilt (frozen
+    quantizer/codebook rebuild, both prune modes, refine included)
+    and maintained list contents ≡ re-encoded current snapshot.
+    Compaction composes: `compact_index(key='nid',
+    partition_col='centroid_id')` folds the generations back into a
+    plain partition-pruned base. (Reference analog: the incremental
+    summary merge, update-contributor-scores.js:252-263 — refresh
+    the stored artifact from changes, never recompute it whole.)
+
+    PQ geometry arguments are validated against the layout's
+    `_params.json` sidecar first: maintaining with mismatched geometry
+    would append codes that unpack at the wrong base beside valid
+    ones — the silent-garbage case the sidecar exists to prevent.
+
+    The diff's key column (`id_col`) is renamed to the lists' `nid`
+    on the way in, so callers pass the same `merge.snapshot_diff`
+    output the other index families consume. As there, pass `diff`
+    materialized — it feeds the tombstone write and the upsert
+    semi-filter."""
+    from .similarity import _check_ivf_pq_params, ivf_pq_encode_fn
+
+    _check_ivf_pq_params(index_path, num_subspaces, num_codewords, dim)
+    centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
+    codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
+    encode = ivf_pq_encode_fn(
+        centroids, codebook, num_subspaces, num_codewords, dim, vec_col
+    )
+    return write_index_delta(
+        os.path.join(index_path, "lists"),
+        diff if id_col == "nid" else diff.withColumnRenamed(id_col, "nid"),
+        cur_corpus.select(F.col(id_col).alias("nid"), vec_col),
+        encode,
+        key="nid",
+        value_cols=("pq_code", "centroid_id"),
+        partition_col="centroid_id",
+    )
 
 
 def read_index(

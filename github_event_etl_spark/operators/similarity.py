@@ -641,16 +641,36 @@ def _ivf_pq_build_tables(
     dim: int,
     id_col: str,
     vec_col: str,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ):
     """The IVF-PQ table-build head — (nid, centroid_id, pq_code)
     inverted lists plus the centroid and codebook tables — ONE copy
-    shared by the in-memory flagship (`ann_ivf_pq`) and the index
-    writer (`ivf_pq_write_index`), the same no-drift rule as the
-    probe tail: an edit to the lists join or the code derivation in
-    one consumer and not the other would silently break the
-    disk ≡ memory equality the serving layout depends on."""
-    assigned, centroids = ivf_assign(corpus, num_centroids, id_col, vec_col)
-    codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
+    shared by the in-memory flagship (`ann_ivf_pq`), the index
+    writer (`ivf_pq_write_index`), and the maintenance re-encode hook
+    (`ivf_pq_encode_fn`), the same no-drift rule as the probe tail:
+    an edit to the lists join or the code derivation in one consumer
+    and not the other would silently break the disk ≡ memory ≡
+    maintained equality the serving layout depends on.
+
+    Pass `centroids` / `codebook` to build against FROZEN model
+    artifacts instead of deriving them from `corpus` (the refresh
+    loop's contract: the coarse quantizer and codebook are versioned
+    separately from corpus snapshots and only re-trained at
+    compaction time — deriving them per snapshot would silently
+    re-list and re-code the whole index). With both supplied,
+    `num_centroids` is unused and `corpus` may be any change-sized
+    docs frame, not the full corpus."""
+    if centroids is None:
+        assigned, centroids = ivf_assign(
+            corpus, num_centroids, id_col, vec_col
+        )
+    else:
+        assigned = ivf_assign_with_centroids(
+            corpus, centroids, id_col, vec_col
+        )
+    if codebook is None:
+        codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
     codes = pq_codes(
         corpus, num_subspaces, num_codewords, dim, id_col, vec_col,
         codebook=codebook,
@@ -659,6 +679,44 @@ def _ivf_pq_build_tables(
         codes.select(F.col(id_col).alias("nid"), "pq_code"), "nid"
     )
     return lists, centroids, codebook
+
+
+def ivf_pq_encode_fn(
+    centroids: DataFrame,
+    codebook: DataFrame,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+):
+    """The code-recompute hook that puts the IVF-PQ serving lists
+    inside the apply-diff maintenance contract
+    (`index_maintenance.ivf_pq_write_index_delta`): maps a
+    ('nid', `vec_col`) docs frame to serving-list rows
+    (nid, centroid_id, pq_code) against FROZEN centroid and codebook
+    tables — the exact `_ivf_pq_build_tables` head the layout was
+    written with, so maintained appends are bit-identical to what a
+    rebuild would encode for the same vectors. A re-embedded vector
+    re-runs BOTH derivations: its list assignment (cosine argmin over
+    the broadcast centroids) and its packed code (per-subspace argmin
+    over the broadcast codebook) — encoding against a frozen codebook
+    is the standard IVF-PQ refresh shape (the quantizer is a model
+    artifact; the lists are data).
+
+    Scale shape: everything is change-sized — the docs frame arriving
+    here has already been broadcast-semi-filtered to the diff's
+    upserted keys (`_upsert_docs`), and both model tables broadcast —
+    so a daily refresh costs O(changes) assignment+encoding CPU, never
+    the O(corpus) rebuild pass `ivf_pq_write_index` runs."""
+
+    def encode(docs: DataFrame) -> DataFrame:
+        lists, _, _ = _ivf_pq_build_tables(
+            docs, 0, num_subspaces, num_codewords, dim, "nid", vec_col,
+            centroids=centroids, codebook=codebook,
+        )
+        return lists
+
+    return encode
 
 
 def _ivf_pq_probe_rank(
@@ -818,6 +876,8 @@ def ivf_pq_write_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF-PQ serving layout — the physical shape the
     `ann_ivf_pq` docstring promises for a billion-vector deployment:
@@ -860,9 +920,13 @@ def ivf_pq_write_index(
     # rather than validated against the OLD geometry.
     with contextlib.suppress(FileNotFoundError):
         os.remove(os.path.join(path, "_params.json"))
+    # frozen-artifact hook (see _ivf_pq_build_tables): a REBUILD of a
+    # maintained deployment passes the versioned centroid/codebook
+    # tables so the fresh layout stays probe-compatible with indexes
+    # its diffs were encoded against
     lists, centroids, codebook = _ivf_pq_build_tables(
         corpus, num_centroids, num_subspaces, num_codewords, dim,
-        id_col, vec_col,
+        id_col, vec_col, centroids=centroids, codebook=codebook,
     )
     centroids = centroids.cache()
     codebook = codebook.cache()
@@ -967,9 +1031,22 @@ def ann_ivf_pq_partitioned(
     and parameters (the shared `_ivf_pq_probe_rank` tail;
     frame-equality pytest). PQ geometry arguments are validated
     against the index's `_params.json` sidecar — a mismatch would
-    unpack codes at the wrong base, silently corrupting distances."""
+    unpack codes at the wrong base, silently corrupting distances.
+
+    The lists are read through `index_maintenance.read_index`, so a
+    layout refreshed by `ivf_pq_write_index_delta` (change-sized
+    tombstone+append generations under `<path>/lists`) probes its
+    MAINTAINED state — committed generations fold over the base as
+    broadcast anti-joins + unions before the probe join; a freshly
+    built layout has no generations and reads as the plain
+    partition-pruned base scan, byte-identical to the pre-maintenance
+    plan. Partition pruning survives the fold: the probe's
+    centroid_id filter pushes into the base scan AND each generation's
+    append scan (both partitioned by centroid_id)."""
+    from .index_maintenance import read_index
+
     _check_ivf_pq_params(path, num_subspaces, num_codewords, dim)
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = read_index(spark, f"{path}/lists", key="nid")
     centroids = spark.read.parquet(f"{path}/centroids")
     codebook = spark.read.parquet(f"{path}/codebook")
     if static_prune:

@@ -587,6 +587,132 @@ def test_probe_over_maintained_ivf_index_equals_rebuild(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_ivf_pq_serving_lists_maintain_from_diff(spark, sf_dir, tmp_path):
+    """The IVF-PQ packed-code serving layout joins the apply-diff
+    maintenance contract (the r18 seam, closed): a snapshot diff
+    re-assigns AND re-encodes only the changed vectors against the
+    layout's FROZEN centroid/codebook artifacts and lands as one
+    change-sized generation under <index>/lists. Proofs, per the
+    contract: (1) maintained list CONTENTS equal a re-encode of the
+    current snapshot; (2) probe-over-maintained equals
+    probe-over-rebuilt in BOTH prune modes, refine path included —
+    the rebuild twin uses the same frozen artifacts, the versioned-
+    model contract; (3) static pruning still opens <= Q*nprobe list
+    directories through the generation fold (executed metrics, not
+    plan text); (4) compaction folds the generations back and the
+    probe still agrees."""
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.operators.index_maintenance import (
+        ivf_pq_write_index_delta,
+    )
+    from github_event_etl_spark.operators.similarity import (
+        ann_ivf_pq_partitioned,
+        ann_ivf_pq_partitioned_refine,
+        ivf_pq_encode_fn,
+        ivf_pq_write_index,
+        ivf_seed_centroids,
+        pq_codebook,
+    )
+    from github_event_etl_spark.plans.queries_llm import (
+        _emb_snap_cur,
+        _emb_snap_prev,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # frozen model artifacts, seeded from the immutable table (the
+    # llm_ivf_apply_diff convention: the quantizer/codebook version
+    # independently of corpus snapshots)
+    frozen_c = ivf_seed_centroids(emb, 16)
+    frozen_cb = pq_codebook(emb, 16)
+    prev = _emb_snap_prev(emb)
+    cur = _emb_snap_cur(emb)
+
+    maintained = str(tmp_path / "m")
+    rebuilt = str(tmp_path / "r")
+    ivf_pq_write_index(prev, maintained, centroids=frozen_c,
+                       codebook=frozen_cb)
+    ivf_pq_write_index(cur, rebuilt, centroids=frozen_c,
+                       codebook=frozen_cb)
+
+    diff = snapshot_diff(prev, cur, "vec_id", ["embedding"]).localCheckpoint(
+        eager=False
+    )
+    assert ivf_pq_write_index_delta(spark, maintained, diff, cur) == 1
+
+    # (1) maintenance ≡ rebuild on the list contents
+    cols = ["nid", "centroid_id", "pq_code"]
+    encode = ivf_pq_encode_fn(frozen_c, frozen_cb)
+    fresh = encode(
+        cur.select(F.col("vec_id").alias("nid"), "embedding")
+    )
+    folded = read_index(spark, f"{maintained}/lists", key="nid").select(
+        "nid", F.col("centroid_id").cast("long").alias("centroid_id"),
+        "pq_code",
+    )
+    assert _rowset(folded.select(*cols)) == _rowset(fresh.select(*cols))
+
+    # (2) probe equality, both prune modes, ADC and refined
+    qs = cur.filter(F.col("vec_id") < 8)
+    for static in (False, True):
+        got = _rowset(ann_ivf_pq_partitioned(
+            spark, maintained, qs, k=10, nprobe=4, static_prune=static
+        ))
+        want = _rowset(ann_ivf_pq_partitioned(
+            spark, rebuilt, qs, k=10, nprobe=4, static_prune=static
+        ))
+        assert got == want and len(got) > 0, f"static={static}"
+        got_r = _rowset(ann_ivf_pq_partitioned_refine(
+            spark, maintained, cur, qs, k=10, refine_r=30,
+            nprobe=4, static_prune=static,
+        ))
+        want_r = _rowset(ann_ivf_pq_partitioned_refine(
+            spark, rebuilt, cur, qs, k=10, refine_r=30,
+            nprobe=4, static_prune=static,
+        ))
+        assert got_r == want_r and len(got_r) > 0, f"refine static={static}"
+
+    # (3) pruning survives the generation fold: every partitioned scan
+    # in the executed static-prune plan opens <= Q*nprobe directories
+    from .test_plans import executed_scan_metrics
+
+    df_sp = ann_ivf_pq_partitioned(
+        spark, maintained, cur.filter(F.col("vec_id") < 2),
+        k=5, nprobe=2, static_prune=True,
+    )
+    pruned = [s for s in executed_scan_metrics(df_sp)
+              if "numPartitions" in s]
+    assert pruned and all(s["numPartitions"] <= 4 for s in pruned), pruned
+
+    # (4) compaction folds the maintained state into a plain base
+    folded_n = compact_index(
+        spark, f"{maintained}/lists", key="nid",
+        partition_col="centroid_id",
+    )
+    assert folded_n == 1
+    got = _rowset(ann_ivf_pq_partitioned(
+        spark, maintained, qs, k=10, nprobe=4, static_prune=True
+    ))
+    want = _rowset(ann_ivf_pq_partitioned(
+        spark, rebuilt, qs, k=10, nprobe=4, static_prune=True
+    ))
+    assert got == want
+
+    # geometry guard: maintaining with mismatched PQ parameters must
+    # fail against the sidecar before any codes are appended
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        ivf_pq_write_index_delta(
+            spark, maintained, diff, cur, num_codewords=32
+        )
+
+
+def _rowset(df):
+    return {tuple(r) for r in df.collect()}
+
+
 def test_write_index_delta_requires_committed_base(spark, tmp_path):
     """Maintenance against a vacant or half-written base fails fast:
     a generation written there would fabricate an unreadable index
