@@ -1014,7 +1014,7 @@ def ann_ivf_pq_partitioned(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    static_prune: bool = False,
+    static_prune: bool | str = False,
 ) -> DataFrame:
     """ADC search against the on-disk `ivf_pq_write_index` layout: the
     broadcast (qid, centroid_id, ADC-tables) probe frame equi-joins
@@ -1026,7 +1026,12 @@ def ann_ivf_pq_partitioned(
     scale); `static_prune=True` plans the probe driver-side —
     ≤ Q×nprobe ids, ONE EAGER job at call time (the returned frame is
     otherwise lazy) — for a static partition filter that ALWAYS
-    prunes (executed-metrics-gated). Identical results either way,
+    prunes (executed-metrics-gated); `static_prune="auto"` measures
+    the dynamic plan's executed scan metrics once and falls back to
+    the static plan with a RuntimeWarning when Spark dropped the
+    subquery (`_auto_pruned` — the deployment-acceptance decision
+    rule, so a serving stack cannot silently run full-index scans).
+    Identical results in all three modes,
     and identical to the in-memory `ann_ivf_pq` for the same corpus
     and parameters (the shared `_ivf_pq_probe_rank` tail;
     frame-equality pytest). PQ geometry arguments are validated
@@ -1045,17 +1050,28 @@ def ann_ivf_pq_partitioned(
     append scan (both partitioned by centroid_id)."""
     from .index_maintenance import read_index
 
+    _require_prune_mode("ann_ivf_pq_partitioned", static_prune)
     _check_ivf_pq_params(path, num_subspaces, num_codewords, dim)
     lists = read_index(spark, f"{path}/lists", key="nid")
     centroids = spark.read.parquet(f"{path}/centroids")
     codebook = spark.read.parquet(f"{path}/codebook")
-    if static_prune:
-        lists = _static_prune_lists(lists, centroids, queries,
-                                    nprobe, id_col, vec_col)
-    return _ivf_pq_probe_rank(
-        lists, centroids, codebook, queries, k, nprobe,
-        num_subspaces, num_codewords, dim, id_col, vec_col,
-    )
+
+    def _tail(lst: DataFrame) -> DataFrame:
+        return _ivf_pq_probe_rank(
+            lst, centroids, codebook, queries, k, nprobe,
+            num_subspaces, num_codewords, dim, id_col, vec_col,
+        )
+
+    if static_prune is True:
+        return _tail(_static_prune_lists(lists, centroids, queries,
+                                         nprobe, id_col, vec_col))
+    df = _tail(lists)
+    if static_prune == "auto":
+        return _auto_pruned(
+            df, lists, centroids, queries, nprobe, id_col, vec_col,
+            _tail, "ann_ivf_pq_partitioned",
+        )
+    return df
 
 
 def ann_ivf_pq_partitioned_refine(
@@ -1071,12 +1087,13 @@ def ann_ivf_pq_partitioned_refine(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    static_prune: bool = False,
+    static_prune: bool | str = False,
 ) -> DataFrame:
     """IVFADC+refine over the on-disk layout — the complete serving
     read path: partition-pruned ADC shortlist from the packed-code
     lists (declarative DPP by default; `static_prune=True` for the
-    guaranteed driver-planned pruning, see `ann_ivf_pq_partitioned`),
+    guaranteed driver-planned pruning, `"auto"` for the measured
+    fallback — see `ann_ivf_pq_partitioned`),
     then the shared exact re-rank fetches ONLY the Q×refine_r true
     embeddings (broadcast equi-join against the embedding table — the
     single place vectors are read at all). Identical results to the
@@ -1120,7 +1137,7 @@ def ann_ivf_partitioned(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    static_prune: bool = False,
+    static_prune: bool | str = False,
 ) -> DataFrame:
     """IVF probe against the on-disk index written by `ivf_write_index`.
 
@@ -1140,34 +1157,48 @@ def ann_ivf_partitioned(
     (probe planning is driver-side in every production ANN system),
     and the scan gets a static partition filter that always prunes to
     the probed directories — executed-metrics-gated in pytest.
-    Results are identical in both modes and identical to `ann_ivf`
-    for the same corpus and parameters (asserted in tests/test_llm.py).
+    `static_prune="auto"` is the acceptance mode between them: it
+    executes the dynamic plan once, reads its scan metrics, and falls
+    back to the static plan with a RuntimeWarning if the subquery was
+    dropped (`_auto_pruned`). Results are identical in all modes and
+    identical to `ann_ivf` for the same corpus and parameters
+    (asserted in tests/test_llm.py).
     """
+    _require_prune_mode("ann_ivf_partitioned", static_prune)
     assigned = spark.read.parquet(f"{path}/assigned")
     centroids = spark.read.parquet(f"{path}/centroids")
-    if static_prune:
-        assigned = _static_prune_lists(assigned, centroids, queries,
-                                       nprobe, id_col, vec_col)
-    return ivf_probe(assigned, centroids, queries, k, nprobe, id_col, vec_col)
+
+    def _tail(lst: DataFrame) -> DataFrame:
+        return ivf_probe(lst, centroids, queries, k, nprobe,
+                         id_col, vec_col)
+
+    if static_prune is True:
+        return _tail(_static_prune_lists(assigned, centroids, queries,
+                                         nprobe, id_col, vec_col))
+    df = _tail(assigned)
+    if static_prune == "auto":
+        return _auto_pruned(
+            df, assigned, centroids, queries, nprobe, id_col, vec_col,
+            _tail, "ann_ivf_partitioned",
+        )
+    return df
 
 
-def _static_prune_lists(
-    lists: DataFrame,
+def _probed_centroid_ids(
     centroids: DataFrame,
     queries: DataFrame,
     nprobe: int,
     id_col: str,
     vec_col: str,
-) -> DataFrame:
-    """Static probe planning: rank centroids per query (the same
-    broadcast + window derivation the dynamic path embeds), pull the
-    DISTINCT probed centroid ids to the driver — bounded by
-    min(Q×nprobe, C), a handful of longs — and return `lists` filtered
-    by a literal IN on its partition column, which the scan resolves
-    against directory names at plan time. The one deliberate driver
-    action in the ANN stack: it buys pruning that cannot be silently
-    dropped by the DPP cost model. The downstream probe join is
-    unchanged, so results are identical with and without it."""
+) -> list:
+    """Static probe planning's driver action: rank centroids per query
+    (the same broadcast + window derivation the dynamic path embeds)
+    and pull the DISTINCT probed centroid ids to the driver — bounded
+    by min(Q×nprobe, C), a handful of longs. The one deliberate driver
+    action in the ANN stack (probe planning is driver-side in every
+    production ANN system): it buys pruning that cannot be silently
+    dropped by the DPP cost model, and it is the yardstick the "auto"
+    mode measures the dynamic plan against."""
     q = queries.select(F.col(id_col).alias("qid"),
                        F.col(vec_col).alias("q_vec"))
     qc = q.join(F.broadcast(centroids)).select(
@@ -1178,7 +1209,7 @@ def _static_prune_lists(
     wq = Window.partitionBy("qid").orderBy(
         F.col("_csim").desc(), F.col("centroid_id")
     )
-    probed = [
+    return [
         r.centroid_id
         for r in qc.withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= nprobe)
@@ -1186,7 +1217,92 @@ def _static_prune_lists(
         .distinct()
         .collect()
     ]
+
+
+def _static_prune_lists(
+    lists: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """`lists` filtered to the driver-planned probe set
+    (`_probed_centroid_ids`) by a literal IN on its partition column,
+    which the scan resolves against directory names at plan time — the
+    GUARANTEED pruning path. The downstream probe join is unchanged,
+    so results are identical with and without it."""
+    probed = _probed_centroid_ids(centroids, queries, nprobe,
+                                  id_col, vec_col)
     return lists.filter(F.col("centroid_id").isin(probed))
+
+
+#: Accepted values of the partitioned probes' `static_prune` knob.
+_PRUNE_MODES = (False, True, "auto")
+
+
+def _require_prune_mode(fn: str, static_prune) -> None:
+    if static_prune not in _PRUNE_MODES:
+        raise ValueError(
+            f"{fn}: static_prune must be one of {_PRUNE_MODES} "
+            f"(got {static_prune!r}) — False serves the declarative "
+            "DPP plan, True the driver-planned guaranteed-pruning "
+            "one, 'auto' measures the DPP plan's executed scan "
+            "metrics once and falls back to static with a warning if "
+            "Spark dropped the pruning subquery"
+        )
+
+
+def _auto_pruned(
+    dyn_df: DataFrame,
+    lists: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    tail_fn,
+    op_name: str,
+) -> DataFrame:
+    """The `static_prune="auto"` decision rule (VERDICT r18 item 5):
+    a deployment must not silently serve full-index scans, but whether
+    the declarative DPP subquery actually EXECUTES is Spark's
+    cost-model call — invisible in plan text (it degrades to
+    `dynamicpruningexpression(true)`; the r18 finding) and only
+    measurable from executed scan metrics. So: plan the probe set
+    driver-side (`_probed_centroid_ids` — the same bounded action the
+    static path pays), execute the dynamic frame ONCE, and compare
+    every partitioned scan's `numPartitions` against the probe-set
+    size. Within the bound ⇒ DPP is working: return the declarative
+    frame (future executions keep the subquery and adapt as queries
+    change). Over it ⇒ warn loudly and return the statically pruned
+    frame.
+
+    Cost note: the acceptance check executes the probe once, so on a
+    DEGRADED plan detection itself pays one full-index scan — "auto"
+    is the deployment-acceptance/canary mode; a serving loop that has
+    seen the warning should pin `static_prune=True` (and one that
+    hasn't can pin False). The check is per-call by design: pruning
+    health depends on the query batch's shape, not just the layout."""
+    import warnings
+
+    probed = _probed_centroid_ids(centroids, queries, nprobe,
+                                  id_col, vec_col)
+    from .plan_metrics import partitioned_scans_within
+
+    if partitioned_scans_within(dyn_df, len(probed)):
+        return dyn_df
+    warnings.warn(
+        f"{op_name}: dynamic partition pruning did not prune — the "
+        f"executed plan read more than the {len(probed)} driver-"
+        "planned probe partitions (Spark dropped the DPP subquery, "
+        "the window-build-side degradation); serving the statically "
+        "pruned plan instead. Pin static_prune=True to skip this "
+        "check on future calls",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    return tail_fn(lists.filter(F.col("centroid_id").isin(probed)))
 
 
 def kmeans_refine_int(

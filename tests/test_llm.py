@@ -1307,6 +1307,92 @@ def test_ann_ivf_pq_partitioned_serving_layout(emb, spark, tmp_path):
         )
 
 
+def test_static_prune_auto_warns_and_falls_back_on_dropped_dpp(
+    emb, spark, tmp_path
+):
+    """static_prune='auto' is the decision rule that keeps a serving
+    deployment from silently running full-index scans (VERDICT r18
+    item 5): it executes the declarative-DPP plan once, reads its
+    EXECUTED scan metrics (plan text lies — the subquery degrades to
+    dynamicpruningexpression(true)), and only falls back — loudly — if
+    Spark dropped the pruning. The window-build-side probe shape at
+    this scale IS the dropped-DPP fixture (the r18 finding), so auto
+    must warn, return results identical to both other modes, and serve
+    a frame whose scans provably open <= Q*nprobe directories. With
+    nprobe = C (every list legitimately probed) a full read is within
+    the driver-planned bound, pinning the keep-dynamic branch: no
+    warning, declarative frame served."""
+    import warnings
+
+    from github_event_etl_spark.operators.plan_metrics import (
+        partitioned_scans_within,
+    )
+    from github_event_etl_spark.operators.similarity import (
+        ann_ivf,
+        ann_ivf_partitioned,
+        ann_ivf_pq,
+        ann_ivf_pq_partitioned,
+        ivf_pq_write_index,
+        ivf_write_index,
+    )
+
+    pq_path = str(tmp_path / "ivfpq")
+    ivf_path = str(tmp_path / "ivf")
+    ivf_pq_write_index(emb, pq_path)
+    ivf_write_index(emb, ivf_path, num_centroids=16)
+    qs = emb.filter(F.col("vec_id") < 2)
+
+    # fallback branch, on BOTH partitioned probe paths
+    with pytest.warns(RuntimeWarning, match="did not prune"):
+        auto_pq = ann_ivf_pq_partitioned(
+            spark, pq_path, qs, k=5, nprobe=2, static_prune="auto"
+        )
+    static_pq = ann_ivf_pq_partitioned(
+        spark, pq_path, qs, k=5, nprobe=2, static_prune=True
+    )
+    mem_pq = ann_ivf_pq(emb, qs, k=5, nprobe=2, num_centroids=16)
+    assert {tuple(r) for r in auto_pq.collect()} == {
+        tuple(r) for r in static_pq.collect()
+    } == {tuple(r) for r in mem_pq.collect()}
+    # the served frame's scans are provably pruned (Q=2 × nprobe=2)
+    assert partitioned_scans_within(auto_pq, 4)
+    # ...which the degraded dynamic frame is provably NOT
+    dyn_pq = ann_ivf_pq_partitioned(spark, pq_path, qs, k=5, nprobe=2)
+    assert not partitioned_scans_within(dyn_pq, 4)
+
+    with pytest.warns(RuntimeWarning, match="did not prune"):
+        auto_ivf = ann_ivf_partitioned(
+            spark, ivf_path, qs, k=5, nprobe=2, static_prune="auto"
+        )
+    mem_ivf = ann_ivf(emb, qs, k=5, nprobe=2, num_centroids=16)
+    assert {tuple(r) for r in auto_ivf.collect()} == {
+        tuple(r) for r in mem_ivf.collect()
+    }
+    assert partitioned_scans_within(auto_ivf, 4)
+
+    # keep-dynamic branch: probing ALL 16 lists makes the full read
+    # legitimate — auto must NOT warn and must serve the declarative
+    # frame with correct results
+    qs8 = emb.filter(F.col("vec_id") < 8)
+    with warnings.catch_warnings():
+        # escalate ONLY the fallback's own warning class: a GC-timed
+        # py4j ResourceWarning must not flake this branch
+        warnings.simplefilter("error", RuntimeWarning)
+        auto_all = ann_ivf_pq_partitioned(
+            spark, pq_path, qs8, k=5, nprobe=16, static_prune="auto"
+        )
+    mem_all = ann_ivf_pq(emb, qs8, k=5, nprobe=16, num_centroids=16)
+    assert {tuple(r) for r in auto_all.collect()} == {
+        tuple(r) for r in mem_all.collect()
+    }
+
+    # the knob rejects anything outside its three documented modes
+    with pytest.raises(ValueError, match="static_prune"):
+        ann_ivf_pq_partitioned(
+            spark, pq_path, qs, k=5, nprobe=2, static_prune="yes"
+        )
+
+
 def test_ivf_pq_sidecar_commit_ordering_detects_torn_rebuild(
     emb, spark, tmp_path
 ):

@@ -43,45 +43,12 @@ def tree_of(plan: str) -> str:
     return plan.split("\n\n")[0]
 
 
-def executed_scan_metrics(df) -> list[dict]:
-    """Execute the DataFrame and return each parquet scan's SQL metrics
-    (numFiles, numPartitions, ...) from the EXECUTED plan.
-
-    This is the only honest probe for partition pruning:
-    ``DataFrame.inputFiles()`` lists the relation's entire FileIndex and
-    never reflects pruning, and the formatted explain shows the filter
-    but not how many files the run actually opened. AQE wraps stages in
-    QueryStageExec nodes, so the walk unwraps those via ``.plan()``.
-    """
-    df.collect()
-
-    scans = []
-
-    def walk(node):
-        name = node.nodeName()
-        if "QueryStage" in name:
-            walk(node.plan())
-            return
-        if name.startswith("AdaptiveSparkPlan"):
-            walk(node.executedPlan())
-            return
-        if name.startswith("Scan"):
-            scans.append(node)
-        children = node.children()
-        for i in range(children.size()):
-            walk(children.apply(i))
-
-    walk(df._jdf.queryExecution().executedPlan())
-    out = []
-    for s in scans:
-        metrics = s.metrics()
-        keys = metrics.keysIterator()
-        d = {}
-        while keys.hasNext():
-            k = keys.next()
-            d[k] = metrics.apply(k).value()
-        out.append(d)
-    return out
+# Promoted into the package (r19) so the static_prune="auto" serving
+# decision rule measures exactly what these gates measure; re-exported
+# here because sibling test modules import it from this file.
+from github_event_etl_spark.operators.plan_metrics import (  # noqa: E402
+    executed_scan_metrics,
+)
 
 
 # ------------------------------------------------------------ scan hygiene
