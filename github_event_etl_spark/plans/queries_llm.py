@@ -1298,159 +1298,6 @@ def llm_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_partitioned(spark, index, queries, k=_KNN_K, nprobe=4)
 
 
-# Recall@k harness over the two in-memory ANN flavors. The oracle is
-# self-contained on purpose: it re-derives the brute-force ground
-# truth (llm_knn_bruteforce's chain), the 12×6 RHP-LSH top-k
-# (llm_ann_lsh's chain), and the IVF top-k (_IVF_ORACLE's chain)
-# verbatim rather than refactoring those three green oracles into
-# shared fragments — oracle text is test fixture, and keeping each
-# key's oracle free-standing means an edit here can never silently
-# change what an already-verified key is checked against.
-_RECALL_ORACLE = f"""
-    WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_KNN_QUERIES}),
-    gt AS (
-      SELECT qid, nid FROM (
-        SELECT q.qid, e.vec_id AS nid,
-               row_number() OVER (PARTITION BY q.qid
-                 ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id) AS rnk
-        FROM q, e WHERE q.qid <> e.vec_id
-      ) WHERE rnk <= {_KNN_K}
-    ),
-    planes AS (
-      SELECT t.range AS t, p.range AS p,
-             list_transform(range(0, 64), d ->
-               CASE WHEN substr(md5('rhp|' ||
-                        CAST(t.range * 1000 + p.range AS VARCHAR) ||
-                        '|' || CAST(d AS VARCHAR)), 2, 1)
-                    IN ('1','3','5','7','9','b','d','f')
-                    THEN 1.0 ELSE -1.0 END) AS pl
-      FROM range(0, 12) t, range(0, 6) p
-    ),
-    sigs AS (
-      SELECT e.vec_id, planes.t,
-             string_agg(CASE WHEN {_dot_sql_dim('e.v', 'planes.pl', 64)} > 0
-                        THEN '1' ELSE '0' END, '' ORDER BY planes.p) AS sig
-      FROM e, planes
-      GROUP BY e.vec_id, planes.t
-    ),
-    qsig AS (SELECT * FROM sigs WHERE vec_id < {_KNN_QUERIES}),
-    cand AS (
-      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
-      FROM qsig q JOIN sigs c ON c.t = q.t AND c.sig = q.sig
-      WHERE c.vec_id <> q.vec_id
-    ),
-    lsh AS (
-      SELECT qid, nid FROM (
-        SELECT cand.qid, cand.nid,
-               row_number() OVER (PARTITION BY cand.qid
-                 ORDER BY {_cos_sql('a.v', 'b.v')} DESC, cand.nid) AS rnk
-        FROM cand
-        JOIN e a ON a.vec_id = cand.qid
-        JOIN e b ON b.vec_id = cand.nid
-      ) WHERE rnk <= {_KNN_K}
-    ),
-    cent AS (
-      SELECT vec_id AS centroid_id, v AS cv FROM e
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-      LIMIT 16
-    ),
-    asg AS (
-      SELECT vec_id, v, centroid_id FROM (
-        SELECT e.vec_id, e.v, cent.centroid_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_cos_sql('e.v', 'cent.cv')} DESC,
-                          cent.centroid_id) AS rn
-        FROM e, cent
-      ) WHERE rn = 1
-    ),
-    probes AS (
-      SELECT qid, qv, centroid_id FROM (
-        SELECT q.qid, q.qv, cent.centroid_id,
-               row_number() OVER (PARTITION BY q.qid
-                 ORDER BY {_cos_sql('q.qv', 'cent.cv')} DESC,
-                          cent.centroid_id) AS rn
-        FROM q, cent
-      ) WHERE rn <= 4
-    ),
-    ivf AS (
-      SELECT qid, nid FROM (
-        SELECT p.qid, a.vec_id AS nid,
-               row_number() OVER (PARTITION BY p.qid
-                 ORDER BY {_cos_sql('p.qv', 'a.v')} DESC, a.vec_id) AS rnk
-        FROM probes p JOIN asg a ON a.centroid_id = p.centroid_id
-        WHERE a.vec_id <> p.qid
-      ) WHERE rnk <= {_KNN_K}
-    ),
-    ann AS (
-      SELECT 'ivf' AS method, qid, nid FROM ivf
-      UNION ALL
-      SELECT 'lsh' AS method, qid, nid FROM lsh
-    ),
-    meth AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'),
-    per AS (
-      SELECT meth.method, q.qid,
-             COUNT(a.nid) AS ann_k, COUNT(g.nid) AS hits
-      FROM meth CROSS JOIN q
-      LEFT JOIN ann a ON a.method = meth.method AND a.qid = q.qid
-      LEFT JOIN gt g ON g.qid = a.qid AND g.nid = a.nid
-      GROUP BY meth.method, q.qid
-    )
-    SELECT method, qid, ann_k::BIGINT AS ann_k, hits::BIGINT AS hits,
-           round(hits / {_KNN_K}.0, 6) AS recall_r
-    FROM per
-"""
-
-
-@query("llm_ann_recall_eval", oracle=_RECALL_ORACLE, tags=("llm", "similarity"))
-def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k evaluation harness (operators/similarity.py
-    ann_recall): both in-memory ANN flavors — IVF (16 centroids,
-    nprobe 4) and RHP-LSH (12 tables × 6 planes) — measured per query
-    against the exact brute-force top-k ground truth, the
-    acceptance gate a vector-search deployment runs before trusting an
-    index. Output is one row per (method, query): neighbors returned,
-    ground-truth hits, recall@k.
-
-    Full value oracle: every stage on both sides is deterministic
-    (md5-derived hyperplanes and centroid seeds, id tie-breaks), so
-    DuckDB re-derives ground truth, both candidate sets, both rankings,
-    and the per-query hit counts — the recall NUMBERS are hash-checked,
-    not just bounded. The pytest twin cross-checks hits against
-    literal set intersections of the collected result sets.
-
-    Scale shape: the corpus-sized work is exactly the three already-
-    audited index paths (broadcast-query scan, signature equi-join,
-    probed inverted lists); the eval itself joins only Q·k-row frames
-    with a broadcast ground truth and a bounded 2×Q methods grid."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
-    gt = knn_bruteforce(emb, queries, k=_KNN_K)
-    ann = (
-        ann_ivf(emb, queries, k=_KNN_K, num_centroids=16, nprobe=4)
-        .select(F.lit("ivf").alias("method"), "qid", "nid")
-        .unionAll(
-            ann_lsh(
-                emb,
-                queries,
-                dim=64,
-                k=_KNN_K,
-                num_tables=12,
-                planes_per_table=6,
-            ).select(F.lit("lsh").alias("method"), "qid", "nid")
-        )
-    )
-    return ann_recall(
-        ann,
-        gt.select("qid", "nid"),
-        queries.select(F.col("vec_id").alias("qid")),
-        k=_KNN_K,
-        methods=("ivf", "lsh"),
-    )
-
-
 _KM_SCALE = 1_000_000
 _KM_DIM = 64
 _KM_ITERS = 2
@@ -1833,6 +1680,201 @@ def llm_ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_subspaces=_PQ_SUBSPACES,
         num_codewords=_PQ_CODEWORDS,
         dim=_PQ_SUBSPACES * _PQ_DSUB,
+    )
+
+
+# Recall@k harness over the three in-memory ANN flavors. The LSH, IVF,
+# and ground-truth chains are re-derived verbatim inside this oracle
+# (free-standing oracle text, so an edit here can never silently
+# change what an already-verified key is checked against); the
+# IVFADC+refine method composes over the SHARED `_ivf_pq_rank_ctes`
+# chain instead — the r18 hoist precedent: the refine stage being
+# EVALUATED here must be the byte-identical chain `llm_ann_ivf_pq` /
+# `llm_ann_ivf_pq_refine` are hash-verified against, or the recall
+# report could green-light a drifted ranking. Name discipline for the
+# composition: the chain owns e/cent/qv/probes/asg/r, so the recall
+# harness's own full-vector assignment and probe CTEs are asg_v /
+# probes_v and its query frame is q.
+def _recall_oracle() -> str:
+    return (
+        _ivf_pq_rank_ctes()
+        + f""",
+    cand_rf AS (SELECT qid, nid FROM r WHERE rnk <= {_REFINE_R}),
+    rescored_rf AS (
+      SELECT cand_rf.qid, cand_rf.nid, {_cos_sql('a.v', 'b.v')} AS sim
+      FROM cand_rf
+      JOIN e a ON a.vec_id = cand_rf.qid
+      JOIN e b ON b.vec_id = cand_rf.nid
+    ),
+    rf AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid) AS rnk
+        FROM rescored_rf
+      ) WHERE rnk <= {_KNN_K}
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e
+          WHERE vec_id < {_KNN_QUERIES}),
+    gt AS (
+      SELECT qid, nid FROM (
+        SELECT q.qid, e.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id) AS rnk
+        FROM q, e WHERE q.qid <> e.vec_id
+      ) WHERE rnk <= {_KNN_K}
+    ),
+    planes AS (
+      SELECT t.range AS t, p.range AS p,
+             list_transform(range(0, 64), d ->
+               CASE WHEN substr(md5('rhp|' ||
+                        CAST(t.range * 1000 + p.range AS VARCHAR) ||
+                        '|' || CAST(d AS VARCHAR)), 2, 1)
+                    IN ('1','3','5','7','9','b','d','f')
+                    THEN 1.0 ELSE -1.0 END) AS pl
+      FROM range(0, 12) t, range(0, 6) p
+    ),
+    sigs AS (
+      SELECT e.vec_id, planes.t,
+             string_agg(CASE WHEN {_dot_sql_dim('e.v', 'planes.pl', 64)} > 0
+                        THEN '1' ELSE '0' END, '' ORDER BY planes.p) AS sig
+      FROM e, planes
+      GROUP BY e.vec_id, planes.t
+    ),
+    qsig AS (SELECT * FROM sigs WHERE vec_id < {_KNN_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+      FROM qsig q JOIN sigs c ON c.t = q.t AND c.sig = q.sig
+      WHERE c.vec_id <> q.vec_id
+    ),
+    lsh AS (
+      SELECT qid, nid FROM (
+        SELECT cand.qid, cand.nid,
+               row_number() OVER (PARTITION BY cand.qid
+                 ORDER BY {_cos_sql('a.v', 'b.v')} DESC, cand.nid) AS rnk
+        FROM cand
+        JOIN e a ON a.vec_id = cand.qid
+        JOIN e b ON b.vec_id = cand.nid
+      ) WHERE rnk <= {_KNN_K}
+    ),
+    asg_v AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.v', 'cent.cv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM e, cent
+      ) WHERE rn = 1
+    ),
+    probes_v AS (
+      SELECT qid, qv, centroid_id FROM (
+        SELECT q.qid, q.qv, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_cos_sql('q.qv', 'cent.cv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM q, cent
+      ) WHERE rn <= 4
+    ),
+    ivf AS (
+      SELECT qid, nid FROM (
+        SELECT p.qid, a.vec_id AS nid,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY {_cos_sql('p.qv', 'a.v')} DESC, a.vec_id) AS rnk
+        FROM probes_v p JOIN asg_v a ON a.centroid_id = p.centroid_id
+        WHERE a.vec_id <> p.qid
+      ) WHERE rnk <= {_KNN_K}
+    ),
+    ann AS (
+      SELECT 'ivf' AS method, qid, nid FROM ivf
+      UNION ALL
+      SELECT 'lsh' AS method, qid, nid FROM lsh
+      UNION ALL
+      SELECT 'ivfpq_refine' AS method, qid, nid FROM rf
+    ),
+    meth AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'
+             UNION ALL SELECT 'ivfpq_refine'),
+    per AS (
+      SELECT meth.method, q.qid,
+             COUNT(a.nid) AS ann_k, COUNT(g.nid) AS hits
+      FROM meth CROSS JOIN q
+      LEFT JOIN ann a ON a.method = meth.method AND a.qid = q.qid
+      LEFT JOIN gt g ON g.qid = a.qid AND g.nid = a.nid
+      GROUP BY meth.method, q.qid
+    )
+    SELECT method, qid, ann_k::BIGINT AS ann_k, hits::BIGINT AS hits,
+           round(hits / {_KNN_K}.0, 6) AS recall_r
+    FROM per
+"""
+    )
+
+
+@query(
+    "llm_ann_recall_eval", oracle=_recall_oracle(), tags=("llm", "similarity")
+)
+def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation harness (operators/similarity.py
+    ann_recall): all three in-memory ANN flavors — IVF (16 centroids,
+    nprobe 4), RHP-LSH (12 tables × 6 planes), and IVFADC+refine
+    (the deployment shape: ADC shortlist, exact re-rank; joined the
+    harness in r19 so the refine path's recall is REPORTED, not just
+    floor-pinned in pytest) — measured per query against the exact
+    brute-force top-k ground truth, the acceptance gate a
+    vector-search deployment runs before trusting an index. Output is
+    one row per (method, query): neighbors returned, ground-truth
+    hits, recall@k.
+
+    Full value oracle: every stage on every side is deterministic
+    (md5-derived hyperplanes, centroid and codebook seeds, id
+    tie-breaks), so DuckDB re-derives ground truth, all three
+    candidate sets, all three rankings, and the per-query hit counts —
+    the recall NUMBERS are hash-checked, not just bounded. The
+    refine method re-derives through the SAME `_ivf_pq_rank_ctes`
+    chain its own key is verified against (see `_recall_oracle`); the
+    pytest twin cross-checks hits against literal set intersections
+    of the collected result sets for all three methods.
+
+    Scale shape: the corpus-sized work is exactly the
+    already-audited index paths (broadcast-query scan, signature
+    equi-join, probed inverted lists, ADC + broadcast-semi refine
+    fetch); the eval itself joins only Q·k-row frames with a
+    broadcast ground truth and a bounded 3×Q methods grid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_QUERIES)
+    gt = knn_bruteforce(emb, queries, k=_KNN_K)
+    dim = _PQ_SUBSPACES * _PQ_DSUB
+    ann = (
+        ann_ivf(emb, queries, k=_KNN_K, num_centroids=16, nprobe=4)
+        .select(F.lit("ivf").alias("method"), "qid", "nid")
+        .unionAll(
+            ann_lsh(
+                emb,
+                queries,
+                dim=64,
+                k=_KNN_K,
+                num_tables=12,
+                planes_per_table=6,
+            ).select(F.lit("lsh").alias("method"), "qid", "nid")
+        )
+        .unionAll(
+            ann_ivf_pq_refine(
+                emb,
+                queries,
+                k=_KNN_K,
+                refine_r=_REFINE_R,
+                num_centroids=16,
+                nprobe=4,
+                num_subspaces=_PQ_SUBSPACES,
+                num_codewords=_PQ_CODEWORDS,
+                dim=dim,
+            ).select(F.lit("ivfpq_refine").alias("method"), "qid", "nid")
+        )
+    )
+    return ann_recall(
+        ann,
+        gt.select("qid", "nid"),
+        queries.select(F.col("vec_id").alias("qid")),
+        k=_KNN_K,
+        methods=("ivf", "lsh", "ivfpq_refine"),
     )
 
 

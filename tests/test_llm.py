@@ -342,30 +342,44 @@ def test_ann_recall_eval_matches_set_intersections(emb):
     of what the operator derives through joins — and a query or method
     with no ANN rows must still appear with recall 0 (the grid
     guarantee), exercised here with a planted empty method."""
+    from github_event_etl_spark.operators.similarity import ann_ivf_pq_refine
+
     qs = emb.filter(F.col("vec_id") < 8)
     gt = knn_bruteforce(emb, qs, k=10)
     bf = {(r.qid, r.nid) for r in gt.collect()}
     ivf_df = ann_ivf(emb, qs, k=10, num_centroids=16, nprobe=4)
     lsh_df = ann_lsh(emb, qs, dim=64, k=10, num_tables=12, planes_per_table=6)
+    # the catalog key's third method (r19): the IVFADC+refine path's
+    # recall is reported through the same harness
+    rf_df = ann_ivf_pq_refine(
+        emb, qs, k=10, refine_r=30, num_centroids=16, nprobe=4,
+        num_subspaces=8, num_codewords=16, dim=64,
+    )
     ivf = {(r.qid, r.nid) for r in ivf_df.collect()}
     lsh = {(r.qid, r.nid) for r in lsh_df.collect()}
+    rf = {(r.qid, r.nid) for r in rf_df.collect()}
     ann = (
         ivf_df.select(F.lit("ivf").alias("method"), "qid", "nid")
         .unionAll(lsh_df.select(F.lit("lsh").alias("method"), "qid", "nid"))
+        .unionAll(
+            rf_df.select(
+                F.lit("ivfpq_refine").alias("method"), "qid", "nid"
+            )
+        )
     )
     out = ann_recall(
         ann,
         gt.select("qid", "nid"),
         qs.select(F.col("vec_id").alias("qid")),
         k=10,
-        methods=("ivf", "lsh", "absent"),
+        methods=("ivf", "lsh", "ivfpq_refine", "absent"),
     ).collect()
     rows = {(r.method, r.qid): r for r in out}
-    assert len(rows) == 3 * 8
+    assert len(rows) == 4 * 8
     for r in out:
         assert 0 <= r.hits <= r.ann_k <= 10
         assert abs(r.recall_r - r.hits / 10) < 1e-9
-    for method, pairs in (("ivf", ivf), ("lsh", lsh)):
+    for method, pairs in (("ivf", ivf), ("lsh", lsh), ("ivfpq_refine", rf)):
         assert sum(rows[(method, q)].hits for q in range(8)) == len(bf & pairs)
         assert sum(rows[(method, q)].ann_k for q in range(8)) == len(pairs)
     assert all(
@@ -387,7 +401,7 @@ def test_ann_recall_eval_matches_set_intersections(emb):
     u = {(r.method, r.qid): r for r in undeclared}
     lsh_qids = {q for q, _ in lsh}
     assert lsh_qids, "lsh returned nothing; fixture broken"
-    assert {m for m, _ in u} == {"ivf", "lsh"}
+    assert {m for m, _ in u} == {"ivf", "lsh", "ivfpq_refine"}
     assert sum(u[("lsh", q)].hits for q in lsh_qids) == len(bf & lsh)
     for q in range(8):  # declared grid still pins every query
         assert ("ivf", q) in u
@@ -398,10 +412,10 @@ def test_ann_recall_eval_matches_set_intersections(emb):
         gt.select("qid", "nid"),
         qs.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("qid")),
         k=10,
-        methods=("ivf", "lsh"),
+        methods=("ivf", "lsh", "ivfpq_refine"),
     ).collect()
     assert {r.qid for r in subset} == set(range(4))
-    assert len(subset) == 2 * 4
+    assert len(subset) == 3 * 4
     for r in subset:  # counts over the subset match the full run
         full = rows[(r.method, r.qid)]
         assert (r.ann_k, r.hits) == (full.ann_k, full.hits)
