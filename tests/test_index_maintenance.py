@@ -713,6 +713,113 @@ def _rowset(df):
     return {tuple(r) for r in df.collect()}
 
 
+def test_refresh_stream_composes_with_ivf_pq_encode(spark, sf_dir, tmp_path):
+    """The continuous refresh loop generalizes to the PQ serving
+    family: two micro-batches of embedding CDC rows (verdict + new
+    vector on the same row) apply two maintenance generations to the
+    layout's lists through `refresh_index_from_change_stream` with
+    `ivf_pq_encode_fn` as the derivation — and the partitioned probe
+    over the streamed-refresh state equals the probe over a
+    frozen-artifact rebuild of the final snapshot. Parquet change
+    files, not JSON: the payload is float vectors, and a lossy text
+    round-trip would perturb the codes both sides must agree on."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.operators.index_maintenance import (
+        refresh_index_from_change_stream,
+    )
+    from github_event_etl_spark.operators.similarity import (
+        ann_ivf_pq_partitioned,
+        ivf_pq_encode_fn,
+        ivf_pq_write_index,
+        ivf_seed_centroids,
+        pq_codebook,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    frozen_c = ivf_seed_centroids(emb, 16, id_col="nid")
+    frozen_cb = pq_codebook(emb, 16, id_col="nid")
+    encode = ivf_pq_encode_fn(frozen_c, frozen_cb)
+    neg = F.transform("embedding", lambda x: -x)
+    d = F.col("nid")
+    prev = emb
+    cur = emb.filter(d % 10 != 3).select(
+        "nid", F.when(d % 7 == 1, neg).otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    nxt = cur.filter(d % 13 != 2).select(
+        "nid", F.when(d % 11 == 4, neg).otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+
+    def changes(a, b):
+        return (
+            snapshot_diff(a, b, "nid", ["embedding"])
+            .select("nid", "change_type")
+            .join(b.select("nid", "embedding"), "nid", "left")
+            .select("nid", "change_type", "embedding")
+        )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    for i, batch in enumerate([changes(prev, cur), changes(cur, nxt)]):
+        stage = tmp_path / f"stage{i}"
+        batch.coalesce(1).write.parquet(str(stage))
+        (part,) = [p for p in os.listdir(stage) if p.endswith(".parquet")]
+        dst = str(src / f"b{i}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    layout = str(tmp_path / "pq")
+    ivf_pq_write_index(
+        prev, layout, id_col="nid",
+        centroids=frozen_c, codebook=frozen_cb,
+    )
+    stream = (
+        spark.readStream.schema(
+            "nid long, change_type string, embedding array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    refresh_index_from_change_stream(
+        stream, f"{layout}/lists", encode,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        key="nid", value_cols=("pq_code", "centroid_id"),
+        partition_col="centroid_id",
+    )
+    assert len(_committed_generations(f"{layout}/lists")) == 2
+    cols = ["nid", "centroid_id", "pq_code"]
+    folded = read_index(spark, f"{layout}/lists", key="nid").select(
+        "nid", F.col("centroid_id").cast("long").alias("centroid_id"),
+        "pq_code",
+    )
+    assert _rowset(folded.select(*cols)) == _rowset(
+        encode(nxt).select(*cols)
+    )
+    rebuilt = str(tmp_path / "pq_rebuilt")
+    ivf_pq_write_index(
+        nxt, rebuilt, id_col="nid",
+        centroids=frozen_c, codebook=frozen_cb,
+    )
+    qs = nxt.filter(d < 8)
+    got = _rowset(ann_ivf_pq_partitioned(
+        spark, layout, qs, k=10, nprobe=4, id_col="nid",
+        static_prune=True,
+    ))
+    want = _rowset(ann_ivf_pq_partitioned(
+        spark, rebuilt, qs, k=10, nprobe=4, id_col="nid",
+        static_prune=True,
+    ))
+    assert got == want and len(got) > 0
+
+
 def test_write_index_delta_requires_committed_base(spark, tmp_path):
     """Maintenance against a vacant or half-written base fails fast:
     a generation written there would fabricate an unreadable index
