@@ -540,7 +540,8 @@ def ivf_pq_write_index_delta(
     semi-filter."""
     from .similarity import _check_ivf_pq_params, ivf_pq_encode_fn
 
-    _check_ivf_pq_params(index_path, num_subspaces, num_codewords, dim)
+    _check_ivf_pq_params(index_path, num_subspaces, num_codewords, dim,
+                         op="ivf_pq_write_index_delta")
     centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
     codebook = spark.read.parquet(os.path.join(index_path, "codebook"))
     encode = ivf_pq_encode_fn(
@@ -919,12 +920,13 @@ def compact_index(
     staging = os.path.join(index_path, new_base_rel)
     _stage_compacted_base(folded, staging, partition_col)
     cur = _read_manifest_file(index_path) or m
-    if _manifest_drift(m, cur):
+    drift = _manifest_drift(m, cur)
+    if drift:
         shutil.rmtree(staging, ignore_errors=True)
         raise RuntimeError(
             f"compact_index: the commit state at {index_path} changed "
             "during the fold (a concurrent writer committed; drifted "
-            f"fields: {_manifest_drift(m, cur)}) — flipping to the "
+            f"fields: {drift}) — flipping to the "
             "staged base would silently drop that work; staging was "
             "discarded, the index is unchanged. Re-run compaction, or "
             "fix the caller violating the single-writer-per-index "

@@ -914,23 +914,34 @@ def ivf_pq_write_index(
     import json
     import os
 
-    # sidecar-first delete (ADVICE r18): from here until the final
-    # atomic sidecar replace, the layout is officially "no committed
-    # index" — a crash anywhere in between is detected at read time
-    # rather than validated against the OLD geometry.
-    with contextlib.suppress(FileNotFoundError):
-        os.remove(os.path.join(path, "_params.json"))
     # frozen-artifact hook (see _ivf_pq_build_tables): a REBUILD of a
     # maintained deployment passes the versioned centroid/codebook
     # tables so the fresh layout stays probe-compatible with indexes
     # its diffs were encoded against
+    frozen_centroids = centroids is not None
     lists, centroids, codebook = _ivf_pq_build_tables(
         corpus, num_centroids, num_subspaces, num_codewords, dim,
         id_col, vec_col, centroids=centroids, codebook=codebook,
     )
+    # sidecar delete AFTER plan construction, BEFORE the first table
+    # write (ADVICE r18): from here until the final atomic sidecar
+    # replace the layout is officially "no committed index" — a crash
+    # anywhere in between is detected at read time rather than
+    # validated against the OLD geometry. Deleting any later would
+    # leave a mixed-geometry window; deleting any EARLIER would let a
+    # rebuild call that fails plan analysis (a typo'd column name —
+    # no table byte touched) needlessly brick a healthy layout.
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(path, "_params.json"))
     centroids = centroids.cache()
     codebook = codebook.cache()
     try:
+        # with a frozen quantizer the num_centroids ARGUMENT is unused
+        # (the table defines the count) — record the truth, not the
+        # default, so the sidecar never lies to a future reader; the
+        # count is one job that also warms the cache for the writes
+        if frozen_centroids:
+            num_centroids = centroids.count()
         lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
             f"{path}/lists"
         )
@@ -954,7 +965,8 @@ def ivf_pq_write_index(
 
 
 def _check_ivf_pq_params(
-    path: str, num_subspaces: int, num_codewords: int, dim: int
+    path: str, num_subspaces: int, num_codewords: int, dim: int,
+    op: str = "ann_ivf_pq_partitioned",
 ) -> None:
     """Fail fast on PQ-geometry mismatch between an on-disk index and
     the probe call: codes packed under one (subspaces, codewords, dim)
@@ -971,7 +983,7 @@ def _check_ivf_pq_params(
     sidecar = os.path.join(path, "_params.json")
     if not os.path.exists(sidecar):
         raise ValueError(
-            f"ann_ivf_pq_partitioned: no _params.json sidecar at "
+            f"{op}: no _params.json sidecar at "
             f"{path} — either this is not an ivf_pq_write_index "
             "layout, or an in-place rebuild was interrupted between "
             "the table overwrites and the sidecar commit (the tables "
@@ -992,7 +1004,7 @@ def _check_ivf_pq_params(
     }
     if bad:
         raise ValueError(
-            f"ann_ivf_pq_partitioned: PQ geometry mismatch vs the "
+            f"{op}: PQ geometry mismatch vs the "
             f"index at {path} — "
             + ", ".join(
                 f"{k}: index={w} call={g}" for k, (w, g) in bad.items()
@@ -1164,8 +1176,16 @@ def ann_ivf_partitioned(
     identical to `ann_ivf` for the same corpus and parameters
     (asserted in tests/test_llm.py).
     """
+    from .index_maintenance import read_index
+
     _require_prune_mode("ann_ivf_partitioned", static_prune)
-    assigned = spark.read.parquet(f"{path}/assigned")
+    # read_index, not a plain scan (the PQ sibling's convention): a
+    # layout maintained through write_index_delta
+    # (value_cols=('centroid_id',) — see its docstring, or the
+    # full-column serving variant) probes its MAINTAINED state by
+    # folding committed generations; a freshly built index has none
+    # and reads as the plain partition-pruned base scan.
+    assigned = read_index(spark, f"{path}/assigned", key=id_col)
     centroids = spark.read.parquet(f"{path}/centroids")
 
     def _tail(lst: DataFrame) -> DataFrame:
@@ -1242,7 +1262,15 @@ _PRUNE_MODES = (False, True, "auto")
 
 
 def _require_prune_mode(fn: str, static_prune) -> None:
-    if static_prune not in _PRUNE_MODES:
+    # identity checks, not `in`: Python equality blesses 1 == True (and
+    # numpy bools), and a truthy non-True value would then dispatch to
+    # the UNguaranteed dynamic branch below — the silent-full-scan case
+    # this knob exists to prevent must reject loudly instead
+    if (
+        static_prune is not False
+        and static_prune is not True
+        and static_prune != "auto"
+    ):
         raise ValueError(
             f"{fn}: static_prune must be one of {_PRUNE_MODES} "
             f"(got {static_prune!r}) — False serves the declarative "
@@ -1283,7 +1311,15 @@ def _auto_pruned(
     is the deployment-acceptance/canary mode; a serving loop that has
     seen the warning should pin `static_prune=True` (and one that
     hasn't can pin False). The check is per-call by design: pruning
-    health depends on the query batch's shape, not just the layout."""
+    health depends on the query batch's shape, not just the layout.
+
+    The bound applies to EVERY partitioned scan in the plan — on a
+    maintained layout that includes each generation's appends scan,
+    so a delta generation read unpruned past the probe set also
+    trips the fallback. Deliberate: the mode's promise is "no scan
+    over-reads", and the static filter prunes base and deltas alike;
+    a base-only check would certify a plan whose delta reads grow
+    with every refresh."""
     import warnings
 
     probed = _probed_centroid_ids(centroids, queries, nprobe,

@@ -1400,11 +1400,15 @@ def test_static_prune_auto_warns_and_falls_back_on_dropped_dpp(
         tuple(r) for r in mem_all.collect()
     }
 
-    # the knob rejects anything outside its three documented modes
-    with pytest.raises(ValueError, match="static_prune"):
-        ann_ivf_pq_partitioned(
-            spark, pq_path, qs, k=5, nprobe=2, static_prune="yes"
-        )
+    # the knob rejects anything outside its three documented modes —
+    # including truthy values that EQUAL True (1 == True): equality
+    # validation would bless them while the `is True` dispatch served
+    # the unguaranteed dynamic plan, the exact silent-full-scan case
+    for bad in ("yes", 1, 0):
+        with pytest.raises(ValueError, match="static_prune"):
+            ann_ivf_pq_partitioned(
+                spark, pq_path, qs, k=5, nprobe=2, static_prune=bad
+            )
 
 
 def test_ivf_pq_sidecar_commit_ordering_detects_torn_rebuild(
@@ -1428,11 +1432,32 @@ def test_ivf_pq_sidecar_commit_ordering_detects_torn_rebuild(
     assert os.path.exists(sidecar)
     qs = emb.filter(F.col("vec_id") < 2)
 
-    # a rebuild with DIFFERENT geometry that dies mid-build: the old
-    # sidecar must already be gone (deleted before any table write)
+    # a rebuild that fails PLAN CONSTRUCTION (typo'd args — no table
+    # byte touched) must NOT brick the healthy layout: the sidecar is
+    # deleted only after the build head succeeds
     with mock.patch.object(
         sim,
         "_ivf_pq_build_tables",
+        side_effect=RuntimeError("bad rebuild arguments"),
+    ):
+        with pytest.raises(RuntimeError, match="bad rebuild"):
+            sim.ivf_pq_write_index(
+                emb, path, num_subspaces=4, num_codewords=16, dim=64
+            )
+    assert os.path.exists(sidecar)
+    assert (
+        sim.ann_ivf_pq_partitioned(spark, path, qs, k=5, nprobe=2).count()
+        == 2 * 5
+    )
+
+    # a rebuild with DIFFERENT geometry that dies DURING the table
+    # overwrites: the old sidecar must already be gone (deleted before
+    # the first write), so the possibly-mixed tables are unreadable
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    with mock.patch.object(
+        DataFrameWriter,
+        "parquet",
         side_effect=RuntimeError("rebuild crashed mid-overwrite"),
     ):
         with pytest.raises(RuntimeError, match="crashed"):
