@@ -131,16 +131,22 @@ def staleness_bound_rounds() -> int:
     return -(-n // _DRIVER_KEYS_PER_ROUND)
 _DEFER_NEW_UNTIL_ROUND = 19
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # r19 window arithmetic (no new keys, no deferrals): registry
-    # 148 after the indexed-twin consolidation (150 − 2 demotions,
-    # both demoted keys last green r16). Cohorts among the 148:
-    # 48 × r16 / 50 × r17 / 50 × r18 (recomputed from the artifacts at
-    # edit time). Window = 1 changed (llm_ann_recall_eval, rank (0,0))
-    # + all 48 r16-stale keys + 1 earliest-registered r17 key = 50 —
-    # the entire r16 cohort rotates, so after r19 no key's latest
-    # green row predates r17 (the round's gate), with one r17 key
-    # re-checked a round early. The set is empty (kept, with its
-    # self-clearing arithmetic, for the next over-budget admission).
+    # r19 window arithmetic: registry 149 = 148 after the
+    # indexed-twin consolidation (150 − 2 demotions, both demoted
+    # keys last green r16) + 1 deferred admission below. Cohorts
+    # among the 148 pre-admission keys: 48 × r16 / 50 × r17 /
+    # 50 × r18 (recomputed from the artifacts at edit time). The r19
+    # window was ALREADY exactly full — 1 changed
+    # (llm_ann_recall_eval, rank (0,0)) + all 48 r16-stale keys + 1
+    # earliest-registered r17 key = 50, rotating the entire r16
+    # cohort so no key's latest green row predates r17 after r19 —
+    # so the round's one admission rides the deferral: it ranks LAST
+    # until CORRECTNESS_r19 lands (19 < 19 is false), then becomes
+    # r20's never-checked front-rider, where the window has exactly
+    # one free slot (1 new + 49 r17-stale = 50; one r17 key was
+    # re-checked early in r19). Bound stays ceil(149/50) = 3 with
+    # one admission slot still open.
+    "llm_ivf_pq_apply_diff",
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

@@ -42,6 +42,7 @@ from ..operators.similarity import (
     cosine_dup_pairs_lsh,
     incremental_dedup_semantic,
     ivf_assign_with_centroids,
+    ivf_pq_encode_fn,
     ivf_seed_centroids,
     jl_plane_rows,
     jl_projection,
@@ -4881,6 +4882,147 @@ def llm_ivf_apply_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return apply_index_diff(
         prev_index, diff, cur, band_fn=assign, key="vec_id"
+    )
+
+
+def _ivf_pq_apply_oracle() -> str:
+    # The maintained PQ serving lists must equal a from-scratch
+    # re-encode of the CURRENT snapshot against the frozen artifacts:
+    # codebook + codes come from the shared _pq_ctes chain (seeded
+    # from the full immutable table — cur's vectors are a subset of
+    # e, so `codes` filtered through the assignment join IS cur's
+    # encoding), the 16-seed cent CTE and the cur-snapshot argmin are
+    # the _IVF_APPLY_ORACLE pattern verbatim. The oracle never sees
+    # prev, the diff, or the maintenance — hash-match proves
+    # maintenance ≡ rebuild on the full (nid, centroid_id, pq_code)
+    # serving row.
+    packed = " + ".join(
+        f"c.c{s} * CAST({_PQ_CODEWORDS ** s} AS BIGINT)"
+        for s in range(_PQ_SUBSPACES)
+    )
+    return (
+        _pq_ctes()
+        + f""",
+    cent AS (
+      SELECT vec_id AS centroid_id, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_IVF_APPLY_CENTROIDS}
+    ),
+    cur AS (
+      SELECT vec_id, v FROM e
+      WHERE vec_id % {_SNAP_REMOVED[0]} <> {_SNAP_REMOVED[1]}
+    ),
+    asg AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT cur.vec_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY cur.vec_id
+                 ORDER BY {_cos_sql('cur.v', 'cent.cv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM cur, cent
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS nid, a.centroid_id,
+           CAST({packed} AS BIGINT) AS pq_code
+    FROM asg a JOIN codes c ON c.vec_id = a.vec_id
+    """
+    )
+
+
+@query(
+    "llm_ivf_pq_apply_diff",
+    oracle=_ivf_pq_apply_oracle(),
+    tags=("llm", "pipeline"),
+)
+def llm_ivf_pq_apply_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving-list maintenance from an embedding snapshot
+    diff — the THIRD index shape under the apply-diff contract, and
+    the one the whole refresh stack ultimately serves: yesterday's
+    materialized packed-code inverted lists (`ivf_pq_encode_fn` over
+    the prev snapshot against the FROZEN coarse quantizer and
+    codebook, written partitioned by centroid_id — the
+    `ivf_pq_write_index` list layout) are brought to the current
+    snapshot by the change log: removed/re-embedded vectors
+    anti-joined out, ONLY added/re-embedded vectors re-ASSIGNED and
+    re-ENCODED. The key returns the maintained
+    (nid, centroid_id, pq_code) lists; the oracle re-derives the
+    current snapshot's assignment AND codes from scratch, so a
+    hash-match proves maintenance ≡ rebuild on the exact bytes a
+    probe reads. Fixture: the shared embedding snapshot residue
+    classes (`_emb_snap_prev`/`_emb_snap_cur` — the edit class
+    carries a NEGATED prev vector, so a re-embed moves BOTH its list
+    membership and its packed code).
+
+    Reference anchor: update-contributor-scores.js:252-263 (merge new
+    keys into the stored summary instead of recomputing it) — the
+    same incremental-refresh contract as the band-index and
+    IVF-assignment keys above, applied to the serving layout.
+
+    Scale shape: identical economics to `llm_ivf_apply_diff` plus the
+    change-sized re-encode — the change set broadcasts both ways, the
+    16-row centroid and codeword tables broadcast into assignment and
+    encoding, and the index side is a three-column scan of the
+    partitioned lists (packed codes, ~64× smaller than vectors),
+    never re-encoded. Pure JVM end to end (cosine argmin + subspace
+    struct-min are codegen'd column arithmetic): the plan gate
+    asserts NO Python/Arrow stage. The PHYSICAL twin
+    (`index_maintenance.ivf_pq_write_index_delta`: change-sized
+    tombstone+append generations under the layout's lists, probes
+    folding them via read_index) is pinned by frame-equality pytest
+    in tests/test_index_maintenance.py; this key carries the logical
+    layer's full value oracle."""
+    import os as _os
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # frozen model artifacts seeded from the immutable table — the
+    # oracle's cent CTE and _pq_ctes codebook derive identically
+    centroids = ivf_seed_centroids(emb, _IVF_APPLY_CENTROIDS)
+    codebook = pq_codebook(emb, _PQ_CODEWORDS)
+    encode = ivf_pq_encode_fn(
+        centroids, codebook, _PQ_SUBSPACES, _PQ_CODEWORDS,
+        _PQ_SUBSPACES * _PQ_DSUB,
+    )
+
+    def nidify(df: DataFrame) -> DataFrame:
+        # the serving lists key on nid (the ivf_pq_write_index layout)
+        return df.select(F.col("vec_id").alias("nid"), "embedding")
+
+    prev = _emb_snap_prev(emb)
+    cur = _emb_snap_cur(emb)
+    # geometry + fixture token in the path (the index convention): the
+    # oracle describes cur's lists only, so the MATERIALIZED prev
+    # tree's extra dependencies — the 'added' membership class and the
+    # edit-class negation rule — are folded in explicitly
+    index = scratch_dir(
+        sf_dir,
+        f"ivf_pq_prev_lists_c{_IVF_APPLY_CENTROIDS}"
+        f"s{_PQ_SUBSPACES}w{_PQ_CODEWORDS}_f"
+        + _fixture_token(
+            _ivf_pq_apply_oracle(), _SNAP_ADDED, _SNAP_EDIT,
+            "negate-edit-vec",
+        ),
+    )
+    if not _os.path.exists(_os.path.join(index, "_SUCCESS")):
+        encode(nidify(prev)).write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(index)
+    # change-sized and twice-consumed — the apply_index_diff contract
+    diff = (
+        snapshot_diff(prev, cur, "vec_id", ["embedding"])
+        .localCheckpoint(eager=False)
+        .withColumnRenamed("vec_id", "nid")
+    )
+    # partition-column discovery narrows centroid_id to INT; cast back
+    # so the union with the fresh encode (vec_id-typed LONG) and the
+    # oracle's BIGINT schema agree
+    prev_index = spark.read.parquet(index).select(
+        "nid",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "pq_code",
+    )
+    return apply_index_diff(
+        prev_index, diff, nidify(cur), band_fn=encode, key="nid"
     )
 
 

@@ -3104,6 +3104,94 @@ def test_ivf_apply_diff_plan_gates(spark, sf_dir):
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
 
 
+def test_ivf_pq_apply_diff_equals_rebuild_and_plan_gates(spark, sf_dir):
+    """The IVF-PQ maintenance key's identity, Spark-side (the oracle
+    pins it cross-engine): the maintained (nid, centroid_id, pq_code)
+    serving lists equal a from-scratch re-encode of the current
+    snapshot against the SAME frozen centroid/codebook artifacts; the
+    fixture fires all three change types AND at least one re-embedded
+    vector changes its packed CODE (not just its list) — a re-embed
+    that kept its code would leave the re-encode path untested. Plan
+    gates: the materialized prev lists tree is read (not re-encoded),
+    no Python/Arrow stage anywhere, no cartesian product, the
+    anti/semi/code-attach joins are broadcast, and the only sort-merge
+    join is the change-sized assigned⋈codes attach (both sides
+    change-sized by the semi-filter — broadcasting either would be
+    wrong at a 1%-of-corpus daily diff; AQE upgrades it when small)."""
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.operators.merge import snapshot_diff
+    from github_event_etl_spark.operators.similarity import (
+        ivf_pq_encode_fn,
+        ivf_seed_centroids,
+        pq_codebook,
+    )
+    from github_event_etl_spark.plans.catalog import get_spec
+    from github_event_etl_spark.plans.queries_llm import (
+        _IVF_APPLY_CENTROIDS,
+        _PQ_CODEWORDS,
+        _PQ_SUBSPACES,
+        _SNAP_EDIT,
+        _emb_snap_cur,
+        _emb_snap_prev,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = ivf_seed_centroids(emb, _IVF_APPLY_CENTROIDS)
+    codebook = pq_codebook(emb, _PQ_CODEWORDS)
+    encode = ivf_pq_encode_fn(
+        centroids, codebook, _PQ_SUBSPACES, _PQ_CODEWORDS, 64
+    )
+
+    def nidify(df):
+        return df.select(F.col("vec_id").alias("nid"), "embedding")
+
+    prev = _emb_snap_prev(emb)
+    cur = _emb_snap_cur(emb)
+    cols = ["nid", "centroid_id", "pq_code"]
+    rebuilt = {tuple(r) for r in encode(nidify(cur)).select(*cols).collect()}
+    df = get_spec("llm_ivf_pq_apply_diff").fn(spark, sf_dir)
+    maintained = {tuple(r) for r in df.select(*cols).collect()}
+    assert maintained == rebuilt
+    assert len(maintained) > 0
+    kinds = {
+        r.change_type
+        for r in snapshot_diff(prev, cur, "vec_id", ["embedding"]).collect()
+    }
+    assert kinds == {"added", "removed", "changed"}, kinds
+    # the re-encode path is non-vacuous: an edit-class re-embed
+    # changes its packed code, not just its list membership
+    edit = F.col("nid") % _SNAP_EDIT[0] == _SNAP_EDIT[1]
+    prev_codes = encode(nidify(prev)).filter(edit).select(
+        "nid", F.col("pq_code").alias("prev_code")
+    )
+    cur_codes = encode(nidify(cur)).filter(edit).select(
+        "nid", F.col("pq_code").alias("cur_code")
+    )
+    recoded = (
+        prev_codes.join(cur_codes, "nid")
+        .filter(F.col("prev_code") != F.col("cur_code"))
+        .count()
+    )
+    assert recoded > 0, "edit-class re-embeds never changed a code"
+
+    plan = _fmt_plan(df)
+    assert "ivf_pq_prev_lists" in plan
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "ArrowEvalPython" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree
+    # anti (stale rows out of the lists scan) + semi (upserts into the
+    # re-encode) + the maintained-union attach; centroid and codebook
+    # tables ride as broadcast nested-loops (no join condition)
+    assert tree.count("BroadcastHashJoin") == 3, tree
+    assert tree.count("BroadcastNestedLoopJoin") == 2, tree
+    assert tree.count("SortMergeJoin") <= 1, tree
+
+
 def test_embed_random_projection_distortion_bounds(spark, sf_dir):
     """The JL report key: one row per base vector, full-space cosine at
     the planted-pair level (≥ 0.998 — the fixture's documented floor),
