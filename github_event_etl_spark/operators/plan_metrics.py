@@ -19,19 +19,38 @@ what the tests gate on.
 
 from __future__ import annotations
 
+import os
 
-def executed_scan_metrics(df) -> list[dict]:
-    """Execute the DataFrame and return each parquet scan's SQL metrics
-    (numFiles, numPartitions, ...) from the EXECUTED plan. AQE wraps
-    stages in QueryStageExec nodes, so the walk unwraps those via
-    ``.plan()`` (and the root AdaptiveSparkPlan via ``.executedPlan()``).
 
-    Cost: one full execution of ``df`` (results are not returned — the
-    caller wants the metrics, not the rows). Scans that are not
-    partitioned simply carry no ``numPartitions`` key; callers filter.
-    """
-    df.collect()
+def _scan_root_paths(node) -> tuple[str, ...]:
+    """Root paths of a file scan node's FileIndex (empty for non-file
+    scans such as ExistingRDD). Taken from the relation's location, not
+    the plan-text ``Location`` metadata, which Spark TRUNCATES to ~100
+    chars — a truncated path would silently fail a prefix match."""
+    try:
+        paths = node.relation().location().rootPaths()
+        return tuple(str(paths.apply(i)) for i in range(paths.size()))
+    except Exception:
+        return ()
 
+
+def _walk_scan_metrics(df) -> list[dict]:
+    """Walk ``df``'s CURRENT executed plan WITHOUT executing it and
+    return each scan's SQL metrics plus a ``_location`` tuple of the
+    scan's FileIndex root paths. Metrics reflect whatever executions
+    have already run against this exact plan instance (zero for a
+    never-executed frame) — `executed_scan_metrics` is the
+    execute-then-walk composition; this walker alone lets a test
+    snapshot metrics BETWEEN executions to prove a consumption was
+    served from cache (no metric movement = no re-scan).
+
+    AQE wraps stages in QueryStageExec nodes, so the walk unwraps those
+    via ``.plan()`` (and the root AdaptiveSparkPlan via
+    ``.executedPlan()``); a persisted frame plans as InMemoryTableScan,
+    whose underlying scans live in the cached relation's plan
+    (``.relation().cachedPlan()``) — unwrapped too, so pruning stays
+    measurable through a cache (verified: DPP prunes identically under
+    persist)."""
     scans = []
 
     def walk(node):
@@ -41,6 +60,9 @@ def executed_scan_metrics(df) -> list[dict]:
             return
         if name.startswith("AdaptiveSparkPlan"):
             walk(node.executedPlan())
+            return
+        if name.startswith("InMemoryTableScan"):
+            walk(node.relation().cachedPlan())
             return
         if name.startswith("Scan"):
             scans.append(node)
@@ -57,21 +79,75 @@ def executed_scan_metrics(df) -> list[dict]:
         while keys.hasNext():
             k = keys.next()
             d[k] = metrics.apply(k).value()
+        d["_location"] = _scan_root_paths(s)
         out.append(d)
     return out
 
 
-def partitioned_scans_within(df, max_partitions: int) -> bool:
+def executed_scan_metrics(df) -> list[dict]:
+    """Execute the DataFrame and return each parquet scan's SQL metrics
+    (numFiles, numPartitions, ...) from the EXECUTED plan, plus a
+    ``_location`` tuple of each scan's FileIndex root paths (empty for
+    non-file scans) so callers can scope a pruning bound to the scans
+    of ONE layout (ADVICE r19: a date-partitioned queries table in the
+    same plan must not trip an index-pruning check).
+
+    Cost: one full execution of ``df`` — but JVM-side only
+    (``executedPlan().execute().count()`` on the underlying RDD), so
+    NOTHING is materialized on the driver; the earlier ``collect()``
+    held the full result in driver memory just to read metrics (ADVICE
+    r19). Executing the plan instance directly (not ``df.count()``,
+    which plans a separate aggregate query) is what makes the walked
+    metrics describe exactly the execution just paid. If ``df`` is
+    persisted, this execution populates the cache, so the caller's own
+    later consumption of the same frame is served from memory — how
+    ``static_prune="auto"`` measures without double-paying the probe.
+    Scans that are not partitioned simply carry no ``numPartitions``
+    key; callers filter.
+    """
+    df._jdf.queryExecution().executedPlan().execute().count()
+    return _walk_scan_metrics(df)
+
+
+def _under_path(root_paths: tuple[str, ...], prefix: str) -> bool:
+    """True when any of the scan's root paths sits at or under
+    ``prefix`` (local-filesystem semantics: the ``file:`` scheme is
+    stripped and both sides realpath-normalized)."""
+    for p in root_paths:
+        fs = p[len("file:"):] if p.startswith("file:") else p
+        real = os.path.realpath(fs)
+        if real == prefix or real.startswith(prefix + os.sep):
+            return True
+    return False
+
+
+def partitioned_scans_within(
+    df, max_partitions: int, within_path: str | None = None
+) -> bool:
     """True when every PARTITIONED scan in ``df``'s executed plan
     opened at most ``max_partitions`` partitions — the pruning
-    acceptance predicate (executes ``df`` once; see
-    `executed_scan_metrics`). A plan with no partitioned scan at all
-    returns False: the caller asked whether pruning happened on a
-    layout it believes is partitioned, and "nothing partitioned found"
-    means the premise is wrong, which must not read as success."""
+    acceptance predicate (executes ``df`` once, JVM-side; see
+    `executed_scan_metrics`).
+
+    ``within_path`` scopes the check to scans whose FileIndex roots sit
+    under that directory — the index layout under test. Without it the
+    bound applies to EVERY partitioned scan, so a plan that also reads
+    an unrelated partitioned table (a date-partitioned queries frame,
+    say) fails the check no matter how healthy the index pruning is —
+    the ADVICE r19 false-fallback. Pass the index root (the
+    ``lists``/``assigned`` dir) from serving callers; tests gating a
+    whole plan may omit it.
+
+    A plan with no partitioned scan at all (under ``within_path`` when
+    given) returns False: the caller asked whether pruning happened on
+    a layout it believes is partitioned, and "nothing partitioned
+    found" means the premise is wrong, which must not read as
+    success."""
+    prefix = os.path.realpath(within_path) if within_path else None
     counts = [
         s["numPartitions"]
         for s in executed_scan_metrics(df)
         if "numPartitions" in s
+        and (prefix is None or _under_path(s["_location"], prefix))
     ]
     return bool(counts) and max(counts) <= max_partitions

@@ -28,6 +28,7 @@ Scale posture (100 TB / billions of vectors):
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -987,8 +988,13 @@ def _check_ivf_pq_params(
             f"{path} — either this is not an ivf_pq_write_index "
             "layout, or an in-place rebuild was interrupted between "
             "the table overwrites and the sidecar commit (the tables "
-            "may mix two geometries). Rebuild the index with "
-            "ivf_pq_write_index"
+            "may mix two geometries), or the layout predates the "
+            "required sidecar (a BREAKING change since the r19 "
+            "hard-requirement — see BASELINE.md). Rebuild the index "
+            "with ivf_pq_write_index, or — for a HEALTHY pre-sidecar "
+            "layout of known geometry — backfill the sidecar once "
+            "with ivf_pq_backfill_params, which cross-checks the "
+            "stated geometry against the tables before writing"
         )
     with open(sidecar) as f:
         params = json.load(f)
@@ -1013,6 +1019,112 @@ def _check_ivf_pq_params(
             "garbage under the call's; pass the parameters the index "
             "was written with (_params.json)"
         )
+
+
+def ivf_pq_backfill_params(
+    spark,
+    path: str,
+    num_centroids: int,
+    num_subspaces: int,
+    num_codewords: int,
+    dim: int,
+) -> None:
+    """One-shot `_params.json` backfill for a PRE-SIDECAR
+    `ivf_pq_write_index` layout of known geometry (ADVICE r19): the
+    sidecar became REQUIRED at probe time in r19 — a silent
+    compatibility break for layouts written before the sidecar existed,
+    which went from working-unvalidated to ValueError. A healthy such
+    layout does not need the full rebuild the error message's first
+    remedy prescribes; this helper writes the missing sidecar once,
+    after CROSS-CHECKING the stated geometry against the tables
+    themselves — a backfill that just trusted the caller would
+    re-create exactly the silently-wrong-distances hole the sidecar
+    plugs. Checks (all driver-cheap: two tiny-table reads plus one
+    column-pruned aggregate over the packed codes):
+
+    - `centroids` has exactly `num_centroids` rows;
+    - `codebook` has exactly `num_codewords` rows and `dim`-length
+      codewords;
+    - `dim` divides by `num_subspaces`;
+    - every packed code in `lists` is < num_codewords**num_subspaces
+      (a coarse but order-of-magnitude check: codes packed under more
+      subspaces or codewords overflow the stated base).
+
+    Refuses to run when a sidecar already exists (nothing to backfill —
+    and overwriting could mask a real geometry mismatch) or when the
+    layout carries maintenance generations (those can only be written
+    through sidecar-validated paths, so the sidecar cannot be missing
+    legitimately). The write is the same tmp-then-`os.replace` atomic
+    commit `ivf_pq_write_index` uses."""
+    import json
+
+    sidecar = os.path.join(path, "_params.json")
+    if os.path.exists(sidecar):
+        raise ValueError(
+            f"ivf_pq_backfill_params: {sidecar} already exists — this "
+            "layout needs no backfill. If the probe rejects it with a "
+            "geometry mismatch, the sidecar is telling the truth; "
+            "rebuild with ivf_pq_write_index instead of overwriting "
+            "the record of what the codes were packed under"
+        )
+    from .index_maintenance import _manifest_file
+
+    if os.path.exists(_manifest_file(os.path.join(path, "lists"))):
+        raise ValueError(
+            f"ivf_pq_backfill_params: {path} carries a maintenance "
+            "manifest — maintained generations are only written "
+            "through sidecar-validated paths, so a missing sidecar "
+            "here means the layout is torn, not merely pre-sidecar. "
+            "Rebuild with ivf_pq_write_index"
+        )
+    if dim % num_subspaces != 0:
+        raise ValueError(
+            f"ivf_pq_backfill_params: dim ({dim}) is not divisible by "
+            f"num_subspaces ({num_subspaces}) — no ivf_pq_write_index "
+            "layout can have this geometry"
+        )
+    n_cent = spark.read.parquet(os.path.join(path, "centroids")).count()
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    n_code, cb_dim = cb.select(
+        F.count(F.lit(1)), F.max(F.size("c_vec"))
+    ).first()
+    max_code = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .select(F.max("pq_code"))
+        .first()[0]
+    )
+    bad = []
+    if n_cent != num_centroids:
+        bad.append(f"centroids table has {n_cent} rows, "
+                   f"stated num_centroids={num_centroids}")
+    if n_code != num_codewords:
+        bad.append(f"codebook has {n_code} rows, "
+                   f"stated num_codewords={num_codewords}")
+    if cb_dim != dim:
+        bad.append(f"codewords are {cb_dim}-dim, stated dim={dim}")
+    if max_code is not None and max_code >= num_codewords ** num_subspaces:
+        bad.append(
+            f"max packed code {max_code} >= "
+            f"{num_codewords}**{num_subspaces} — codes were packed "
+            "under a larger geometry"
+        )
+    if bad:
+        raise ValueError(
+            "ivf_pq_backfill_params: stated geometry contradicts the "
+            f"layout at {path}: " + "; ".join(bad)
+        )
+    tmp = sidecar + ".inprogress"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "num_centroids": num_centroids,
+                "num_subspaces": num_subspaces,
+                "num_codewords": num_codewords,
+                "dim": dim,
+            },
+            f,
+        )
+    os.replace(tmp, sidecar)
 
 
 def ann_ivf_pq_partitioned(
@@ -1081,7 +1193,7 @@ def ann_ivf_pq_partitioned(
     if static_prune == "auto":
         return _auto_pruned(
             df, lists, centroids, queries, nprobe, id_col, vec_col,
-            _tail, "ann_ivf_pq_partitioned",
+            _tail, "ann_ivf_pq_partitioned", f"{path}/lists",
         )
     return df
 
@@ -1112,6 +1224,12 @@ def ann_ivf_pq_partitioned_refine(
     in-memory `ann_ivf_pq_refine` (shared shortlist + shared
     `_exact_rerank`; frame-equality pytest)."""
     _require_shortlist("ann_ivf_pq_partitioned_refine", refine_r, k)
+    # validate the sidecar under THIS entry point's name before
+    # delegating: a geometry-mismatch/missing-sidecar error must blame
+    # the function the caller actually invoked, not the inner ADC stage
+    # (ADVICE r19); the delegate's own re-check is then a no-op pass
+    _check_ivf_pq_params(path, num_subspaces, num_codewords, dim,
+                         op="ann_ivf_pq_partitioned_refine")
     cands = ann_ivf_pq_partitioned(
         spark, path, queries, k=refine_r, nprobe=nprobe,
         num_subspaces=num_subspaces, num_codewords=num_codewords,
@@ -1199,7 +1317,7 @@ def ann_ivf_partitioned(
     if static_prune == "auto":
         return _auto_pruned(
             df, assigned, centroids, queries, nprobe, id_col, vec_col,
-            _tail, "ann_ivf_partitioned",
+            _tail, "ann_ivf_partitioned", f"{path}/assigned",
         )
     return df
 
@@ -1291,6 +1409,7 @@ def _auto_pruned(
     vec_col: str,
     tail_fn,
     op_name: str,
+    index_path: str,
 ) -> DataFrame:
     """The `static_prune="auto"` decision rule (VERDICT r18 item 5):
     a deployment must not silently serve full-index scans, but whether
@@ -1300,34 +1419,45 @@ def _auto_pruned(
     measurable from executed scan metrics. So: plan the probe set
     driver-side (`_probed_centroid_ids` — the same bounded action the
     static path pays), execute the dynamic frame ONCE, and compare
-    every partitioned scan's `numPartitions` against the probe-set
-    size. Within the bound ⇒ DPP is working: return the declarative
-    frame (future executions keep the subquery and adapt as queries
+    each INDEX scan's `numPartitions` against the probe-set size.
+    Within the bound ⇒ DPP is working: return the declarative frame
+    (future executions keep the subquery and adapt as queries
     change). Over it ⇒ warn loudly and return the statically pruned
     frame.
 
-    Cost note: the acceptance check executes the probe once, so on a
-    DEGRADED plan detection itself pays one full-index scan — "auto"
-    is the deployment-acceptance/canary mode; a serving loop that has
-    seen the warning should pin `static_prune=True` (and one that
-    hasn't can pin False). The check is per-call by design: pruning
-    health depends on the query batch's shape, not just the layout.
+    Cost note: the measurement executes the probe exactly ONCE, and
+    the healthy path does not pay it again — the dynamic frame is
+    persisted before measuring, so the measurement run populates the
+    cache and the caller's own consumption is served from memory
+    (DPP prunes identically under persist — verified by executed
+    metrics). The returned healthy frame is therefore cached; a
+    caller done with it may `.unpersist()` (Q×k rows — Spark evicts
+    under pressure regardless). On a DEGRADED plan detection itself
+    pays one full-index scan and the useless cache is dropped before
+    the static frame is returned — "auto" is the
+    deployment-acceptance/canary mode; a serving loop that has seen
+    the warning should pin `static_prune=True` (and one that hasn't
+    can pin False). The check is per-call by design: pruning health
+    depends on the query batch's shape, not just the layout.
 
-    The bound applies to EVERY partitioned scan in the plan — on a
-    maintained layout that includes each generation's appends scan,
-    so a delta generation read unpruned past the probe set also
-    trips the fallback. Deliberate: the mode's promise is "no scan
-    over-reads", and the static filter prunes base and deltas alike;
-    a base-only check would certify a plan whose delta reads grow
-    with every refresh."""
+    The bound is scoped to scans under `index_path` (base AND each
+    maintained generation's appends — all partitioned by centroid_id
+    under that root), so a delta generation read unpruned past the
+    probe set trips the fallback, while a partitioned scan UNRELATED
+    to the index (e.g. a queries frame loaded from a date-partitioned
+    table) cannot false-trip it into permanent static fallback plus a
+    misleading "DPP dropped" warning (ADVICE r19)."""
     import warnings
 
     probed = _probed_centroid_ids(centroids, queries, nprobe,
                                   id_col, vec_col)
     from .plan_metrics import partitioned_scans_within
 
-    if partitioned_scans_within(dyn_df, len(probed)):
+    dyn_df = dyn_df.persist()
+    if partitioned_scans_within(dyn_df, len(probed),
+                                within_path=index_path):
         return dyn_df
+    dyn_df.unpersist()
     warnings.warn(
         f"{op_name}: dynamic partition pruning did not prune — the "
         f"executed plan read more than the {len(probed)} driver-"

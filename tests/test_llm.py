@@ -1411,6 +1411,190 @@ def test_static_prune_auto_warns_and_falls_back_on_dropped_dpp(
             )
 
 
+def test_auto_mode_healthy_path_measures_once_and_serves_cache(
+    emb, spark, tmp_path
+):
+    """static_prune='auto' must not pay the probe twice on the HEALTHY
+    branch (VERDICT r19 item 5): the dynamic frame is persisted before
+    the measurement executes it, so the acceptance run populates the
+    cache and the caller's own consumption is served from memory.
+    Proof by metric freeze: scan metrics are CUMULATIVE per plan
+    instance, so if the collect below re-executed any scan its metrics
+    would move — snapshot them (walk-only, no execution) before and
+    after consuming the frame and assert nothing moved."""
+    import warnings
+
+    from github_event_etl_spark.operators.plan_metrics import (
+        _walk_scan_metrics,
+    )
+    from github_event_etl_spark.operators.similarity import (
+        ann_ivf_pq_partitioned,
+        ivf_pq_write_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_write_index(emb, path)
+    qs = emb.filter(F.col("vec_id") < 8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        auto = ann_ivf_pq_partitioned(
+            spark, path, qs, k=5, nprobe=16, static_prune="auto"
+        )
+    assert auto.storageLevel.useMemory, (
+        "healthy auto frame is not persisted — consumption re-executes"
+    )
+
+    def snap():
+        return [
+            {k: v for k, v in s.items() if k != "_location"}
+            for s in _walk_scan_metrics(auto)
+        ]
+
+    before = snap()
+    assert auto.collect(), "healthy auto frame served no rows"
+    assert snap() == before, (
+        "scan metrics moved during consumption — the probe was paid a "
+        "second time instead of being served from the measurement "
+        "run's cache"
+    )
+    auto.unpersist()
+
+
+def test_auto_mode_ignores_unrelated_partitioned_scans(
+    emb, spark, tmp_path
+):
+    """ADVICE r19: auto's pruning bound is scoped to scans under the
+    INDEX root. Fixture: the queries frame is loaded from a table
+    partitioned into 17 directories — more than the 16-list probe
+    bound — while the index itself is probed on ALL lists (the healthy
+    keep-dynamic branch). Unscoped, the queries scan alone would
+    exceed the bound and force a spurious warn + permanent static
+    fallback (plus one wasted full execution per call in a real
+    deployment); scoped, no warning fires, the declarative frame is
+    served, and results match the in-memory twin."""
+    import warnings
+
+    from github_event_etl_spark.operators.plan_metrics import (
+        partitioned_scans_within,
+    )
+    from github_event_etl_spark.operators.similarity import (
+        ann_ivf_pq,
+        ann_ivf_pq_partitioned,
+        ivf_pq_write_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    qdir = str(tmp_path / "queries_by_day")
+    ivf_pq_write_index(emb, path)
+    emb.filter(F.col("vec_id") < 17).withColumn(
+        "qday", F.col("vec_id") % 17
+    ).write.partitionBy("qday").parquet(qdir)
+    qs = spark.read.parquet(qdir).select("vec_id", "embedding")
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        auto = ann_ivf_pq_partitioned(
+            spark, path, qs, k=5, nprobe=16, static_prune="auto"
+        )
+    got = {tuple(r) for r in auto.collect()}
+    mem = ann_ivf_pq(
+        emb, emb.filter(F.col("vec_id") < 17), k=5, nprobe=16,
+        num_centroids=16,
+    )
+    assert got == {tuple(r) for r in mem.collect()} and got
+    # the scoping IS the fix: the same executed plan fails the
+    # unscoped bound (the queries scan read 17 partitions) and passes
+    # the index-scoped one — without within_path this fixture would
+    # have fallen back
+    assert not partitioned_scans_within(auto, 16)
+    assert partitioned_scans_within(auto, 16,
+                                    within_path=f"{path}/lists")
+    auto.unpersist()
+
+
+def test_ivf_pq_backfill_params_restores_pre_sidecar_layout(
+    emb, spark, tmp_path
+):
+    """The r19 sidecar hard-requirement broke PRE-sidecar layouts
+    (working-unvalidated → ValueError at probe time; ADVICE r19).
+    `ivf_pq_backfill_params` is the documented one-shot migration for
+    a HEALTHY such layout of known geometry: it cross-checks the
+    stated geometry against the tables (refusing every contradiction,
+    so a backfill cannot re-open the silent-wrong-distances hole),
+    writes the sidecar once, and probes serve again — no full rebuild.
+    It refuses to overwrite an existing sidecar and refuses layouts
+    carrying maintenance manifests (those cannot legitimately lack a
+    sidecar)."""
+    import os
+
+    from github_event_etl_spark.operators.similarity import (
+        ann_ivf_pq,
+        ann_ivf_pq_partitioned,
+        ivf_pq_backfill_params,
+        ivf_pq_write_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_write_index(emb, path)
+    with pytest.raises(ValueError, match="already exists"):
+        ivf_pq_backfill_params(spark, path, 16, 8, 16, 64)
+    os.remove(os.path.join(path, "_params.json"))  # pre-sidecar layout
+
+    qs = emb.filter(F.col("vec_id") < 4)
+    # the probe's refusal names the migration path
+    with pytest.raises(ValueError, match="ivf_pq_backfill_params"):
+        ann_ivf_pq_partitioned(spark, path, qs, k=5, nprobe=4)
+    # every stated-geometry contradiction is refused, named
+    with pytest.raises(ValueError, match="codebook has 16 rows"):
+        ivf_pq_backfill_params(spark, path, 16, 8, 32, 64)
+    with pytest.raises(ValueError, match="centroids table has 16"):
+        ivf_pq_backfill_params(spark, path, 8, 8, 16, 64)
+    with pytest.raises(ValueError, match="not divisible"):
+        ivf_pq_backfill_params(spark, path, 16, 7, 16, 64)
+    with pytest.raises(ValueError, match="larger geometry"):
+        ivf_pq_backfill_params(spark, path, 16, 4, 16, 64)
+    # the true geometry backfills once, and the layout serves again
+    ivf_pq_backfill_params(spark, path, 16, 8, 16, 64)
+    got = {
+        tuple(r)
+        for r in ann_ivf_pq_partitioned(
+            spark, path, qs, k=5, nprobe=4
+        ).collect()
+    }
+    mem = ann_ivf_pq(emb, qs, k=5, nprobe=4, num_centroids=16)
+    assert got == {tuple(r) for r in mem.collect()} and got
+
+    # a maintained layout missing its sidecar is TORN, not pre-sidecar
+    os.remove(os.path.join(path, "_params.json"))
+    os.makedirs(os.path.join(path, "lists"), exist_ok=True)
+    with open(os.path.join(path, "lists", "_manifest.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(ValueError, match="maintenance manifest"):
+        ivf_pq_backfill_params(spark, path, 16, 8, 16, 64)
+
+
+def test_ivf_pq_geometry_error_names_the_entry_point(
+    emb, spark, tmp_path
+):
+    """A geometry-mismatch error raised on the REFINE read path must
+    blame ann_ivf_pq_partitioned_refine, not the inner ADC stage it
+    delegates to (ADVICE r19) — an operator chasing the error message
+    to a function they never called is chasing the wrong call site."""
+    from github_event_etl_spark.operators.similarity import (
+        ann_ivf_pq_partitioned_refine,
+        ivf_pq_write_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_write_index(emb, path)
+    qs = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError,
+                       match="ann_ivf_pq_partitioned_refine"):
+        ann_ivf_pq_partitioned_refine(
+            spark, path, emb, qs, k=5, refine_r=10, num_codewords=32
+        )
+
+
 def test_ivf_pq_sidecar_commit_ordering_detects_torn_rebuild(
     emb, spark, tmp_path
 ):
