@@ -68,6 +68,10 @@ HEADLINE = [
 # profile_drift (0.608/0.492/0.924/0.727 across r14-r17, never
 # flagged; the approx + histogram_eqdepth siblings keep the profile
 # family's census seats).
+# Retired r20 (making room for llm_ivf_list_skew, the r20 admission):
+# profile_histogram_eqdepth (0.464/0.391/0.344/0.435/0.42/0.553/0.345
+# across r13-r19, never flagged; profile_table_approx keeps the
+# profile family's census seat).
 COMPONENTS = [
     "stream_interval_join",
     "stream_interval_join_outer",
@@ -78,7 +82,7 @@ COMPONENTS = [
     "merge_upsert",
     "join_bucketed_colocated",
     "gapfill_interp_reading",
-    "profile_histogram_eqdepth",
+    "llm_ivf_list_skew",
     "llm_dedup_semantic",
     "llm_dedup_incremental_semantic",
     "llm_dedup_incremental_indexed",

@@ -538,7 +538,11 @@ def ivf_pq_write_index_delta(
     output the other index families consume. As there, pass `diff`
     materialized — it feeds the tombstone write and the upsert
     semi-filter."""
-    from .similarity import _check_ivf_pq_params, ivf_pq_encode_fn
+    from .similarity import (
+        _check_ivf_pq_params,
+        _qerr_stats,
+        ivf_pq_encode_fn,
+    )
 
     _check_ivf_pq_params(index_path, num_subspaces, num_codewords, dim,
                          op="ivf_pq_write_index_delta")
@@ -547,15 +551,34 @@ def ivf_pq_write_index_delta(
     encode = ivf_pq_encode_fn(
         centroids, codebook, num_subspaces, num_codewords, dim, vec_col
     )
-    return write_index_delta(
+    diff_n = (
+        diff if id_col == "nid" else diff.withColumnRenamed(id_col, "nid")
+    )
+    cur_n = cur_corpus.select(F.col(id_col).alias("nid"), vec_col)
+    gen = write_index_delta(
         os.path.join(index_path, "lists"),
-        diff if id_col == "nid" else diff.withColumnRenamed(id_col, "nid"),
-        cur_corpus.select(F.col(id_col).alias("nid"), vec_col),
+        diff_n,
+        cur_n,
         encode,
         key="nid",
         value_cols=("pq_code", "centroid_id"),
         partition_col="centroid_id",
     )
+    # per-refresh drift record (VERDICT r19 item 2), AFTER the commit
+    # so a concurrent-writer abort logs nothing: the reconstruction
+    # error of THIS generation's re-encoded vectors against the frozen
+    # codebook — change-sized (the upsert set), one aggregate job. An
+    # all-removed generation records n=0 with null errors.
+    upserts = _upsert_docs(cur_n, diff_n, "nid")
+    _append_drift_entry(
+        index_path,
+        {
+            "gen": gen,
+            **_qerr_stats(upserts, codebook, num_subspaces, dim,
+                          "nid", vec_col),
+        },
+    )
+    return gen
 
 
 def read_index(
@@ -1003,3 +1026,267 @@ def maybe_compact(
         return 0
     return compact_index(spark, index_path, key=key,
                          partition_col=partition_col)
+
+
+# --------------------------------------------- IVF-PQ drift & list skew
+
+#: Per-refresh drift entries kept in the log — bounds the file; older
+#: entries age out (the ratio consumers only read the tail anyway).
+_DRIFT_LOG_CAP = 1000
+
+
+def _drift_log_path(index_path: str) -> str:
+    return os.path.join(index_path, "_drift.json")
+
+
+def _read_drift_log(index_path: str) -> list[dict]:
+    import json
+
+    try:
+        with open(_drift_log_path(index_path)) as f:
+            log = json.load(f)
+    except FileNotFoundError:
+        return []
+    return log if isinstance(log, list) else []
+
+
+def _append_drift_entry(index_path: str, entry: dict) -> None:
+    """Append one refresh's drift record to `<index>/_drift.json` —
+    read-modify-atomic-replace, covered by the same single-writer-per-
+    index contract as the generation commits it trails. Capped at
+    `_DRIFT_LOG_CAP` entries so a long-lived refresh loop cannot grow
+    the sidecar unboundedly."""
+    import json
+
+    log = _read_drift_log(index_path) + [entry]
+    path = _drift_log_path(index_path)
+    tmp = path + ".inprogress"
+    with open(tmp, "w") as f:
+        json.dump(log[-_DRIFT_LOG_CAP:], f)
+    os.replace(tmp, path)
+
+
+def _read_ivf_pq_params(index_path: str) -> dict:
+    import json
+
+    p = os.path.join(index_path, "_params.json")
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"no _params.json sidecar at {index_path} — not a committed "
+            "ivf_pq_write_index layout (see similarity."
+            "_check_ivf_pq_params for the torn/pre-sidecar cases)"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def _qerr_ratio(cur: float | None, train: float | None) -> float | None:
+    """current/train reconstruction error, None when either side is
+    unknown; a zero training error (every vector was a codeword) makes
+    any positive current error infinite drift, and 0/0 reads 1.0 (no
+    drift observed — nothing measured moved)."""
+    if cur is None or train is None:
+        return None
+    if train == 0:
+        return 1.0 if cur == 0 else float("inf")
+    return cur / train
+
+
+def ivf_list_stats(
+    spark: SparkSession,
+    lists_path: str,
+    key: str = "doc_id",
+    hot_threshold: int | None = None,
+) -> dict:
+    """Per-centroid inverted-list size distribution of a maintained
+    centroid-partitioned layout (IVF `assigned`, IVF-PQ `lists`) — the
+    SKEW monitor (VERDICT r19 item 3). Synthetic fixtures give balanced
+    lists, but real embedding corpora concentrate mass in few cells, so
+    one hot centroid dominates probe cost; this stat is what a refresh
+    pipeline watches to decide when to turn on the probe-side
+    mitigation (`similarity.ivf_probe`/ADC `topk_salts` — bounds the
+    rank stage's max task input, result-identical) or re-derive the
+    quantizer (`maybe_retrain` — more centroids where the mass is).
+
+    Counts the FOLDED state (`read_index` semantics — what probes
+    see), one groupBy job; the collected result is one row per
+    centroid, bounded by the centroid count — the same
+    tiny-by-construction driver action as probe planning.
+    `max_median_ratio` is the headline skew number (balanced ≈ 1);
+    pass `hot_threshold` to also get the offending centroid ids."""
+    import statistics
+
+    rows = (
+        read_index(spark, lists_path, key=key)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sizes = sorted(int(r["n"]) for r in rows)
+    if not sizes:
+        out = {
+            "num_lists": 0,
+            "rows": 0,
+            "max_list": 0,
+            "median_list": 0,
+            "max_median_ratio": 1.0,
+        }
+    else:
+        med = statistics.median(sizes)
+        out = {
+            "num_lists": len(sizes),
+            "rows": sum(sizes),
+            "max_list": sizes[-1],
+            "median_list": med,
+            "max_median_ratio": (
+                round(sizes[-1] / med, 4) if med else float("inf")
+            ),
+        }
+    if hot_threshold is not None:
+        out["hot_lists"] = sorted(
+            r["centroid_id"] for r in rows if int(r["n"]) > hot_threshold
+        )
+    return out
+
+
+def ivf_pq_drift_stats(
+    spark: SparkSession,
+    index_path: str,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Quantizer-drift snapshot of an IVF-PQ layout (VERDICT r19 item
+    2): the training-time reconstruction-error baseline from the
+    `_params.json` sidecar (None when the layout was built with
+    `record_train_error=False`), the per-refresh drift log
+    `ivf_pq_write_index_delta` appends (each generation's re-encoded
+    batch vs the frozen codebook), and the ratio of the LATEST
+    non-empty refresh to the baseline — the cheap always-available
+    signal. Pass `corpus` (the current snapshot) for the full audit:
+    one corpus-sized `pq_quantization_error` aggregate adds
+    corpus_qerr_mean/p95 and corpus_qerr_ratio, the number
+    `maybe_retrain` thresholds on."""
+    params = _read_ivf_pq_params(index_path)
+    log = _read_drift_log(index_path)
+    train_mean = params.get("train_qerr_mean")
+    out = {
+        "train_qerr_mean": train_mean,
+        "train_qerr_p95": params.get("train_qerr_p95"),
+        "refresh_log": log,
+    }
+    last = next((e for e in reversed(log) if e.get("n")), None)
+    out["latest_refresh_qerr_ratio"] = _qerr_ratio(
+        last.get("qerr_mean") if last else None, train_mean
+    )
+    if corpus is not None:
+        from .similarity import _qerr_stats
+
+        codebook = spark.read.parquet(
+            os.path.join(index_path, "codebook")
+        )
+        cur = _qerr_stats(
+            corpus.select(F.col(id_col).alias("nid"), vec_col),
+            codebook, params["num_subspaces"], params["dim"],
+            "nid", vec_col,
+        )
+        out["corpus_qerr_mean"] = cur["qerr_mean"]
+        out["corpus_qerr_p95"] = cur["qerr_p95"]
+        out["corpus_qerr_ratio"] = _qerr_ratio(
+            cur["qerr_mean"], train_mean
+        )
+    return out
+
+
+def maybe_retrain(
+    spark: SparkSession,
+    index_path: str,
+    corpus: DataFrame,
+    max_qerr_ratio: float = 1.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The quantizer-RETRAIN policy (VERDICT r19 item 2) — the
+    `maybe_compact` analog one level up the model stack: compaction
+    bounds how many generations readers fold; this bounds how far the
+    corpus may drift from the FROZEN coarse centroids + PQ codebook
+    before approximation error silently eats recall. Observe
+    (`ivf_pq_drift_stats` over the current corpus), compare the mean
+    reconstruction error against the sidecar's training baseline, and
+    when the ratio reaches `max_qerr_ratio`, trigger the full
+    `ivf_pq_write_index` rebuild WITHOUT frozen artifacts: the
+    quantizer re-derives from the current corpus (geometry unchanged —
+    probes keep working off the fresh sidecar), the lists re-encode,
+    the maintenance state resets, and a new error baseline is
+    recorded. Returns the decision report either way
+    ({fired, qerr_ratio, corpus/train means, threshold}).
+
+    (Reference analog: the fresh-vs-incremental summary decision,
+    update-contributor-scores.js:252-263 — merge into the stored
+    artifact while that is sound, recompute it whole when it stops
+    being.) Cost: one corpus-sized aggregate per call (the audit), so
+    run it at crawl cadence, not per query; the rebuild itself is the
+    one corpus pass a scheduled re-index would pay anyway. A layout
+    built with `record_train_error=False` has no baseline to compare
+    against and raises — rebuild once with recording on (the default)
+    to calibrate."""
+    params = _read_ivf_pq_params(index_path)
+    if params.get("train_qerr_mean") is None:
+        raise ValueError(
+            f"maybe_retrain: the layout at {index_path} carries no "
+            "train_qerr_mean baseline (built with "
+            "record_train_error=False, or pre-drift-monitor) — the "
+            "policy has nothing to compare against. Rebuild once with "
+            "ivf_pq_write_index(record_train_error=True) to calibrate"
+        )
+    stats = ivf_pq_drift_stats(spark, index_path, corpus, id_col, vec_col)
+    ratio = stats["corpus_qerr_ratio"]
+    fired = ratio is not None and ratio >= max_qerr_ratio
+    if fired:
+        from .similarity import ivf_pq_write_index
+
+        ivf_pq_write_index(
+            corpus, index_path,
+            num_centroids=params["num_centroids"],
+            num_subspaces=params["num_subspaces"],
+            num_codewords=params["num_codewords"],
+            dim=params["dim"],
+            id_col=id_col, vec_col=vec_col,
+        )
+    return {
+        "fired": fired,
+        "qerr_ratio": ratio,
+        "threshold": max_qerr_ratio,
+        "corpus_qerr_mean": stats["corpus_qerr_mean"],
+        "train_qerr_mean": stats["train_qerr_mean"],
+    }
+
+
+def ivf_pq_index_stats(
+    spark: SparkSession,
+    index_path: str,
+    corpus: DataFrame | None = None,
+    include_live: bool = False,
+    hot_threshold: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The IVF-PQ family's one monitoring read — the generic
+    `index_stats` of the lists layout (generations, volumes, read
+    amplification → feeds `maybe_compact`) plus the two signals the
+    generic layer cannot see: per-centroid list SKEW
+    (`ivf_list_stats`, nested under "list_skew" → feeds the
+    `topk_salts` mitigation) and quantizer DRIFT
+    (`ivf_pq_drift_stats`, nested under "drift" → feeds
+    `maybe_retrain`; pass `corpus` for the full audit ratio). One call
+    per refresh covers all three maintenance policies."""
+    lists_path = os.path.join(index_path, "lists")
+    out = index_stats(spark, lists_path, key="nid",
+                      include_live=include_live)
+    out["list_skew"] = ivf_list_stats(
+        spark, lists_path, key="nid", hot_threshold=hot_threshold
+    )
+    out["drift"] = ivf_pq_drift_stats(
+        spark, index_path, corpus, id_col, vec_col
+    )
+    return out

@@ -355,6 +355,42 @@ def ann_ivf(
     )
 
 
+def _pre_topk_salted(
+    scored: DataFrame,
+    k: int,
+    order_by: list,
+    n_salts: int,
+    group_col: str = "qid",
+    salt_from: str = "nid",
+) -> DataFrame:
+    """Per-(group, salt) partial top-k ahead of a global per-group rank
+    window — the probe-side HOT-LIST skew mitigation (VERDICT r19 item
+    3, the `operators/skew.py` salting pattern applied to ANN ranking).
+
+    Real embedding corpora concentrate mass in few IVF cells; a query
+    probing a hot inverted list feeds that list's entire candidate set
+    into ONE rank-window task (window functions co-locate each
+    partition key), so the probe stage's max task input grows with the
+    hottest list, not the average. Salting nid deterministically into
+    `n_salts` sub-keys bounds that task at ~|candidates|/n_salts: the
+    first window ranks within (group, salt) and keeps k per sub-key,
+    the global window then ranks ≤ n_salts×k survivors per group.
+    Result-identical by construction — a group's global top-k is a
+    subset of the union of its per-salt top-ks (each global winner
+    wins its own salt slice too) — pinned by frame-equality pytest.
+    The salt is a content hash (xxhash64, the skew.py rule), never
+    rand(): retries and replays must salt identically."""
+    salted = scored.withColumn(
+        "_tk_salt", F.pmod(F.xxhash64(salt_from), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(group_col, "_tk_salt").orderBy(*order_by)
+    return (
+        salted.withColumn("_tk_r", F.row_number().over(w1))
+        .filter(F.col("_tk_r") <= k)
+        .drop("_tk_salt", "_tk_r")
+    )
+
+
 def ivf_probe(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -363,6 +399,7 @@ def ivf_probe(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    topk_salts: int | None = None,
 ) -> DataFrame:
     """The IVF search shared by every index source — a freshly built
     assignment (`ann_ivf`), the on-disk partitioned layout
@@ -373,7 +410,12 @@ def ivf_probe(
     the top-`nprobe` lists, candidate-join the assigned table against
     the broadcast probe set (partition-pruned when `assigned` is the
     partitioned scan), exact-score within them with a deterministic
-    (sim DESC, id ASC) tie-break."""
+    (sim DESC, id ASC) tie-break.
+
+    `topk_salts`: bound the rank stage's max task input on skewed
+    (hot-list) layouts via a salted partial top-k before the global
+    per-query window (`_pre_topk_salted` — result-identical; use when
+    `index_maintenance.ivf_list_stats` reports a hot list)."""
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
     qc = q.join(F.broadcast(centroids)).select(
         "qid", "q_vec", "centroid_id",
@@ -391,6 +433,10 @@ def ivf_probe(
     scored = cand.select(
         "qid", "nid", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
     )
+    if topk_salts:
+        scored = _pre_topk_salted(
+            scored, k, [F.col("sim").desc(), F.col("nid")], topk_salts
+        )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -487,6 +533,89 @@ def pq_codebook(
     return seeds.withColumn(
         "code_rank", (F.row_number().over(wseed) - 1).cast("int")
     )
+
+
+def pq_quantization_error(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    num_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector PQ reconstruction error against a (frozen) codebook:
+    Σ_s min_r ||x_s − c_{r,s}||² — exactly the per-subspace distance
+    `pq_codes` minimizes when choosing codewords, so this IS the
+    squared L2 between a vector and its PQ reconstruction under that
+    codebook. Returns (`id_col`, qerr).
+
+    This is the QUANTIZER-DRIFT signal (VERDICT r19 item 2): the
+    maintenance layer deliberately freezes the codebook so refreshes
+    stay probe-compatible, but a corpus drifting away from what the
+    codebook was derived from makes ADC distances ever coarser with no
+    error anywhere — recall decays silently. `ivf_pq_write_index`
+    records the build corpus' error stats in the `_params.json`
+    sidecar, `ivf_pq_write_index_delta` logs each refresh batch's, and
+    `index_maintenance.maybe_retrain` is the policy that compares and
+    triggers the re-derive rebuild. (Reference analog: the
+    fresh-vs-incremental summary decision,
+    update-contributor-scores.js:252-263 — observe the maintained
+    artifact's state and recompute from scratch when merging stops
+    being the right call.)
+
+    Scale shape: identical to `pq_codes` — one broadcast of the tiny
+    codebook, a map-side n×C expansion, one groupBy(id) whose min
+    partial-aggregates map-side; n rows cross the shuffle. Change-sized
+    when fed a refresh batch, corpus-sized only at build/audit time."""
+    d_sub = dim // num_subspaces
+
+    def sub_dist(s: int) -> Column:
+        a = F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
+        b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    joined = corpus.select(id_col, vec_col).join(F.broadcast(codebook))
+    per_sub = joined.groupBy(id_col).agg(
+        *[F.min(sub_dist(s)).alias(f"_d{s}") for s in range(num_subspaces)]
+    )
+    total = None
+    for s in range(num_subspaces):
+        term = F.col(f"_d{s}")
+        total = term if total is None else total + term
+    return per_sub.select(F.col(id_col), total.alias("qerr"))
+
+
+def _qerr_stats(
+    docs: DataFrame,
+    codebook: DataFrame,
+    num_subspaces: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """Driver-side summary of `pq_quantization_error` over `docs` —
+    the three scalars every drift consumer reads (mean, p95, n). p95
+    is approx_percentile (sketch-exact enough for a monitoring ratio;
+    an EXACT percentile would buffer each group's values in executor
+    memory, which a corpus-sized audit cannot afford). Empty input
+    reports n=0 with null errors — the caller decides what an empty
+    refresh means (nothing drifted)."""
+    row = pq_quantization_error(
+        docs, codebook, num_subspaces, dim, id_col, vec_col
+    ).agg(
+        F.avg("qerr").alias("m"),
+        F.expr("approx_percentile(qerr, 0.95, 10000)").alias("p"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return {
+        "qerr_mean": None if row["m"] is None else float(row["m"]),
+        "qerr_p95": None if row["p"] is None else float(row["p"]),
+        "n": int(row["n"]),
+    }
 
 
 def _adc_tables(
@@ -732,6 +861,7 @@ def _ivf_pq_probe_rank(
     dim: int,
     id_col: str,
     vec_col: str,
+    topk_salts: int | None = None,
 ) -> DataFrame:
     """The IVF-PQ probe/ADC/rank tail over its three tables —
     (nid, centroid_id, pq_code) inverted lists, the tiny centroid
@@ -763,14 +893,18 @@ def _ivf_pq_probe_rank(
     scored = lists.join(F.broadcast(probe_tabs), "centroid_id").filter(
         F.col("qid") != F.col("nid")
     )
+    ranked = scored.select(
+        "qid",
+        "nid",
+        _adc_distance(num_subspaces, num_codewords).alias("adist"),
+    )
+    if topk_salts:
+        ranked = _pre_topk_salted(
+            ranked, k, [F.col("adist"), F.col("nid")], topk_salts
+        )
     w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
     return (
-        scored.select(
-            "qid",
-            "nid",
-            _adc_distance(num_subspaces, num_codewords).alias("adist"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
+        ranked.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "rnk", "nid", "adist")
     )
@@ -879,6 +1013,7 @@ def ivf_pq_write_index(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codebook: DataFrame | None = None,
+    record_train_error: bool = True,
 ) -> None:
     """Materialize the IVF-PQ serving layout — the physical shape the
     `ann_ivf_pq` docstring promises for a billion-vector deployment:
@@ -910,7 +1045,16 @@ def ivf_pq_write_index(
     populates them and their own writes reuse the cached rows instead
     of re-scanning the corpus (Catalyst does not dedupe
     identically-derived subtrees across actions — the pq_codes
-    caching note)."""
+    caching note).
+
+    `record_train_error` (default True) additionally records the build
+    corpus' PQ reconstruction-error stats (`pq_quantization_error`
+    mean/p95/n) in the sidecar as the quantizer-drift BASELINE
+    `index_maintenance.maybe_retrain` compares refresh batches and
+    audit passes against. Cost: one extra broadcast-join aggregate
+    pass over the corpus at build time (the codebook is already
+    cached); pass False to skip it — the layout then serves normally
+    but the drift policy refuses to run until a recording rebuild."""
     import contextlib
     import json
     import os
@@ -934,6 +1078,10 @@ def ivf_pq_write_index(
     # no table byte touched) needlessly brick a healthy layout.
     with contextlib.suppress(FileNotFoundError):
         os.remove(os.path.join(path, "_params.json"))
+    # a rebuild replaces the quantizer, so the per-generation drift log
+    # (entries measured against the OLD codebook) is meaningless now
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(path, "_drift.json"))
     centroids = centroids.cache()
     codebook = codebook.cache()
     try:
@@ -948,20 +1096,28 @@ def ivf_pq_write_index(
         )
         centroids.write.mode("overwrite").parquet(f"{path}/centroids")
         codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+        train = (
+            _qerr_stats(corpus, codebook, num_subspaces, dim,
+                        id_col, vec_col)
+            if record_train_error
+            else None
+        )
     finally:
         centroids.unpersist()
         codebook.unpersist()
+    params = {
+        "num_centroids": num_centroids,
+        "num_subspaces": num_subspaces,
+        "num_codewords": num_codewords,
+        "dim": dim,
+    }
+    if train is not None:
+        params["train_qerr_mean"] = train["qerr_mean"]
+        params["train_qerr_p95"] = train["qerr_p95"]
+        params["train_n"] = train["n"]
     tmp = os.path.join(path, "_params.json.inprogress")
     with open(tmp, "w") as f:
-        json.dump(
-            {
-                "num_centroids": num_centroids,
-                "num_subspaces": num_subspaces,
-                "num_codewords": num_codewords,
-                "dim": dim,
-            },
-            f,
-        )
+        json.dump(params, f)
     os.replace(tmp, os.path.join(path, "_params.json"))
 
 
@@ -1139,6 +1295,7 @@ def ann_ivf_pq_partitioned(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     static_prune: bool | str = False,
+    topk_salts: int | None = None,
 ) -> DataFrame:
     """ADC search against the on-disk `ivf_pq_write_index` layout: the
     broadcast (qid, centroid_id, ADC-tables) probe frame equi-joins
@@ -1184,6 +1341,7 @@ def ann_ivf_pq_partitioned(
         return _ivf_pq_probe_rank(
             lst, centroids, codebook, queries, k, nprobe,
             num_subspaces, num_codewords, dim, id_col, vec_col,
+            topk_salts=topk_salts,
         )
 
     if static_prune is True:
@@ -1212,6 +1370,7 @@ def ann_ivf_pq_partitioned_refine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     static_prune: bool | str = False,
+    topk_salts: int | None = None,
 ) -> DataFrame:
     """IVFADC+refine over the on-disk layout — the complete serving
     read path: partition-pruned ADC shortlist from the packed-code
@@ -1234,7 +1393,7 @@ def ann_ivf_pq_partitioned_refine(
         spark, path, queries, k=refine_r, nprobe=nprobe,
         num_subspaces=num_subspaces, num_codewords=num_codewords,
         dim=dim, id_col=id_col, vec_col=vec_col,
-        static_prune=static_prune,
+        static_prune=static_prune, topk_salts=topk_salts,
     ).select("qid", "nid")
     return _exact_rerank(corpus, queries, cands, k, id_col, vec_col)
 
@@ -1268,6 +1427,7 @@ def ann_ivf_partitioned(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     static_prune: bool | str = False,
+    topk_salts: int | None = None,
 ) -> DataFrame:
     """IVF probe against the on-disk index written by `ivf_write_index`.
 
@@ -1308,7 +1468,7 @@ def ann_ivf_partitioned(
 
     def _tail(lst: DataFrame) -> DataFrame:
         return ivf_probe(lst, centroids, queries, k, nprobe,
-                         id_col, vec_col)
+                         id_col, vec_col, topk_salts=topk_salts)
 
     if static_prune is True:
         return _tail(_static_prune_lists(assigned, centroids, queries,

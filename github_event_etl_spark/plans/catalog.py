@@ -69,21 +69,19 @@ def query(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()):
 # the change). Once the post-change verification lands, the key
 # rejoins normal staleness ordering — a forgotten entry cannot
 # permanently hog the 50-key budget.
-_CHANGED_AFTER_ROUND = 18  # round-19 edits; r01-r18 artifacts predate them
+_CHANGED_AFTER_ROUND = 19  # round-20 edits; r01-r19 artifacts predate them
 
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # round 19: llm_ann_recall_eval gained a third evaluated method —
-    # the IVFADC+refine path joins IVF and RHP-LSH in the recall
-    # harness (VERDICT r18 item 6) — so its output grew from 2×Q to
-    # 3×Q rows and both the Spark body and the oracle changed
-    # together; the key must re-hash-verify inside the r19 window.
-    # Every other r19 edit is result-identical for registered keys:
-    # the indexed-twin consolidation DEMOTES two slots (see below),
-    # the IVF-PQ serving-layout maintenance extends slot-less
-    # components, and ann_ivf_pq_partitioned's lists read moved to
-    # read_index (identical frame when no maintenance generations
-    # exist — no catalog key maintains its layout in-key).
-    "llm_ann_recall_eval",
+    # round 20: EMPTY — no registered key's output semantics changed.
+    # The r20 edits are result-identical for every registered key:
+    # the drift monitor adds sidecar/drift-log bytes beside the IVF-PQ
+    # layout (llm_ivf_pq_apply_diff's probe results never read them;
+    # its one extra change-sized qerr aggregate is observability, not
+    # output), topk_salts defaults to None on every probe entry point
+    # (and is result-identical when set, pinned by pytest), the
+    # static_prune='auto' rework touches only the non-catalog auto
+    # mode, and ivf_pq_backfill_params is a new migration helper.
+    # (r19's entry, llm_ann_recall_eval, self-cleared: green in r19.)
 })
 
 # Keys added when the current round's 50-key verification window is
@@ -131,22 +129,24 @@ def staleness_bound_rounds() -> int:
     return -(-n // _DRIVER_KEYS_PER_ROUND)
 _DEFER_NEW_UNTIL_ROUND = 19
 _DEFERRED_NEW_KEYS: frozenset[str] = frozenset({
-    # r19 window arithmetic: registry 149 = 148 after the
-    # indexed-twin consolidation (150 − 2 demotions, both demoted
-    # keys last green r16) + 1 deferred admission below. Cohorts
-    # among the 148 pre-admission keys: 48 × r16 / 50 × r17 /
-    # 50 × r18 (recomputed from the artifacts at edit time). The r19
-    # window was ALREADY exactly full — 1 changed
-    # (llm_ann_recall_eval, rank (0,0)) + all 48 r16-stale keys + 1
-    # earliest-registered r17 key = 50, rotating the entire r16
-    # cohort so no key's latest green row predates r17 after r19 —
-    # so the round's one admission rides the deferral: it ranks LAST
-    # until CORRECTNESS_r19 lands (19 < 19 is false), then becomes
-    # r20's never-checked front-rider, where the window has exactly
-    # one free slot (1 new + 49 r17-stale = 50; one r17 key was
-    # re-checked early in r19). Bound stays ceil(149/50) = 3 with
-    # one admission slot still open.
-    "llm_ivf_pq_apply_diff",
+    # r19's deferral SELF-CLEARED when CORRECTNESS_r19 landed
+    # (19 < 19 is false), making llm_ivf_pq_apply_diff r20's
+    # never-checked front-rider exactly as planned (judge pre-verified
+    # it hash-green at sf0.01 in the r19 adjudication).
+    #
+    # r20 window arithmetic (recomputed from the 19 artifacts at edit
+    # time): registry 150 = 149 + 1 admission (llm_ivf_list_skew, the
+    # list-skew report — VERDICT r19 item 3's value-checkable key,
+    # taking the one open slot). Cohorts among the 149 pre-admission
+    # keys: 1 never-checked (llm_ivf_pq_apply_diff) / 48 × r17 /
+    # 50 × r18 / 50 × r19. The r20 window = 2 never-checked + all 48
+    # r17-stale keys = 50 exactly; the admission EVICTS the one
+    # earliest-registered r18 key the window would otherwise have
+    # topped up with — safe, because after r20 the cohorts are
+    # 50 × r20 / 50 × r19 / 50 × r18 and no key's latest green row
+    # predates r18, preserving the bound ceil(150/50) = 3 with zero
+    # admission slots left (the next admission must consolidate or
+    # retire a slot first, the indexed-twin precedent).
 })
 
 # Declared rows-only queries whose correct answer may legitimately be

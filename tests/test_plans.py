@@ -212,6 +212,21 @@ def test_cosine_lsh_dedup_has_no_cross_join(qmap, spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_list_skew_census_is_jvm_only(qmap, spark, sf_dir):
+    """The list-skew census must inherit the IVF assignment's scale
+    posture: the centroid attach is a broadcast of the tiny seed table
+    (BNLJ over 16 rows — allowed, the corpus side never shuffles for
+    it), the argmin and the per-centroid census are JVM aggregates
+    (map-side partials; one row per centroid crosses the shuffle), and
+    no Python stage or cartesian over the corpus appears anywhere."""
+    plan = plan_of(qmap, spark, sf_dir, "llm_ivf_list_skew")
+    tree = tree_of(plan)
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in tree or "SortAggregate" in tree
+
+
 def test_knn_bruteforce_broadcasts_queries(qmap, spark, sf_dir):
     """Brute-force top-k is the one INTENTIONAL nested-loop: the tiny
     query set broadcasts and the corpus streams through exactly once
