@@ -75,6 +75,18 @@ anywhere leaves either the old manifest (old state fully readable,
 staged work is unreferenced garbage) or the new one (new state fully
 readable, superseded trees are garbage) — there is no vacant window
 at all, which the marker-era two-rename swap could not promise.
+
+Beyond commit/compaction, two IVF-family health loops live here (r20):
+quantizer DRIFT — `ivf_pq_write_index_delta` logs each refresh batch's
+PQ reconstruction error against the frozen codebook, and
+`maybe_retrain` compares the current corpus against the sidecar's
+training baseline and triggers the probe-compatible re-derive rebuild
+(`maybe_compact`'s analog one level up the model stack) — and list
+SKEW — `ivf_list_stats` measures the per-centroid size distribution
+probes actually read, feeding the `topk_salts` probe-side mitigation
+(`similarity._pre_topk_salted`). `ivf_pq_drift_stats` /
+`ivf_pq_index_stats` are the monitoring reads tying all three
+policies to one observation call.
 """
 
 from __future__ import annotations
