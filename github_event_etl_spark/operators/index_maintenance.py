@@ -711,7 +711,17 @@ def refresh_index_from_change_stream(
     own read amplification instead of accreting generations until an
     operator intervenes. Safe inside the loop: foreachBatch serializes
     micro-batches, so the compaction is the same single writer — no
-    concurrent-commit abort can fire from this wiring."""
+    concurrent-commit abort can fire from this wiring.
+
+    Drift-monitoring note: this generic loop calls `write_index_delta`
+    directly, so an IVF-PQ stream refreshed through a bare
+    `ivf_pq_encode_fn` band_fn appends NO `_drift.json` records — the
+    per-refresh quantizer-drift log is written by
+    `ivf_pq_write_index_delta` (the batch apply-diff entry point). An
+    IVF-PQ deployment that wants the drift log from a stream should
+    pass a band_fn wrapper that is `ivf_pq_write_index_delta`-shaped
+    (or run the periodic `maybe_retrain` audit on crawl cadence, which
+    never needs the log — it measures the current corpus directly)."""
     from .merge import assert_unique_key, reconcile_change_log
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
