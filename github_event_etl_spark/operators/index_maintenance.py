@@ -1171,12 +1171,29 @@ def ivf_list_stats(
     return out
 
 
+def _md5_fraction(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic `fraction` sample of `df`: keep a row iff the
+    first 32 bits of md5(id), read as an unsigned int, fall below
+    fraction × 2³² — the repo's standard RNG-free sampler (the
+    llm_split_sample/llm_mixture_sample idiom): reproducible across
+    runs, engines, and cluster sizes, map-side, zero shuffle."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(
+            f"audit_fraction must be in (0, 1], got {fraction!r}"
+        )
+    u32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return df.filter(u32 < int(fraction * 4294967296))
+
+
 def ivf_pq_drift_stats(
     spark: SparkSession,
     index_path: str,
     corpus: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    audit_fraction: float | None = None,
 ) -> dict:
     """Quantizer-drift snapshot of an IVF-PQ layout (VERDICT r19 item
     2): the training-time reconstruction-error baseline from the
@@ -1204,6 +1221,8 @@ def ivf_pq_drift_stats(
     if corpus is not None:
         from .similarity import _qerr_stats
 
+        if audit_fraction is not None:
+            corpus = _md5_fraction(corpus, id_col, audit_fraction)
         codebook = spark.read.parquet(
             os.path.join(index_path, "codebook")
         )
@@ -1214,6 +1233,7 @@ def ivf_pq_drift_stats(
         )
         out["corpus_qerr_mean"] = cur["qerr_mean"]
         out["corpus_qerr_p95"] = cur["qerr_p95"]
+        out["corpus_qerr_n"] = cur["n"]
         out["corpus_qerr_ratio"] = _qerr_ratio(
             cur["qerr_mean"], train_mean
         )
@@ -1227,6 +1247,7 @@ def maybe_retrain(
     max_qerr_ratio: float = 1.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    audit_fraction: float | None = None,
 ) -> dict:
     """The quantizer-RETRAIN policy (VERDICT r19 item 2) — the
     `maybe_compact` analog one level up the model stack: compaction
@@ -1261,7 +1282,8 @@ def maybe_retrain(
             "policy has nothing to compare against. Rebuild once with "
             "ivf_pq_write_index(record_train_error=True) to calibrate"
         )
-    stats = ivf_pq_drift_stats(spark, index_path, corpus, id_col, vec_col)
+    stats = ivf_pq_drift_stats(spark, index_path, corpus, id_col,
+                               vec_col, audit_fraction=audit_fraction)
     ratio = stats["corpus_qerr_ratio"]
     fired = ratio is not None and ratio >= max_qerr_ratio
     if fired:

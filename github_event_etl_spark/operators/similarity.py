@@ -380,6 +380,10 @@ def _pre_topk_salted(
     wins its own salt slice too) — pinned by frame-equality pytest.
     The salt is a content hash (xxhash64, the skew.py rule), never
     rand(): retries and replays must salt identically."""
+    if n_salts < 1:
+        raise ValueError(
+            f"topk_salts must be a positive int, got {n_salts!r}"
+        )
     salted = scored.withColumn(
         "_tk_salt", F.pmod(F.xxhash64(salt_from), F.lit(n_salts))
     )

@@ -1647,6 +1647,18 @@ def test_quantizer_drift_monitor_and_maybe_retrain(spark, tmp_path):
         "hot_lists"
     ]
 
+    # the 100 TB audit lever: a deterministic md5-threshold sample
+    # measures the same elevated ratio on a strict subset of the
+    # corpus (unbiased mean estimate; same rows every run, no RNG)
+    sampled = ivf_pq_drift_stats(spark, path, cur, audit_fraction=0.5)
+    assert 0 < sampled["corpus_qerr_n"] < 48
+    assert sampled["corpus_qerr_ratio"] > 1.5
+    assert ivf_pq_drift_stats(
+        spark, path, cur, audit_fraction=0.5
+    )["corpus_qerr_n"] == sampled["corpus_qerr_n"]
+    with pytest.raises(ValueError, match="audit_fraction"):
+        ivf_pq_drift_stats(spark, path, cur, audit_fraction=1.5)
+
     # (3) recall before vs after the retrain
     qs = cur.filter(F.col("vec_id").isin(8, 9, 10, 11))
     truth = knn_bruteforce(cur, qs, k=5).select("qid", "nid")
@@ -1807,6 +1819,14 @@ def test_ivf_list_skew_stat_fires_and_salted_topk_is_identical(
     ]:
         got, want = _rowset(salted_fn()), _rowset(plain_fn())
         assert got == want and got
+
+    # a non-positive salt count is a misconfiguration, not a mode —
+    # the truthiness gate on the entry points would let -8 through to
+    # pmod; the shared helper fails it loudly instead
+    with pytest.raises(ValueError, match="topk_salts"):
+        ann_ivf_partitioned(
+            spark, ivf_path, qs, k=5, nprobe=2, topk_salts=-8
+        ).collect()
 
 
 def test_recall_after_refresh_equals_rebuilt_layout(
