@@ -78,7 +78,9 @@ at all, which the marker-era two-rename swap could not promise.
 
 Beyond commit/compaction, two IVF-family health loops live here (r20):
 quantizer DRIFT — `ivf_pq_write_index_delta` logs each refresh batch's
-PQ reconstruction error against the frozen codebook, and
+PQ reconstruction error against the frozen codebook
+(`ivf_pq_refresh_from_change_stream` carries the same record-keeping
+into the streaming loop), and
 `maybe_retrain` compares the current corpus against the sidecar's
 training baseline and triggers the probe-compatible re-derive rebuild
 (`maybe_compact`'s analog one level up the model stack) — and list
@@ -719,48 +721,20 @@ def refresh_index_from_change_stream(
     per-refresh quantizer-drift log is written by
     `ivf_pq_write_index_delta` (the batch apply-diff entry point). An
     IVF-PQ deployment that wants the drift log from a stream should
-    pass a band_fn wrapper that is `ivf_pq_write_index_delta`-shaped
-    (or run the periodic `maybe_retrain` audit on crawl cadence, which
-    never needs the log — it measures the current corpus directly)."""
-    from .merge import assert_unique_key, reconcile_change_log
+    use `ivf_pq_refresh_from_change_stream` below, which routes every
+    micro-batch through `ivf_pq_write_index_delta` (or run the
+    periodic `maybe_retrain` audit on crawl cadence, which never needs
+    the log — it measures the current corpus directly)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        batch_df = _prepare_stream_batch(
+            batch_df, key, reconcile_order_col, assert_order,
+            assert_unique_keys, batch_id,
+            "refresh_index_from_change_stream",
+        )
+        if batch_df is None:
             return
-        if reconcile_order_col is not None:
-            # the guard the reconcile path needs is the RECONCILE
-            # precondition on the RAW rows — non-null, tie-free
-            # (key, order) pairs — not key uniqueness, which the
-            # groupBy makes vacuously true post-net; its own knob so
-            # disabling the (here-irrelevant) uniqueness guard cannot
-            # silently disarm the null-order protection
-            payload = [
-                c for c in batch_df.columns
-                if c not in (key, "change_type", reconcile_order_col)
-            ]
-            batch_df = reconcile_change_log(
-                batch_df, key, reconcile_order_col, payload,
-                assert_order=assert_order,
-            )
-        # two consumers (stale select + upsert semi) — cache the
-        # change-sized batch instead of rescanning the source files
-        batch_df.persist()
         try:
-            if reconcile_order_col is not None:
-                # a window whose every key was added then removed nets
-                # to NOTHING — committing an empty generation would tax
-                # every later read with a no-op fold until compaction
-                if batch_df.isEmpty():
-                    return
-            elif assert_unique_keys:
-                assert_unique_key(
-                    batch_df, key,
-                    f"refresh_index_from_change_stream (batch {batch_id})",
-                    "a key appearing more than once makes payloads "
-                    "conflict; publish one reconciled diff per batch, "
-                    "pre-reconcile last-wins, or pass "
-                    "reconcile_order_col",
-                )
             write_index_delta(
                 index_path, batch_df, batch_df, band_fn,
                 key, value_cols, partition_col,
@@ -778,13 +752,155 @@ def refresh_index_from_change_stream(
         finally:
             batch_df.unpersist()
 
+    _run_available_now(changes_stream, _apply, checkpoint_dir)
+
+
+def _prepare_stream_batch(
+    batch_df: DataFrame,
+    key: str,
+    reconcile_order_col: str | None,
+    assert_order: bool,
+    assert_unique_keys: bool,
+    batch_id: int,
+    op: str,
+) -> DataFrame | None:
+    """The refresh loops' shared micro-batch head (one copy so the
+    generic and IVF-PQ loops cannot drift on the guard semantics the
+    `refresh_index_from_change_stream` docstring contracts): skip an
+    empty delivery, net a coalesced batch through
+    `merge.reconcile_change_log` when an order column is given (the
+    reconcile-precondition guard riding `assert_order`), persist the
+    change-sized frame (two consumers downstream — the stale select
+    and the upsert semi-join), skip a batch that nets to NOTHING, or
+    fail-fast on duplicate keys on the no-reconcile path. Returns the
+    PERSISTED frame (caller unpersists in its finally) or None when
+    the batch produced no work."""
+    from .merge import assert_unique_key, reconcile_change_log
+
+    if batch_df.isEmpty():
+        return None
+    if reconcile_order_col is not None:
+        # the guard the reconcile path needs is the RECONCILE
+        # precondition on the RAW rows — non-null, tie-free
+        # (key, order) pairs — not key uniqueness, which the
+        # groupBy makes vacuously true post-net; its own knob so
+        # disabling the (here-irrelevant) uniqueness guard cannot
+        # silently disarm the null-order protection
+        payload = [
+            c for c in batch_df.columns
+            if c not in (key, "change_type", reconcile_order_col)
+        ]
+        batch_df = reconcile_change_log(
+            batch_df, key, reconcile_order_col, payload,
+            assert_order=assert_order,
+        )
+    batch_df.persist()
+    try:
+        if reconcile_order_col is not None:
+            # a window whose every key was added then removed nets
+            # to NOTHING — committing an empty generation would tax
+            # every later read with a no-op fold until compaction
+            if batch_df.isEmpty():
+                batch_df.unpersist()
+                return None
+        elif assert_unique_keys:
+            assert_unique_key(
+                batch_df, key,
+                f"{op} (batch {batch_id})",
+                "a key appearing more than once makes payloads "
+                "conflict; publish one reconciled diff per batch, "
+                "pre-reconcile last-wins, or pass "
+                "reconcile_order_col",
+            )
+    except Exception:
+        batch_df.unpersist()
+        raise
+    return batch_df
+
+
+def _run_available_now(changes_stream, apply_fn, checkpoint_dir: str):
+    """One bounded foreachBatch pass over the change stream — the
+    shared trigger/checkpoint tail of both refresh loops (a deployment
+    swaps the trigger; see the stream-contract docstring)."""
     q = (
-        changes_stream.writeStream.foreachBatch(_apply)
+        changes_stream.writeStream.foreachBatch(apply_fn)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def ivf_pq_refresh_from_change_stream(
+    changes_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assert_unique_keys: bool = True,
+    reconcile_order_col: str | None = None,
+    assert_order: bool = True,
+    max_generations: int | None = None,
+    max_read_amplification: float | None = None,
+) -> None:
+    """Continuous IVF-PQ serving-list refresh — the drift-AWARE twin of
+    `refresh_index_from_change_stream`: every micro-batch of embedding
+    CDC rows (verdict + new vector on the same row) routes through
+    `ivf_pq_write_index_delta`, so a streamed refresh gets everything
+    the batch apply-diff path gets — sidecar geometry validation
+    BEFORE any codes append, the frozen-artifact re-assign/re-encode,
+    AND the per-generation `_drift.json` reconstruction-error record
+    the quantizer-drift policy (`maybe_retrain`) reads. The generic
+    loop with a bare `ivf_pq_encode_fn` band_fn maintains the same
+    bytes but is drift-BLIND (no log entries); this wrapper closes
+    that seam. `index_path` is the LAYOUT root (the dir holding
+    lists/centroids/codebook/_params.json), matching the batch entry
+    point — not the lists subdir the generic loop takes.
+
+    Same micro-batch contract as the generic loop, enforced by the
+    shared `_prepare_stream_batch` head (one row per key per batch, or
+    `reconcile_order_col` to net coalesced deliveries; empty/netted
+    batches skip their generation) and the same at-least-once
+    semantics (a redelivered batch re-tombstones and re-appends
+    identical rows — folded state unchanged; it DOES append a
+    duplicate drift-log entry, which is monitoring noise, not state).
+    The compaction knobs run `maybe_compact` against the lists subdir
+    with the layout's (nid, centroid_id) geometry. Bounded
+    (AvailableNow) like the repo's replay harness."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = _prepare_stream_batch(
+            batch_df, id_col, reconcile_order_col, assert_order,
+            assert_unique_keys, batch_id,
+            "ivf_pq_refresh_from_change_stream",
+        )
+        if batch_df is None:
+            return
+        try:
+            ivf_pq_write_index_delta(
+                batch_df.sparkSession, index_path, batch_df, batch_df,
+                num_subspaces=num_subspaces,
+                num_codewords=num_codewords, dim=dim,
+                id_col=id_col, vec_col=vec_col,
+            )
+            if (
+                max_generations is not None
+                or max_read_amplification is not None
+            ):
+                maybe_compact(
+                    batch_df.sparkSession,
+                    os.path.join(index_path, "lists"),
+                    key="nid", partition_col="centroid_id",
+                    max_generations=max_generations,
+                    max_read_amplification=max_read_amplification,
+                )
+        finally:
+            batch_df.unpersist()
+
+    _run_available_now(changes_stream, _apply, checkpoint_dir)
 
 
 def index_stats(

@@ -1926,3 +1926,146 @@ def test_recall_after_refresh_equals_rebuilt_layout(
         assert per[("maintained", q)] == per[("rebuilt", q)], (q, per)
     # the gate is meaningful, not vacuous: the probes do recall things
     assert sum(per[("maintained", q)] for q in qids) > 0
+
+
+def test_ivf_pq_refresh_stream_logs_drift_per_generation(
+    spark, sf_dir, tmp_path
+):
+    """The drift-AWARE streaming refresh (`ivf_pq_refresh_from_change_
+    stream`): the generic loop with a bare encode band_fn maintains
+    the same bytes but appends NO drift records — this wrapper routes
+    every micro-batch through `ivf_pq_write_index_delta`, so a streamed
+    refresh is sidecar-validated AND drift-logged exactly like the
+    batch apply-diff path. Proofs: (1) two micro-batches land two
+    generations whose folded lists equal a fresh encode of the final
+    snapshot; (2) the drift log carries one change-sized record per
+    generation (the signal `maybe_retrain`'s cheap path reads);
+    (3) probe-over-streamed equals probe-over-rebuilt; (4) the
+    compaction policy composes against the lists subdir with the
+    layout's geometry and the drift log survives it (compaction does
+    not change the quantizer, so the log stays meaningful)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.operators.index_maintenance import (
+        _read_drift_log,
+        ivf_pq_refresh_from_change_stream,
+        maybe_compact,
+    )
+    from github_event_etl_spark.operators.similarity import (
+        ann_ivf_pq_partitioned,
+        ivf_pq_write_index,
+        ivf_seed_centroids,
+        pq_codebook,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    frozen_c = ivf_seed_centroids(emb, 16, id_col="nid")
+    frozen_cb = pq_codebook(emb, 16, id_col="nid")
+    neg = F.transform("embedding", lambda x: -x)
+    d = F.col("nid")
+    prev = emb
+    cur = emb.filter(d % 10 != 3).select(
+        "nid", F.when(d % 7 == 1, neg).otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    nxt = cur.filter(d % 13 != 2).select(
+        "nid", F.when(d % 11 == 4, neg).otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+
+    def changes(a, b):
+        return (
+            snapshot_diff(a, b, "nid", ["embedding"])
+            .select("nid", "change_type")
+            .join(b.select("nid", "embedding"), "nid", "left")
+            .select("nid", "change_type", "embedding")
+        )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    n_upserts = []
+    for i, batch in enumerate([changes(prev, cur), changes(cur, nxt)]):
+        n_upserts.append(
+            batch.filter(
+                F.col("change_type").isin("added", "changed")
+            ).count()
+        )
+        stage = tmp_path / f"stage{i}"
+        batch.coalesce(1).write.parquet(str(stage))
+        (part,) = [p for p in os.listdir(stage) if p.endswith(".parquet")]
+        dst = str(src / f"b{i}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    layout = str(tmp_path / "pq")
+    ivf_pq_write_index(
+        prev, layout, id_col="nid",
+        centroids=frozen_c, codebook=frozen_cb,
+    )
+    stream = (
+        spark.readStream.schema(
+            "nid long, change_type string, embedding array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ivf_pq_refresh_from_change_stream(
+        stream, layout, checkpoint_dir=str(tmp_path / "ckpt"),
+        id_col="nid",
+    )
+    assert len(_committed_generations(f"{layout}/lists")) == 2
+
+    # (2) one drift record per generation, change-sized, against the
+    # baseline the build recorded
+    log = _read_drift_log(layout)
+    assert [e["gen"] for e in log] == [1, 2]
+    assert [e["n"] for e in log] == n_upserts and all(n_upserts)
+    assert all(e["qerr_mean"] is not None for e in log)
+
+    # (1)+(3) folded state and probe equality vs a rebuild
+    from github_event_etl_spark.operators.similarity import (
+        ivf_pq_encode_fn,
+    )
+
+    encode = ivf_pq_encode_fn(frozen_c, frozen_cb)
+    cols = ["nid", "centroid_id", "pq_code"]
+    folded = read_index(spark, f"{layout}/lists", key="nid").select(
+        "nid", F.col("centroid_id").cast("long").alias("centroid_id"),
+        "pq_code",
+    )
+    assert _rowset(folded.select(*cols)) == _rowset(
+        encode(nxt).select(*cols)
+    )
+    rebuilt = str(tmp_path / "pq_rebuilt")
+    ivf_pq_write_index(
+        nxt, rebuilt, id_col="nid",
+        centroids=frozen_c, codebook=frozen_cb,
+    )
+    qs = nxt.filter(d < 8)
+    got = _rowset(ann_ivf_pq_partitioned(
+        spark, layout, qs, k=10, nprobe=4, id_col="nid",
+        static_prune=True,
+    ))
+    want = _rowset(ann_ivf_pq_partitioned(
+        spark, rebuilt, qs, k=10, nprobe=4, id_col="nid",
+        static_prune=True,
+    ))
+    assert got == want and len(got) > 0
+
+    # (4) compaction composes and the drift log survives it
+    assert maybe_compact(
+        spark, f"{layout}/lists", key="nid",
+        partition_col="centroid_id", max_generations=2,
+    ) == 2
+    assert [e["gen"] for e in _read_drift_log(layout)] == [1, 2]
+    got2 = _rowset(ann_ivf_pq_partitioned(
+        spark, layout, qs, k=10, nprobe=4, id_col="nid",
+        static_prune=True,
+    ))
+    assert got2 == want
