@@ -1982,20 +1982,37 @@ def ivf_assign_with_centroids(
     centroid table (centroid_id, c_vec) — the hook for trained coarse
     quantizers (e.g. `train_pq_codebook(num_subspaces=1)` full-vector
     k-means, or `kmeans_refine_int` output mapped to vectors). Same
-    cosine argmin and tie-break as ivf_assign."""
+    cosine argmax and tie-break as ivf_assign.
+
+    The argmax is a grouped struct-max, NOT a rank-1 window (r21,
+    guide §2.3 "aggregate before you shuffle"): the window form
+    exchanged and sorted the full n×C expansion — the embedding
+    payload crossing the shuffle C times — while the struct-max
+    partial-aggregates map-side, so only n combined rows reach the
+    exchange. Ordering semantics are identical: struct MAX compares
+    (_csim, -centroid_id) with the same double ordering (NaN largest,
+    ±0.0 equal) the `_csim DESC, centroid_id ASC` window used, and the
+    payload fields after the unique centroid id are never compared."""
     scored = corpus.join(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
         "centroid_id",
         cosine(F.col(vec_col), F.col("c_vec")).alias("_csim"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_csim").desc(), F.col("centroid_id")
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_csim"),
+                (-F.col("centroid_id")).alias("_ncid"),
+                F.col("centroid_id"),
+                F.col(vec_col).alias("_vec"),
+            )
+        ).alias("_b")
     )
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    return best.select(
+        F.col(id_col),
+        F.col("_b._vec").alias(vec_col),
+        F.col("_b.centroid_id").alias("centroid_id"),
     )
 
 

@@ -189,6 +189,7 @@ def _incremental_classify_lsh(
     max_bucket_size: int,
     finalize=None,
     corpus_banded: DataFrame | None = None,
+    prepare=None,
 ) -> DataFrame:
     """The shared classify skeleton of `incremental_dedup_minhash` and
     `similarity.incremental_dedup_semantic` — ONE copy of the
@@ -221,10 +222,33 @@ def _incremental_classify_lsh(
     shingle + minhash every corpus doc on every daily run) disappears,
     while the verify stage still re-attaches only candidate-matched
     corpus payloads, column-pruned as before. Every other contract
-    (semi-filter, caps, first-wins) is unchanged and shared."""
+    (semi-filter, caps, first-wins) is unchanged and shared.
+
+    `prepare(df, col)` is the r21 verify split (guide §4: per-ROW
+    Python work hoisted to per-DOC): it maps the payload column of a
+    per-doc frame to the representation `score` consumes (e.g. text →
+    distinct shingle array), so expensive payload decoding runs ONCE
+    per candidate document instead of once per candidate PAIR — at
+    mega-bucket candidate volumes (B×C pairs from one hot bucket) the
+    per-pair formulation re-tokenized every text O(bucket) times.
+    Verify-join orientation (r21): the pair LIST (ids only) and the
+    prepared BATCH payloads broadcast separately — both strictly
+    smaller than the old pairs×payload product frame — while the
+    corpus side is first semi-restricted to candidate ids and
+    round-robined (`_spread`) so the pair expansion and scoring
+    parallelize regardless of how few input splits the corpus scan
+    produced. The duplicate `cross_cand` subtrees this creates
+    (candidate ids + pair attach) share their exchanges through AQE's
+    runtime stage cache, so candidate generation still executes once."""
 
     def capped(df: DataFrame) -> DataFrame:
         return _cap_buckets(df, ["band", "bucket"], max_bucket_size)
+
+    def payload(df: DataFrame, out_id: str, out_val: str) -> DataFrame:
+        sel = df.select(
+            F.col(id_col).alias(out_id), F.col(payload_col).alias(out_val)
+        )
+        return prepare(sel, out_val) if prepare else sel
 
     bb = banded(batch, True)
     cb_src = (
@@ -248,19 +272,22 @@ def _incremental_classify_lsh(
         .distinct()
     )
 
-    cand_bt = cross_cand.join(
-        batch.select(
-            F.col(id_col).alias("batch_id"), F.col(payload_col).alias("_pb")
-        ),
-        "batch_id",
+    # corpus payloads: semi-restrict the scan to candidate corpus ids
+    # (broadcast of a narrow id list), spread the survivors across the
+    # cores, THEN prepare — the per-doc payload work and the per-pair
+    # scoring both run at full parallelism on candidate-sized data,
+    # and the corpus still never shuffles (the spread exchange carries
+    # only matched rows).
+    c_ids = cross_cand.select("corpus_id").distinct()
+    cand_corpus = corpus.join(
+        F.broadcast(c_ids),
+        F.col(id_col) == F.col("corpus_id"),
+        "left_semi",
     )
     cross_ver = (
-        # corpus on the streamed side, candidates broadcast: the
-        # corpus payload scan is column-pruned and never shuffles
-        corpus.select(
-            F.col(id_col).alias("corpus_id"), F.col(payload_col).alias("_pc")
-        )
-        .join(F.broadcast(cand_bt), "corpus_id")
+        payload(_spread(cand_corpus), "corpus_id", "_pc")
+        .join(F.broadcast(cross_cand), "corpus_id")
+        .join(F.broadcast(payload(batch, "batch_id", "_pb")), "batch_id")
         .select("batch_id", "corpus_id", score(F.col("_pb"), F.col("_pc")).alias("_s"))
         .filter(F.col("_s") >= threshold)
     )
@@ -271,18 +298,8 @@ def _incremental_classify_lsh(
 
     intra_ver = (
         _bucket_pairs(bb, ["band", "bucket"], max_bucket_size)
-        .join(
-            batch.select(
-                F.col(id_col).alias("doc_a"), F.col(payload_col).alias("_pa")
-            ),
-            "doc_a",
-        )
-        .join(
-            batch.select(
-                F.col(id_col).alias("doc_b"), F.col(payload_col).alias("_pb")
-            ),
-            "doc_b",
-        )
+        .join(payload(batch, "doc_a", "_pa"), "doc_a")
+        .join(payload(batch, "doc_b", "_pb"), "doc_b")
         .select("doc_a", "doc_b", score(F.col("_pa"), F.col("_pb")).alias("_s"))
         .filter(F.col("_s") >= threshold)
     )
@@ -369,8 +386,19 @@ def incremental_dedup_minhash(
     exactly (b_ok/c_ok HAVING clauses) — unlike the full-corpus
     MinHash key, whose fixture can't grow a bucket past the cap, this
     key's planted groups scale ~N/20 with the corpus, so the cap
-    genuinely binds at large SFs and must live in both engines."""
+    genuinely binds at large SFs and must live in both engines.
+
+    Verify split (r21, guide §4.1): texts are shingled ONCE per
+    candidate document (`shingle_sets_vec`, the skeleton's `prepare`
+    hook) and pairs are scored with JVM set built-ins
+    (`jaccard_shingle_sets`) — the old per-pair Arrow UDF re-tokenized
+    both texts for every candidate pair, which at mega-bucket volumes
+    (hundreds of thousands of pairs over ~10³ distinct docs) was
+    O(pairs) Python tokenization on a single task. Values are
+    identical (same shingle definition, same HALF-UP rounding — the
+    jaccard parity tests and the DuckDB oracle pin it)."""
     bands_vec = minhash_band_buckets_vec(num_bands, rows_per_band, k)
+    sh_vec = shingle_sets_vec(k)
 
     def banded(df: DataFrame, spread: bool) -> DataFrame:
         # _spread only the batch: it may arrive as one small split,
@@ -385,7 +413,7 @@ def incremental_dedup_minhash(
         corpus,
         batch,
         banded,
-        jaccard_pairs_vec(k),
+        jaccard_shingle_sets,
         threshold,
         id_col=id_col,
         payload_col=text_col,
@@ -393,6 +421,7 @@ def incremental_dedup_minhash(
         score_out="jaccard_r",
         max_bucket_size=max_bucket_size,
         corpus_banded=corpus_banded,
+        prepare=lambda df, col: df.withColumn(col, sh_vec(F.col(col))),
     )
 
 
@@ -801,6 +830,55 @@ def jaccard_pairs_vec(k: int = 3):
     return jac
 
 
+def shingle_sets_vec(k: int = 3):
+    """Arrow-vectorized text → DISTINCT word-k-gram array: the per-DOC
+    half of the split candidate verification (r21). Tokenization is
+    byte-identical to `jaccard_pairs_vec`'s (ASCII-space strip, Java
+    `\\s` class split), and the output feeds `jaccard_shingle_sets`
+    so pair scoring needs no Python at all. Element order inside the
+    array is unspecified — only set membership matters downstream."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def shingle_sets(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append([])
+                continue
+            toks = ws.split(t.strip(" "))
+            n = len(toks) - (k - 1)
+            if n <= 0:
+                out.append([])
+                continue
+            out.append(list({" ".join(toks[i : i + k]) for i in range(n)}))
+        return pd.Series(out)
+
+    return shingle_sets
+
+
+def jaccard_shingle_sets(sa: Column, sb: Column) -> Column:
+    """Exact Jaccard of two pre-distinct shingle arrays — the per-PAIR
+    half of the split verification, pure JVM set built-ins
+    (`array_intersect`/`array_union` run under whole-stage codegen, no
+    Python boundary, no per-pair re-tokenization). Rounding is
+    `F.round(_, 6)` — Spark's BigDecimal HALF_UP, the same policy as
+    the expression twin `jaccard_ngram` and bit-identical to
+    `jaccard_pairs_vec`'s floor(x·1e6 + 0.5) on these ratios (exact
+    decimal ties only arise from power-of-two unions, where the double
+    arithmetic is exact; the jaccard parity tests pin all three)."""
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.round(
+        F.when(
+            union > 0, inter.cast("double") / union.cast("double")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
 def verify_pairs_jaccard(
     pairs: DataFrame,
     docs: DataFrame,
@@ -808,24 +886,33 @@ def verify_pairs_jaccard(
     text_col: str = "text",
     k: int = 3,
 ) -> DataFrame:
-    """Join candidate pairs back to their texts and keep those with
-    n-gram Jaccard ≥ threshold. Two equi-joins on the unique doc_id —
-    sort-merge (or broadcast if the pair set is small; AQE decides).
-    The Jaccard itself runs as the Arrow-fused `jaccard_pairs_vec`
-    (expression twin `jaccard_ngram` kept as the parity witness)."""
-    texts = docs.select(F.col("doc_id"), F.col(text_col).alias("_t"))
-    jac = jaccard_pairs_vec(k)
+    """Join candidate pairs back to their shingle sets and keep those
+    with n-gram Jaccard ≥ threshold. Two equi-joins on the unique
+    doc_id — sort-merge (or broadcast if the doc side is small; AQE
+    decides).
+
+    Verify split (r21, guide §4.1): each doc is shingled ONCE map-side
+    (`shingle_sets_vec`) and the per-pair score is JVM set arithmetic
+    (`jaccard_shingle_sets`) — the old shape shipped raw texts to every
+    pair and re-tokenized both sides per pair in a Python UDF, i.e.
+    O(pairs) tokenization instead of O(docs); with LSH mega-buckets
+    pairs ≫ docs. The joined payload (distinct shingle array) replaces
+    the text, so shuffle bytes stay the same order while the Python
+    boundary leaves the pair grain entirely (`jaccard_pairs_vec` stays
+    as the per-pair parity witness)."""
+    sh_vec = shingle_sets_vec(k)
+    sets = docs.select(F.col("doc_id"), sh_vec(F.col(text_col)).alias("_s"))
     return (
-        pairs.join(texts.withColumnRenamed("_t", "_ta"), pairs.doc_a == texts.doc_id)
+        pairs.join(sets.withColumnRenamed("_s", "_sa"), pairs.doc_a == sets.doc_id)
         .drop("doc_id")
         .join(
-            texts.withColumnRenamed("_t", "_tb").withColumnRenamed("doc_id", "_idb"),
+            sets.withColumnRenamed("_s", "_sb").withColumnRenamed("doc_id", "_idb"),
             F.col("doc_b") == F.col("_idb"),
         )
         .select(
             "doc_a",
             "doc_b",
-            jac(F.col("_ta"), F.col("_tb")).alias("jaccard"),
+            jaccard_shingle_sets(F.col("_sa"), F.col("_sb")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
