@@ -64,6 +64,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of `dot` over two NAMED array columns. Rationale
+    (r21): every `F.<fn>`/lambda call is a py4j round trip, and a
+    `cosine` tree is ~60 of them — plan CONSTRUCTION is real measured
+    time (the bench times construction + execution, and a cold driver
+    profile showed ~7,300 round trips ≈ 1.5 s building one IVF-PQ
+    plan). One `F.expr` parse produces the byte-identical analyzed
+    tree JVM-side: same functions, same left-to-right fold, `0D` is
+    the same double literal as `F.lit(0.0)`."""
+    return (
+        f"aggregate(zip_with(CAST(`{a}` AS ARRAY<DOUBLE>), "
+        f"CAST(`{b}` AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def cosine_cols(a: str, b: str) -> Column:
+    """`cosine` over two NAMED columns via one SQL parse — the
+    construction fast path of the expression twin above (see
+    `_dot_sql`); value-identical by construction (same analyzed tree),
+    pinned by the expression-parity pytest."""
+    return F.expr(
+        f"{_dot_sql(a, b)} / (SQRT({_dot_sql(a, a)}) * SQRT({_dot_sql(b, b)}))"
+    )
+
+
+def _subsq_l2_sql(a: str, b: str, lo: int, n: int) -> str:
+    """SQL text of one PQ subspace's squared-L2 distance between NAMED
+    array columns `a` and `b` (1-based slice [lo, lo+n)) — the
+    `sub_dist` expression of `pq_codes`/`_adc_tables`/
+    `pq_quantization_error` as a single parse (see `_dot_sql`)."""
+    sa = f"slice(CAST(`{a}` AS ARRAY<DOUBLE>), {lo}, {n})"
+    sb = f"slice(CAST(`{b}` AS ARRAY<DOUBLE>), {lo}, {n})"
+    return (
+        f"aggregate(zip_with({sa}, {sb}, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+
+
 # ---------------------------------------------------------------- brute force
 
 
@@ -88,7 +127,7 @@ def knn_bruteforce(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("c_vec")
     )
     scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
-        "qid", "nid", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+        "qid", "nid", cosine_cols("q_vec", "c_vec").alias("sim")
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
@@ -267,7 +306,7 @@ def ann_lsh(
         .dropDuplicates(["qid", "nid"])
     )
     scored = cand.select(
-        "qid", "nid", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+        "qid", "nid", cosine_cols("q_vec", "c_vec").alias("sim")
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
@@ -423,7 +462,7 @@ def ivf_probe(
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
     qc = q.join(F.broadcast(centroids)).select(
         "qid", "q_vec", "centroid_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("_csim"),
+        cosine_cols("q_vec", "c_vec").alias("_csim"),
     )
     wq = Window.partitionBy("qid").orderBy(F.col("_csim").desc(), F.col("centroid_id"))
     probes = (
@@ -435,7 +474,7 @@ def ivf_probe(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("c_vec"), "centroid_id"
     ).join(F.broadcast(probes), on="centroid_id").filter(F.col("qid") != F.col("nid"))
     scored = cand.select(
-        "qid", "nid", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+        "qid", "nid", cosine_cols("q_vec", "c_vec").alias("sim")
     )
     if topk_salts:
         scored = _pre_topk_salted(
@@ -490,21 +529,16 @@ def pq_codes(
     if codebook is None:
         codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
 
-    def sub_dist(s: int) -> Column:
-        a = F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
-        b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     joined = corpus.select(id_col, vec_col).join(F.broadcast(codebook))
+    # min(struct(d, r)).r per subspace as ONE SQL parse each (r21, see
+    # _dot_sql — construction round trips); tree identical to the
+    # F.min(F.struct(sub_dist, code_rank))["r"] form it replaces.
     codes = joined.groupBy(id_col).agg(
         *[
-            F.min(
-                F.struct(sub_dist(s).alias("d"), F.col("code_rank").alias("r"))
-            )["r"].alias(f"c{s}")
+            F.expr(
+                f"min(struct({_subsq_l2_sql(vec_col, 'c_vec', s * d_sub + 1, d_sub)}"
+                " AS d, code_rank AS r)).r"
+            ).alias(f"c{s}")
             for s in range(num_subspaces)
         ]
     )
@@ -573,18 +607,14 @@ def pq_quantization_error(
     when fed a refresh batch, corpus-sized only at build/audit time."""
     d_sub = dim // num_subspaces
 
-    def sub_dist(s: int) -> Column:
-        a = F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
-        b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     joined = corpus.select(id_col, vec_col).join(F.broadcast(codebook))
     per_sub = joined.groupBy(id_col).agg(
-        *[F.min(sub_dist(s)).alias(f"_d{s}") for s in range(num_subspaces)]
+        *[
+            F.min(
+                F.expr(_subsq_l2_sql(vec_col, "c_vec", s * d_sub + 1, d_sub))
+            ).alias(f"_d{s}")
+            for s in range(num_subspaces)
+        ]
     )
     total = None
     for s in range(num_subspaces):
@@ -636,30 +666,27 @@ def _adc_tables(
     codebook join (group × C rows) aggregated into arrays via
     sort_array over (rank, dist) structs. Per-QUERY tables for plain
     ADC (group = qid, vec = q_vec); per-PROBE tables for residual
-    IVFADC (group = (qid, centroid_id), vec = the query residual)."""
+    IVFADC (group = (qid, centroid_id), vec = the query residual).
+    Both per-subspace expression families build as single SQL parses
+    (r21, see `_dot_sql` — construction round trips), tree-identical
+    to the F.-combinator forms they replace."""
     d_sub = dim // num_subspaces
-
-    def sub_dist(s: int) -> Column:
-        a = F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
-        b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
     qc = q.join(F.broadcast(codebook)).select(
         *group_cols,
         "code_rank",
-        *[sub_dist(s).alias(f"d{s}") for s in range(num_subspaces)],
+        *[
+            F.expr(
+                _subsq_l2_sql(vec_col, "c_vec", s * d_sub + 1, d_sub)
+            ).alias(f"d{s}")
+            for s in range(num_subspaces)
+        ],
     )
     return qc.groupBy(*group_cols).agg(
         *[
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("code_rank", F.col(f"d{s}")))
-                ),
-                lambda st: st[f"d{s}"],
+            F.expr(
+                "transform(sort_array(collect_list(struct(code_rank, "
+                f"d{s}))), st -> st.d{s})"
             ).alias(f"t{s}")
             for s in range(num_subspaces)
         ]
@@ -669,14 +696,15 @@ def _adc_tables(
 def _adc_distance(num_subspaces: int, num_codewords: int) -> Column:
     """Σ_s t_s[code_s]: the ADC approximate distance of a packed
     `pq_code` against the row's ADC lookup arrays t0..t{S-1}, added
-    left-to-right (the association order the oracles mirror)."""
-    adist = None
-    for s in range(num_subspaces):
-        # integer unpack: (code div 16^s) mod 16 — no doubles near ids
-        code_s = F.expr(f"pq_code div {num_codewords ** s}") % num_codewords
-        term = F.element_at(F.col(f"t{s}"), code_s.cast("int") + 1)
-        adist = term if adist is None else adist + term
-    return adist
+    left-to-right (the association order the oracles mirror). One SQL
+    parse for the whole sum (r21, see `_dot_sql`); integer unpack is
+    (code div 16^s) mod 16 — no doubles near ids."""
+    terms = [
+        f"element_at(t{s}, CAST((pq_code div {num_codewords ** s}) "
+        f"% {num_codewords} AS INT) + 1)"
+        for s in range(num_subspaces)
+    ]
+    return F.expr(" + ".join(f"({t})" for t in terms))
 
 
 def ann_pq_adc(
@@ -880,7 +908,7 @@ def _ivf_pq_probe_rank(
         "qid",
         "q_vec",
         "centroid_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("_csim"),
+        cosine_cols("q_vec", "c_vec").alias("_csim"),
     )
     wq = Window.partitionBy("qid").orderBy(
         F.col("_csim").desc(), F.col("centroid_id")
@@ -995,7 +1023,7 @@ def _exact_rerank(
         .select(
             "qid",
             "nid",
-            cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"),
+            cosine_cols("q_vec", "n_vec").alias("sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
@@ -1506,7 +1534,7 @@ def _probed_centroid_ids(
     qc = q.join(F.broadcast(centroids)).select(
         "qid",
         "centroid_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("_csim"),
+        cosine_cols("q_vec", "c_vec").alias("_csim"),
     )
     wq = Window.partitionBy("qid").orderBy(
         F.col("_csim").desc(), F.col("centroid_id")
@@ -1802,7 +1830,7 @@ def cosine_dup_pairs_lsh(
         .select(
             F.col("doc_a").alias("id_a"),
             F.col("doc_b").alias("id_b"),
-            cosine(F.col("va"), F.col("vb")).alias("sim"),
+            cosine_cols("va", "vb").alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
@@ -1966,7 +1994,7 @@ def cosine_dup_pairs(
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .select("id_a", "id_b", cosine_cols("va", "vb").alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
     )
@@ -1997,7 +2025,7 @@ def ivf_assign_with_centroids(
         F.col(id_col),
         F.col(vec_col),
         "centroid_id",
-        cosine(F.col(vec_col), F.col("c_vec")).alias("_csim"),
+        cosine_cols(vec_col, "c_vec").alias("_csim"),
     )
     best = scored.groupBy(id_col).agg(
         F.max(
@@ -2097,7 +2125,7 @@ def ann_ivf_pq_residual(
         "q_vec",
         "centroid_id",
         "c_vec",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("_csim"),
+        cosine_cols("q_vec", "c_vec").alias("_csim"),
     )
     wq = Window.partitionBy("qid").orderBy(
         F.col("_csim").desc(), F.col("centroid_id")
