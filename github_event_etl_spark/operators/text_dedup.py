@@ -685,18 +685,24 @@ def minhash_write_index(
     )
 
 
-def _ordered_pairs(ids: Column, a_name: str = "doc_a", b_name: str = "doc_b") -> Column:
-    """All (a, b) pairs with a before b from a sorted array — the
-    within-bucket candidate expansion. Elements may be scalars or
-    structs (sorted by their first field)."""
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda a, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda b: F.struct(a.alias(a_name), b.alias(b_name)),
-            ),
-        )
+def _pair_explode(grouped: DataFrame, members: str, a_name: str, b_name: str):
+    """All (a, b) pairs with a before b from each row's sorted
+    `members` array, emitted as a STREAMING two-stage explode (r21):
+    posexplode each member as `a`, then explode the array suffix after
+    it as `b`. The previous form built the complete quadratic pair
+    array of a bucket as ONE interpreted-HOF array value before
+    exploding — at the 10k bucket cap that is a ~5·10⁷-struct single
+    cell (guide §5 giant rows) — where generate+slice stream pair rows
+    under whole-stage codegen holding only the member array per row.
+    Same pair set: members are sorted, `b` ranges over the strict
+    suffix of `a`."""
+    return grouped.select(
+        members, F.posexplode(members).alias("_i", a_name)
+    ).select(
+        a_name,
+        F.explode(
+            F.slice(F.col(members), F.col("_i") + F.lit(2), F.size(members))
+        ).alias(b_name),
     )
 
 
@@ -740,14 +746,12 @@ def _bucket_pairs(
     (band, bucket) keys; true mass-duplicates belong to exact dedup
     upstream, not the near-dup path."""
     bounded = _cap_buckets(keyed, key_cols, max_bucket_size)
-    return (
+    grouped = (
         bounded.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    return _pair_explode(grouped, "ids", "doc_a", "doc_b").distinct()
 
 
 def _spread(docs: DataFrame) -> DataFrame:
@@ -1282,15 +1286,17 @@ def simhash_candidate_pairs(
         .select("doc_id", "fp", "kb.block", "kb.val")
     )
     keyed = _cap_buckets(keyed, ["block", "val"], max_bucket_size)
-    return (
+    grouped = (
         keyed.groupBy("block", "val")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "fp"))).alias("ms"))
         .filter(F.size("ms") > 1)
-        .select(F.explode(_ordered_pairs(F.col("ms"), "a", "b")).alias("p"))
+    )
+    return (
+        _pair_explode(grouped, "ms", "a", "b")
         .filter(
-            F.bit_count(F.col("p.a.fp").bitwiseXOR(F.col("p.b.fp")))
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
             <= hamming_threshold
         )
-        .select(F.col("p.a.doc_id").alias("doc_a"), F.col("p.b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
