@@ -583,6 +583,13 @@ def ivf_pq_write_index_delta(
     # error of THIS generation's re-encoded vectors against the frozen
     # codebook — change-sized (the upsert set), one aggregate job. An
     # all-removed generation records n=0 with null errors.
+    # Crash-window note (ADVICE r20): a crash BETWEEN the generation
+    # commit above and this append leaves a committed generation with
+    # NO drift entry — the mirror image of the documented at-least-once
+    # redelivery duplicate. Monitoring that walks the log should treat
+    # a gen present in the manifest but absent from _drift.json as
+    # "drift unmeasured" (re-auditable via pq_quantization_error over
+    # the generation's appends), never as an empty refresh.
     upserts = _upsert_docs(cur_n, diff_n, "nid")
     _append_drift_entry(
         index_path,

@@ -1646,8 +1646,17 @@ def _auto_pruned(
     from .plan_metrics import partitioned_scans_within
 
     dyn_df = dyn_df.persist()
-    if partitioned_scans_within(dyn_df, len(probed),
-                                within_path=index_path):
+    try:
+        healthy = partitioned_scans_within(
+            dyn_df, len(probed), within_path=index_path
+        )
+    except Exception:
+        # ADVICE r20: a failed measurement (e.g. a py4j error walking
+        # the executed plan) must not leave the frame persisted
+        # forever — drop the cache before propagating.
+        dyn_df.unpersist()
+        raise
+    if healthy:
         return dyn_df
     dyn_df.unpersist()
     warnings.warn(
