@@ -103,6 +103,226 @@ def _subsq_l2_sql(a: str, b: str, lo: int, n: int) -> str:
     )
 
 
+# ------------------------------------------- vectorized corpus encode (r22)
+#
+# The corpus-sized encode passes (PQ code assignment, IVF centroid
+# assignment, quantization error) used to run as interpreted Catalyst
+# higher-order folds over an n×C broadcast-join expansion feeding a
+# groupBy(id) argmin/argmax. That shape ships C copies of every vector
+# into interpreted (non-codegen) expression evaluation and pays one
+# corpus-sized exchange for the re-aggregation — at sf0.1 two ~1 s
+# single-task stages inside llm_ann_ivf_pq_refine; at 100 TB it is the
+# entire index-build CPU. The model tables are O(16 rows) by
+# construction, so this is guide §4.2 (hand whole Arrow batches to
+# numpy) + §8 (decide with small tables): collect the codebook/centroid
+# table to the driver (the repo's established O(model)-collect pattern:
+# BPE merges, probe planning) and evaluate the argmin/argmax as ONE
+# Arrow-vectorized pass over the corpus — no expansion, no join, no
+# exchange; the corpus is touched exactly once, map-side.
+#
+# Bit-equality contract (the DuckDB oracles hash these outputs):
+# - `_np_fold_sum` replicates the Catalyst left fold
+#   `aggregate(_, 0D, (acc, x) -> acc + x)` EXACTLY: np.cumsum
+#   accumulates strictly sequentially (numpy's pairwise-blocked
+#   summation applies to reductions, never to cumsum), and the fold's
+#   first step `0.0 + p[0]` is applied explicitly so even a `-0.0`
+#   first element canonicalizes identically. Elementwise *, -, /, sqrt
+#   are correctly-rounded IEEE doubles in both engines, and the
+#   float32→float64 widening is exact on both sides.
+# - `_np_spark_order` maps doubles to uint64 keys whose unsigned order
+#   is Spark's total order for doubles (java.lang.Double.compare with
+#   canonical NaN): -inf < … < -0.0 < +0.0 < … < +inf < NaN. argmin /
+#   argmax over the keys reproduce the struct-min/struct-max tie-breaks
+#   exactly (first index = lowest code_rank / centroid_id, NaN loses
+#   every min and wins every max, just as the JVM orders it).
+
+
+def _np_fold_sum(p) -> "np.ndarray":
+    """Bit-exact replica of `aggregate(arr, 0D, (acc, x) -> acc + x)`
+    over the LAST axis (see the block comment above)."""
+    p = np.array(p, dtype=np.float64, copy=True)
+    if p.shape[-1] == 0:
+        return np.zeros(p.shape[:-1], dtype=np.float64)
+    p[..., 0] = p[..., 0] + 0.0  # the fold's 0D init step
+    return np.cumsum(p, axis=-1)[..., -1]
+
+
+def _np_spark_order(a) -> "np.ndarray":
+    """uint64 keys in Spark's double total order (see block comment)."""
+    a = np.ascontiguousarray(
+        np.where(np.isnan(a), np.float64("nan"), a), dtype=np.float64
+    )
+    bits = a.view(np.uint64)
+    neg = (bits >> np.uint64(63)).astype(bool)
+    return np.where(neg, ~bits, bits | np.uint64(1 << 63))
+
+
+def _np_model_matrix(rows, id_field: str, vec_field: str):
+    """Collected O(model) rows → (ids_in_ascending_id_order, float64
+    matrix). The ascending sort makes numpy's first-index tie-break
+    equal the struct-min/max's lowest-id tie-break. Raises on ragged
+    vectors — every caller's model table is derived from one corpus
+    with a fixed dimension."""
+    ordered = sorted(rows, key=lambda r: r[id_field])
+    ids = [r[id_field] for r in ordered]
+    widths = {len(r[vec_field]) for r in ordered}
+    if len(widths) > 1:
+        raise ValueError(
+            f"model table '{vec_field}' vectors are ragged ({sorted(widths)}); "
+            "the encode contract is a fixed dimension"
+        )
+    mat = np.asarray([list(r[vec_field]) for r in ordered], dtype=np.float64)
+    return ids, mat
+
+
+def _np_valid_rows(vecs: "pd.Series", width: int):
+    """Split an Arrow batch of vectors into (valid_idx, X) where valid
+    rows are non-null AND length-matched to the model table — exactly
+    the rows the legacy zip_with gave non-null distances for (a length
+    mismatch null-pads the zip, so every distance folds to null; a null
+    vector nulls everything). Invalid rows take the legacy null-field
+    ordering outcome, which each caller applies."""
+    vals = vecs.to_numpy()
+    valid = np.array(
+        [v is not None and len(v) == width for v in vals], dtype=bool
+    )
+    idx = np.flatnonzero(valid)
+    if len(idx) == 0:
+        return idx, None
+    X = np.stack([np.asarray(vals[i], dtype=np.float64) for i in idx])
+    return idx, X
+
+
+def _np_subspace_dists(X, cmat, s: int, d_sub: int):
+    """(rows × codewords) subspace-s squared-L2 matrix, every double
+    bit-identical to the `_subsq_l2_sql` fold."""
+    lo, hi = s * d_sub, s * d_sub + d_sub
+    xs = X[:, lo:hi]
+    dist = np.empty((len(X), len(cmat)), dtype=np.float64)
+    for r in range(len(cmat)):
+        diff = xs - cmat[r, lo:hi]
+        dist[:, r] = _np_fold_sum(diff * diff)
+    return dist
+
+
+def _np_pq_subcodes(X, cmat, num_subspaces: int, d_sub: int):
+    """(rows × subspaces) argmin code ranks — the struct-min with its
+    (distance, code_rank) tie-break, via the total-order keys."""
+    codes = np.zeros((len(X), num_subspaces), dtype=np.int64)
+    for s in range(num_subspaces):
+        dist = _np_subspace_dists(X, cmat, s, d_sub)
+        codes[:, s] = np.argmin(_np_spark_order(dist), axis=1)
+    return codes
+
+
+def _pq_encode_udf(codebook_rows, num_subspaces: int, d_sub: int,
+                   num_codewords: int):
+    """pandas UDF: embedding → packed PQ code against a driver-collected
+    codebook. Value-identical to the legacy broadcast-join struct-min
+    (`_pq_codes_agg`) — pinned by the encode-parity pytest and the
+    sequential-model test; invalid rows (null / wrong dim) pack to 0,
+    the legacy null-distance struct-min outcome (rank 0 per subspace)."""
+    _, cmat = _np_model_matrix(codebook_rows, "code_rank", "c_vec")
+
+    @pandas_udf("long")
+    def encode(vecs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vecs), dtype=np.int64)
+        idx, X = _np_valid_rows(vecs, cmat.shape[1])
+        if X is not None:
+            codes = _np_pq_subcodes(X, cmat, num_subspaces, d_sub)
+            weights = np.array(
+                [num_codewords ** s for s in range(num_subspaces)],
+                dtype=np.int64,
+            )
+            out[idx] = codes @ weights
+        return pd.Series(out)
+
+    return encode
+
+
+def _pq_subcodes_udf(codebook_rows, num_subspaces: int, d_sub: int):
+    """pandas UDF: embedding → array of per-subspace code ranks (the
+    UNPACKED form `train_pq_codebook`'s recentering consumes). Same
+    argmin/tie-break core as `_pq_encode_udf`; invalid rows take rank 0
+    per subspace, the legacy null-distance struct-min outcome."""
+    _, cmat = _np_model_matrix(codebook_rows, "code_rank", "c_vec")
+
+    @pandas_udf("array<int>")
+    def subcodes(vecs: pd.Series) -> pd.Series:
+        out = np.zeros((len(vecs), num_subspaces), dtype=np.int64)
+        idx, X = _np_valid_rows(vecs, cmat.shape[1])
+        if X is not None:
+            out[idx] = _np_pq_subcodes(X, cmat, num_subspaces, d_sub)
+        return pd.Series(list(out.astype(np.int32)))
+
+    return subcodes
+
+
+def _pq_qerr_udf(codebook_rows, num_subspaces: int, d_sub: int):
+    """pandas UDF: embedding → Σ_s min_r subspace squared-L2 — the
+    vectorized `pq_quantization_error` body. The subspace minima and
+    their left-to-right sum are bit-identical to the legacy
+    F.min + column-add chain; invalid rows yield null (the legacy
+    all-null-distance F.min outcome)."""
+    _, cmat = _np_model_matrix(codebook_rows, "code_rank", "c_vec")
+
+    @pandas_udf("double")
+    def qerr(vecs: pd.Series) -> pd.Series:
+        out = np.full(len(vecs), np.nan, dtype=np.float64)
+        nulls = np.ones(len(vecs), dtype=bool)
+        idx, X = _np_valid_rows(vecs, cmat.shape[1])
+        if X is not None:
+            total = None
+            for s in range(num_subspaces):
+                lo, hi = s * d_sub, s * d_sub + d_sub
+                xs = X[:, lo:hi]
+                dist = np.empty((len(idx), len(cmat)), dtype=np.float64)
+                for r in range(len(cmat)):
+                    diff = xs - cmat[r, lo:hi]
+                    dist[:, r] = _np_fold_sum(diff * diff)
+                dmin = dist[
+                    np.arange(len(idx)),
+                    np.argmin(_np_spark_order(dist), axis=1),
+                ]
+                total = dmin if total is None else total + dmin
+            out[idx] = total
+            nulls[idx] = False
+        # a masked Float64 extension array keeps null (invalid rows)
+        # distinct from a REAL NaN qerr (NaN input elements) — a plain
+        # float64 Series would have its NaNs coerced to null by the
+        # Arrow return path
+        return pd.Series(pd.arrays.FloatingArray(out, nulls))
+
+    return qerr
+
+
+def _ivf_assign_udf(centroid_rows, cid_type):
+    """pandas UDF: embedding → nearest centroid_id against a
+    driver-collected centroid table. Value-identical to the legacy
+    broadcast-join struct-max (`_ivf_assign_agg`): NaN cosines WIN the
+    max (Spark orders NaN largest) with the lowest-centroid_id
+    tie-break, and invalid rows (null / wrong dim ⇒ all-null cosine)
+    take the lowest centroid_id, the null-field struct-max outcome."""
+    cids, cmat = _np_model_matrix(centroid_rows, "centroid_id", "c_vec")
+    cid_arr = np.asarray(cids)
+    cnorm = np.sqrt(_np_fold_sum(cmat * cmat))
+
+    @pandas_udf(cid_type)
+    def assign(vecs: pd.Series) -> pd.Series:
+        out = np.full(len(vecs), cid_arr[0])
+        idx, X = _np_valid_rows(vecs, cmat.shape[1])
+        if X is not None:
+            xnorm = np.sqrt(_np_fold_sum(X * X))
+            sims = np.empty((len(idx), len(cmat)), dtype=np.float64)
+            for c in range(len(cmat)):
+                sims[:, c] = _np_fold_sum(X * cmat[c]) / (xnorm * cnorm[c])
+            best = np.argmax(_np_spark_order(sims), axis=1)
+            out[idx] = cid_arr[best]
+        return pd.Series(out)
+
+    return assign
+
+
 # ---------------------------------------------------------------- brute force
 
 
@@ -345,12 +565,27 @@ def ivf_assign(
     unique-id tie-break.
 
     At scale the assigned table is written partitioned by `centroid_id`
-    so a probe reads only nprobe/C of the data (partition pruning)."""
+    so a probe reads only nprobe/C of the data (partition pruning).
+
+    r22: the seed table materializes ONCE here (O(C) rows — the same
+    collect the vectorized assignment needs anyway) and is returned as
+    a LOCAL relation, so every downstream probe/broadcast consumer
+    stops re-planning the corpus-sized TakeOrdered; values round-trip
+    exactly (float32 widen/narrow of collected values is lossless)."""
     centroids = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
-    # assignment delegates to the centroid-table variant so the cosine
-    # argmin + tie-break lives in exactly one place
-    assigned = ivf_assign_with_centroids(corpus, centroids, id_col, vec_col)
-    return assigned, centroids
+    rows = centroids.collect()
+    if not rows:
+        return _ivf_assign_agg(corpus, centroids, id_col, vec_col), centroids
+    local = corpus.sparkSession.createDataFrame(rows, centroids.schema)
+    # assignment delegates to the shared UDF builder so the cosine
+    # argmax + tie-break lives in exactly one place
+    assign = _ivf_assign_udf(rows, centroids.schema["centroid_id"].dataType)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign(F.col(vec_col)).alias("centroid_id"),
+    )
+    return assigned, local
 
 
 def ivf_seed_centroids(
@@ -507,20 +742,26 @@ def pq_codes(
 
     The codebook is deterministic, not k-means: per subspace, the
     codewords are the subvectors of the `num_codewords` md5-rank seed
-    rows (the ivf_assign seeding idiom — distributed TakeOrdered, no
-    driver collect, engine-reproducible so the DuckDB oracle re-derives
-    the identical codebook). Real systems would refine these seeds with
-    k-means sweeps; the operator SHAPE — broadcast codebook, map-side
-    per-subspace argmin via a grouped struct-min (lexicographic
-    (distance, code_rank), the same tie-break rule both engines apply),
-    pack — is identical, and a trained codebook slots in as a drop-in
+    rows (the ivf_assign seeding idiom — distributed TakeOrdered,
+    engine-reproducible so the DuckDB oracle re-derives the identical
+    codebook). Real systems would refine these seeds with k-means
+    sweeps; the operator SHAPE — O(model) codebook, map-side
+    per-subspace argmin with a (distance, code_rank) tie-break, pack —
+    is identical, and a trained codebook slots in as a drop-in
     `codebook` replacement.
 
-    Scale shape: one broadcast of C tiny codeword rows, one
-    n×C-row map-side expansion feeding a groupBy(id) whose struct-min
-    partial-aggregates map-side (only n rows cross the shuffle), zero
-    windows over the corpus. Distances fold left-to-right in double,
-    matching DuckDB's list sum to the last ulp (see `dot`)."""
+    Scale shape (r22, guide §4.2/§8): the O(16-row) codebook is
+    collected to the driver and the per-subspace argmin runs as ONE
+    Arrow-vectorized numpy pass over the corpus — no n×C expansion, no
+    join, no exchange; the corpus is scanned once and only (id, code)
+    leaves the stage. The previous broadcast-join + struct-min shape
+    (`_pq_codes_agg`, kept as the empty-codebook fallback and the
+    parity-test reference) evaluated the folds INTERPRETED over C
+    copies of every vector and re-aggregated through a corpus-sized
+    exchange. Distances fold left-to-right in double, bit-matching
+    DuckDB's list sum (see `_np_fold_sum`); codes are per input ROW
+    (ids are unique by the corpus contract — the legacy groupBy
+    collapsed duplicate ids, the vectorized form preserves rows)."""
     d_sub = dim // num_subspaces
     # A caller composing several PQ stages (ann_ivf_pq, ann_pq_adc
     # pipelines) passes the codebook it already built — Catalyst does
@@ -528,7 +769,29 @@ def pq_codes(
     # one plans its own distributed-TakeOrdered corpus pass.
     if codebook is None:
         codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
+    rows = codebook.select("code_rank", "c_vec").collect()
+    if not rows:
+        return _pq_codes_agg(
+            corpus, codebook, num_subspaces, d_sub, num_codewords,
+            id_col, vec_col,
+        )
+    enc = _pq_encode_udf(rows, num_subspaces, d_sub, num_codewords)
+    return corpus.select(F.col(id_col), enc(F.col(vec_col)).alias("pq_code"))
 
+
+def _pq_codes_agg(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    num_subspaces: int,
+    d_sub: int,
+    num_codewords: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The legacy broadcast-join + grouped struct-min PQ assignment —
+    the reference implementation the vectorized UDF is parity-tested
+    against, and the fallback that preserves inner-join semantics for
+    an EMPTY codebook (empty output)."""
     joined = corpus.select(id_col, vec_col).join(F.broadcast(codebook))
     # min(struct(d, r)).r per subspace as ONE SQL parse each (r21, see
     # _dot_sql — construction round trips); tree identical to the
@@ -601,12 +864,32 @@ def pq_quantization_error(
     artifact's state and recompute from scratch when merging stops
     being the right call.)
 
-    Scale shape: identical to `pq_codes` — one broadcast of the tiny
-    codebook, a map-side n×C expansion, one groupBy(id) whose min
-    partial-aggregates map-side; n rows cross the shuffle. Change-sized
-    when fed a refresh batch, corpus-sized only at build/audit time."""
+    Scale shape: identical to `pq_codes` (r22) — the O(16-row) codebook
+    collects to the driver and the per-subspace minima run as ONE
+    Arrow-vectorized pass over the input; no expansion, no join, no
+    exchange. Change-sized when fed a refresh batch, corpus-sized only
+    at build/audit time. Legacy join+agg form kept as `_pq_qerr_agg`
+    (empty-codebook fallback + parity reference)."""
     d_sub = dim // num_subspaces
+    rows = codebook.select("code_rank", "c_vec").collect()
+    if not rows:
+        return _pq_qerr_agg(
+            corpus, codebook, num_subspaces, d_sub, id_col, vec_col
+        )
+    qerr = _pq_qerr_udf(rows, num_subspaces, d_sub)
+    return corpus.select(F.col(id_col), qerr(F.col(vec_col)).alias("qerr"))
 
+
+def _pq_qerr_agg(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    num_subspaces: int,
+    d_sub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Legacy broadcast-join + grouped-min quantization error — the
+    vectorized UDF's parity reference and empty-codebook fallback."""
     joined = corpus.select(id_col, vec_col).join(F.broadcast(codebook))
     per_sub = joined.groupBy(id_col).agg(
         *[
@@ -822,23 +1105,52 @@ def _ivf_pq_build_tables(
     compaction time — deriving them per snapshot would silently
     re-list and re-code the whole index). With both supplied,
     `num_centroids` is unused and `corpus` may be any change-sized
-    docs frame, not the full corpus."""
+    docs frame, not the full corpus.
+
+    Build shape (r22): both O(16-row) model tables collect to the
+    driver and the assignment AND the packed code compute in ONE
+    fused Arrow pass over the corpus — Spark plans adjacent pandas
+    UDFs as a single ArrowEvalPython, so the corpus is scanned once,
+    map-side, with no join and no exchange. The previous shape built
+    assignment and codes as two separate corpus-sized aggregations
+    and re-attached them with a corpus-sized equi-join on `nid` (the
+    two SortMergeJoins the r21 plans carried). A model table derived
+    from `corpus` (centroids/codebook = None) is materialized here
+    once and returned as a LOCAL relation, so downstream probe/ADC
+    consumers stop re-running the corpus-sized TakeOrdered per
+    broadcast build — values round-trip exactly (float32 widen/narrow
+    is lossless on collected values; schema preserved verbatim)."""
     if centroids is None:
-        assigned, centroids = ivf_assign(
-            corpus, num_centroids, id_col, vec_col
-        )
-    else:
-        assigned = ivf_assign_with_centroids(
-            corpus, centroids, id_col, vec_col
-        )
+        centroids = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
     if codebook is None:
         codebook = pq_codebook(corpus, num_codewords, id_col, vec_col)
-    codes = pq_codes(
-        corpus, num_subspaces, num_codewords, dim, id_col, vec_col,
-        codebook=codebook,
+    c_rows = centroids.collect()
+    cb_rows = codebook.collect()
+    if not c_rows or not cb_rows:
+        # empty model table: keep the legacy inner-join semantics
+        # (empty lists) via the reference implementations
+        assigned = _ivf_assign_agg(corpus, centroids, id_col, vec_col)
+        codes = _pq_codes_agg(
+            corpus, codebook, num_subspaces, dim // num_subspaces,
+            num_codewords, id_col, vec_col,
+        )
+        lists = assigned.select(
+            F.col(id_col).alias("nid"), "centroid_id"
+        ).join(codes.select(F.col(id_col).alias("nid"), "pq_code"), "nid")
+        return lists, centroids, codebook
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(c_rows, centroids.schema)
+    codebook = spark.createDataFrame(cb_rows, codebook.schema)
+    assign = _ivf_assign_udf(
+        c_rows, centroids.schema["centroid_id"].dataType
     )
-    lists = assigned.select(F.col(id_col).alias("nid"), "centroid_id").join(
-        codes.select(F.col(id_col).alias("nid"), "pq_code"), "nid"
+    enc = _pq_encode_udf(
+        cb_rows, num_subspaces, dim // num_subspaces, num_codewords
+    )
+    lists = corpus.select(
+        F.col(id_col).alias("nid"),
+        assign(F.col(vec_col)).alias("centroid_id"),
+        enc(F.col(vec_col)).alias("pq_code"),
     )
     return lists, centroids, codebook
 
@@ -2021,15 +2333,42 @@ def ivf_assign_with_centroids(
     k-means, or `kmeans_refine_int` output mapped to vectors). Same
     cosine argmax and tie-break as ivf_assign.
 
-    The argmax is a grouped struct-max, NOT a rank-1 window (r21,
-    guide §2.3 "aggregate before you shuffle"): the window form
-    exchanged and sorted the full n×C expansion — the embedding
-    payload crossing the shuffle C times — while the struct-max
-    partial-aggregates map-side, so only n combined rows reach the
-    exchange. Ordering semantics are identical: struct MAX compares
-    (_csim, -centroid_id) with the same double ordering (NaN largest,
-    ±0.0 equal) the `_csim DESC, centroid_id ASC` window used, and the
-    payload fields after the unique centroid id are never compared."""
+    The argmax is ONE Arrow-vectorized numpy pass against the
+    driver-collected O(C-row) centroid table (r22, guide §4.2/§8): no
+    n×C expansion, no join, no exchange — the corpus is scanned once,
+    map-side, and keeps its partitioning. The r21 grouped struct-max
+    (kept as `_ivf_assign_agg`, the empty-centroids fallback and
+    parity-test reference) still expanded the corpus C-fold into
+    interpreted cosine folds and re-aggregated through a corpus-sized
+    exchange. Ordering semantics are identical: the cosine doubles are
+    bit-equal (`_np_fold_sum`) and the argmax uses Spark's double total
+    order with the lowest-centroid_id tie-break (`_np_spark_order` —
+    NaN largest, ±0.0 ordered as java.lang.Double.compare). Assignments
+    are per input ROW (ids unique by the corpus contract — the legacy
+    groupBy collapsed duplicate ids)."""
+    rows = centroids.select("centroid_id", "c_vec").collect()
+    if not rows:
+        return _ivf_assign_agg(corpus, centroids, id_col, vec_col)
+    assign = _ivf_assign_udf(rows, centroids.schema["centroid_id"].dataType)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign(F.col(vec_col)).alias("centroid_id"),
+    )
+
+
+def _ivf_assign_agg(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The legacy broadcast-join + grouped struct-max assignment (r21
+    shape) — the vectorized UDF's parity reference and the fallback
+    that preserves inner-join semantics for an EMPTY centroid table
+    (empty output). Struct MAX compares (_csim, -centroid_id) with
+    Spark's double ordering (NaN largest, null smallest); the payload
+    fields after the unique centroid id are never compared."""
     scored = corpus.join(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
@@ -2121,13 +2460,30 @@ def ann_ivf_pq_residual(
         if train_iters > 0
         else pq_codebook(resid, num_codewords, id_col, "_resid")
     )
-    codes = pq_codes(
-        resid, num_subspaces, num_codewords, dim, id_col, "_resid",
-        codebook=codebook,
-    )
-    lists = resid.select(F.col(id_col).alias("nid"), "centroid_id").join(
-        codes.select(F.col(id_col).alias("nid"), "pq_code"), "nid"
-    )
+    cb_rows = codebook.collect()
+    if not cb_rows:
+        # empty codebook → legacy inner-join semantics (empty lists)
+        codes = _pq_codes_agg(
+            resid, codebook, num_subspaces, dim // num_subspaces,
+            num_codewords, id_col, "_resid",
+        )
+        lists = resid.select(F.col(id_col).alias("nid"), "centroid_id").join(
+            codes.select(F.col(id_col).alias("nid"), "pq_code"), "nid"
+        )
+    else:
+        # fused map-side encode (r22): the residual frame is planned
+        # once — (nid, centroid_id, pq_code) in one pass, no self-join
+        codebook = corpus.sparkSession.createDataFrame(
+            cb_rows, codebook.schema
+        )
+        enc = _pq_encode_udf(
+            cb_rows, num_subspaces, dim // num_subspaces, num_codewords
+        )
+        lists = resid.select(
+            F.col(id_col).alias("nid"),
+            "centroid_id",
+            enc(F.col("_resid")).alias("pq_code"),
+        )
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
     qc = q.join(F.broadcast(centroids)).select(
         "qid",
@@ -2203,46 +2559,34 @@ def train_pq_codebook(
     stay adequate for RAW vectors, which is why `pq_codes` defaults to
     them and keeps its engine-mirrorable oracle.
 
-    Scale/determinism shape: assignment reuses the broadcast-codebook
-    struct-min idiom (map-side, n rows cross the shuffle); recentering
-    posexplodes subvectors to (s, rank, pos) cells and averages
-    through DECIMAL(25,10) (association-order-free, so the trained
-    codebook is bit-stable across partitionings); empty codewords keep
-    their previous value via a left join.
+    Scale/determinism shape: assignment (r22) is the vectorized
+    Arrow argmin against the per-iteration driver-collected codebook
+    (`_pq_subcodes_udf` — same math and tie-break as the legacy
+    broadcast-join struct-min, pinned by the encode-parity pytest), so
+    each round costs one map-side pass with no n×C expansion and no
+    frame⋈assigns re-attach join; recentering posexplodes subvectors
+    to (s, rank, pos) cells and averages through DECIMAL(25,10)
+    (association-order-free, so the trained codebook is bit-stable
+    across partitionings); empty codewords keep their previous value
+    via a left join.
     """
     d_sub = dim // num_subspaces
     cb = pq_codebook(frame, num_codewords, id_col, vec_col)
 
-    def sub_dist(s: int) -> Column:
-        a = F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
-        b = F.slice(_as_double(F.col("c_vec")), s * d_sub + 1, d_sub)
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     for _ in range(iters):
-        joined = frame.select(id_col, vec_col).join(F.broadcast(cb))
-        assigns = joined.groupBy(id_col).agg(
-            *[
-                F.min(
-                    F.struct(
-                        sub_dist(s).alias("d"), F.col("code_rank").alias("r")
-                    )
-                )["r"].alias(f"c{s}")
-                for s in range(num_subspaces)
-            ]
-        )
-        rows = frame.select(id_col, vec_col).join(assigns, id_col)
+        cb_rows = cb.collect()
+        if not cb_rows:
+            return cb  # empty frame → empty codebook; nothing to train
+        cb = frame.sparkSession.createDataFrame(cb_rows, cb.schema)
+        subcodes = _pq_subcodes_udf(cb_rows, num_subspaces, d_sub)
         # ONE posexplode of the full vector; subspace and in-subspace
         # position derive arithmetically from the global position, and
         # the row's assigned code for that subspace is an element_at
-        # into the packed assignment array — a single scan where the
-        # per-subspace slice/union form re-scanned the rows S times.
-        codes_arr = F.array(*[F.col(f"c{s}") for s in range(num_subspaces)])
-        cells = rows.select(
-            codes_arr.alias("_codes"),
+        # into the assignment array computed map-side in the same pass
+        # — a single scan, no join, where the per-subspace slice/union
+        # form re-scanned the rows S times.
+        cells = frame.select(
+            subcodes(F.col(vec_col)).alias("_codes"),
             F.posexplode(_as_double(F.col(vec_col))).alias("gpos", "val"),
         ).select(
             F.expr(f"gpos div {d_sub}").cast("int").alias("s"),

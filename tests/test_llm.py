@@ -3263,14 +3263,13 @@ def test_ivf_apply_diff_equals_rebuild(spark, sf_dir):
 
 
 def test_ivf_apply_diff_plan_gates(spark, sf_dir):
-    """The IVF maintenance key's scale shape: reads the materialized
-    prev assignment (the scratch ivf_prev_index tree, partitioned by
-    centroid_id), joins the checkpointed change log via broadcast only,
-    and — unlike the band-index twin — runs NO Python/Arrow stage at
-    all: the cosine argmin is codegen'd higher-order arithmetic, so the
-    whole maintenance path stays JVM-side. The only shuffle is the
-    change-sized argmin window; the corpus-sized index side never
-    exchanges."""
+    """The IVF maintenance key's scale shape (r22): reads the
+    materialized prev assignment (the scratch ivf_prev_index tree,
+    partitioned by centroid_id), joins the checkpointed change log via
+    broadcast only, and re-assigns the change-sized upserts in ONE
+    Arrow-vectorized pass against the driver-collected frozen centroid
+    table — no centroid join, no argmin window, no row-at-a-time
+    Python. The corpus-sized index side never exchanges."""
     from github_event_etl_spark.plans.catalog import get_spec
 
     df = get_spec("llm_ivf_apply_diff").fn(spark, sf_dir)
@@ -3279,13 +3278,15 @@ def test_ivf_apply_diff_plan_gates(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
-    assert "ArrowEvalPython" not in tree, tree
+    # exactly one Arrow stage: the vectorized re-assignment of upserts
+    assert tree.count("ArrowEvalPython") == 1, tree
     assert "BatchEvalPython" not in tree, tree
+    assert "Window" not in tree, tree
     # anti (stale rows out of the index scan) + semi (upserts into the
-    # assignment) — both broadcast; the 16-row frozen-centroid table
-    # rides the assignment as a broadcast nested-loop (no condition)
+    # assignment) — both broadcast; the frozen-centroid table no longer
+    # appears as a join at all (collected into the Arrow stage)
     assert tree.count("BroadcastHashJoin") == 2, tree
-    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    assert tree.count("BroadcastNestedLoopJoin") == 0, tree
 
 
 def test_ivf_pq_apply_diff_equals_rebuild_and_plan_gates(spark, sf_dir):
@@ -3366,14 +3367,119 @@ def test_ivf_pq_apply_diff_equals_rebuild_and_plan_gates(spark, sf_dir):
     assert "ivf_pq_prev_lists" in plan
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
-    assert "ArrowEvalPython" not in tree, tree
+    # exactly one Arrow stage (r22): the fused assignment+encode of the
+    # change-sized upserts against the driver-collected frozen
+    # centroid/codebook tables — the centroid/codebook broadcast
+    # nested-loops AND the assigned⋈codes sort-merge attach are gone
+    assert tree.count("ArrowEvalPython") == 1, tree
     assert "BatchEvalPython" not in tree, tree
     # anti (stale rows out of the lists scan) + semi (upserts into the
-    # re-encode) + the maintained-union attach; centroid and codebook
-    # tables ride as broadcast nested-loops (no join condition)
-    assert tree.count("BroadcastHashJoin") == 3, tree
-    assert tree.count("BroadcastNestedLoopJoin") == 2, tree
-    assert tree.count("SortMergeJoin") <= 1, tree
+    # re-encode) — both broadcast
+    assert tree.count("BroadcastHashJoin") == 2, tree
+    assert tree.count("BroadcastNestedLoopJoin") == 0, tree
+    assert tree.count("SortMergeJoin") == 0, tree
+
+
+def test_vectorized_encode_parity_with_legacy_agg(spark):
+    """The r22 Arrow-vectorized encode paths (PQ code assignment, IVF
+    centroid assignment, quantization error) must be VALUE-IDENTICAL to
+    the legacy broadcast-join aggregations they replaced — on ordinary
+    vectors AND the adversarial corners the struct-min/max tie-break
+    rules exist for: exact ties (duplicate vectors, a vector that IS a
+    codeword), zero vectors (all-NaN cosine ⇒ NaN wins the max, lowest
+    centroid id), NaN elements (NaN distance loses every min, wins
+    every max), null vectors and wrong-dimension vectors (all-null
+    folds ⇒ lowest id / code 0 / null qerr).
+
+    Zero-norm vectors are compared on the PQ paths only: the legacy
+    cosine ASSIGNMENT raises DIVIDE_BY_ZERO under Spark 4 ANSI for a
+    0/0 norm product, while the vectorized path implements the
+    ordering the operators document (NaN cosine wins the max ⇒ lowest
+    centroid id) — asserted separately below."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from github_event_etl_spark.operators.similarity import (
+        _ivf_assign_agg,
+        _pq_codes_agg,
+        _pq_qerr_agg,
+        ivf_assign_with_centroids,
+        ivf_seed_centroids,
+        pq_codebook,
+        pq_codes,
+        pq_quantization_error,
+    )
+
+    dim, subs, cw = 8, 2, 4
+    base = [
+        [float((i * 7 + j * 3) % 11) - 5.0 for j in range(dim)]
+        for i in range(12)
+    ]
+    vecs = (
+        [(i, v) for i, v in enumerate(base)]
+        + [
+            (100, base[0]),              # duplicate of a seed → exact ties
+            (101, [0.0] * dim),          # zero vector → NaN cosine everywhere
+            (102, [float("nan")] + [1.0] * (dim - 1)),  # NaN element
+            (103, None),                 # null vector
+            (104, [1.0] * (dim // 2)),   # wrong dimension
+            (105, [-0.0] * dim),         # negative zeros
+        ]
+    )
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(vecs, schema)
+    cents = ivf_seed_centroids(df.filter(F.col("vec_id") < 50), cw)
+    cb = pq_codebook(df.filter(F.col("vec_id") < 50), cw)
+
+    nonzero = df.filter(~F.col("vec_id").isin(101, 105))
+    new_asg = {
+        r[0]: r[2]
+        for r in ivf_assign_with_centroids(nonzero, cents).collect()
+    }
+    old_asg = {r[0]: r[2] for r in _ivf_assign_agg(nonzero, cents).collect()}
+    assert new_asg == old_asg
+    # zero-norm vectors: the documented NaN-wins-the-max outcome
+    min_cid = min(r[0] for r in cents.collect())
+    zeros = {
+        r[0]: r[2]
+        for r in ivf_assign_with_centroids(
+            df.filter(F.col("vec_id").isin(101, 105)), cents
+        ).collect()
+    }
+    assert zeros == {101: min_cid, 105: min_cid}
+
+    new_codes = {
+        r[0]: r[1]
+        for r in pq_codes(df, subs, cw, dim, codebook=cb).collect()
+    }
+    old_codes = {
+        r[0]: r[1]
+        for r in _pq_codes_agg(
+            df, cb, subs, dim // subs, cw, "vec_id", "embedding"
+        ).collect()
+    }
+    assert new_codes == old_codes
+
+    new_q = {
+        r[0]: r[1] for r in pq_quantization_error(df, cb, subs, dim).collect()
+    }
+    old_q = {
+        r[0]: r[1]
+        for r in _pq_qerr_agg(
+            df, cb, subs, dim // subs, "vec_id", "embedding"
+        ).collect()
+    }
+    assert set(new_q) == set(old_q)
+    for k in new_q:
+        a, b = new_q[k], old_q[k]
+        assert (a == b) or (a is None and b is None) or (
+            isinstance(a, float) and isinstance(b, float)
+            and math.isnan(a) and math.isnan(b)
+        ), (k, a, b)
 
 
 def test_embed_random_projection_distortion_bounds(spark, sf_dir):

@@ -212,18 +212,22 @@ def test_cosine_lsh_dedup_has_no_cross_join(qmap, spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ivf_list_skew_census_is_jvm_only(qmap, spark, sf_dir):
+def test_ivf_list_skew_census_is_mapside_assignment(qmap, spark, sf_dir):
     """The list-skew census must inherit the IVF assignment's scale
-    posture: the centroid attach is a broadcast of the tiny seed table
-    (BNLJ over 16 rows — allowed, the corpus side never shuffles for
-    it), the argmin and the per-centroid census are JVM aggregates
-    (map-side partials; one row per centroid crosses the shuffle), and
-    no Python stage or cartesian over the corpus appears anywhere."""
+    posture (r22): the centroid argmax is ONE Arrow-vectorized pass
+    against the driver-collected O(16-row) seed table — no join, no
+    n×C expansion, no corpus exchange before the census aggregate —
+    and the per-centroid census is a JVM aggregate (map-side partials;
+    one row per centroid crosses the shuffle). Row-at-a-time Python
+    (BatchEvalPython) and any cartesian over the corpus stay banned."""
     plan = plan_of(qmap, spark, sf_dir, "llm_ivf_list_skew")
     tree = tree_of(plan)
     assert "CartesianProduct" not in tree
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    # exactly one Arrow stage: the vectorized centroid assignment
+    assert tree.count("ArrowEvalPython") == 1
+    # the centroid attach no longer plans ANY join over the corpus
+    assert "Join" not in tree
     assert "HashAggregate" in tree or "SortAggregate" in tree
 
 
@@ -277,19 +281,18 @@ def test_ann_ivf_pq_refine_fetch_is_broadcast(qmap, spark, sf_dir):
     """Refinement must add EXACTLY two broadcast hash joins to the ADC
     plan — the Q×refine_r candidate shortlist broadcast into an
     equi-join against the embedding scan, and the query-vector attach
-    — and NOTHING else: no additional shuffle join (SortMergeJoin
-    count unchanged from llm_ann_ivf_pq — the base's two are the
-    in-memory flavor's corpus-sized list build, shared by both keys),
-    no cartesian, and the exact-cosine re-rank is plain column
-    arithmetic (no Python of any kind in the plan)."""
+    — and NOTHING else: no shuffle join anywhere (r22 — the fused
+    Arrow list build removed the corpus-sized SortMergeJoins both keys
+    used to share), no cartesian, no NEW Python stage (the only Arrow
+    stage is the shared list-encode pass; the exact-cosine re-rank is
+    plain column arithmetic), and no row-at-a-time Python at all."""
     base = tree_of(plan_of(qmap, spark, sf_dir, "llm_ann_ivf_pq"))
     tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_ann_ivf_pq_refine"))
     assert "CartesianProduct" not in tree
-    assert "ArrowEvalPython" not in tree
     assert "BatchEvalPython" not in tree
-    assert tree.count("SortMergeJoin") == base.count("SortMergeJoin"), (
-        "refinement added a shuffle join"
-    )
+    assert tree.count("ArrowEvalPython") == base.count("ArrowEvalPython")
+    assert tree.count("SortMergeJoin") == 0
+    assert base.count("SortMergeJoin") == 0
     assert (
         tree.count("BroadcastHashJoin")
         == base.count("BroadcastHashJoin") + 2
@@ -620,22 +623,21 @@ def test_remove_spans_never_explodes_text(qmap, spark, sf_dir):
     assert cl_lines and all("span_start" in ln for ln in cl_lines), cl_lines
 
 
-def test_pq_codes_broadcast_codebook_partial_agg(qmap, spark, sf_dir):
-    """PQ assignment must broadcast the tiny codebook (never reshuffle
-    the corpus for it) and compute the per-subspace argmin as a grouped
-    aggregation — partial map-side min means only one row per vector
-    crosses the shuffle, and no Window node ever touches the n×C
-    expansion."""
+def test_pq_codes_is_single_mapside_arrow_pass(qmap, spark, sf_dir):
+    """PQ assignment (r22) is ONE Arrow-vectorized pass against the
+    driver-collected O(16-row) codebook: a single corpus scan feeding a
+    single ArrowEvalPython — no join, no n×C expansion, no exchange, no
+    window, no aggregate. The corpus is touched exactly once and never
+    shuffles. (The legacy broadcast-join + struct-min shape survives as
+    `_pq_codes_agg`, pinned value-identical by the encode-parity
+    pytest.)"""
     tree = tree_of(plan_of(qmap, spark, sf_dir, "llm_pq_codes"))
-    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
-    assert "SortMergeJoin" not in tree
-    # struct-typed min buffers plan as SortAggregate; two of them
-    # (partial below the exchange, final above) = map-side combine
-    assert tree.count("SortAggregate") == 2
-    # the only Window is the 16-row codebook ranking, which sits under
-    # the broadcast side; the corpus side must stay window-free — a
-    # cheap proxy: exactly one Window node in the whole plan
-    assert tree.count("Window") == 1
+    assert tree.count("ArrowEvalPython") == 1
+    assert "Join" not in tree
+    assert "Exchange" not in tree
+    assert "Window" not in tree
+    assert "Aggregate" not in tree
+    assert tree.count("Scan parquet") == 1
 
 
 def test_scan_python_source_pushes_type_filter_into_generator(
