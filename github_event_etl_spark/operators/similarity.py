@@ -64,6 +64,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote a column name for SQL interpolation, escaping
+    embedded backticks (`` ` `` → ```` `` ````) so an unusual
+    caller-supplied column name parses instead of erroring or
+    misresolving (ADVICE r21)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _dot_sql(a: str, b: str) -> str:
     """SQL text of `dot` over two NAMED array columns. Rationale
     (r21): every `F.<fn>`/lambda call is a py4j round trip, and a
@@ -74,8 +82,8 @@ def _dot_sql(a: str, b: str) -> str:
     tree JVM-side: same functions, same left-to-right fold, `0D` is
     the same double literal as `F.lit(0.0)`."""
     return (
-        f"aggregate(zip_with(CAST(`{a}` AS ARRAY<DOUBLE>), "
-        f"CAST(`{b}` AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, "
+        f"aggregate(zip_with(CAST({_bq(a)} AS ARRAY<DOUBLE>), "
+        f"CAST({_bq(b)} AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, "
         "(acc, x) -> acc + x)"
     )
 
@@ -95,8 +103,8 @@ def _subsq_l2_sql(a: str, b: str, lo: int, n: int) -> str:
     array columns `a` and `b` (1-based slice [lo, lo+n)) — the
     `sub_dist` expression of `pq_codes`/`_adc_tables`/
     `pq_quantization_error` as a single parse (see `_dot_sql`)."""
-    sa = f"slice(CAST(`{a}` AS ARRAY<DOUBLE>), {lo}, {n})"
-    sb = f"slice(CAST(`{b}` AS ARRAY<DOUBLE>), {lo}, {n})"
+    sa = f"slice(CAST({_bq(a)} AS ARRAY<DOUBLE>), {lo}, {n})"
+    sb = f"slice(CAST({_bq(b)} AS ARRAY<DOUBLE>), {lo}, {n})"
     return (
         f"aggregate(zip_with({sa}, {sb}, (x, y) -> (x - y) * (x - y)), "
         "0D, (acc, x) -> acc + x)"
@@ -2169,6 +2177,7 @@ def incremental_dedup_semantic(
     vec_col: str = "embedding",
     max_bucket_size: int = 10_000,
     corpus_banded: DataFrame | None = None,
+    max_broadcast_pairs: int | None = None,
 ) -> DataFrame:
     """Embedding-space twin of text_dedup.incremental_dedup_minhash:
     classify an incoming embedding batch against an indexed corpus by
@@ -2234,6 +2243,7 @@ def incremental_dedup_semantic(
             if corpus_banded is not None and id_col != "doc_id"
             else corpus_banded
         ),
+        max_broadcast_pairs=max_broadcast_pairs,
     )
 
 

@@ -190,6 +190,7 @@ def _incremental_classify_lsh(
     finalize=None,
     corpus_banded: DataFrame | None = None,
     prepare=None,
+    max_broadcast_pairs: int | None = None,
 ) -> DataFrame:
     """The shared classify skeleton of `incremental_dedup_minhash` and
     `similarity.incremental_dedup_semantic` — ONE copy of the
@@ -244,7 +245,23 @@ def _incremental_classify_lsh(
     cosine) there is no per-doc work to hoist and the reorientation's
     extra planning+broadcast round trips are a measured net LOSS
     (A/B at sf0.1: 6.6 s vs 5.1 s median), so the original single
-    product-broadcast shape is kept for that case."""
+    product-broadcast shape is kept for that case.
+
+    `max_broadcast_pairs` (r22, VERDICT r21 item 4): both verify
+    orientations BROADCAST a candidate-pair-derived frame (the grouped
+    pair lists / the pairs×payload product), which assumes the
+    candidate set fits a broadcast — `_cap_buckets` bounds any one
+    bucket, but a batch hitting MANY hot buckets still aggregates all
+    cross-candidates into one broadcast relation. With a threshold
+    set, the skeleton probes the candidate count with an early-exiting
+    `limit(max+1).count()` (bounded work even on a degenerate batch)
+    and drops the broadcast hint above it, letting AQE pick the join
+    from runtime sizes instead of OOMing the driver. Default None
+    keeps today's plan-identical behavior for change-sized daily
+    increments (zero extra jobs); production refresh loops at 100 TB
+    should set it (~50M pairs ≈ a few hundred MB broadcast) — the
+    degenerate-batch fallback test pins value-identity of both join
+    shapes."""
 
     def capped(df: DataFrame) -> DataFrame:
         return _cap_buckets(df, ["band", "bucket"], max_bucket_size)
@@ -277,6 +294,16 @@ def _incremental_classify_lsh(
         .distinct()
     )
 
+    def pair_attach_hint(df: DataFrame) -> DataFrame:
+        # the broadcast-size guard (see docstring): None → today's
+        # unconditional broadcast; otherwise probe |cross_cand| with a
+        # bounded early-exit count and fall back to a plain join (AQE
+        # decides) when the candidate set is too large to broadcast
+        if max_broadcast_pairs is None:
+            return F.broadcast(df)
+        n = cross_cand.limit(max_broadcast_pairs + 1).count()
+        return F.broadcast(df) if n <= max_broadcast_pairs else df
+
     if prepare is not None:
         # corpus payloads, prepared ONCE PER DOC: the pair list is
         # grouped per corpus id (an int list — candidate-sized, the
@@ -295,7 +322,7 @@ def _incremental_classify_lsh(
             F.collect_list("batch_id").alias("_bids")
         )
         matched = corpus.join(
-            F.broadcast(by_corpus), F.col(id_col) == F.col("corpus_id")
+            pair_attach_hint(by_corpus), F.col(id_col) == F.col("corpus_id")
         ).select("corpus_id", F.col(payload_col).alias("_pc"), "_bids")
         cross_ver = (
             prepare(_spread(matched), "_pc")
@@ -314,7 +341,7 @@ def _incremental_classify_lsh(
         cand_bt = cross_cand.join(payload(batch, "batch_id", "_pb"), "batch_id")
         cross_ver = (
             payload(corpus, "corpus_id", "_pc")
-            .join(F.broadcast(cand_bt), "corpus_id")
+            .join(pair_attach_hint(cand_bt), "corpus_id")
             .select(
                 "batch_id",
                 "corpus_id",
@@ -379,6 +406,7 @@ def incremental_dedup_minhash(
     text_col: str = "text",
     max_bucket_size: int = 10_000,
     corpus_banded: DataFrame | None = None,
+    max_broadcast_pairs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate flavor of `incremental_dedup`: classify an
     incoming batch against an indexed corpus by MinHash-LSH banding +
@@ -453,6 +481,7 @@ def incremental_dedup_minhash(
         max_bucket_size=max_bucket_size,
         corpus_banded=corpus_banded,
         prepare=lambda df, col: df.withColumn(col, sh_vec(F.col(col))),
+        max_broadcast_pairs=max_broadcast_pairs,
     )
 
 
@@ -832,11 +861,16 @@ def jaccard_pairs_vec(k: int = 3):
     analysis than the whole verify costs to execute; this is one
     ArrowEvalPython projection over the (tiny) candidate-pair set.
 
-    Rounding matches both engines: round-HALF-UP at 6 decimals via
-    floor(x·1e6 + 0.5). Exact decimal ties only arise from
-    power-of-two unions, where the double arithmetic is exact, so
-    floor(+0.5) is bit-identical to Spark's BigDecimal HALF_UP and
-    DuckDB's round."""
+    Rounding: round-HALF-UP at 6 decimals via floor(x·1e6 + 0.5). On
+    power-of-two unions the double arithmetic is exact and this is
+    bit-identical to Spark's BigDecimal HALF_UP / DuckDB's round; for
+    reduced-ratio denominators of the form 128·5^b (union 640, 3200,
+    …) the two policies CAN differ by exactly 1e-6 at half-ulp ties
+    (ADVICE r21 — the rounding-policy fuzz test documents this). The
+    PRODUCTION verify paths all use the F.round policy
+    (`jaccard_ngram` / `jaccard_shingle_sets`, the one the DuckDB
+    oracle mirrors); this UDF is the per-pair parity witness for
+    tokenization, kept out of any declared plan."""
     import re
 
     ws = re.compile(r"[ \t\n\x0B\f\r]+")
@@ -866,29 +900,49 @@ def jaccard_pairs_vec(k: int = 3):
 
 
 def shingle_sets_vec(k: int = 3):
-    """Arrow-vectorized text → DISTINCT word-k-gram array: the per-DOC
-    half of the split candidate verification (r21). Tokenization is
-    byte-identical to `jaccard_pairs_vec`'s (ASCII-space strip, Java
-    `\\s` class split), and the output feeds `jaccard_shingle_sets`
-    so pair scoring needs no Python at all. Element order inside the
-    array is unspecified — only set membership matters downstream."""
+    """Arrow-vectorized text → DISTINCT word-k-gram set as an INT64
+    array: the per-DOC half of the split candidate verification (r21;
+    hashed r22). Tokenization is byte-identical to
+    `jaccard_pairs_vec`'s (ASCII-space strip, Java `\\s` class split);
+    each distinct shingle string is then mapped to a deterministic
+    64-bit hash (pandas' SipHash — stable across workers, retries and
+    sessions, independent of PYTHONHASHSEED), so what travels through
+    the verify joins/broadcasts is 8 bytes per shingle instead of the
+    ~3-word string (guide §2.3 "shuffle keys and metadata instead of
+    payloads") and the per-pair `array_intersect`/`array_union` run as
+    long comparisons. Jaccard is a set-SIZE ratio, so scores are
+    unchanged unless two distinct shingles of one compared pair collide
+    in 64 bits (~2⁻⁶⁴ per pair — the jaccard parity pytest and the
+    DuckDB string-based oracle both pin that this never bites on real
+    fixtures). Element order inside the array is unspecified — only
+    set membership matters downstream."""
     import re
 
     ws = re.compile(r"[ \t\n\x0B\f\r]+")
 
-    @pandas_udf(T.ArrayType(T.StringType()))
+    @pandas_udf(T.ArrayType(T.LongType()))
     def shingle_sets(text: pd.Series) -> pd.Series:
-        out = []
+        sets = []
         for t in text:
             if t is None:
-                out.append([])
+                sets.append(())
                 continue
             toks = ws.split(t.strip(" "))
             n = len(toks) - (k - 1)
             if n <= 0:
-                out.append([])
+                sets.append(())
                 continue
-            out.append(list({" ".join(toks[i : i + k]) for i in range(n)}))
+            sets.append(tuple({" ".join(toks[i : i + k]) for i in range(n)}))
+        flat = np.array([s for doc in sets for s in doc], dtype=object)
+        hashed = (
+            pd.util.hash_array(flat).view(np.int64)
+            if len(flat)
+            else np.empty(0, dtype=np.int64)
+        )
+        out, pos = [], 0
+        for doc in sets:
+            out.append(hashed[pos : pos + len(doc)])
+            pos += len(doc)
         return pd.Series(out)
 
     return shingle_sets
@@ -900,10 +954,15 @@ def jaccard_shingle_sets(sa: Column, sb: Column) -> Column:
     (`array_intersect`/`array_union` run under whole-stage codegen, no
     Python boundary, no per-pair re-tokenization). Rounding is
     `F.round(_, 6)` — Spark's BigDecimal HALF_UP, the same policy as
-    the expression twin `jaccard_ngram` and bit-identical to
-    `jaccard_pairs_vec`'s floor(x·1e6 + 0.5) on these ratios (exact
-    decimal ties only arise from power-of-two unions, where the double
-    arithmetic is exact; the jaccard parity tests pin all three)."""
+    the expression twin `jaccard_ngram` (and as the DuckDB oracle's
+    round). vs `jaccard_pairs_vec`'s floor(x·1e6 + 0.5): the two agree
+    whenever the 6th-decimal tie digit is exactly representable, which
+    covers power-of-two unions; for reduced-ratio denominators of the
+    form 128·5^b (union 640, 3200, …) the double is inexact and the
+    two policies could in principle differ by 1e-6 at an exact
+    half-ulp tie — HALF_UP on the double Spark actually computed is
+    the one the oracle mirrors, and the jaccard parity tests fuzz
+    these denominators to document the agreement on real ratios."""
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     return F.round(
@@ -926,14 +985,19 @@ def verify_pairs_jaccard(
     doc_id — sort-merge (or broadcast if the doc side is small; AQE
     decides).
 
-    Verify split (r21, guide §4.1): each doc is shingled ONCE map-side
-    (`shingle_sets_vec`) and the per-pair score is JVM set arithmetic
-    (`jaccard_shingle_sets`) — the old shape shipped raw texts to every
-    pair and re-tokenized both sides per pair in a Python UDF, i.e.
-    O(pairs) tokenization instead of O(docs); with LSH mega-buckets
-    pairs ≫ docs. The joined payload (distinct shingle array) replaces
-    the text, so shuffle bytes stay the same order while the Python
-    boundary leaves the pair grain entirely (`jaccard_pairs_vec` stays
+    Verify split (r21, guide §4.1): each doc is shingled once PER JOIN
+    SIDE, map-side over the docs frame (`shingle_sets_vec`), and the
+    per-pair score is JVM set arithmetic (`jaccard_shingle_sets`) —
+    the old shape shipped raw texts to every pair and re-tokenized
+    both sides per pair in a Python UDF, i.e. O(pairs) tokenization
+    instead of O(2·docs); with LSH mega-buckets pairs ≫ docs.
+    (Semi-joining each side down to the ids that appear in `pairs`
+    was measured and rejected: it re-plans — and re-executes — the
+    candidate-generation subtree once per side, which costs more than
+    shingling the non-candidate docs saves; see OPTIMIZATION_r22.md.)
+    The joined payload is the doc's HASHED shingle set (int64 per
+    shingle, r22 — see `shingle_sets_vec`), so the pair joins shuffle
+    8 bytes per shingle instead of strings (`jaccard_pairs_vec` stays
     as the per-pair parity witness)."""
     sh_vec = shingle_sets_vec(k)
     sets = docs.select(F.col("doc_id"), sh_vec(F.col(text_col)).alias("_s"))

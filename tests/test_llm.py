@@ -248,6 +248,183 @@ def test_jaccard_vec_matches_expression_form(spark, docs):
         assert r.e == r.v, (r.e, r.v)
 
 
+def test_jaccard_split_verify_matches_expression_form(spark, docs):
+    """The split verify path (per-doc `shingle_sets_vec` — hashed int64
+    shingles — scored by `jaccard_shingle_sets`) must equal the
+    `jaccard_ngram` expression twin value-for-value on real docs AND
+    the whitespace/None edge rows: same tokenization, same set
+    semantics (a 64-bit shingle collision would break this exactly
+    here), same F.round HALF_UP policy (ADVICE r21 — the direct parity
+    the docstrings promise)."""
+    from github_event_etl_spark.operators.text_dedup import (
+        jaccard_ngram,
+        jaccard_shingle_sets,
+        shingle_sets_vec,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (None, None),
+            (None, "three word doc"),
+            ("", "   "),
+            ("one two", "one two"),
+            ("a b c d", "a  b\tc\nd"),
+            ("x y z", "x y z"),
+        ],
+        "ta string, tb string",
+    )
+    base = docs.limit(150)
+    pairs = (
+        base.select(F.col("text").alias("ta"))
+        .withColumn("_r", F.monotonically_increasing_id())
+        .join(
+            base.select(F.col("text").alias("tb")).withColumn(
+                "_r", F.monotonically_increasing_id() + 1
+            ),
+            "_r",
+        )
+        .select("ta", "tb")
+        .unionByName(edge)
+    )
+    sh = shingle_sets_vec(3)
+    rows = pairs.select(
+        jaccard_ngram(F.col("ta"), F.col("tb")).alias("e"),
+        jaccard_shingle_sets(sh(F.col("ta")), sh(F.col("tb"))).alias("s"),
+    ).collect()
+    for r in rows:
+        assert r.e == r.s, (r.e, r.s)
+
+
+def test_jaccard_rounding_policy_on_tie_denominators(spark):
+    """Documents ADVICE r21's rounding-policy finding: on reduced-ratio
+    denominators 128·5^b (union 640, 3200, …) Spark's BigDecimal
+    HALF_UP (`F.round` — the policy of EVERY production verify path
+    and of the DuckDB oracle) differs from floor(x·1e6 + 0.5) (the
+    `jaccard_pairs_vec` witness policy) by EXACTLY 1e-6, and only at
+    half-ulp ties; on power-of-two denominators they are identical."""
+    import math
+
+    rows = [
+        (i, d) for d in (128, 640, 3200, 1024) for i in range(0, d + 1, 7)
+    ]
+    got = (
+        spark.createDataFrame(rows, "i long, d long")
+        .select(
+            "i",
+            "d",
+            F.round(
+                F.col("i").cast("double") / F.col("d").cast("double"), 6
+            ).alias("r"),
+        )
+        .collect()
+    )
+    n_diff = 0
+    for r in got:
+        floor_pol = math.floor(r.i / r.d * 1e6 + 0.5) / 1e6
+        if r.d in (128, 1024):
+            assert floor_pol == r.r, (r.i, r.d, r.r, floor_pol)
+        elif floor_pol != r.r:
+            n_diff += 1
+            assert abs(floor_pol - r.r) <= 1.0000001e-06, (r.i, r.d)
+    assert n_diff > 0, "expected half-ulp divergences on 640/3200"
+
+
+def test_classify_broadcast_guard_fallback_is_value_identical(
+    spark, docs, sf_dir
+):
+    """`max_broadcast_pairs` (r22): a threshold the candidate count
+    exceeds must drop the broadcast hint (plain join, AQE decides) and
+    produce EXACTLY the rows of the unconditional-broadcast default —
+    on both classify twins (prepare and no-prepare orientations). The
+    guard's probe is a bounded limit+count, so this also exercises the
+    degenerate-batch path end to end."""
+    from github_event_etl_spark.operators.similarity import (
+        incremental_dedup_semantic,
+    )
+    from github_event_etl_spark.operators.text_dedup import (
+        incremental_dedup_minhash,
+    )
+    from github_event_etl_spark.sources.tables import load_table
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    base = {
+        tuple(r)
+        for r in incremental_dedup_minhash(corpus, batch, 0.8).collect()
+    }
+    guarded = {
+        tuple(r)
+        for r in incremental_dedup_minhash(
+            corpus, batch, 0.8, max_broadcast_pairs=0
+        ).collect()
+    }
+    assert base == guarded and len(base) > 0
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    e_corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    e_batch = emb.filter(F.col("vec_id") % 5 == 0)
+    e_base = {
+        tuple(r)
+        for r in incremental_dedup_semantic(
+            e_corpus, e_batch, 64, 0.95
+        ).collect()
+    }
+    e_guarded = {
+        tuple(r)
+        for r in incremental_dedup_semantic(
+            e_corpus, e_batch, 64, 0.95, max_broadcast_pairs=0
+        ).collect()
+    }
+    assert e_base == e_guarded and len(e_base) > 0
+
+
+def test_cosine_sql_twins_match_column_api(spark):
+    """`cosine_cols` / `_subsq_l2_sql` (the single-parse construction
+    fast paths) must equal the Column-API reference forms value-for-
+    value — the direct parity ADVICE r21 asked for — and must resolve
+    column names containing backticks (the `_bq` escaping fix)."""
+    from github_event_etl_spark.operators.similarity import (
+        _as_double,
+        _subsq_l2_sql,
+        cosine,
+        cosine_cols,
+    )
+
+    vecs = [
+        (
+            [float((i * 13 + j * 5) % 17) - 8.0 for j in range(8)],
+            [float((i * 11 + j * 7) % 19) - 9.0 for j in range(8)],
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        vecs, "va array<float>, vb array<float>"
+    )
+    rows = df.select(
+        cosine(F.col("va"), F.col("vb")).alias("ref"),
+        cosine_cols("va", "vb").alias("fast"),
+        F.aggregate(
+            F.zip_with(
+                F.slice(_as_double(F.col("va")), 3, 4),
+                F.slice(_as_double(F.col("vb")), 3, 4),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sref"),
+        F.expr(_subsq_l2_sql("va", "vb", 3, 4)).alias("sfast"),
+    ).collect()
+    for r in rows:
+        assert r.ref == r.fast, (r.ref, r.fast)
+        assert r.sref == r.sfast, (r.sref, r.sfast)
+    # backtick-bearing column names must parse and resolve
+    odd = df.withColumnRenamed("va", "a`b")
+    got = odd.select(cosine_cols("a`b", "vb").alias("c")).first()
+    assert got.c is not None
+
+
 def test_minhash_catches_all_planted_near_dups(docs):
     """Every pair with Jaccard ≥ 0.9 must appear among the LSH
     candidates (4 bands × 3 rows ⇒ miss probability ≈ (1−j³)⁴ < 1e-4
