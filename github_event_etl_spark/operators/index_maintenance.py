@@ -842,9 +842,9 @@ def ivf_pq_refresh_from_change_stream(
     changes_stream: DataFrame,
     index_path: str,
     checkpoint_dir: str,
-    num_subspaces: int = 8,
-    num_codewords: int = 16,
-    dim: int = 64,
+    num_subspaces: int | None = None,
+    num_codewords: int | None = None,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assert_unique_keys: bool = True,
@@ -876,7 +876,22 @@ def ivf_pq_refresh_from_change_stream(
     duplicate drift-log entry, which is monitoring noise, not state).
     The compaction knobs run `maybe_compact` against the lists subdir
     with the layout's (nid, centroid_id) geometry. Bounded
-    (AvailableNow) like the repo's replay harness."""
+    (AvailableNow) like the repo's replay harness.
+
+    PQ geometry (ADVICE r20): `num_subspaces`/`num_codewords`/`dim`
+    DEFAULT from the layout's required `_params.json` sidecar — the
+    artifact already records them, so a non-default-geometry
+    deployment no longer has to restate (and can no longer forget)
+    them. Explicit args remain as overrides and are cross-checked
+    against the sidecar by `ivf_pq_write_index_delta`'s existing
+    geometry validation before any codes append."""
+    params = _read_ivf_pq_params(index_path)
+    if num_subspaces is None:
+        num_subspaces = int(params["num_subspaces"])
+    if num_codewords is None:
+        num_codewords = int(params["num_codewords"])
+    if dim is None:
+        dim = int(params["dim"])
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = _prepare_stream_batch(

@@ -109,15 +109,53 @@ def executed_scan_metrics(df) -> list[dict]:
     return _walk_scan_metrics(df)
 
 
+def _uri_parts(p: str) -> tuple[str, str]:
+    """(scheme, comparable-path) of a possibly scheme-qualified
+    location. Unqualified and ``file:`` paths use local semantics
+    (realpath-normalized, scheme canonicalized to ``file``); remote
+    schemes (hdfs://, s3a://, …) keep their authority and a
+    norm-path'd path — the driver cannot realpath remote storage
+    (ADVICE r20: realpath-only semantics made every remote comparison
+    silently miss)."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(p)
+    if parts.scheme in ("", "file"):
+        local = parts.path if parts.scheme else p
+        return ("file", os.path.realpath(local))
+    return (
+        parts.scheme,
+        f"//{parts.netloc}{os.path.normpath(parts.path) if parts.path else ''}",
+    )
+
+
 def _under_path(root_paths: tuple[str, ...], prefix: str) -> bool:
     """True when any of the scan's root paths sits at or under
-    ``prefix`` (local-filesystem semantics: the ``file:`` scheme is
-    stripped and both sides realpath-normalized)."""
+    ``prefix``. Both sides are compared as URIs (see `_uri_parts`), so
+    a scheme-qualified scan root (hdfs://, s3a://) matches a prefix of
+    the same scheme/authority instead of never prefix-matching; when
+    nothing matches but some root carries a DIFFERENT scheme than the
+    prefix, a warning flags the likely-misscoped comparison rather
+    than letting ``static_prune='auto'`` fall back silently."""
+    pscheme, ppath = _uri_parts(prefix)
+    cross_scheme = []
     for p in root_paths:
-        fs = p[len("file:"):] if p.startswith("file:") else p
-        real = os.path.realpath(fs)
-        if real == prefix or real.startswith(prefix + os.sep):
+        scheme, path = _uri_parts(p)
+        if scheme != pscheme:
+            cross_scheme.append(p)
+            continue
+        if path == ppath or path.startswith(ppath.rstrip("/") + "/"):
             return True
+    if cross_scheme:
+        import warnings
+
+        warnings.warn(
+            f"_under_path: within_path {prefix!r} ({pscheme}:) matched no "
+            f"scan root, and {len(cross_scheme)} root(s) carry a different "
+            f"scheme (e.g. {cross_scheme[0]!r}) — the pruning check may be "
+            "scoped to the wrong filesystem",
+            stacklevel=2,
+        )
     return False
 
 
@@ -143,11 +181,10 @@ def partitioned_scans_within(
     a layout it believes is partitioned, and "nothing partitioned
     found" means the premise is wrong, which must not read as
     success."""
-    prefix = os.path.realpath(within_path) if within_path else None
     counts = [
         s["numPartitions"]
         for s in executed_scan_metrics(df)
         if "numPartitions" in s
-        and (prefix is None or _under_path(s["_location"], prefix))
+        and (within_path is None or _under_path(s["_location"], within_path))
     ]
     return bool(counts) and max(counts) <= max_partitions

@@ -2071,3 +2071,104 @@ def test_ivf_pq_refresh_stream_logs_drift_per_generation(
         static_prune=True,
     ))
     assert got2 == want
+
+
+def test_under_path_compares_scheme_qualified_uris():
+    """ADVICE r20: `_under_path` must match scheme-qualified scan
+    roots (hdfs://, s3a://) against a same-scheme prefix — the old
+    realpath-only local semantics never prefix-matched them, so
+    static_prune='auto' on remote storage silently fell back — and
+    must WARN (not silently miss) when the prefix and every root
+    carry different schemes. Local `file:`/bare-path semantics are
+    unchanged."""
+    import warnings
+
+    import pytest
+
+    from github_event_etl_spark.operators.plan_metrics import _under_path
+
+    assert _under_path(
+        ("hdfs://nn:8020/warehouse/idx/lists/centroid_id=1",),
+        "hdfs://nn:8020/warehouse/idx",
+    )
+    assert not _under_path(
+        ("hdfs://other:8020/warehouse/idx/lists",),
+        "hdfs://nn:8020/warehouse/idx",
+    )
+    assert _under_path(
+        ("s3a://bucket/prefix/idx/part-0",), "s3a://bucket/prefix/idx"
+    )
+    # not a path-prefix match: /prefix/idx2 is a sibling, not a child
+    assert not _under_path(
+        ("s3a://bucket/prefix/idx2",), "s3a://bucket/prefix/idx"
+    )
+    # local semantics unchanged: file: scheme stripped, realpath'd
+    assert _under_path(("file:/tmp/x/y",), "/tmp/x")
+    assert _under_path(("/tmp/x",), "/tmp/x")
+    # cross-scheme: no match, loud warning
+    with pytest.warns(UserWarning, match="different\\s+scheme"):
+        assert not _under_path(
+            ("s3a://bucket/warehouse/idx/lists",), "/warehouse/idx"
+        )
+    # same-scheme non-match stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert not _under_path(("/elsewhere/idx",), "/warehouse/idx")
+
+
+def test_ivf_pq_refresh_defaults_geometry_from_sidecar(spark, tmp_path):
+    """ADVICE r20: `ivf_pq_refresh_from_change_stream` must default
+    num_subspaces/num_codewords/dim from the layout's _params.json
+    sidecar, so a NON-default-geometry deployment that passes no
+    geometry args refreshes correctly instead of failing the first
+    micro-batch against hardcoded defaults."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from github_event_etl_spark.operators.index_maintenance import (
+        _committed_generations,
+        ivf_pq_refresh_from_change_stream,
+    )
+    from github_event_etl_spark.operators.similarity import (
+        ivf_pq_write_index,
+    )
+
+    dim, subs, cw = 32, 4, 8
+    base = spark.range(40).select(
+        F.col("id").alias("nid"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: ((F.col("id") * 31 + j * 7) % 23).cast("double")
+            - F.lit(11.0),
+        ).alias("embedding"),
+    )
+    layout = str(tmp_path / "pq32")
+    ivf_pq_write_index(
+        base, layout, num_centroids=4, num_subspaces=subs,
+        num_codewords=cw, dim=dim, id_col="nid",
+    )
+    changes = base.filter(F.col("nid") % 9 == 2).select(
+        "nid",
+        F.lit("changed").alias("change_type"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    src = tmp_path / "changes32"
+    src.mkdir()
+    stage = tmp_path / "stage32"
+    changes.coalesce(1).write.parquet(str(stage))
+    (part,) = [p for p in os.listdir(stage) if p.endswith(".parquet")]
+    shutil.copy(os.path.join(stage, part), str(src / "b0.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "nid long, change_type string, embedding array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    # no geometry args: must come from the sidecar, not the defaults
+    ivf_pq_refresh_from_change_stream(
+        stream, layout, checkpoint_dir=str(tmp_path / "ckpt32"),
+        id_col="nid",
+    )
+    assert len(_committed_generations(f"{layout}/lists")) == 1
