@@ -1496,3 +1496,33 @@ def test_reconcile_composes_snapshot_diffs(spark, docs, chain_len):
         ).collect()
     }
     assert maintained == {tuple(r) for r in band_fn(c).collect()}
+
+
+def test_pair_explode_matches_brute_force_at_chunk_boundaries(spark):
+    """The chunked in-bucket pair expansion (r22 `_pair_explode`) must
+    emit EXACTLY the (a, b), a-before-b pair set of each sorted member
+    array — fuzzed across sizes straddling the `_PAIR_CHUNK` boundary
+    (1, 2, 63, 64, 65, 128, 130, 200), where an off-by-one in the
+    chunk base/suffix arithmetic would drop or duplicate pairs."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from github_event_etl_spark.operators.text_dedup import _pair_explode
+
+    random.seed(7)
+    rows = [
+        (sorted(random.sample(range(100_000), sz)),)
+        for sz in (1, 2, 3, 5, 63, 64, 65, 100, 128, 130, 200)
+    ]
+    df = spark.createDataFrame(rows, "ids array<long>")
+    got = sorted(
+        tuple(r) for r in _pair_explode(df, "ids", "doc_a", "doc_b").collect()
+    )
+    want = sorted(
+        (ids[i], ids[j])
+        for (ids,) in rows
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+    )
+    assert got == want and len(want) > 0
