@@ -2178,6 +2178,7 @@ def incremental_dedup_semantic(
     max_bucket_size: int = 10_000,
     corpus_banded: DataFrame | None = None,
     max_broadcast_pairs: int | None = None,
+    materialize_batch_bands: bool = False,
 ) -> DataFrame:
     """Embedding-space twin of text_dedup.incremental_dedup_minhash:
     classify an incoming embedding batch against an indexed corpus by
@@ -2244,6 +2245,7 @@ def incremental_dedup_semantic(
             else corpus_banded
         ),
         max_broadcast_pairs=max_broadcast_pairs,
+        materialize_batch_bands=materialize_batch_bands,
     )
 
 

@@ -191,6 +191,7 @@ def _incremental_classify_lsh(
     corpus_banded: DataFrame | None = None,
     prepare=None,
     max_broadcast_pairs: int | None = None,
+    materialize_batch_bands: bool = False,
 ) -> DataFrame:
     """The shared classify skeleton of `incremental_dedup_minhash` and
     `similarity.incremental_dedup_semantic` — ONE copy of the
@@ -261,7 +262,22 @@ def _incremental_classify_lsh(
     increments (zero extra jobs); production refresh loops at 100 TB
     should set it (~50M pairs ≈ a few hundred MB broadcast) — the
     degenerate-batch fallback test pins value-identity of both join
-    shapes."""
+    shapes.
+
+    `materialize_batch_bands` (r22, VERDICT r21 item 5): the batch's
+    banded keys are referenced by THREE consumers (the corpus
+    semi-filter's distinct keys, the cross-candidate join, the
+    in-batch pairs), and Catalyst re-plans the banding subtree into
+    each — deliberate for a standalone increment (the subtrees run
+    concurrently as independent broadcast jobs; checkpointing a single
+    twin measured a LOSS in r21). Inside a COMPOSED waterfall the
+    trade flips: each stage's batch subtree nests the previous stage's
+    anti-join remainder, so the re-planned banding multiplies the
+    whole upstream — there an eager scalars-only localCheckpoint of
+    the (doc_id, band, bucket) keys wins (interleaved order-rotated
+    A/B on incremental_e2e: 8.23 vs 8.72 s median). Default False
+    keeps every standalone key's plan unchanged; the e2e pipeline
+    passes its own checkpoint flag through."""
 
     def capped(df: DataFrame) -> DataFrame:
         return _cap_buckets(df, ["band", "bucket"], max_bucket_size)
@@ -273,6 +289,8 @@ def _incremental_classify_lsh(
         return prepare(sel, out_val) if prepare else sel
 
     bb = banded(batch, True)
+    if materialize_batch_bands:
+        bb = bb.localCheckpoint(eager=True)
     cb_src = (
         corpus_banded.select("doc_id", "band", "bucket")
         if corpus_banded is not None
@@ -407,6 +425,7 @@ def incremental_dedup_minhash(
     max_bucket_size: int = 10_000,
     corpus_banded: DataFrame | None = None,
     max_broadcast_pairs: int | None = None,
+    materialize_batch_bands: bool = False,
 ) -> DataFrame:
     """Near-duplicate flavor of `incremental_dedup`: classify an
     incoming batch against an indexed corpus by MinHash-LSH banding +
@@ -482,6 +501,7 @@ def incremental_dedup_minhash(
         corpus_banded=corpus_banded,
         prepare=lambda df, col: df.withColumn(col, sh_vec(F.col(col))),
         max_broadcast_pairs=max_broadcast_pairs,
+        materialize_batch_bands=materialize_batch_bands,
     )
 
 

@@ -267,6 +267,13 @@ def incremental_e2e_classify(
             rows_per_band=_INCR_E2E_ROWS_PER_BAND,
             k=_INCR_E2E_SHINGLE_K,
             max_bucket_size=_INCR_E2E_MAX_BUCKET,
+            # inside the waterfall each stage's batch subtree nests the
+            # previous stage's remainder, so the ~3x-replanned batch
+            # banding multiplies the whole upstream — materialize the
+            # scalars-only band keys (r22 measured win, see the
+            # skeleton docstring); follows `checkpoint` so the lazy
+            # plan gate still sees the full tree
+            materialize_batch_bands=checkpoint,
         ).select(
             "doc_id", "status", F.col("matched_doc_id").alias("matched_id")
         )
@@ -294,6 +301,7 @@ def incremental_e2e_classify(
             num_tables=_INCR_E2E_SEM_TABLES,
             planes_per_table=_INCR_E2E_SEM_PLANES,
             max_bucket_size=_INCR_E2E_MAX_BUCKET,
+            materialize_batch_bands=checkpoint,
         ).select(
             F.col("vec_id").alias("doc_id"),
             "status",
