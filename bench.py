@@ -72,7 +72,17 @@ HEADLINE = [
 # profile_histogram_eqdepth (0.464/0.391/0.344/0.435/0.42/0.553/0.345
 # across r13-r19, never flagged; profile_table_approx keeps the
 # profile family's census seat).
+# Admitted r22: llm_pq_codes — the pure corpus-encode key the r22
+# Arrow vectorization targets (VERDICT r21 item 1); benched so the
+# driver tracks the encode pass directly instead of only through the
+# refine/apply-diff compositions. Retired r22 (making room under the
+# line budget): llm_corpus_snapshot_diff (0.317/0.407/0.297/0.311/
+# 0.395 across r17-r21, never flagged by a regression scan; the
+# snapshot-diff family keeps TWO census seats via llm_index_apply_diff
+# and llm_ivf_apply_diff, whose maintenance paths run snapshot_diff
+# end to end).
 COMPONENTS = [
+    "llm_pq_codes",
     "stream_interval_join",
     "stream_interval_join_outer",
     "scan_python_source",
@@ -88,7 +98,6 @@ COMPONENTS = [
     "llm_dedup_incremental_indexed",
     "llm_dedup_incremental_semantic_indexed",
     "llm_mixture_weights",
-    "llm_corpus_snapshot_diff",
     "llm_embed_random_projection",
     "llm_index_apply_diff",
     "llm_ivf_apply_diff",
